@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(+ the training-data extension operators); ``oracle_sql()`` carries the
+DuckDB-equivalent ANSI SQL for each. Column names and value canonicalization
+are kept identical on both sides:
+
+- money/fraction aggregates go through integer cents
+  (``CAST(round(x*100) AS BIGINT)``) so sums are order-independent integers
+  in both engines; final outputs are doubles derived identically.
+- ``events.ts`` is TIMESTAMP(NANOS) parquet: Spark reads it as bigint ns
+  (``nanosAsLong``), DuckDB truncates to µs — both sides normalize to
+  microseconds (``ts DIV 1000`` vs ``epoch_us(ts)``).
+
+Queries with no ``oracle_sql`` entry (rows-only check) are the genuinely
+non-SQL-expressible ones: minhash/simhash near-dup (xxhash64-based) and the
+masquerade random generators (xxhash64-keyed).
 """
 
 from __future__ import annotations
@@ -12,27 +22,729 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Core parity queries (SURVEY §2.1-§2.6)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped aggregation over lineitem (A1/A2-class
+    aggregates + projection/filter pushdown)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pre = li.where("l_shipdate <= TIMESTAMP '2000-09-02'").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("base_c"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_c"),
+        _cents(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge_c"),
+        _cents(F.col("l_discount")).alias("disc_bp"),
+    )
+    return (
+        pre.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sq"),
+            F.sum("base_c").alias("sb"),
+            F.sum("disc_c").alias("sd"),
+            F.sum("charge_c").alias("sc"),
+            F.sum("disc_bp").alias("sdb"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            F.round(F.col("sb") / 100.0, 2).alias("sum_base_price"),
+            F.round(F.col("sd") / 100.0, 2).alias("sum_disc_price"),
+            F.round(F.col("sc") / 100.0, 2).alias("sum_charge"),
+            F.round(F.col("sq") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("sb") / 100.0 / F.col("count_order"), 6).alias("avg_price"),
+            F.round(F.col("sdb") / 100.0 / F.col("count_order"), 6).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS DOUBLE) AS sum_qty,
+       round(sum(base_c)/100.0, 2) AS sum_base_price,
+       round(sum(disc_c)/100.0, 2) AS sum_disc_price,
+       round(sum(charge_c)/100.0, 2) AS sum_charge,
+       round(CAST(sum(qty) AS DOUBLE)/count(*), 6) AS avg_qty,
+       round(sum(base_c)/100.0/count(*), 6) AS avg_price,
+       round(sum(disc_bp)/100.0/count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS base_c,
+         CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS disc_c,
+         CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT) AS charge_c,
+         CAST(round(l_discount*100) AS BIGINT) AS disc_bp
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+) GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (customer ⋈ orders ⋈ lineitem) + agg + top-k. Dimension
+    side is broadcast; ties broken by key for determinism."""
+    cust = _t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    orders = _t(spark, sf_dir, "orders").where("o_orderdate < TIMESTAMP '1998-03-15'")
+    li = _t(spark, sf_dir, "lineitem").where("l_shipdate > TIMESTAMP '1995-03-15'")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+        )
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_c").alias("rc"))
+        .select(
+            "l_orderkey",
+            F.round(F.col("rc") / 100.0, 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, round(sum(rev_c)/100.0, 2) AS revenue, o_orderdate, o_orderpriority
+FROM (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15'
+)
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join through region→nation→(customer, supplier)→orders→lineitem.
+    All dims broadcast; one shuffle for the final group."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "n_name",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum("rev_c").alias("rc"))
+        .select("n_name", F.round(F.col("rc") / 100.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, round(sum(rev_c)/100.0, 2) AS revenue
+FROM (
+  SELECT n.n_name,
+         CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single filtered aggregate (P1 predicate pushdown + A-class agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pre = li.where(
+        "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"
+    ).select(_cents(F.col("l_extendedprice") * F.col("l_discount")).alias("rev_c"))
+    return pre.agg(
+        F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))/100.0, 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def s2_chunked_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S9: plan integer-PK chunks on orders, scan each chunk, reassemble.
+    Correctness property: the union equals the plain table scan."""
+    from mydumper_spark.planner import plan_integer_chunks, reassemble
+
+    orders = _t(spark, sf_dir, "orders")
+    plan = plan_integer_chunks(orders, "o_orderkey", num_chunks=8)
+    return reassemble(orders, plan)
+
+
+def s6_string_chunked_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: string-key chunked scan of customer via sampled boundaries."""
+    from mydumper_spark.planner import plan_string_chunks, reassemble
+
+    cust = _t(spark, sf_dir, "customer")
+    plan = plan_string_chunks(cust, "c_name", num_chunks=6)
+    return reassemble(cust, plan)
+
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_PKS = {
+    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey", "events": "event_id", "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def s8_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: row-count estimation across the whole catalog (parquet footers
+    answer this without a data scan)."""
+    out = None
+    for t in _TABLES:
+        df = _t(spark, sf_dir, t).agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(t).alias("table_name"), "n_rows"
+        )
+        out = df if out is None else out.unionAll(df)
+    return out
+
+
+_S8_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in _TABLES
+)
+
+
+def s9_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: MIN/MAX chunk-boundary discovery for every table's chunk column."""
+    out = None
+    for t in _TABLES:
+        pk = _PKS[t]
+        df = _t(spark, sf_dir, t).agg(
+            F.min(pk).cast("bigint").alias("lo"), F.max(pk).cast("bigint").alias("hi")
+        ).select(F.lit(t).alias("table_name"), "lo", "hi")
+        out = df if out is None else out.unionAll(df)
+    return out
+
+
+_S9_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, CAST(min({_PKS[t]}) AS BIGINT) AS lo, "
+    f"CAST(max({_PKS[t]}) AS BIGINT) AS hi FROM {t}"
+    for t in _TABLES
+)
+
+
+def p1_where_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3: global WHERE + column projection, both pushed into the scan."""
+    from mydumper_spark.operators.transform import TableTransform, apply_transform
+
+    li = _t(spark, sf_dir, "lineitem")
+    tt = TableTransform(select_columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"])
+    return apply_transform(
+        li,
+        tt,
+        global_where=(
+            "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_quantity > 45"
+        ),
+    )
+
+
+_P1_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity > 45
+"""
+
+
+def p4_select_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: columns_on_select_replace — server-side masking expression."""
+    from mydumper_spark.operators.transform import TableTransform, apply_transform
+
+    cust = _t(spark, sf_dir, "customer")
+    tt = TableTransform(
+        select_columns=["c_custkey", "c_name", "c_mktsegment"],
+        select_replace={"c_name": "md5(c_name)"},
+    )
+    return apply_transform(cust, tt)
+
+
+_P4_SQL = "SELECT c_custkey, md5(c_name) AS c_name, c_mktsegment FROM customer"
+
+
+def p2_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/O3 per-table limit + O1 ordering (made global for determinism)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+_P2_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def t_masquerade_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/T7/T8/T9: deterministic masquerade pipeline (regex, apply-wrap,
+    constant, null). The xxhash-keyed random generators are covered by the
+    rows-only query + pytest properties."""
+    from mydumper_spark.functions import masquerade as mq
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    out = cust.withColumn(
+        "c_name", mq.regex_replace(F.col("c_name"), [("Customer", "Client")])
+    )
+    out = out.withColumn("c_name", mq.apply_wrap(F.col("c_name"), prefix="masked:"))
+    out = out.withColumn("c_mktsegment", mq.constant("MASKED"))
+    out = out.withColumn("c_acctbal", mq.null().cast("double"))
+    return out
+
+
+_T_MASQ_SQL = """
+SELECT c_custkey,
+       'masked:' || regexp_replace(c_name, 'Customer', 'Client', 'g') AS c_name,
+       'MASKED' AS c_mktsegment,
+       CAST(NULL AS DOUBLE) AS c_acctbal
+FROM customer
+"""
+
+
+def a4_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: portable per-table checksum (bit_xor of 60-bit md5-fold) — the
+    manifest entry + restore-verification aggregate."""
+    from mydumper_spark.functions.checksum import checksum_df
+
+    out = None
+    for t in _TABLES:
+        df = _t(spark, sf_dir, t)
+        if t == "events":
+            df = df.withColumn("ts", F.expr("ts DIV 1000"))
+        c = checksum_df(df).select(F.lit(t).alias("table_name"), "checksum", "rows")
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
+_DUCK_FIELDS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "INTEGER"), ("r_name", "VARCHAR")],
+    "nation": [("n_nationkey", "INTEGER"), ("n_name", "VARCHAR"), ("n_regionkey", "INTEGER")],
+    "customer": [
+        ("c_custkey", "BIGINT"), ("c_name", "VARCHAR"), ("c_nationkey", "INTEGER"),
+        ("c_acctbal", "DOUBLE"), ("c_mktsegment", "VARCHAR"),
+    ],
+    "supplier": [
+        ("s_suppkey", "BIGINT"), ("s_name", "VARCHAR"), ("s_nationkey", "INTEGER"),
+        ("s_acctbal", "DOUBLE"),
+    ],
+    "part": [
+        ("p_partkey", "BIGINT"), ("p_name", "VARCHAR"), ("p_brand", "VARCHAR"),
+        ("p_type", "VARCHAR"), ("p_size", "INTEGER"), ("p_retailprice", "DOUBLE"),
+    ],
+    "orders": [
+        ("o_orderkey", "BIGINT"), ("o_custkey", "BIGINT"), ("o_orderstatus", "VARCHAR"),
+        ("o_totalprice", "DOUBLE"), ("o_orderdate", "TIMESTAMP"),
+        ("o_orderpriority", "VARCHAR"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "BIGINT"), ("l_partkey", "BIGINT"), ("l_suppkey", "BIGINT"),
+        ("l_linenumber", "INTEGER"), ("l_quantity", "DOUBLE"),
+        ("l_extendedprice", "DOUBLE"), ("l_discount", "DOUBLE"), ("l_tax", "DOUBLE"),
+        ("l_returnflag", "VARCHAR"), ("l_linestatus", "VARCHAR"),
+        ("l_shipdate", "TIMESTAMP"),
+    ],
+    "events": [
+        ("event_id", "BIGINT"), ("ts", "BIGINT"), ("user_id", "BIGINT"),
+        ("event_type", "VARCHAR"), ("value", "DOUBLE"), ("props", "VARCHAR"),
+    ],
+    "documents": [
+        ("doc_id", "BIGINT"), ("text", "VARCHAR"), ("lang", "VARCHAR"),
+        ("source", "VARCHAR"), ("n_chars", "BIGINT"),
+    ],
+    "embeddings": [("vec_id", "BIGINT"), ("embedding", "FLOAT[]"), ("label", "INTEGER")],
+}
+
+
+def _a4_sql() -> str:
+    from mydumper_spark.functions.checksum import oracle_checksum_sql
+
+    parts = []
+    for t in _TABLES:
+        src = t
+        if t == "events":
+            src = "(SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props FROM events)"
+        inner = oracle_checksum_sql(src, _DUCK_FIELDS[t])
+        parts.append(
+            f"SELECT '{t}' AS table_name, checksum, rows FROM ({inner}) AS c_{t}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Training-data extension operators
+# ---------------------------------------------------------------------------
+
+
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint (keep lowest doc_id)."""
+    from mydumper_spark.operators.dedup import exact_dedup
+    from mydumper_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_DEDUP_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document counting stats (token/punct/digit/upper/space)."""
+    from mydumper_spark.operators.text import add_text_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_text_stats(docs).drop("text")
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_calc,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INT) AS n_punct,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper,
+       CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_spaces
+FROM documents
+"""
+
+
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scored language ID vs the labeled lang column."""
+    from mydumper_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    from mydumper_spark.operators.text import STOPWORDS
+
+    score_exprs = []
+    for lang, words in STOPWORDS.items():
+        terms = " + ".join(
+            f"CAST((length(p) - length(replace(p, '{w}', ''))) / {len(w)} AS INT)"
+            for w in words
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+SELECT doc_id, lang, {case} AS lang_pred
+FROM (
+  SELECT doc_id, lang, {', '.join(score_exprs)}
+  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)
+)
+"""
+
+
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring components + composite."""
+    from mydumper_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score(docs).select(
+        "doc_id", "len_ok", "punct_ratio", "space_ratio", "mean_token_len", "quality"
+    )
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(len_ok AS INT) AS len_ok,
+       punct_ppm / 1000000.0 AS punct_ratio,
+       space_ppm / 1000000.0 AS space_ratio,
+       mtl_ppm / 1000000.0 AS mean_token_len,
+       (len_ok * 4000000
+        + (1000000 - least(punct_ppm * 5, 1000000)) * 3
+        + least(space_ppm * 5, 1000000) * 3) / 10000000.0 AS quality
+FROM (
+  SELECT doc_id,
+         CAST(length(text) >= 50 AND length(text) <= 100000 AS BIGINT) AS len_ok,
+         CAST(round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1000000) AS BIGINT) AS punct_ppm,
+         CAST(round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1000000) AS BIGINT) AS space_ppm,
+         CAST(round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / greatest(CAST(tok AS DOUBLE), 1.0) * 1000000) AS BIGINT) AS mtl_ppm
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+    FROM documents
+  )
+)
+"""
+
+
+def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    from mydumper_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    return cosine_topk(emb.where("vec_id <> 0"), [float(v) for v in qvec], k=10)
+
+
+_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def x_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by 30-min inactivity gap (window functions over the
+    event stream; ST7-class operator in batch form)."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    with_s = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    with_id = with_s.withColumn("sess_id", F.sum("new_sess").over(w))
+    return (
+        with_id.groupBy("user_id")
+        .agg(
+            F.max("sess_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
+_SESSION_SQL = """
+SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess_id
+  FROM (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     > 1800 * 1000000 OR
+                     lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+  )
+)
+GROUP BY user_id
+"""
+
+
+def x_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream rollup by type (streaming agg shape in batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", _cents(F.col("value")).alias("v_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v_c") / 100.0, 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_AGG_SQL = """
+SELECT event_type, count(*) AS n,
+       round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- rows-only queries (non-SQL-expressible: xxhash64-based) -----------------
+
+
+def x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
+    xxhash64-based → no DuckDB twin; deterministic across runs."""
+    from mydumper_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+
+
+def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    from mydumper_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def x_masquerade_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3/T4: deterministic 'random' generators (xxhash64-keyed) —
+    rows-only; value properties are pytest-verified."""
+    from mydumper_spark.functions import masquerade as mq
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return cust.select(
+        "c_custkey",
+        mq.random_int(F.col("c_custkey")).alias("fake_int"),
+        mq.random_string(F.col("c_name")).alias("fake_name"),
+        mq.random_uuid(F.col("c_custkey")).alias("fake_uuid"),
+    )
+
+
+def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-bucket LSH (rows-only;
+    bucketing is xxhash64-based)."""
+    from mydumper_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.95, dim=64, num_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_volume": q5_region_volume,
+        "q6_revenue_delta": q6_revenue_delta,
+        "s2_chunked_scan_orders": s2_chunked_scan_orders,
+        "s6_string_chunked_customer": s6_string_chunked_customer,
+        "s8_row_counts": s8_row_counts,
+        "s9_minmax_bounds": s9_minmax_bounds,
+        "p1_where_filter": p1_where_filter,
+        "p2_order_limit": p2_order_limit,
+        "p4_select_replace": p4_select_replace,
+        "t_masquerade_static": t_masquerade_static,
+        "a4_checksums": a4_checksums,
+        "x_dedup_exact": x_dedup_exact,
+        "x_text_stats": x_text_stats,
+        "x_lang_id": x_lang_id,
+        "x_quality_score": x_quality_score,
+        "x_cosine_topk": x_cosine_topk,
+        "x_events_sessionize": x_events_sessionize,
+        "x_events_agg": x_events_agg,
+        "x_minhash_pairs": x_minhash_pairs,
+        "x_simhash_pairs": x_simhash_pairs,
+        "x_masquerade_random": x_masquerade_random,
+        "x_embedding_near_dup": x_embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_region_volume": _Q5_SQL,
+        "q6_revenue_delta": _Q6_SQL,
+        "s2_chunked_scan_orders": "SELECT * FROM orders",
+        "s6_string_chunked_customer": "SELECT * FROM customer",
+        "s8_row_counts": _S8_SQL,
+        "s9_minmax_bounds": _S9_SQL,
+        "p1_where_filter": _P1_SQL,
+        "p2_order_limit": _P2_SQL,
+        "p4_select_replace": _P4_SQL,
+        "t_masquerade_static": _T_MASQ_SQL,
+        "a4_checksums": _a4_sql(),
+        "x_dedup_exact": _DEDUP_SQL,
+        "x_text_stats": _TEXT_STATS_SQL,
+        "x_lang_id": _lang_sql(),
+        "x_quality_score": _QUALITY_SQL,
+        "x_cosine_topk": _COSINE_SQL,
+        "x_events_sessionize": _SESSION_SQL,
+        "x_events_agg": _EVENTS_AGG_SQL,
+        # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
+        # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
+    }

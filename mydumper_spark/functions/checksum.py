@@ -1,0 +1,136 @@
+"""Table / schema checksums (SURVEY §2.5 A4-A5, §2.9 L9).
+
+The reference records a per-table data checksum in its metadata manifest and
+re-verifies it after restore:
+- data checksum: MySQL ``CHECKSUM TABLE`` — /root/reference/src/checksum.c:98-102
+- schema/object checksums: ``BIT_XOR(CAST(CRC32(col) AS UNSIGNED))`` over
+  definitions — /root/reference/src/checksum.c:105-153
+- verify-after-load — /root/reference/src/checksum.c:202-302,
+  src/myloader/myloader.c:684-730
+
+``CHECKSUM TABLE`` is engine-specific, so the reference itself already uses
+the portable ``bit_xor(crc32(...))`` form for schema objects. We standardize
+on that shape for *all* checksums, with one twist for cross-engine parity:
+Spark's ``crc32`` does not exist in DuckDB (our correctness oracle), so the
+portable variant hashes the canonical row string with ``md5`` and folds the
+first 15 hex digits (60 bits) into a BIGINT via ``bit_xor``. Both engines
+compute the identical value, it is order-independent (xor), and it scales:
+one whole-stage-codegen projection plus a single-value aggregate — no
+shuffle, no collect.
+
+Canonicalization rules (the cross-engine contract):
+- DOUBLE/FLOAT → round(x, 6) then DECIMAL(30,6) then string (both engines
+  print decimals identically; raw double→string formatting does not match).
+- TIMESTAMP/DATE → engine-native string form, identical under UTC sessions.
+- NULL → concat_ws skips nulls in both engines; a per-row null bitmap column
+  is appended so ``('a',NULL)`` ≠ ``(NULL,'a')`` — the reference gets this
+  for free from SQL NULL literals (mydumper_write.c:654-655).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: unit separator — same role as the reference's field terminator in .dat rows
+SEP = "\x01"
+
+
+def _canon_col(f: T.StructField) -> Column:
+    c = F.col(f.name)
+    if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+        return F.round(c, 6).cast(T.DecimalType(30, 6)).cast("string")
+    if isinstance(f.dataType, T.ArrayType):
+        elem = c
+        if isinstance(f.dataType.elementType, (T.DoubleType, T.FloatType)):
+            elem = F.transform(c, lambda x: F.round(x.cast("double"), 6).cast(T.DecimalType(30, 6)))
+        return F.concat_ws(",", elem.cast("array<string>"))
+    return c.cast("string")
+
+
+def canonical_row_string(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """Deterministic, engine-portable serialization of a row (the analogue of
+    the reference's escaped .dat row, mydumper_write.c:946-1011)."""
+    fields = [f for f in df.schema.fields if cols is None or f.name in cols]
+    parts = [_canon_col(f) for f in fields]
+    nullmap = F.concat(*[F.when(F.col(f.name).isNull(), F.lit("1")).otherwise(F.lit("0")) for f in fields])
+    return F.concat_ws(SEP, *parts, nullmap)
+
+
+def portable_checksum(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """Order-independent 60-bit per-row hash, identical in Spark and DuckDB.
+
+    ``bit_xor`` over these makes the table checksum insensitive to row order
+    and trivially partial-aggregatable (map-side combine), which is what makes
+    it viable at 100 TB: the aggregate state is a single long per partition,
+    merged on the driver."""
+    return (
+        F.conv(F.substring(F.md5(canonical_row_string(df, cols)), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> dict:
+    """A4 + A1: {rows, checksum} for one table — the manifest entry the
+    reference writes per table (mydumper_start_dump.c:774-797) and re-checks
+    after load (L9)."""
+    row_hash = (
+        F.conv(F.substring(F.md5(canonical_row_string(df, cols)), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__rh")
+    )
+    agg = df.select(row_hash).agg(
+        F.expr("bit_xor(__rh)").alias("checksum"), F.count("*").alias("rows")
+    )
+    r = agg.first()
+    return {"rows": r["rows"], "checksum": r["checksum"]}
+
+
+def checksum_df(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Same as :func:`table_checksum` but returned as a DataFrame (for the
+    oracle-checked query surface)."""
+    row_hash = (
+        F.conv(F.substring(F.md5(canonical_row_string(df, cols)), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__rh")
+    )
+    return df.select(row_hash).agg(
+        F.expr("bit_xor(__rh)").alias("checksum"), F.count(F.lit(1)).alias("rows")
+    )
+
+
+def oracle_checksum_sql(
+    table: str, fields: list[tuple[str, str]], where: str | None = None
+) -> str:
+    """Render the DuckDB-equivalent SQL of :func:`checksum_df` for the oracle.
+
+    ``fields`` is [(name, duckdb_type), ...] in DataFrame column order; the
+    canonicalization must mirror ``_canon_col`` exactly."""
+    parts = []
+    for name, typ in fields:
+        t = typ.upper()
+        if t in ("DOUBLE", "FLOAT", "REAL"):
+            parts.append(f"CAST(round({name}, 6) AS DECIMAL(30,6))::VARCHAR")
+        elif t.endswith("[]"):
+            parts.append(
+                f"array_to_string(CAST({name} AS VARCHAR[]), ',')"
+                if not t.startswith(("DOUBLE", "FLOAT", "REAL"))
+                else (
+                    "array_to_string(list_transform("
+                    + name
+                    + ", x -> CAST(round(CAST(x AS DOUBLE),6) AS DECIMAL(30,6))::VARCHAR), ',')"
+                )
+            )
+        else:
+            parts.append(f"CAST({name} AS VARCHAR)")
+    nullmap = "||".join(
+        f"CASE WHEN {name} IS NULL THEN '1' ELSE '0' END" for name, _ in fields
+    )
+    canon = "concat_ws(chr(1), " + ", ".join(parts) + ", " + nullmap + ")"
+    row_hash = f"CAST(('0x' || substr(md5({canon}), 1, 15)) AS BIGINT)"
+    w = f" WHERE {where}" if where else ""
+    return (
+        f"SELECT bit_xor(rh) AS checksum, count(*) AS rows "
+        f"FROM (SELECT {row_hash} AS rh FROM {table}{w}) t"
+    )

@@ -1,0 +1,269 @@
+"""Deduplication operators — exact and near-dup — for training-data pipelines
+(north-star extension, SURVEY §7.9).
+
+Scale design (the point of each choice):
+- **Exact dedup** shuffles once on a 128-bit fingerprint, never on the full
+  text: at 100 TB you exchange 16-byte keys, not documents.
+- **MinHash+LSH** is the classic shingle→minhash→band→bucket-join pipeline.
+  Everything is array expressions inside codegen; the only shuffles are the
+  band-bucket groupBy and the candidate-pair self-join, both on small keys.
+  Band buckets with a single document are dropped *before* the join
+  (`count > 1`), which is what keeps the join input sublinear on mostly-
+  unique corpora. Skewed buckets (boilerplate docs) are handled by AQE skew
+  join; pathological buckets can additionally be capped via `max_bucket`.
+- **SimHash** is one explode + one groupBy producing a 64-bit signature;
+  near-dup = signatures within small Hamming distance, found by banding the
+  64 bits into 4×16-bit keys (signatures within distance ≤3 share ≥1 band).
+- **Jaccard verification** re-checks every LSH candidate pair exactly, so LSH
+  recall/precision tuning never affects correctness of the output, only cost.
+
+All hashes are xxhash64 (JVM-side, seedable, deterministic) — runs are
+reproducible, which the reference achieves only by being single-source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mydumper_spark.operators.text import fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def tokens(col: Column) -> Column:
+    t = F.trim(F.lower(col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (the rolling-hash fingerprint basis)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<bigint>: min over shingles of xxhash64(s,
+    seed_i) per hash function — one array expression, no explode."""
+    sh = shingles(col, k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate generation + exact verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "txt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "txt", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # prune singleton buckets before the join — the sublinearity trick
+    bucket_sizes = banded.groupBy("band", "bucket").count().where(
+        (F.col("count") > 1) & (F.col("count") <= max_bucket)
+    )
+    live = banded.join(bucket_sizes.select("band", "bucket"), ["band", "bucket"])
+
+    a = live.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("txt").alias("txt_a")
+    )
+    b = live.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("txt").alias("txt_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "txt_a", "txt_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sha = F.array_distinct(shingles(F.col("txt_a"), k))
+    shb = F.array_distinct(shingles(F.col("txt_b"), k))
+    jac = (
+        F.size(F.array_intersect(sha, shb)).cast("double")
+        / F.size(F.array_union(sha, shb)).cast("double")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """Greedy near-dup removal: drop any doc that has a verified near-dup
+    with a smaller id. (Greedy, not transitive closure — at worst keeps an
+    extra representative per chain, never loses a cluster entirely; the
+    closure variant is connected_components below.)"""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Min-label propagation over (id_a, id_b) edges → (id, component).
+    Iterative small-join loop; each iteration halves chain lengths
+    (pointer-jumping), so max_iters=10 covers chains of length 2^10."""
+    edges = pairs.select("id_a", "id_b")
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .union(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    for _ in range(max_iters):
+        neigh_min = (
+            sym.join(labels, sym["id_b"] == labels["id"])
+            .groupBy("id_a")
+            .agg(F.min("comp").alias("ncomp"))
+            .withColumnRenamed("id_a", "id")
+        )
+        new_labels = (
+            labels.join(neigh_min, "id", "left")
+            .select("id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels
+
+
+def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash, per-bit ±1 sums,
+    reassemble sign bits. One explode + one groupBy(sum×64) — fully
+    JVM-side, partial-aggregated map-side."""
+    toked = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = toked.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint")))
+        for b in range(64)
+    )
+    return bit_sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3) -> DataFrame:
+    """Band the 64-bit signature into 4×16-bit keys; any pair within Hamming
+    distance ≤3 collides on at least one band (pigeonhole). Verify exactly
+    with bit_count(xor)."""
+    sig = simhash_signature(df, text_col, id_col)
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) pairs — the verification
+    primitive shared by the LSH pipelines, exposed standalone."""
+    docs = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), n)).alias("sh"))
+    with_a = candidate_pairs.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+    both = with_a.join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return both.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))

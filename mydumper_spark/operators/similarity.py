@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers, as a 100 TB design requires:
+- **Brute-force cosine top-k** — the exact baseline. One narrow projection
+  (dot product via zip_with/aggregate, pure codegen) + a top-k sort that
+  Spark executes as per-partition TakeOrdered + driver merge, i.e. no full
+  shuffle. Right answer for one query vector over any corpus size.
+- **LSH-bucketed ANN (random hyperplanes)** — the scale path for
+  query-*batch* workloads: signature = sign bits against H deterministic
+  hyperplanes; candidates share a signature bucket (or a banded sub-key),
+  then exact re-scoring only inside buckets. Hyperplane coefficients are
+  derived from xxhash64(plane, dim) so every executor materializes the same
+  planes with zero driver shipping.
+- **embedding near-dup**: pairs within cosine ≥ τ via the same bucketing —
+  the embedding-space analogue of MinHash dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as an ordered left-to-right double fold — deterministic, and
+    reproducible bit-for-bit by the DuckDB oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The query vector is inlined as an array literal (same role as a broadcast
+    variable for a single row). Ordering ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: coefficient (p,d) =
+    xxhash64(p,d) mapped to ±1. Rademacher planes preserve angles well enough
+    for bucketing and cost nothing to materialize on executors."""
+    return F.array(
+        *[
+            F.when(
+                F.pmod(F.xxhash64(F.lit(plane), F.lit(d)), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            for d in range(dim)
+        ]
+    )
+
+
+def simhash_embedding_signature(
+    vec_col: Column, dim: int, num_planes: int = 16
+) -> Column:
+    """Bit signature: bit p = [dot(x, plane_p) > 0], packed into a bigint."""
+    bits = [
+        F.when(dot(vec_col, _hyperplane(p, dim)) > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for p in range(num_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    num_planes: int = 16,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature is
+    within ``probe_hamming`` bits of the query's signature.
+
+    At 100 TB the signature column is computed once and persisted
+    (write-time), making every query a bucket-pruned scan instead of a full
+    corpus scan; here it is computed inline.
+    """
+    if dim is None:
+        dim = len(query_vec)
+    sig = simhash_embedding_signature(F.col(vec_col), dim, num_planes)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qsig = simhash_embedding_signature(q, dim, num_planes)
+    candidates = embeddings.withColumn("__sig", sig).where(
+        F.bit_count(F.col("__sig").bitwiseXOR(qsig)) <= probe_hamming
+    )
+    scored = candidates.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) for pairs with cosine ≥ threshold, found via
+    signature-bucket self-join then exact re-score — embedding-space near-dup
+    detection without the O(n²) cross join."""
+    sig = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        simhash_embedding_signature(F.col(vec_col), dim, num_planes).alias("sig"),
+    )
+    a = sig.select(F.col("sig"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = sig.select(F.col("sig"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, "sig").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim")
+    )
+    return scored.where(F.col("cosine_sim") >= threshold)

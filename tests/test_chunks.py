@@ -1,0 +1,97 @@
+"""Chunk-planner correctness: the reference proves its chunking via roundtrip
+checksums (test_mydumper.sh:248-249); we prove cover/disjointness directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mydumper_spark.planner import (
+    adaptive_replan,
+    chunk_counts,
+    plan_chunks,
+    plan_integer_chunks,
+    plan_multi_column_chunks,
+    plan_string_chunks,
+    reassemble,
+    to_jdbc_options,
+)
+
+
+def test_integer_chunks_cover_exactly(orders):
+    plan = plan_integer_chunks(orders, "o_orderkey", num_chunks=8)
+    assert plan.strategy == "integer"
+    assert plan.num_chunks >= 4
+    total = orders.count()
+    assert reassemble(orders, plan).count() == total
+    counts = chunk_counts(orders, plan)
+    assert sum(counts) == total  # disjoint AND covering
+
+
+def test_integer_chunks_equi_depth_balance(orders):
+    plan = plan_integer_chunks(orders, "o_orderkey", num_chunks=8)
+    counts = chunk_counts(orders, plan)
+    total = orders.count()
+    # equi-depth: no chunk more than 3x the ideal share
+    assert max(counts) <= 3 * total / len(counts)
+
+
+def test_uniform_chunks_cover(orders):
+    plan = plan_integer_chunks(orders, "o_orderkey", num_chunks=6, equi_depth=False)
+    assert reassemble(orders, plan).count() == orders.count()
+
+
+def test_integer_chunks_with_nulls(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (5, "c"), (9, "d"), (100, "e")], "k int, v string"
+    )
+    plan = plan_integer_chunks(df, "k", num_chunks=2)
+    assert reassemble(df, plan).count() == 5  # NULL row lands in first chunk
+
+
+def test_string_chunks_cover(customer):
+    plan = plan_string_chunks(customer, "c_name", num_chunks=6)
+    assert plan.strategy == "string"
+    assert reassemble(customer, plan).count() == customer.count()
+    assert sum(chunk_counts(customer, plan)) == customer.count()
+
+
+def test_multi_column_chunks_cover(lineitem):
+    plan = plan_multi_column_chunks(
+        lineitem, "l_orderkey", "l_linenumber", inner_chunks=2, max_outer=5000
+    )
+    assert plan.strategy in ("multi", "integer")
+    assert sum(chunk_counts(lineitem, plan)) == lineitem.count()
+
+
+def test_plan_chunks_dispatch(orders, customer):
+    assert plan_chunks(orders, "o_orderkey", 4).strategy == "integer"
+    assert plan_chunks(customer, "c_name", 4).strategy == "string"
+
+
+def test_adaptive_replan_splits_fat_chunks(orders):
+    plan = plan_integer_chunks(orders, "o_orderkey", num_chunks=2)
+    total = orders.count()
+    replanned = adaptive_replan(orders, plan, max_rows_per_chunk=total // 4)
+    assert replanned.num_chunks > plan.num_chunks
+    assert sum(chunk_counts(orders, replanned)) == total
+
+
+def test_jdbc_options_integer(orders):
+    plan = plan_integer_chunks(orders, "o_orderkey", num_chunks=4)
+    opts = to_jdbc_options(plan, "jdbc:mysql://h/db", "orders")
+    assert opts["column"] == "o_orderkey"
+    assert opts["numPartitions"] == plan.num_chunks
+    assert opts["lowerBound"] <= opts["upperBound"]
+
+
+def test_jdbc_options_predicates(customer):
+    plan = plan_string_chunks(customer, "c_name", num_chunks=4)
+    opts = to_jdbc_options(plan, "jdbc:mysql://h/db", "customer")
+    assert len(opts["predicates"]) == plan.num_chunks
+
+
+def test_single_value_column_degenerates(spark):
+    df = spark.createDataFrame([(1,), (1,), (1,)], "k int")
+    plan = plan_integer_chunks(df, "k", num_chunks=4)
+    assert plan.strategy == "none"
+    assert reassemble(df, plan).count() == 3

@@ -1,0 +1,185 @@
+"""Transform pipeline, text analysis, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mydumper_spark.operators.transform import TableTransform, apply_transform
+from mydumper_spark.operators import text as tx
+from mydumper_spark.operators import dedup as dd
+from mydumper_spark.operators import similarity as sim
+from mydumper_spark.operators import multimodal as mm
+
+
+# -- transform (P1-P5) -------------------------------------------------------
+
+
+def test_where_and_projection(lineitem):
+    tt = TableTransform(select_columns=["l_orderkey", "l_quantity"])
+    out = apply_transform(lineitem, tt, global_where="l_quantity > 45")
+    assert out.columns == ["l_orderkey", "l_quantity"]
+    assert out.count() == lineitem.where("l_quantity > 45").count()
+
+
+def test_select_replace_and_limit(customer):
+    tt = TableTransform(
+        select_columns=["c_custkey", "c_name"],
+        select_replace={"c_name": "upper(c_name)"},
+        limit=5,
+    )
+    out = apply_transform(customer, tt)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["c_name"] == r["c_name"].upper() for r in rows)
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    """The plan must show the predicate pushed into the parquet scan."""
+    tt = TableTransform(select_columns=["l_orderkey"])
+    out = apply_transform(lineitem, tt, global_where="l_orderkey > 100")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]" in plan
+
+
+# -- text --------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("one",)], "text string")
+    out = df.select(tx.token_count(F.col("text")).alias("n")).collect()
+    assert [r["n"] for r in out] == [3, 0, 0, 1]
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("don't stop-me now4",)], "text string")
+    n = df.select(tx.bpe_ish_token_count(F.col("text")).alias("n")).first()["n"]
+    # don | ' | t | stop | - | me | now | 4
+    assert n == 8
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("der hund und die katze ist hier",),
+            ("le chat et la mer est grande",),
+            ("xyzzy qwerty",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(tx.language_id(F.col("text"))).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_whitespace_invariance(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "text string")
+    fps = [r[0] for r in df.select(tx.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "Same  Text"), (3, "different")], "doc_id long, text string"
+    )
+    out = dd.exact_dedup(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated words about spark engines and parquet files " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dd.minhash_lsh_pairs(df, jaccard_threshold=0.5, bands=8, num_hashes=16).collect()
+    assert any(p["id_a"] == 1 and p["id_b"] == 2 for p in pairs)
+    assert not any(p["id_b"] == 3 or p["id_a"] == 3 for p in pairs)
+    deduped = dd.minhash_dedup(df, jaccard_threshold=0.5, bands=8, num_hashes=16)
+    assert sorted(r["doc_id"] for r in deduped.collect()) == [1, 3]
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = dd.simhash_near_dup_pairs(df, max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["comp"] for r in dd.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z z z z z")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(df, cand).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+# -- similarity --------------------------------------------------------------
+
+
+def test_cosine_topk_exact(embeddings):
+    q = embeddings.where("vec_id = 0").first()["embedding"]
+    top = sim.cosine_topk(embeddings, [float(v) for v in q], k=3).collect()
+    assert top[0]["vec_id"] == 0  # self-similarity = 1.0 wins
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-6
+
+
+def test_ann_recalls_self(embeddings):
+    q = embeddings.where("vec_id = 7").first()["embedding"]
+    top = sim.ann_topk(embeddings, [float(v) for v in q], k=3, num_planes=8).collect()
+    assert top and top[0]["vec_id"] == 7
+
+
+def test_embedding_near_dup_self_join_excludes_diagonal(embeddings):
+    pairs = sim.embedding_near_dup_pairs(embeddings.limit(100), threshold=0.0, num_planes=4)
+    assert all(r["id_a"] < r["id_b"] for r in pairs.collect())
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def _media_df(spark):
+    return spark.createDataFrame(
+        [(1, b"\x89PNG fake image bytes" * 40), (2, b"RIFF fake wav" * 100), (3, None)],
+        "doc_id long, payload binary",
+    )
+
+
+def test_attach_media_meta(spark):
+    df = mm.attach_media_meta(_media_df(spark), "payload", "image", "png")
+    r = df.where("doc_id = 1").first()
+    assert r["payload_meta"]["media_type"] == "image"
+    assert r["payload_meta"]["size_bytes"] == len(r["payload"])
+
+
+def test_extract_features_deterministic(spark):
+    df = _media_df(spark)
+    a = {r["doc_id"]: r["feature"] for r in mm.extract_features(df).collect()}
+    b = {r["doc_id"]: r["feature"] for r in mm.extract_features(df).collect()}
+    assert a == b
+    assert len(a[1]) == 8
+    assert all(0.0 <= v <= 1.0 for v in a[1])
+
+
+def test_frame_sampling(spark):
+    df = _media_df(spark).where("doc_id = 2")
+    frames = mm.sample_frames(df, every_n_bytes=256).collect()
+    payload_len = len(b"RIFF fake wav" * 100)
+    assert len(frames) == payload_len // 256
+    assert all(len(f["frame_bytes"]) <= 256 for f in frames)
