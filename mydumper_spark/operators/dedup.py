@@ -83,16 +83,34 @@ def minhash_lsh_pairs(
     """Candidate generation + exact verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
-    """
+
+    Shuffle economics (the 100 TB shape): documents are reduced to an
+    array<bigint> of *hashed* distinct shingles (8 bytes each) in one codegen
+    pass; text never enters a shuffle. Bands carry only (id, band, bucket);
+    candidate pairs are id-pairs, deduped *before* any payload joins back in;
+    a cheap signature-agreement prefilter culls most false candidates before
+    the exact set intersection. Verification then joins the compact shingle
+    arrays — two hash joins on 8-byte keys."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("txt"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
-    banded = sig.select(
+    base = base.withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(i))))
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    base = base.persist()
+
+    banded = base.select(
         "id",
-        "txt",
         F.explode(
             F.array(
                 *[
@@ -108,34 +126,42 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "txt", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # prune singleton buckets before the join — the sublinearity trick
+    # prune singleton + pathological buckets before the join — the
+    # sublinearity trick (and the skew guard)
     bucket_sizes = banded.groupBy("band", "bucket").count().where(
         (F.col("count") > 1) & (F.col("count") <= max_bucket)
     )
     live = banded.join(bucket_sizes.select("band", "bucket"), ["band", "bucket"])
 
-    a = live.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("txt").alias("txt_a")
-    )
-    b = live.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("txt").alias("txt_b")
-    )
+    a = live.select("band", "bucket", F.col("id").alias("id_a"))
+    b = live.select("band", "bucket", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "txt_a", "txt_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sha = F.array_distinct(shingles(F.col("txt_a"), k))
-    shb = F.array_distinct(shingles(F.col("txt_b"), k))
+
+    side_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    side_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    enriched = pairs.join(side_a, "id_a").join(side_b, "id_b")
+
+    # signature-agreement estimate of Jaccard; generous margin (3σ for 16
+    # hashes) so the prefilter can't cost recall
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(num_hashes))
+    margin = 3.0 / (num_hashes ** 0.5)
+    est_ok = enriched.where(agree >= jaccard_threshold - margin)
+
     jac = (
-        F.size(F.array_intersect(sha, shb)).cast("double")
-        / F.size(F.array_union(sha, shb)).cast("double")
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
     )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        est_ok.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

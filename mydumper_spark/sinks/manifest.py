@@ -1,0 +1,122 @@
+"""Metadata manifest sink (SURVEY §2.2 K8, §2.5 A6/A7).
+
+The reference writes an INI ``metadata`` file: a ``[config]`` section,
+per-table ``[db.table]`` sections with rows + checksums, and source/
+replication positions (/root/reference/src/mydumper/mydumper_start_dump.c:
+774-808, 1119-1200; partial flushes mydumper_stream.c:171-240). Ours is the
+same contract as JSON (plus an INI renderer for format parity): it is what
+the restore side verifies against (L9) and what incremental/streaming
+consumers poll (ST4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from mydumper_spark.functions.checksum import table_checksum
+
+
+@dataclass
+class TableEntry:
+    name: str
+    rows: int
+    data_checksum: int
+    schema_checksum: str
+    path: str | None = None
+
+
+@dataclass
+class Manifest:
+    started_at: float = field(default_factory=time.time)
+    finished_at: float | None = None
+    quote_character: str = "`"  # [config] parity (mydumper_start_dump.c:1175)
+    tables: dict[str, TableEntry] = field(default_factory=dict)
+
+    def add_table(self, df: DataFrame, name: str, path: str | None = None) -> TableEntry:
+        cs = table_checksum(df)
+        entry = TableEntry(
+            name=name,
+            rows=cs["rows"],
+            data_checksum=cs["checksum"],
+            schema_checksum=_schema_checksum(df),
+            path=path,
+        )
+        self.tables[name] = entry
+        return entry
+
+    def finish(self) -> None:
+        self.finished_at = time.time()
+
+
+def _schema_checksum(df: DataFrame) -> str:
+    """A5 schema checksum: hash of the ordered (name, type, nullable)
+    triples — the Spark analogue of the reference's column-definition
+    checksum query (/root/reference/src/checksum.c:105-117)."""
+    import hashlib
+
+    canon = ";".join(f"{f.name}:{f.dataType.simpleString()}:{f.nullable}" for f in df.schema.fields)
+    return hashlib.md5(canon.encode()).hexdigest()
+
+
+def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
+    """JSON manifest + INI twin. ``partial=True`` mirrors the streaming
+    ``metadata.partial.N`` flushes (ST4)."""
+    os.makedirs(root, exist_ok=True)
+    name = "_manifest.partial.json" if partial else "_manifest.json"
+    doc = {
+        "config": {"quote_character": manifest.quote_character},
+        "started_at": manifest.started_at,
+        "finished_at": manifest.finished_at,
+        "tables": {
+            t: {
+                "rows": e.rows,
+                "data_checksum": e.data_checksum,
+                "schema_checksum": e.schema_checksum,
+                "path": e.path,
+            }
+            for t, e in sorted(manifest.tables.items())  # O5 metadata sorting
+        },
+    }
+    path = os.path.join(root, name)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    # INI twin for reference-format parity
+    ini = [f"[config]\nquote_character = {manifest.quote_character}\n"]
+    for t, e in sorted(manifest.tables.items()):
+        ini.append(
+            f"[`default`.`{t}`]\nrows = {e.rows}\ndata_checksum = {e.data_checksum}\n"
+            f"schema_checksum = {e.schema_checksum}\n"
+        )
+    with open(os.path.join(root, "_manifest.ini"), "w") as f:
+        f.write("\n".join(ini))
+    return path
+
+
+def read_manifest(root: str) -> dict:
+    with open(os.path.join(root, "_manifest.json")) as f:
+        return json.load(f)
+
+
+def verify_manifest(spark, root: str) -> dict[str, dict]:
+    """L9 checksum verification: recompute every table's checksum from its
+    dumped files and compare (/root/reference/src/checksum.c:202-302).
+    Returns {table: {"ok": bool, "expected": ..., "actual": ...}}."""
+    doc = read_manifest(root)
+    results = {}
+    for t, entry in doc["tables"].items():
+        if not entry.get("path"):
+            results[t] = {"ok": None, "reason": "no data path recorded"}
+            continue
+        df = spark.read.parquet(entry["path"])
+        cs = table_checksum(df)
+        results[t] = {
+            "ok": cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"],
+            "expected": {"rows": entry["rows"], "checksum": entry["data_checksum"]},
+            "actual": {"rows": cs["rows"], "checksum": cs["checksum"]},
+        }
+    return results

@@ -1,0 +1,69 @@
+"""Dump-directory reader (SURVEY §2.1 S12) — the restore-side source.
+
+The reference classifies dump files by filename pattern
+(/root/reference/src/myloader/myloader_process_filename.c: db.table.part.sql,
+db.table-schema.sql, db-schema-create.sql, metadata, ...) and routes each to
+a handler. Our dump layout is parquet/csv dirs + metadata.json; this module
+reads either our layout or a reference-style CSV dump back into DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mydumper_spark.sinks.writers import CsvFormat
+
+#: filename → file-type routing, after myloader.h:142-157
+FILE_PATTERNS = {
+    "schema_create": re.compile(r"^(?P<db>[^.]+)-schema-create\.sql$"),
+    "table_schema": re.compile(r"^(?P<db>[^.]+)\.(?P<table>[^.]+)-schema\.sql$"),
+    "data_sql": re.compile(r"^(?P<db>[^.]+)\.(?P<table>[^.]+)\.(?P<part>\d+)\.sql$"),
+    "data_dat": re.compile(r"^(?P<db>[^.]+)\.(?P<table>[^.]+)\.(?P<part>\d+)\.dat$"),
+    "metadata": re.compile(r"^metadata(\.partial)?(\.json)?$"),
+}
+
+
+def classify(filename: str) -> tuple[str, dict] | None:
+    for kind, pat in FILE_PATTERNS.items():
+        m = pat.match(filename)
+        if m:
+            return kind, m.groupdict()
+    return None
+
+
+def read_dump_table(
+    spark: SparkSession, root: str, table: str, fmt: CsvFormat | None = None
+) -> DataFrame:
+    """Read one table back from a dump dir — parquet preferred, CSV (.dat)
+    fallback with the same dialect options the writer used (roundtrip
+    contract)."""
+    pq = os.path.join(root, f"{table}.parquet")
+    if os.path.exists(pq):
+        return spark.read.parquet(pq)
+    fmt = fmt or CsvFormat()
+    dat = os.path.join(root, f"{table}.dat")
+    return (
+        spark.read.option("sep", fmt.fields_terminated_by)
+        .option("quote", fmt.fields_enclosed_by)
+        .option("escape", fmt.fields_escaped_by)
+        .option("lineSep", fmt.lines_terminated_by)
+        .option("header", str(fmt.header).lower())
+        .option("nullValue", fmt.null_value)
+        .csv(dat)
+    )
+
+
+def read_dump_dir(spark: SparkSession, root: str) -> dict[str, DataFrame]:
+    """Discover every table in a dump dir (S12 intake walk)."""
+    out: dict[str, DataFrame] = {}
+    for name in sorted(os.listdir(root)):
+        if name.endswith(".parquet"):
+            out[name[: -len(".parquet")]] = spark.read.parquet(os.path.join(root, name))
+        elif name.endswith(".dat"):
+            t = name[: -len(".dat")]
+            if t not in out:
+                out[t] = read_dump_table(spark, root, t)
+    return out

@@ -1,0 +1,267 @@
+"""Sinks, manifest, loader DAG, engine dump→restore roundtrip, streaming."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydumper_spark.engine import DumpConfig, dump, restore
+from mydumper_spark.catalog import TableFilters
+from mydumper_spark.functions.checksum import table_checksum
+from mydumper_spark.plans.loader_dag import (
+    LoaderDag,
+    LoadJob,
+    Phase,
+    PurgeMode,
+    split_create_table,
+)
+from mydumper_spark.sinks.manifest import Manifest, read_manifest, verify_manifest, write_manifest
+from mydumper_spark.sinks.writers import (
+    CsvFormat,
+    insert_statements,
+    write_csv,
+    write_load_data,
+)
+from mydumper_spark.sources.dump_reader import classify, read_dump_dir, read_dump_table
+
+
+# -- writers -----------------------------------------------------------------
+
+
+def test_csv_roundtrip_with_dialect(spark, customer, tmp_path):
+    fmt = CsvFormat(fields_terminated_by="|", fields_enclosed_by="'", header=True)
+    path = str(tmp_path / "c.dat")
+    write_csv(customer, path, fmt)
+    back = (
+        spark.read.option("sep", "|").option("quote", "'").option("header", "true")
+        .option("nullValue", "\\N")
+        .schema(customer.schema)
+        .csv(path)
+    )
+    assert table_checksum(back) == table_checksum(customer)
+
+
+def test_csv_file_rotation(customer, tmp_path):
+    path = str(tmp_path / "rot.dat")
+    write_csv(customer.repartition(1), path, max_records_per_file=40)
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) >= customer.count() // 40  # K5 rotation happened
+
+
+def test_insert_statements(spark, customer):
+    stmts = insert_statements(customer.limit(10), "customer", rows_per_statement=4)
+    rows = [r["statement"] for r in stmts.collect()]
+    assert all(r.startswith("INSERT INTO `customer`") and r.endswith(";") for r in rows)
+    assert sum(r.count("),(") + 1 for r in rows) == 10  # every row rendered
+
+
+def test_insert_statement_escaping(spark):
+    df = spark.createDataFrame([(1, "O'Brien \\ co")], "id int, name string")
+    stmt = insert_statements(df, "t").first()["statement"]
+    assert "O\\'Brien" in stmt and "\\\\ co" in stmt
+
+
+def test_load_data_sidecar(spark, customer, tmp_path):
+    sql_path = write_load_data(customer.limit(5), str(tmp_path), "customer")
+    stmt = open(sql_path).read()
+    assert "LOAD DATA LOCAL INFILE" in stmt
+    assert "`c_custkey`" in stmt
+
+
+# -- manifest ----------------------------------------------------------------
+
+
+def test_manifest_roundtrip(spark, customer, tmp_path):
+    m = Manifest()
+    path = str(tmp_path / "customer.parquet")
+    customer.write.parquet(path)
+    m.add_table(spark.read.parquet(path), "customer", path)
+    m.finish()
+    write_manifest(m, str(tmp_path))
+    doc = read_manifest(str(tmp_path))
+    assert doc["tables"]["customer"]["rows"] == customer.count()
+    res = verify_manifest(spark, str(tmp_path))
+    assert res["customer"]["ok"]
+    # INI twin exists (reference format parity)
+    assert "[`default`.`customer`]" in open(tmp_path / "_manifest.ini").read()
+
+
+def test_manifest_detects_tamper(spark, customer, tmp_path):
+    m = Manifest()
+    path = str(tmp_path / "t.parquet")
+    customer.write.parquet(path)
+    m.add_table(spark.read.parquet(path), "t", path)
+    write_manifest(m, str(tmp_path))
+    doc = json.load(open(tmp_path / "_manifest.json"))
+    doc["tables"]["t"]["data_checksum"] += 1
+    json.dump(doc, open(tmp_path / "_manifest.json", "w"))
+    assert not verify_manifest(spark, str(tmp_path))["t"]["ok"]
+
+
+# -- loader DAG --------------------------------------------------------------
+
+
+def test_dag_phase_ordering():
+    order = []
+    dag = LoaderDag()
+    for t in ["a", "b"]:
+        dag.add(LoadJob(t, Phase.DATA, lambda t=t: order.append(f"data-{t}")))
+        dag.add(LoadJob(t, Phase.SCHEMA, lambda t=t: order.append(f"schema-{t}")))
+        dag.add(LoadJob(t, Phase.INDEX, lambda t=t: order.append(f"index-{t}")))
+    dag.run()
+    assert max(i for i, x in enumerate(order) if x.startswith("schema")) < min(
+        i for i, x in enumerate(order) if x.startswith("data")
+    )
+    assert max(i for i, x in enumerate(order) if x.startswith("data")) < min(
+        i for i, x in enumerate(order) if x.startswith("index")
+    )
+
+
+def test_dag_largest_first():
+    order = []
+    dag = LoaderDag()
+    dag.add(LoadJob("small", Phase.DATA, lambda: order.append("small"), size_hint=10))
+    dag.add(LoadJob("big", Phase.DATA, lambda: order.append("big"), size_hint=1000))
+    dag.run()
+    assert order == ["big", "small"]
+
+
+def test_dag_retry_then_fail():
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        raise RuntimeError("boom")
+
+    dag = LoaderDag()
+    dag.add(LoadJob("t", Phase.DATA, flaky, retries=2))
+    with pytest.raises(RuntimeError, match="load failed"):
+        dag.run()
+    assert attempts["n"] == 3  # 1 + 2 retries (L8)
+
+
+def test_dag_resume_skips_done():
+    ran = []
+    dag = LoaderDag(resume_log={"t:DATA"})
+    dag.add(LoadJob("t", Phase.DATA, lambda: ran.append(1)))
+    dag.run()
+    assert ran == []  # L11
+
+
+def test_split_create_table():
+    ddl = """CREATE TABLE actor (
+      actor_id INT NOT NULL,
+      name VARCHAR(45) NOT NULL,
+      PRIMARY KEY (actor_id),
+      KEY idx_name (name),
+      CONSTRAINT fk FOREIGN KEY (actor_id) REFERENCES other(id)
+    )"""
+    bare, keys, constraints = split_create_table(ddl)
+    assert "KEY idx_name" not in bare and "PRIMARY KEY" in bare
+    assert keys == ["ALTER TABLE actor ADD KEY idx_name (name);"]
+    assert len(constraints) == 1 and "FOREIGN KEY" in constraints[0]
+
+
+# -- engine dump → restore roundtrip ----------------------------------------
+
+
+def test_dump_restore_roundtrip(spark, sf_dir, tmp_path):
+    """The reference's core test property (test_mydumper.sh roundtrip with
+    --checksum-all --checksum=fail) on our engine."""
+    out = str(tmp_path / "dump")
+    cfg = DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.region", "default.nation", "default.supplier"}),
+    )
+    manifest = dump(spark, sf_dir, cfg)
+    assert set(manifest.tables) == {"region", "nation", "supplier"}
+    target = str(tmp_path / "restored")
+    results = restore(spark, out, target, purge=PurgeMode.DROP, parallelism=2)
+    assert all(results["load"].values())
+    assert all(results["verify"].values())
+
+
+def test_dump_applies_where_and_masquerade(spark, sf_dir, tmp_path):
+    from mydumper_spark.operators.transform import TableTransform
+
+    out = str(tmp_path / "dump2")
+    cfg = DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.customer"}),
+        global_where="c_custkey < 50",
+        per_table={
+            "customer": TableTransform(
+                select_columns=["c_custkey", "c_name"],
+                masquerade={"c_name": [("constant", {"value": "X"})]},
+            )
+        },
+    )
+    dump(spark, sf_dir, cfg)
+    back = spark.read.parquet(os.path.join(out, "customer.parquet"))
+    assert back.columns == ["c_custkey", "c_name"]
+    assert back.where("c_custkey >= 50").count() == 0
+    assert back.select("c_name").distinct().collect()[0][0] == "X"
+
+
+# -- dump reader -------------------------------------------------------------
+
+
+def test_filename_classification():
+    assert classify("mydb-schema-create.sql")[0] == "schema_create"
+    assert classify("mydb.t1-schema.sql")[0] == "table_schema"
+    assert classify("mydb.t1.00001.sql")[0] == "data_sql"
+    assert classify("mydb.t1.00001.dat")[0] == "data_dat"
+    assert classify("metadata.json")[0] == "metadata"
+    assert classify("random.txt") is None
+
+
+def test_read_dump_dir(spark, customer, tmp_path):
+    customer.write.parquet(str(tmp_path / "customer.parquet"))
+    tables = read_dump_dir(spark, str(tmp_path))
+    assert "customer" in tables
+    assert tables["customer"].count() == customer.count()
+
+
+# -- streaming ---------------------------------------------------------------
+
+
+def test_stream_restore_availablenow(spark, customer, tmp_path):
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    customer.write.parquet(landing)
+    from mydumper_spark.streaming import stream_restore
+
+    q = stream_restore(spark, landing, target, ckpt, customer.schema, available_now=True)
+    q.awaitTermination(120)
+    back = spark.read.parquet(target)
+    assert back.count() == customer.count()
+    assert os.path.exists(os.path.join(target, "_manifest.partial.json"))  # ST4
+
+
+def test_snapshot_ring(spark, customer, tmp_path):
+    from mydumper_spark.streaming import snapshot_dump
+
+    ring = str(tmp_path / "ring")
+    s1 = snapshot_dump(customer.limit(5), ring, snapshot_count=2)
+    s2 = snapshot_dump(customer.limit(7), ring, snapshot_count=2)
+    s3 = snapshot_dump(customer.limit(9), ring, snapshot_count=2)
+    assert s1.endswith("/0") and s2.endswith("/1") and s3.endswith("/0")
+    last = os.path.join(ring, "LAST_DUMP")
+    assert os.path.islink(last)
+    assert spark.read.parquet(os.path.realpath(last)).count() == 9
+
+
+def test_sessionize_batch(spark, sf_dir):
+    from mydumper_spark.streaming import sessionize_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    out = sessionize_stream(ev, gap="30 minutes")
+    assert out.count() > 0
+    r = out.first()
+    assert r["n_events"] >= 1 and r["session_start"] <= r["session_end"]
