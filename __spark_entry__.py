@@ -641,6 +641,72 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def s5_multicol_chunked_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: two-level composite-key chunking (outer=value step, inner=range),
+    reassembled — must equal the plain scan."""
+    from mydumper_spark.planner import plan_multi_column_chunks, reassemble
+
+    supp = _t(spark, sf_dir, "supplier")
+    plan = plan_multi_column_chunks(supp, "s_nationkey", "s_suppkey", inner_chunks=2)
+    return reassemble(supp, plan)
+
+
+def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (§2.7: new surface beyond the reference): top-3
+    customers by balance per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rank_in_nation", F.row_number().over(w))
+        .where(F.col("rank_in_nation") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rank_in_nation")
+    )
+
+
+_TOPK_GROUP_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, rank_in_nation
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+  FROM customer
+) WHERE rank_in_nation <= 3
+"""
+
+
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes as an opaque binary media
+    column → Arrow-batched feature extraction (deterministic stub decoder).
+    The sha256-derived features are engine-portable, so this pandas-UDF
+    pipeline is oracle-checked too."""
+    from mydumper_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_features(docs, binary_col="payload", feature_dim=4)
+    return feats.select(
+        "doc_id",
+        "content_hash",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+        F.element_at("feature", 3).cast("double").alias("f2"),
+        F.element_at("feature", 4).cast("double").alias("f3"),
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id, content_hash,
+       CAST(CAST(CAST(('0x' || substr(content_hash, 1, 2)) AS INT) / 255.0 AS REAL) AS DOUBLE) AS f0,
+       CAST(CAST(CAST(('0x' || substr(content_hash, 3, 2)) AS INT) / 255.0 AS REAL) AS DOUBLE) AS f1,
+       CAST(CAST(CAST(('0x' || substr(content_hash, 5, 2)) AS INT) / 255.0 AS REAL) AS DOUBLE) AS f2,
+       CAST(CAST(CAST(('0x' || substr(content_hash, 7, 2)) AS INT) / 255.0 AS REAL) AS DOUBLE) AS f3
+FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+"""
+
+
 # -- rows-only queries (non-SQL-expressible: xxhash64-based) -----------------
 
 
@@ -675,6 +741,26 @@ def x_masquerade_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (rows-only: hyperplane
+    signatures are xxhash64-derived). Deterministic across runs."""
+    from mydumper_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    return ann_topk(emb, [float(v) for v in qvec], k=10, num_planes=12, probe_hamming=2)
+
+
+def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: min-label propagation over the verified
+    minhash pair graph (rows-only; iterative, non-SQL-expressible)."""
+    from mydumper_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    return connected_components(pairs)
+
+
 def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-bucket LSH (rows-only;
     bucketing is xxhash64-based)."""
@@ -701,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_volume": q5_region_volume,
         "q6_revenue_delta": q6_revenue_delta,
         "s2_chunked_scan_orders": s2_chunked_scan_orders,
+        "s5_multicol_chunked_supplier": s5_multicol_chunked_supplier,
         "s6_string_chunked_customer": s6_string_chunked_customer,
         "s8_row_counts": s8_row_counts,
         "s9_minmax_bounds": s9_minmax_bounds,
@@ -716,10 +803,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cosine_topk": x_cosine_topk,
         "x_events_sessionize": x_events_sessionize,
         "x_events_agg": x_events_agg,
+        "x_topk_per_group": x_topk_per_group,
+        "x_multimodal_features": x_multimodal_features,
         "x_minhash_pairs": x_minhash_pairs,
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
         "x_embedding_near_dup": x_embedding_near_dup,
+        "x_ann_topk": x_ann_topk,
+        "x_connected_components": x_connected_components,
     }
 
 
@@ -730,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_region_volume": _Q5_SQL,
         "q6_revenue_delta": _Q6_SQL,
         "s2_chunked_scan_orders": "SELECT * FROM orders",
+        "s5_multicol_chunked_supplier": "SELECT * FROM supplier",
         "s6_string_chunked_customer": "SELECT * FROM customer",
         "s8_row_counts": _S8_SQL,
         "s9_minmax_bounds": _S9_SQL,
@@ -745,6 +837,8 @@ def oracle_sql() -> dict[str, str]:
         "x_cosine_topk": _COSINE_SQL,
         "x_events_sessionize": _SESSION_SQL,
         "x_events_agg": _EVENTS_AGG_SQL,
+        "x_topk_per_group": _TOPK_GROUP_SQL,
+        "x_multimodal_features": _MULTIMODAL_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

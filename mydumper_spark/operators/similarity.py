@@ -60,17 +60,17 @@ def cosine_topk(
 
 
 def _hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: coefficient (p,d) =
-    xxhash64(p,d) mapped to ±1. Rademacher planes preserve angles well enough
-    for bucketing and cost nothing to materialize on executors."""
-    return F.array(
-        *[
-            F.when(
-                F.pmod(F.xxhash64(F.lit(plane), F.lit(d)), F.lit(2)) == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            for d in range(dim)
-        ]
-    )
+    """Deterministic pseudo-random hyperplane: Rademacher ±1 coefficients
+    derived from sha256(plane,dim) on the driver and inlined as an array
+    literal — constant-folded by Catalyst, so signature evaluation is one
+    zip_with/aggregate per plane with zero per-row branching."""
+    import hashlib
+
+    signs = []
+    for d in range(dim):
+        h = hashlib.sha256(f"plane:{plane}:{d}".encode()).digest()
+        signs.append(1.0 if h[0] % 2 == 0 else -1.0)
+    return F.array(*[F.lit(s) for s in signs])
 
 
 def simhash_embedding_signature(
