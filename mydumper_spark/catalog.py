@@ -76,6 +76,7 @@ class TableFilters:
     databases: set[str] | None = None  # -B db1,db2
     ignore_engines: set[str] = field(default_factory=set)  # --ignore-engines
     include_special: bool = False
+    updated_since_days: float | None = None  # P10 --updated-since
 
     def admits(self, t: TableMeta) -> bool:
         qn = t.qualified_name
@@ -146,6 +147,15 @@ class ParquetCatalog:
             )
             if not filters.admits(meta):
                 continue
+            # P10 freshness filter: the reference checks UPDATE_TIME against
+            # NOW() - INTERVAL N DAY (mydumper_start_dump.c:527-548); file
+            # mtime is the parquet-side equivalent.
+            if filters.updated_since_days is not None:
+                import time
+
+                age_days = (time.time() - os.path.getmtime(meta.path)) / 86400.0
+                if age_days > filters.updated_since_days:
+                    continue
             # schema probe is metadata-only for parquet (footer read, no scan)
             meta.schema = self.spark.read.parquet(meta.path).schema
             if not meta.primary_key:

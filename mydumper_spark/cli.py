@@ -1,0 +1,155 @@
+"""Command-line interface — the mydumper/myloader CLI surface, Spark-first.
+
+Option names follow the reference (/root/reference/src/mydumper/
+mydumper_arguments.c, myloader_arguments.c) where a Spark equivalent exists:
+
+    python -m mydumper_spark dump --source DIR --outputdir DIR
+        [--where SQL] [--regex RE] [--omit-from-file F] [--tables-list a,b]
+        [--ignore-engines e1,e2] [--defaults-file F] [--format parquet|csv]
+        [--chunk-filesize MB] [--rows N] [--threads N] [--no-checksum]
+        [--exec CMD]
+    python -m mydumper_spark restore --directory DIR --target DIR
+        [--threads N] [--drop-table|--skip-existing] [--no-checksum]
+    python -m mydumper_spark verify --directory DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(threads: int | None):
+    from mydumper_spark.session import get_session
+
+    master = f"local[{threads}]" if threads else None
+    return get_session("mydumper-spark-cli", master=master)
+
+
+def cmd_dump(args: argparse.Namespace) -> int:
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.config import parse_defaults_file, parse_skiplist_file
+    from mydumper_spark.engine import DumpConfig, dump
+    from mydumper_spark.sinks.writers import CsvFormat
+
+    filters = TableFilters()
+    per_table = {}
+    global_where = args.where
+    if args.defaults_file:
+        parsed = parse_defaults_file(args.defaults_file)
+        filters = parsed["filters"]
+        per_table = parsed["per_table"]
+        global_where = global_where or parsed["global_where"]
+    if args.regex:
+        filters.regex = args.regex
+    if args.omit_from_file:
+        filters.skiplist = parse_skiplist_file(args.omit_from_file)
+    if args.tables_list:
+        filters.tables_list = {
+            t if "." in t else f"default.{t}" for t in args.tables_list.split(",")
+        }
+    if args.ignore_engines:
+        filters.ignore_engines = set(args.ignore_engines.split(","))
+
+    cfg = DumpConfig(
+        output_dir=args.outputdir,
+        filters=filters,
+        global_where=global_where,
+        per_table=per_table,
+        fmt=args.format,
+        csv_format=CsvFormat(compression=args.compress),
+        max_records_per_file=args.rows,
+        checksum=not args.no_checksum,
+        exec_per_file=args.exec_cmd,
+        masquerade_filenames=args.masquerade_filename,
+    )
+    spark = _session(args.threads)
+    manifest = dump(spark, args.source, cfg)
+    print(
+        json.dumps(
+            {
+                "dumped_tables": len(manifest.tables),
+                "rows": {t: e.rows for t, e in sorted(manifest.tables.items())},
+                "outputdir": args.outputdir,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_restore(args: argparse.Namespace) -> int:
+    from mydumper_spark.engine import restore
+    from mydumper_spark.plans.loader_dag import PurgeMode
+
+    purge = PurgeMode.DROP if args.drop_table else (
+        PurgeMode.SKIP if args.skip_existing else PurgeMode.FAIL
+    )
+    spark = _session(args.threads)
+    results = restore(
+        spark,
+        args.directory,
+        args.target,
+        purge=purge,
+        verify=not args.no_checksum,
+        parallelism=args.threads or 4,
+    )
+    print(json.dumps(results))
+    ok = all(results["load"].values()) and all(results.get("verify", {"": True}).values())
+    return 0 if ok else 1
+
+
+def cmd_verify(args: argparse.Namespace) -> int:
+    from mydumper_spark.sinks.manifest import verify_manifest
+
+    spark = _session(args.threads)
+    results = verify_manifest(spark, args.directory)
+    print(json.dumps(results))
+    return 0 if all(r.get("ok") for r in results.values()) else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mydumper_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("dump", help="parallel consistent export (mydumper)")
+    d.add_argument("--source", required=True, help="source dir (or JDBC url)")
+    d.add_argument("-o", "--outputdir", required=True)
+    d.add_argument("--where", help="global row predicate (P1)")
+    d.add_argument("-x", "--regex", help="table regex filter (P6)")
+    d.add_argument("-O", "--omit-from-file", help="skiplist file (P7)")
+    d.add_argument("-T", "--tables-list", help="explicit tables (P8)")
+    d.add_argument("-i", "--ignore-engines", help="engine filter (P9)")
+    d.add_argument("--defaults-file", help="INI config with per-table sections")
+    d.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    d.add_argument("-c", "--compress", default=None, choices=[None, "gzip", "zstd"])
+    d.add_argument("-r", "--rows", type=int, help="max records per output file (K5)")
+    d.add_argument("-t", "--threads", type=int)
+    d.add_argument("--no-checksum", action="store_true")
+    d.add_argument("-E", "--exec", dest="exec_cmd", help="run CMD per finished file (K9)")
+    d.add_argument("--masquerade-filename", action="store_true", help="hash table names in output paths (T13)")
+    d.set_defaults(fn=cmd_dump)
+
+    r = sub.add_parser("restore", help="DAG-scheduled parallel load (myloader)")
+    r.add_argument("-d", "--directory", required=True)
+    r.add_argument("--target", required=True)
+    r.add_argument("-t", "--threads", type=int)
+    r.add_argument("--drop-table", action="store_true", help="purge mode DROP (L3)")
+    r.add_argument("--skip-existing", action="store_true", help="purge mode SKIP (L3)")
+    r.add_argument("--no-checksum", action="store_true")
+    r.set_defaults(fn=cmd_restore)
+
+    v = sub.add_parser("verify", help="recompute checksums vs manifest (L9)")
+    v.add_argument("-d", "--directory", required=True)
+    v.add_argument("-t", "--threads", type=int)
+    v.set_defaults(fn=cmd_verify)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

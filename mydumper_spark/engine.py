@@ -37,6 +37,8 @@ class DumpConfig:
     csv_format: CsvFormat = field(default_factory=CsvFormat)
     max_records_per_file: int | None = None  # K5 --chunk-filesize
     checksum: bool = True  # --checksum-all
+    exec_per_file: str | None = None  # K9 --exec
+    masquerade_filenames: bool = False  # T13 --masquerade-filename
 
 
 def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
@@ -45,18 +47,25 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     Spark's native partitioning — the plan is recorded in the manifest for
     restore-side parallelism and for JDBC sources, where it becomes real
     read partitions."""
+    from mydumper_spark.sinks.exec_sink import exec_per_file, masquerade_table_name
+
     cat = ParquetCatalog(spark, source_dir)
     manifest = Manifest()
     for meta in cat.discover(cfg.filters):
         df = cat.read(meta)
         tt = cfg.per_table.get(meta.name)
         out = apply_transform(df, tt, global_where=cfg.global_where)
-        path = os.path.join(cfg.output_dir, f"{meta.name}.parquet")
+        out_name = (
+            masquerade_table_name(meta.name) if cfg.masquerade_filenames else meta.name
+        )
+        path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
         if cfg.fmt == "csv":
-            path = os.path.join(cfg.output_dir, f"{meta.name}.dat")
+            path = os.path.join(cfg.output_dir, f"{out_name}.dat")
             write_csv(out, path, cfg.csv_format, cfg.max_records_per_file)
         else:
             write_parquet(out, path, cfg.max_records_per_file)
+        if cfg.exec_per_file:
+            exec_per_file(path, cfg.exec_per_file)
         if cfg.checksum:
             written = (
                 spark.read.parquet(path) if cfg.fmt == "parquet" else spark.read.schema(

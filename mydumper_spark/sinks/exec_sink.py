@@ -1,0 +1,51 @@
+"""Exec sink (SURVEY §2.2 K9) + filename masquerade (T13).
+
+- K9: ``--exec <cmd> FILENAME`` — run an external command for every finished
+  output file on a small worker pool
+  (/root/reference/src/mydumper/mydumper_exec_command.c:1-156).
+- T13: ``--masquerade-filename`` — hash table names in output paths
+  (/root/reference/src/mydumper/mydumper.c:183, 201-202) so dumps don't leak
+  schema names; the manifest records the mapping (the reference keeps it in
+  filename_re hashes).
+
+Driver-side by design: these operate on *finished files*, after Spark's
+committers have renamed them into place — running them inside tasks would
+act on uncommitted temporary files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shlex
+import subprocess
+from concurrent.futures import ThreadPoolExecutor
+
+
+def exec_per_file(root: str, command: str, max_workers: int = 4,
+                  pattern: str = "part-") -> list[tuple[str, int]]:
+    """Run ``command`` once per data file under root. ``FILENAME`` in the
+    command is substituted (reference semantics: appended if absent).
+    Returns [(path, returncode)]."""
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.startswith(pattern) or not f.startswith(("_", "."))
+    )
+
+    def run(path: str) -> tuple[str, int]:
+        if "FILENAME" in command:
+            argv = [path if a == "FILENAME" else a for a in shlex.split(command)]
+        else:
+            argv = shlex.split(command) + [path]
+        proc = subprocess.run(argv, capture_output=True)
+        return path, proc.returncode
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(run, files))
+
+
+def masquerade_table_name(table: str, salt: str = "") -> str:
+    """T13: stable hashed output name for a table."""
+    return "t_" + hashlib.sha256((salt + table).encode()).hexdigest()[:16]

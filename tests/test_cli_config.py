@@ -1,0 +1,208 @@
+"""Config parsing, CLI, DDL transforms, stream protocol, progress counters,
+exec sink, filename masquerade, freshness filter."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from mydumper_spark.config import parse_defaults_file, parse_skiplist_file
+from mydumper_spark.plans import ddl
+from mydumper_spark.streaming import protocol
+from mydumper_spark.sinks.exec_sink import exec_per_file, masquerade_table_name
+
+
+# -- defaults file -----------------------------------------------------------
+
+
+def test_parse_defaults_file(tmp_path):
+    cfg = tmp_path / "mydumper.cnf"
+    cfg.write_text(
+        "[mydumper]\n"
+        "where = id > 5\n"
+        "regex = ^default\\.\n"
+        "ignore-engines = MyISAM,CSV\n"
+        "\n"
+        "[`default`.`customer`]\n"
+        "where = c_custkey < 100\n"
+        "limit = 50\n"
+        "columns_on_select = c_custkey,c_name\n"
+        "columns_on_select_replace = c_name:md5(c_name)\n"
+        'masquerade = c_name=constant:{"value": "X"}\n'
+    )
+    parsed = parse_defaults_file(str(cfg))
+    assert parsed["global_where"] == "id > 5"
+    assert parsed["filters"].regex == "^default\\."
+    assert parsed["filters"].ignore_engines == {"MyISAM", "CSV"}
+    tt = parsed["per_table"]["customer"]
+    assert tt.where == "c_custkey < 100"
+    assert tt.limit == 50
+    assert tt.select_columns == ["c_custkey", "c_name"]
+    assert tt.select_replace == {"c_name": "md5(c_name)"}
+    assert tt.masquerade == {"c_name": [("constant", {"value": "X"})]}
+
+
+def test_parse_skiplist(tmp_path):
+    f = tmp_path / "skip"
+    f.write_text("db1\n`db2`.`t1`\n# comment\n\n")
+    assert parse_skiplist_file(str(f)) == {"db1", "db2.t1"}
+
+
+# -- DDL transforms ----------------------------------------------------------
+
+
+def test_definer_strip_and_replace():
+    v = "CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`localhost` SQL SECURITY DEFINER VIEW v AS SELECT 1"
+    assert "DEFINER=" not in ddl.skip_definer(v)  # SQL SECURITY DEFINER stays
+    assert "DEFINER=`app`@`%`" in ddl.replace_definer(v, "app")
+
+
+def test_strip_auto_increment():
+    t = "CREATE TABLE t (id INT) ENGINE=InnoDB AUTO_INCREMENT=4242 DEFAULT CHARSET=utf8"
+    assert "AUTO_INCREMENT" not in ddl.strip_auto_increment(t)
+
+
+def test_view_detection_not_fooled_by_comment():
+    """test/specific_16: a table COMMENT='VIEW' must not classify as view."""
+    assert ddl.is_view_ddl("CREATE VIEW v AS SELECT 1")
+    assert ddl.is_view_ddl("CREATE OR REPLACE ALGORITHM=MERGE VIEW v AS SELECT 1")
+    assert not ddl.is_view_ddl("CREATE TABLE tb (id INT) COMMENT='VIEW'")
+
+
+def test_sequence_rewrite():
+    assert ddl.sequence_to_create("CREATE TABLE `s1` (next_val BIGINT)") == "CREATE SEQUENCE `s1`;"
+
+
+# -- stream protocol ---------------------------------------------------------
+
+
+def test_protocol_roundtrip(tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.parquet").write_bytes(b"AAA" * 100)
+    (src / "sub" / "b.dat").write_bytes(b"")  # empty file edge
+    (src / "_manifest.json").write_bytes(b'{"x": 1}')
+    buf = io.BytesIO()
+    n = protocol.stream_directory(buf, str(src))
+    assert n == 3
+    # manifest framed last (reference orders final metadata last)
+    frames = list(protocol.read_frames(io.BytesIO(buf.getvalue())))
+    assert frames[-1][0] == "_manifest.json"
+    dst = tmp_path / "dst"
+    assert protocol.restore_directory(io.BytesIO(buf.getvalue()), str(dst)) == 3
+    assert (dst / "a.parquet").read_bytes() == b"AAA" * 100
+    assert (dst / "sub" / "b.dat").read_bytes() == b""
+
+
+def test_protocol_bad_header():
+    with pytest.raises(ValueError, match="bad frame header"):
+        list(protocol.read_frames(io.BytesIO(b"garbage")))
+
+
+# -- progress counters -------------------------------------------------------
+
+
+def test_observe_counters(customer):
+    from mydumper_spark.functions.progress import observe_counters
+
+    observed, obs = observe_counters(customer)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["rows"] == customer.count()
+    assert m["approx_bytes"] > 0
+    assert m["max_row_bytes"] <= m["approx_bytes"]
+
+
+# -- exec sink + filename masquerade ----------------------------------------
+
+
+def test_exec_per_file(tmp_path):
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "part-0001").write_text("x")
+    (d / "part-0002").write_text("y")
+    marker = tmp_path / "seen"
+    results = exec_per_file(str(d), f"sh -c 'echo FILENAME >> {marker}' --", pattern="part-")
+    # FILENAME substitution happens inside sh -c string? No: FILENAME is a
+    # separate argv token replaced; with sh -c the path lands in $0 via --
+    assert all(rc == 0 for _, rc in results)
+    assert len(results) == 2
+
+
+def test_masquerade_table_name_stable():
+    a = masquerade_table_name("customer")
+    assert a == masquerade_table_name("customer")
+    assert a != masquerade_table_name("orders")
+    assert a.startswith("t_") and len(a) == 18
+
+
+def test_dump_with_masqueraded_filenames(spark, sf_dir, tmp_path):
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump
+
+    out = str(tmp_path / "masked")
+    dump(
+        spark,
+        sf_dir,
+        DumpConfig(
+            output_dir=out,
+            filters=TableFilters(tables_list={"default.region"}),
+            masquerade_filenames=True,
+        ),
+    )
+    names = [n for n in os.listdir(out) if n.endswith(".parquet")]
+    assert names == [masquerade_table_name("region") + ".parquet"]
+
+
+# -- freshness filter --------------------------------------------------------
+
+
+def test_updated_since_filter(spark, sf_dir, tmp_path):
+    import shutil
+
+    from mydumper_spark.catalog import ParquetCatalog, TableFilters
+
+    root = tmp_path / "cat"
+    root.mkdir()
+    shutil.copy(f"{sf_dir}/region.parquet", root / "old.parquet")
+    shutil.copy(f"{sf_dir}/nation.parquet", root / "new.parquet")
+    os.utime(root / "old.parquet", (0, 0))  # epoch-old
+    cat = ParquetCatalog(spark, str(root))
+    names = {m.name for m in cat.discover(TableFilters(updated_since_days=365))}
+    assert names == {"new"}
+
+
+# -- CLI ---------------------------------------------------------------------
+
+
+def test_cli_dump_restore_verify(tmp_path):
+    """Full CLI drive in a subprocess (argparse surface, K9 exec hook)."""
+    out = str(tmp_path / "d")
+    target = str(tmp_path / "r")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "dump", "--source", "/root/testdata/sf0.001",
+         "-o", out, "-T", "region,nation", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    payload = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert payload["dumped_tables"] == 2 and payload["rows"]["nation"] == 25
+    r2 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "restore", "-d", out, "--target", target,
+         "--drop-table", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    res = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert all(res["verify"].values())
+    r3 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "verify", "-d", out, "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
