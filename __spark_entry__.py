@@ -251,6 +251,30 @@ _PKS = {
 }
 
 
+def s3_adaptive_rescan_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: start from a deliberately coarse uniform plan, let the adaptive
+    re-planner bisect over-full chunks to a row cap, then reassemble — the
+    union must equal the plain scan (the reference's step-resize feedback
+    loop, batched into counting jobs)."""
+    from mydumper_spark.planner import adaptive_replan, plan_integer_chunks, reassemble
+
+    part = _t(spark, sf_dir, "part")
+    coarse = plan_integer_chunks(part, "p_partkey", num_chunks=3, equi_depth=False)
+    total = part.count()
+    refined = adaptive_replan(part, coarse, max_rows_per_chunk=max(1, total // 8))
+    return reassemble(part, refined)
+
+
+def s7_partition_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: partition-wise scan — one chunk per native partition value of
+    events.event_type; the reassembled union must equal the plain scan."""
+    from mydumper_spark.planner import plan_partition_chunks, reassemble
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
+    plan = plan_partition_chunks(ev, "event_type")
+    return reassemble(ev, plan)
+
+
 def s8_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: row-count estimation across the whole catalog (parquet footers
     answer this without a data scan)."""
@@ -707,6 +731,41 @@ FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents)
 """
 
 
+def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over adjacent doc_id pairs (the verification
+    primitive of the LSH pipelines, standalone and oracle-checked — raw
+    shingle strings, no engine-specific hashing)."""
+    from mydumper_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    return ngram_jaccard_pairs(docs, pairs, n=3)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+    FROM documents
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
 # -- rows-only queries (non-SQL-expressible: xxhash64-based) -----------------
 
 
@@ -787,8 +846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_volume": q5_region_volume,
         "q6_revenue_delta": q6_revenue_delta,
         "s2_chunked_scan_orders": s2_chunked_scan_orders,
+        "s3_adaptive_rescan_part": s3_adaptive_rescan_part,
         "s5_multicol_chunked_supplier": s5_multicol_chunked_supplier,
         "s6_string_chunked_customer": s6_string_chunked_customer,
+        "s7_partition_scan_events": s7_partition_scan_events,
         "s8_row_counts": s8_row_counts,
         "s9_minmax_bounds": s9_minmax_bounds,
         "p1_where_filter": p1_where_filter,
@@ -805,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_events_agg": x_events_agg,
         "x_topk_per_group": x_topk_per_group,
         "x_multimodal_features": x_multimodal_features,
+        "x_ngram_jaccard": x_ngram_jaccard,
         "x_minhash_pairs": x_minhash_pairs,
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -821,8 +883,13 @@ def oracle_sql() -> dict[str, str]:
         "q5_region_volume": _Q5_SQL,
         "q6_revenue_delta": _Q6_SQL,
         "s2_chunked_scan_orders": "SELECT * FROM orders",
+        "s3_adaptive_rescan_part": "SELECT * FROM part",
         "s5_multicol_chunked_supplier": "SELECT * FROM supplier",
         "s6_string_chunked_customer": "SELECT * FROM customer",
+        "s7_partition_scan_events": (
+            "SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props "
+            "FROM events"
+        ),
         "s8_row_counts": _S8_SQL,
         "s9_minmax_bounds": _S9_SQL,
         "p1_where_filter": _P1_SQL,
@@ -839,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "x_events_agg": _EVENTS_AGG_SQL,
         "x_topk_per_group": _TOPK_GROUP_SQL,
         "x_multimodal_features": _MULTIMODAL_SQL,
+        "x_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

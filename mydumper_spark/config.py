@@ -81,6 +81,8 @@ def parse_table_section(kv: dict[str, str]) -> TableTransform:
         for pair in kv["columns_on_select_replace"].split(";"):
             col, expr = pair.split(":", 1)
             tt.select_replace[col.strip()] = expr.strip()
+    if "object_to_export" in kv:  # P11
+        tt.object_scope = {s.strip().upper() for s in kv["object_to_export"].split(",")}
     if "order_by_primary" in kv:
         tt.order_by_primary = kv["order_by_primary"].lower() in ("1", "true", "yes")
     if "masquerade" in kv:

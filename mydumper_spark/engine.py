@@ -54,6 +54,9 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     for meta in cat.discover(cfg.filters):
         df = cat.read(meta)
         tt = cfg.per_table.get(meta.name)
+        if tt is not None and "DATA" not in tt.object_scope:  # P11
+            manifest.add_table(df.limit(0), meta.name, path=None)
+            continue
         out = apply_transform(df, tt, global_where=cfg.global_where)
         out_name = (
             masquerade_table_name(meta.name) if cfg.masquerade_filenames else meta.name

@@ -37,6 +37,10 @@ class TableTransform:
     masquerade: dict[str, list] = field(default_factory=dict)  # §2.4 pipelines
     order_by_primary: bool = False  # O1
     primary_key: list[str] = field(default_factory=list)
+    #: P11 object_to_export toggles (common.c:1540-1570): which artifact
+    #: classes this table contributes (DATA = rows, SCHEMA = DDL/manifest
+    #: schema entry, TRIGGER = post-phase objects)
+    object_scope: set[str] = field(default_factory=lambda: {"DATA", "SCHEMA", "TRIGGER"})
 
 
 def apply_transform(

@@ -206,6 +206,43 @@ def plan_multi_column_chunks(
     return ChunkPlan(column=f"{outer},{inner}", strategy="multi", predicates=preds)
 
 
+def plan_partition_chunks(
+    df: DataFrame, column: str, pattern: str | None = None, max_partitions: int = 10_000
+) -> ChunkPlan:
+    """S7: partition-wise scan — one chunk per native partition, regex-filterable.
+
+    The reference enumerates ``information_schema.PARTITIONS`` and emits one
+    ``SELECT ... PARTITION (p)`` per name, filtered by ``--partition-regex``
+    (mydumper_partition_chunks.c:46-61, 119-141). On a file source the same
+    role is played by a low-cardinality partitioning column: one equality
+    predicate per distinct value. Each predicate prunes to exactly one
+    partition directory on hive-partitioned parquet/Delta (partition pruning),
+    or pushes down as an equality filter otherwise — either way no chunk ever
+    rescans another chunk's data.
+    """
+    rows = (
+        df.select(column).distinct().orderBy(column).limit(max_partitions + 1).collect()
+    )
+    if len(rows) > max_partitions:
+        raise ValueError(
+            f"{column} has more than {max_partitions} distinct values; "
+            "not a partitioning column — use plan_chunks instead"
+        )
+    vals = [r[0] for r in rows]
+    has_null = any(v is None for v in vals)
+    if pattern is not None:
+        import re
+
+        rx = re.compile(pattern)
+        vals = [v for v in vals if v is not None and rx.search(str(v))]
+    else:
+        vals = [v for v in vals if v is not None]
+    preds = [f"{column} = {_quote(v)}" for v in vals]
+    if has_null and pattern is None:
+        preds.append(f"{column} IS NULL")
+    return ChunkPlan(column=column, strategy="partition", predicates=preds, boundaries=vals)
+
+
 def plan_chunks(df: DataFrame, column: str, num_chunks: int | None = None) -> ChunkPlan:
     """Strategy dispatch, mirroring ``set_chunk_strategy_for_dbt``
     (mydumper_chunks.c:312-345): integer key → integer CSI, string key →

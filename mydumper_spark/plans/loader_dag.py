@@ -43,15 +43,21 @@ class PurgeMode(enum.Enum):
     """L3 pre-overwrite handling (myloader_restore_job.c:120-160) mapped to
     Spark writer modes."""
 
-    DROP = "overwrite"  # --drop-table → mode("overwrite")
-    TRUNCATE = "overwrite"
-    DELETE = "append"
-    FAIL = "errorifexists"
-    SKIP = "ignore"
+    DROP = "drop"  # --drop-table → mode("overwrite")
+    TRUNCATE = "truncate"  # overwrite without dropping (JDBC: truncate=true)
+    DELETE = "delete"
+    FAIL = "fail"
+    SKIP = "skip"
 
     @property
     def spark_mode(self) -> str:
-        return self.value
+        return {
+            PurgeMode.DROP: "overwrite",
+            PurgeMode.TRUNCATE: "overwrite",
+            PurgeMode.DELETE: "append",
+            PurgeMode.FAIL: "errorifexists",
+            PurgeMode.SKIP: "ignore",
+        }[self]
 
 
 @dataclass

@@ -168,21 +168,27 @@ def write_load_data(
     table: str,
     fmt: CsvFormat | None = None,
     max_records_per_file: int | None = None,
+    dialect: str = "mysql",
 ) -> str:
-    """K3: .dat payload dir + sibling LOAD DATA statement file, mirroring
-    ``build_load_data_statement`` (mydumper_write.c:515-547)."""
+    """K3/K4: .dat payload dir + sibling load-statement file, mirroring
+    ``build_load_data_statement`` (mydumper_write.c:515-547). ``dialect=
+    "clickhouse"`` emits the K4 shape instead: ``INSERT INTO t FROM INFILE
+    '…' FORMAT CSV`` (mydumper_write.c:549-580, 630-640)."""
     fmt = fmt or CsvFormat()
     data_path = os.path.join(root, f"{table}.dat")
     write_csv(df, data_path, fmt, max_records_per_file)
-    enc = fmt.fields_enclosed_by.replace("'", "\\'")
-    esc = fmt.fields_escaped_by.replace("\\", "\\\\")
-    stmt = (
-        f"LOAD DATA LOCAL INFILE '{data_path}/part-*' REPLACE INTO TABLE `{table}` "
-        f"CHARACTER SET utf8mb4 FIELDS TERMINATED BY '{fmt.fields_terminated_by}' "
-        f"ENCLOSED BY '{enc}' ESCAPED BY '{esc}' "
-        f"LINES TERMINATED BY '{repr(fmt.lines_terminated_by)[1:-1]}' "
-        f"({','.join('`' + c + '`' for c in df.columns)});"
-    )
+    if dialect == "clickhouse":
+        stmt = f"INSERT INTO `{table}` FROM INFILE '{data_path}/part-*' FORMAT CSV;"
+    else:
+        enc = fmt.fields_enclosed_by.replace("'", "\\'")
+        esc = fmt.fields_escaped_by.replace("\\", "\\\\")
+        stmt = (
+            f"LOAD DATA LOCAL INFILE '{data_path}/part-*' REPLACE INTO TABLE `{table}` "
+            f"CHARACTER SET utf8mb4 FIELDS TERMINATED BY '{fmt.fields_terminated_by}' "
+            f"ENCLOSED BY '{enc}' ESCAPED BY '{esc}' "
+            f"LINES TERMINATED BY '{repr(fmt.lines_terminated_by)[1:-1]}' "
+            f"({','.join('`' + c + '`' for c in df.columns)});"
+        )
     sql_path = os.path.join(root, f"{table}.sql")
     with open(sql_path, "w") as f:
         f.write(stmt + "\n")

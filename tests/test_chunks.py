@@ -95,3 +95,26 @@ def test_single_value_column_degenerates(spark):
     plan = plan_integer_chunks(df, "k", num_chunks=4)
     assert plan.strategy == "none"
     assert reassemble(df, plan).count() == 3
+
+
+def test_partition_chunks_cover(spark):
+    from mydumper_spark.planner import plan_partition_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, None), (5, "c")], ["id", "grp"]
+    )
+    plan = plan_partition_chunks(df, "grp")
+    assert plan.strategy == "partition"
+    assert reassemble(df, plan).count() == 5
+    assert sum(chunk_counts(df, plan)) == 5  # disjoint and covering, nulls included
+
+
+def test_partition_chunks_regex_filter(spark):
+    from mydumper_spark.planner import plan_partition_chunks
+
+    df = spark.createDataFrame(
+        [(1, "p_2023"), (2, "p_2024"), (3, "p_2023")], ["id", "grp"]
+    )
+    plan = plan_partition_chunks(df, "grp", pattern="2023")
+    assert plan.predicates == ["grp = 'p_2023'"]
+    assert reassemble(df, plan).count() == 2

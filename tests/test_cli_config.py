@@ -206,3 +206,47 @@ def test_cli_dump_restore_verify(tmp_path):
         capture_output=True, text=True, env=env, timeout=300,
     )
     assert r3.returncode == 0, r3.stderr[-2000:]
+
+
+def test_object_scope_parse(tmp_path):
+    p = tmp_path / "defaults.cnf"
+    p.write_text("[`db`.`events`]\nobject_to_export=SCHEMA,TRIGGER\n")
+    parsed = parse_defaults_file(str(p))
+    assert parsed["per_table"]["events"].object_scope == {"SCHEMA", "TRIGGER"}
+
+
+def test_schema_only_dump_skips_data(spark, tmp_path):
+    from mydumper_spark.engine import DumpConfig, dump
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.operators.transform import TableTransform
+
+    out = str(tmp_path / "out")
+    cfg = DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.region", "default.nation"}),
+        per_table={"region": TableTransform(object_scope={"SCHEMA"})},
+    )
+    m = dump(spark, "/root/testdata/sf0.001", cfg)
+    assert m.tables["region"].path is None and m.tables["region"].rows == 0
+    assert m.tables["region"].schema_checksum  # schema still recorded (P11)
+    assert m.tables["nation"].rows > 0 and m.tables["nation"].path
+
+
+def test_table_filters_admits():
+    from mydumper_spark.catalog import TableFilters, TableMeta
+
+    def meta(db, name, engine="InnoDB"):
+        return TableMeta(database=db, name=name, path="/x", engine=engine)
+
+    f = TableFilters(regex=r"^sales\.", ignore_engines={"MyISAM"})
+    assert f.admits(meta("sales", "orders"))
+    assert not f.admits(meta("hr", "people"))          # P6 regex
+    assert not f.admits(meta("sales", "log", "MyISAM"))  # P9 engine
+    assert not f.admits(meta("information_schema", "t"))  # P12 special
+    g = TableFilters(skiplist={"sales.orders", "tmp"})
+    assert not g.admits(meta("sales", "orders"))       # P7 skiplist db.table
+    assert not g.admits(meta("tmp", "anything"))       # P7 skiplist db
+    h = TableFilters(tables_list={"d1.a"}, databases={"d1"})
+    assert h.admits(meta("d1", "a"))
+    assert not h.admits(meta("d2", "a"))               # P8 db list
+    assert not h.admits(meta("d1", "b"))               # P8 table list

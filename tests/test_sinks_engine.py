@@ -265,3 +265,41 @@ def test_sessionize_batch(spark, sf_dir):
     assert out.count() > 0
     r = out.first()
     assert r["n_events"] >= 1 and r["session_start"] <= r["session_end"]
+
+
+def test_jdbc_sink_options():
+    from mydumper_spark.plans.loader_dag import PurgeMode
+    from mydumper_spark.sinks.jdbc_sink import JdbcSinkConfig, replication_section
+
+    cfg = JdbcSinkConfig(
+        url="jdbc:mysql://h/db", user="u", batchsize=500,
+        num_partitions=8, purge=PurgeMode.TRUNCATE,
+    )
+    props = cfg.properties()
+    assert props["batchsize"] == "500"
+    assert props["numPartitions"] == "8"
+    assert props["truncate"] == "true"  # TRUNCATE != DROP (no re-grant churn)
+    assert props["rewriteBatchedStatements"] == "true"
+    assert cfg.purge.spark_mode == "overwrite"
+    # DROP must NOT set truncate (it really drops)
+    assert "truncate" not in JdbcSinkConfig(url="x", purge=PurgeMode.DROP).properties()
+    sec = replication_section(binlog_file="bin.0001", binlog_pos=4)
+    assert sec == {"file": "bin.0001", "position": 4}
+
+
+def test_purge_modes_distinct():
+    from mydumper_spark.plans.loader_dag import PurgeMode
+
+    assert len({m.value for m in PurgeMode}) == 5
+    assert PurgeMode.TRUNCATE is not PurgeMode.DROP
+    assert PurgeMode.DELETE.spark_mode == "append"
+    assert PurgeMode.SKIP.spark_mode == "ignore"
+
+
+def test_load_data_clickhouse_dialect(spark, tmp_path):
+    from mydumper_spark.sinks.writers import write_load_data
+
+    df = spark.range(3).selectExpr("id", "concat('v', id) AS v")
+    sql_path = write_load_data(df, str(tmp_path), "t1", dialect="clickhouse")
+    stmt = open(sql_path).read()
+    assert stmt.startswith("INSERT INTO `t1` FROM INFILE") and "FORMAT CSV" in stmt
