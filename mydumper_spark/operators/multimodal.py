@@ -117,6 +117,72 @@ def extract_features(
     return df.select(id_col, binary_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resize_ok", T.BooleanType()),
+    ]
+)
+
+
+def deterministic_fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Stand-in resize: maps the payload to exactly width*height bytes by
+    cycling it (same payload+dims → same bytes). Keeps the contract that a
+    resize changes the payload *and* is deterministic for tests."""
+    target = max(1, width * height)
+    if not payload:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    use_fake_codec: bool = True,
+) -> DataFrame:
+    """Arrow-batched media resize over a binary column.
+
+    Same mapInPandas shape as :func:`extract_features` — the production
+    contract (batch in/out, bounded by arrow.maxRecordsPerBatch, no driver
+    hop). The pixel work is the stub; swap :func:`real_decode`-based
+    resampling in when codecs exist in the runtime image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads, oks = [], []
+            for payload in pdf[binary_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if use_fake_codec:
+                    out_payloads.append(deterministic_fake_resize(raw, width, height))
+                    oks.append(True)
+                else:  # pragma: no cover
+                    try:
+                        real_decode(raw, "unknown")
+                        oks.append(True)
+                        out_payloads.append(raw)
+                    except NotImplementedError:
+                        out_payloads.append(None)
+                        oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                    "resize_ok": oks,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id", every_n_bytes: int = 256
 ) -> DataFrame:

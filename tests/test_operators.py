@@ -183,3 +183,19 @@ def test_frame_sampling(spark):
     payload_len = len(b"RIFF fake wav" * 100)
     assert len(frames) == payload_len // 256
     assert all(len(f["frame_bytes"]) <= 256 for f in frames)
+
+
+def test_resize_media_deterministic(spark):
+    from mydumper_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = resize_media(df, width=4, height=2).orderBy("doc_id").collect()
+    assert [len(bytes(r["payload"])) for r in out] == [8, 8, 8]  # exact target size
+    assert bytes(out[0]["payload"]) == b"abcabcab"  # deterministic cycle
+    assert all(r["resize_ok"] for r in out)
+    # re-run → identical (the plumbing contract for exactness tests)
+    again = resize_media(df, width=4, height=2).orderBy("doc_id").collect()
+    assert [bytes(r["payload"]) for r in again] == [bytes(r["payload"]) for r in out]
