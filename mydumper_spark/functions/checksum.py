@@ -75,21 +75,16 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> dict:
     """A4 + A1: {rows, checksum} for one table — the manifest entry the
     reference writes per table (mydumper_start_dump.c:774-797) and re-checks
     after load (L9)."""
-    row_hash = (
-        F.conv(F.substring(F.md5(canonical_row_string(df, cols)), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("__rh")
-    )
-    agg = df.select(row_hash).agg(
-        F.expr("bit_xor(__rh)").alias("checksum"), F.count("*").alias("rows")
-    )
-    r = agg.first()
+    r = checksum_df(df, cols).first()
     return {"rows": r["rows"], "checksum": r["checksum"]}
 
 
 def checksum_df(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Same as :func:`table_checksum` but returned as a DataFrame (for the
-    oracle-checked query surface)."""
+    """Checksum as a DataFrame (the oracle-checked query surface).
+
+    Stays scan-aligned on purpose: the hash is cheaper than the scan itself
+    (measured), so repartitioning for parallelism would only add a full-table
+    shuffle — the scan's own split count is the right parallelism here."""
     row_hash = (
         F.conv(F.substring(F.md5(canonical_row_string(df, cols)), 1, 15), 16, 10)
         .cast("bigint")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mydumper_spark.operators.text import fingerprint
+from mydumper_spark.util import ensure_min_partitions  # noqa: F401 (re-export)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -92,6 +93,7 @@ def minhash_lsh_pairs(
     the exact set intersection. Verification then joins the compact shingle
     arrays — two hash joins on 8-byte keys."""
     rows_per_band = num_hashes // bands
+    df = ensure_min_partitions(df)
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -219,7 +221,9 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """64-bit SimHash per document: explode tokens, hash, per-bit ±1 sums,
     reassemble sign bits. One explode + one groupBy(sum×64) — fully
     JVM-side, partial-aggregated map-side."""
-    toked = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toked = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = F.xxhash64("tok")
     bit_sums = toked.groupBy("id").agg(
         *[
