@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for driver-side planner/protocol logic.
+
+The chunk-planner's contract — every row matches exactly one predicate — is
+checked here against DuckDB over arbitrary integer multisets (including
+NULLs and duplicates), independently of Spark. The reference proves the same
+property indirectly via roundtrip checksums (test_mydumper.sh:248-249).
+"""
+
+from __future__ import annotations
+
+import io
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mydumper_spark.planner.chunks import _ranges_to_predicates
+
+
+@st.composite
+def values_and_bounds(draw):
+    vals = draw(
+        st.lists(
+            st.one_of(st.integers(-10_000, 10_000), st.none()),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    nonnull = sorted({v for v in vals if v is not None})
+    if len(nonnull) < 2:
+        return vals, []
+    n_bounds = draw(st.integers(0, 6))
+    idxs = {
+        draw(st.integers(0, len(nonnull) - 1), label=f"bound{i}")
+        for i in range(n_bounds)
+    }
+    idxs |= {0, len(nonnull) - 1}
+    bounds = sorted({nonnull[i] for i in idxs})
+    return vals, bounds
+
+
+@settings(max_examples=200, deadline=None)
+@given(values_and_bounds())
+def test_chunk_predicates_partition_exactly(vb):
+    vals, bounds = vb
+    if len(bounds) < 2:
+        return
+    has_null = any(v is None for v in vals)
+    preds = _ranges_to_predicates("c", bounds, include_null_first=has_null)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(c INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    total = con.execute("SELECT count(*) FROM t").fetchone()[0]
+    per_chunk = [
+        con.execute(f"SELECT count(*) FROM t WHERE {p}").fetchone()[0] for p in preds
+    ]
+    # disjoint AND covering: counts add up to the table size exactly
+    assert sum(per_chunk) == total == len(vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abcdefXYZ0123456789_.-% ü",
+                min_size=1,
+                max_size=40,
+            ),
+            st.binary(max_size=2048),
+        ),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_stream_protocol_roundtrip(frames):
+    from mydumper_spark.streaming.protocol import read_frames, write_frame
+
+    buf = io.BytesIO()
+    for name, payload in frames:
+        write_frame(buf, name, payload)
+    buf.seek(0)
+    assert list(read_frames(buf)) == [(n, p) for n, p in frames]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=64))
+def test_checksum_fold_order_independent(hashes):
+    """The manifest checksum must be invariant under any row order — xor fold
+    modeled directly."""
+    import random
+
+    fold = 0
+    for h in hashes:
+        fold ^= h
+    shuffled = list(hashes)
+    random.shuffle(shuffled)
+    fold2 = 0
+    for h in shuffled:
+        fold2 ^= h
+    assert fold == fold2

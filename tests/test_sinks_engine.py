@@ -303,3 +303,43 @@ def test_load_data_clickhouse_dialect(spark, tmp_path):
     sql_path = write_load_data(df, str(tmp_path), "t1", dialect="clickhouse")
     stmt = open(sql_path).read()
     assert stmt.startswith("INSERT INTO `t1` FROM INFILE") and "FORMAT CSV" in stmt
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """Cross-batch state: a fingerprint seen in batch 1 must not re-emit in
+    batch 2 — the property no stateless micro-batch pipeline has."""
+    import time
+
+    from mydumper_spark.streaming.stateful import streaming_exact_dedup
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "fp string, doc_id long"
+    ).write.mode("append").parquet(landing)
+
+    def run_once():
+        rows = []
+        stream = spark.readStream.schema("fp string, doc_id long").parquet(landing)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["fp"]: r for r in rows}
+
+    out1 = run_once()
+    assert set(out1) == {"a", "b"}
+    assert out1["a"]["n_duplicates"] == 1 and out1["b"]["n_duplicates"] == 0
+
+    # batch 2: one repeat ("a") + one new ("c") — only "c" may emit
+    spark.createDataFrame(
+        [("a", 9), ("c", 4)], "fp string, doc_id long"
+    ).write.mode("append").parquet(landing)
+    out2 = run_once()
+    assert "c" in out2 and out2["c"]["doc_id"] == 4
+    assert out2.get("a", out1["a"])["doc_id"] == out1["a"]["doc_id"]  # no re-emit of a
