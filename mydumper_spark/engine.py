@@ -47,10 +47,15 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     Spark's native partitioning — the plan is recorded in the manifest for
     restore-side parallelism and for JDBC sources, where it becomes real
     read partitions."""
-    from mydumper_spark.sinks.exec_sink import exec_per_file, masquerade_table_name
+    from mydumper_spark.sinks.exec_sink import (
+        FilenameRegistry,
+        exec_per_file,
+        masquerade_table_name,
+    )
 
     cat = ParquetCatalog(spark, source_dir)
     manifest = Manifest()
+    fnames = FilenameRegistry()
     for meta in cat.discover(cfg.filters):
         df = cat.read(meta)
         tt = cfg.per_table.get(meta.name)
@@ -59,7 +64,9 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             continue
         out = apply_transform(df, tt, global_where=cfg.global_where)
         out_name = (
-            masquerade_table_name(meta.name) if cfg.masquerade_filenames else meta.name
+            masquerade_table_name(meta.name)
+            if cfg.masquerade_filenames
+            else fnames.filename_for(meta.name)  # weird-name safety (specific_16)
         )
         path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
         if cfg.fmt == "csv":
@@ -104,19 +111,32 @@ def restore(
     """myloader inverse: DAG-ordered parallel re-write of a dump into a
     target directory tree (stand-in for a JDBC target — same scheduling,
     different sink), then checksum verification against the manifest."""
+    from mydumper_spark.sinks.exec_sink import FilenameRegistry
     from mydumper_spark.sinks.manifest import read_manifest
     from mydumper_spark.sources.dump_reader import read_dump_table
 
     doc = read_manifest(dump_root)
     dag = LoaderDag(parallelism=parallelism)
+    tnames = FilenameRegistry()  # target-side safe filenames for weird names
+    target_paths = {
+        t: os.path.join(target_root, f"{tnames.filename_for(t)}.parquet")
+        for t in doc["tables"]
+    }
     for t, entry in doc["tables"].items():
-        def make_data_action(table=t):
+        def make_data_action(table=t, src_path=entry.get("path")):
             def action():
-                df = read_dump_table(spark, dump_root, table)
-                df.write.mode(purge.spark_mode).parquet(os.path.join(target_root, f"{table}.parquet"))
+                # manifest path wins: weird/masqueraded names don't match
+                # the table-name-derived default (FilenameRegistry mapping)
+                if src_path and src_path.endswith(".parquet") and os.path.exists(src_path):
+                    df = spark.read.parquet(src_path)
+                else:
+                    df = read_dump_table(spark, dump_root, table)
+                df.write.mode(purge.spark_mode).parquet(target_paths[table])
             return action
 
         dag.add(LoadJob(table=t, phase=Phase.SCHEMA, action=lambda: None))
+        if entry.get("path") is None and entry["rows"] == 0:
+            continue  # P11 schema-only export: nothing to load
         dag.add(
             LoadJob(
                 table=t,
@@ -133,7 +153,9 @@ def restore(
 
         checks = {}
         for t, entry in doc["tables"].items():
-            df = spark.read.parquet(os.path.join(target_root, f"{t}.parquet"))
+            if entry.get("path") is None and entry["rows"] == 0:
+                continue  # schema-only: no data to verify
+            df = spark.read.parquet(target_paths[t])
             cs = table_checksum(df)
             checks[t] = cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"]
         results["verify"] = checks

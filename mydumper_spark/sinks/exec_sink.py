@@ -49,3 +49,36 @@ def exec_per_file(root: str, command: str, max_workers: int = 4,
 def masquerade_table_name(table: str, salt: str = "") -> str:
     """T13: stable hashed output name for a table."""
     return "t_" + hashlib.sha256((salt + table).encode()).hexdigest()[:16]
+
+
+_SAFE_FILENAME_RE = __import__("re").compile(r"^[A-Za-z0-9_ @-]+$")
+
+
+class FilenameRegistry:
+    """Filename-safe table-name mapping — ``determine_filename`` /
+    ``get_ref_table`` semantics (mydumper_common.c:66-90, proven by
+    test/specific_16's `t%`/`t*`/`mydumper.aipk_uuid` tables): a name that is
+    unsafe as a filename (dots, slashes, glob chars, …) or collides with the
+    generated prefix is replaced by ``mydumper_<N>``, memoized so every
+    reference to the same table maps to the same file. The mapping is
+    recorded in the manifest (the reference keeps it in its ref_table hash +
+    metadata)."""
+
+    def __init__(self) -> None:
+        self._map: dict[str, str] = {}
+        self._n = 0
+
+    def filename_for(self, table: str) -> str:
+        if table in self._map:
+            return self._map[table]
+        if _SAFE_FILENAME_RE.match(table) and not table.startswith("mydumper_"):
+            name = table
+        else:
+            name = f"mydumper_{self._n}"
+            self._n += 1
+        self._map[table] = name
+        return name
+
+    @property
+    def mapping(self) -> dict[str, str]:
+        return dict(self._map)
