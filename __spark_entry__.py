@@ -810,6 +810,19 @@ def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, [float(v) for v in qvec], k=10, num_planes=12, probe_hamming=2)
 
 
+def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors: deterministic sampled
+    centroids, probe the 2 nearest of 4 cells (rows-only: centroid sampling
+    is xxhash64-ordered)."""
+    from mydumper_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    return ivf_topk(
+        emb.where("vec_id <> 0"), [float(v) for v in qvec], k=10, n_cells=4, n_probe=2
+    )
+
+
 def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: min-label propagation over the verified
     minhash pair graph (rows-only; iterative, non-SQL-expressible)."""
@@ -872,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_masquerade_random": x_masquerade_random,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_ann_topk": x_ann_topk,
+        "x_ivf_topk": x_ivf_topk,
         "x_connected_components": x_connected_components,
     }
 

@@ -120,6 +120,65 @@ def ann_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index build: pick ``n_cells`` deterministic sample centroids
+    (xxhash64-ordered sample — reproducible across runs, no RNG state) and
+    assign every vector to its nearest centroid by dot product.
+
+    At 100 TB the assignment is a write-time column and the table is
+    partitioned/clustered by ``__cell``; a query then scans only the probed
+    cells — partition pruning does the candidate selection. Centroids are
+    inlined as literals (Catalyst constant-folds them), so assignment is one
+    narrow codegen pass, no shuffle, no driver round-trips per row."""
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in embeddings.select(vec_col, id_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_cells)
+        .collect()
+    ]
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    assigned = embeddings.withColumn("__cell", F.array_max(scored)["cell"])
+    return assigned, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``n_probe`` cells
+    whose centroids are closest to the query. ``n_probe == n_cells`` recovers
+    exact brute force (the recall dial)."""
+    assigned, cents = ivf_assign_cells(embeddings, n_cells, id_col, vec_col)
+    qdots = [
+        (i, sum(q * x for q, x in zip(query_vec, c))) for i, c in enumerate(cents)
+    ]
+    probe = [i for i, _ in sorted(qdots, key=lambda t: -t[1])[:n_probe]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = assigned.where(F.col("__cell").isin(probe)).select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -21,3 +22,30 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-tolerant equi-join: salt the big side, replicate the small side.
+
+    AQE's skew-join split only helps sort-merge joins after the skewed
+    shuffle already happened; salting prevents the hot partition from forming
+    at all — each hot key's rows spread over ``salt_factor`` shuffle
+    partitions, the small side is replicated ``salt_factor``× (bounded: it
+    must be the *smaller* input). The salt is a deterministic hash of the
+    whole row (xxhash64 over all big-side columns), not a RNG, so the plan is
+    reproducible. Result is exactly the plain join, proven by test."""
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor))
+    big_s = big.withColumn("__salt", salt_col)
+    salts = big.sparkSession.range(salt_factor).select(
+        F.col("id").cast("long").alias("__salt")
+    )
+    small_s = small.crossJoin(F.broadcast(salts))
+    joined = big_s.join(small_s, keys + ["__salt"], how)
+    return joined.drop("__salt")

@@ -118,3 +118,17 @@ def test_partition_chunks_regex_filter(spark):
     plan = plan_partition_chunks(df, "grp", pattern="2023")
     assert plan.predicates == ["grp = 'p_2023'"]
     assert reassemble(df, plan).count() == 2
+
+
+def test_salted_join_equals_plain_join(lineitem, orders):
+    from mydumper_spark.util import salted_join
+
+    li = lineitem.select("l_orderkey", "l_quantity")
+    od = orders.select("o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    plain = li.join(od, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = salted_join(li, od, "l_orderkey", salt_factor=4).groupBy(
+        "o_orderpriority"
+    ).count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

@@ -199,3 +199,22 @@ def test_resize_media_deterministic(spark):
     # re-run → identical (the plumbing contract for exactness tests)
     again = resize_media(df, width=4, height=2).orderBy("doc_id").collect()
     assert [bytes(r["payload"]) for r in again] == [bytes(r["payload"]) for r in out]
+
+
+def test_ivf_full_probe_equals_brute_force(embeddings):
+    from mydumper_spark.operators.similarity import cosine_topk, ivf_topk
+
+    qvec = [float(v) for v in embeddings.where("vec_id = 0").first()["embedding"]]
+    corpus = embeddings.where("vec_id <> 0")
+    exact = [r["vec_id"] for r in cosine_topk(corpus, qvec, k=5).collect()]
+    # probing every cell must recover the exact answer
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(corpus, qvec, k=5, n_cells=4, n_probe=4).collect()
+    ]
+    assert full == exact
+    # a partial probe returns a subset ranking consistent with exact scoring
+    part = ivf_topk(corpus, qvec, k=5, n_cells=4, n_probe=2).collect()
+    assert len(part) >= 1
+    sims = [r["cosine_sim"] for r in part]
+    assert sims == sorted(sims, reverse=True)
