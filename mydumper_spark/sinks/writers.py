@@ -89,6 +89,28 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table — the co-located-join layout.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT an exchange on either side (Catalyst recognizes the matching
+    hash distribution): at 100 TB this turns every fact⋈fact join on the
+    bucketing key from a full dual shuffle into a zip of pre-sorted buckets.
+    ``sortBy`` additionally pre-orders within buckets so the join degrades
+    to a streaming merge. (Spark requires saveAsTable for bucket metadata —
+    the bucket spec lives in the catalog, not the files.)"""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def records_per_file_for_bytes(df: DataFrame, target_bytes: int, sample_rows: int = 1000) -> int:
     """Translate the reference's --chunk-filesize (bytes) into Spark's
     maxRecordsPerFile (records) via a sampled average row width."""

@@ -72,3 +72,30 @@ def test_checksum_partial_agg_jvm_side(spark):
     assert "partial_bit_xor" in plan  # map-side combine before the exchange
     assert "Exchange SinglePartition" in plan  # only the 1-long agg state shuffles
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path, orders, customer):
+    """Co-located join: two tables bucketed on the join key must join with
+    zero Exchange operators — the 100 TB fact-join layout."""
+    from mydumper_spark.sinks.writers import write_bucketed
+
+    write_bucketed(
+        orders.select("o_custkey", "o_totalprice"), "b_orders", ["o_custkey"], 8
+    )
+    write_bucketed(
+        customer.select("c_custkey", "c_mktsegment"), "b_customer", ["c_custkey"], 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must rely on bucket co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("b_orders")
+        b = spark.table("b_customer")
+        j = a.join(b, a.o_custkey == b.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
