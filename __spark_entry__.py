@@ -13,8 +13,9 @@ are kept identical on both sides:
   microseconds (``ts DIV 1000`` vs ``epoch_us(ts)``).
 
 Queries with no ``oracle_sql`` entry (rows-only check) are the genuinely
-non-SQL-expressible ones: minhash/simhash near-dup (xxhash64-based) and the
-masquerade random generators (xxhash64-keyed).
+non-SQL-expressible ones — everything built on xxhash64 (no DuckDB twin):
+minhash/simhash/winnow near-dup sketches, embedding/ANN/IVF bucketing, the
+masquerade random generators, and the iterative connected-components loop.
 """
 
 from __future__ import annotations
@@ -823,6 +824,15 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs: documents sharing ≥3 selected
+    rolling-hash fingerprints (rows-only: xxhash64-based sketch)."""
+    from mydumper_spark.operators.text import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, min_shared=3)
+
+
 def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: min-label propagation over the verified
     minhash pair graph (rows-only; iterative, non-SQL-expressible)."""
@@ -886,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_ann_topk": x_ann_topk,
         "x_ivf_topk": x_ivf_topk,
+        "x_winnow_overlap": x_winnow_overlap,
         "x_connected_components": x_connected_components,
     }
 

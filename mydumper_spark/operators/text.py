@@ -152,3 +152,109 @@ def fingerprint(col: Column) -> Column:
     in operators/dedup.py.)"""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(norm)
+
+
+def winnow_from_hashes(h: Column, window: int = 4) -> Column:
+    """Per-window minima over an already-materialized hash array.
+    IMPORTANT: ``h`` must be a bound column (a prior projection), not a
+    nested expression — Catalyst does not CSE into lambda scopes, so an
+    inline hash expression would be re-evaluated per window element,
+    turning O(n·w) into O(n²·k)."""
+    n = F.size(h)
+    mins = F.when(n <= window, F.array(F.array_min(h))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.array_min(F.slice(h, i, window)),
+        )
+    )
+    return F.array_distinct(mins)
+
+
+def winnow_fingerprint_df(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 3, window: int = 4
+):
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    rolling k-gram hashes → per-window minimum → distinct selected hashes,
+    as (id, fps array<bigint>).
+
+    The guarantee: any shared run of ≥ window+k-1 tokens between two
+    documents yields at least one shared fingerprint, while storing only
+    ~1/window of the hashes — the overlap-detection sketch at corpus scale.
+    Two projections on purpose: the hash array materializes in the first so
+    the sliding window in the second reads it O(1) per element (see
+    winnow_from_hashes)."""
+    from mydumper_spark.operators.dedup import shingles
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("__h"),
+    )
+    return hashed.select(
+        F.col(id_col), winnow_from_hashes(F.col("__h"), window).alias("fps")
+    )
+
+
+def winnow_overlap_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 3,
+    max_bucket: int = 100,
+) -> "DataFrame":  # noqa: F821
+    """Overlap-candidate pairs: documents sharing ≥ min_shared winnow
+    fingerprints.
+
+    Two scale guards: (1) singleton + hot fingerprints are pruned before the
+    self-join (boilerplate would make it quadratic — same sublinearity trick
+    as the MinHash bands); (2) the fingerprint set is localCheckpoint-ed
+    before the join. The checkpoint is not an optimization nicety: the
+    self-join would otherwise duplicate the whole winnow expression tree
+    into both branches and Catalyst's constraint propagation goes quadratic
+    on it (measured: 66 s of pure planning at 500 docs). At corpus scale
+    fingerprints are a persisted write-time column and the cut is free."""
+    # the lineage cut must land BEFORE the explode: Generate re-evaluates its
+    # (inlined) child expression per OUTPUT element, so exploding the raw
+    # winnow expression costs O(elements × winnow) — measured 30 s vs 4 s on
+    # 500 docs. Checkpointing the compact (id, fps-array) form makes explode
+    # read a materialized array, and shrinks the self-join's plan so
+    # Catalyst's constraint propagation stays linear.
+    fps = (
+        winnow_fingerprint_df(df, text_col, id_col, k, window)
+        .localCheckpoint(eager=True)
+        .select(F.col(id_col).alias("doc_id"), F.explode("fps").alias("fp"))
+    )
+    live = fps.join(
+        fps.groupBy("fp").count().where(
+            (F.col("count") > 1) & (F.col("count") <= max_bucket)
+        ),
+        "fp",
+    )
+    a = live.select(F.col("doc_id").alias("id_a"), "fp")
+    b = live.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_fingerprints(col: Column, k: int = 3, window: int = 4) -> Column:
+    """Column-expression form of winnowing — convenient for small inputs and
+    tests; for corpus-scale use prefer :func:`winnow_fingerprint_df` (this
+    inline form re-evaluates the hash array per window element, see
+    winnow_from_hashes)."""
+    from mydumper_spark.operators.dedup import shingles
+
+    h = F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+    n = F.size(h)
+    mins = F.when(n <= window, F.array(F.array_min(h))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.array_min(F.slice(h, i, window)),
+        )
+    )
+    return F.array_distinct(mins)

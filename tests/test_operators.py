@@ -218,3 +218,28 @@ def test_ivf_full_probe_equals_brute_force(embeddings):
     assert len(part) >= 1
     sims = [r["cosine_sim"] for r in part]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_winnowing_guarantee(spark):
+    """Documents sharing a long token run must share >=1 winnow fingerprint;
+    disjoint documents share none."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, f"PREFIX one two {shared}"),
+            (2, f"{shared} SUFFIX three four five"),
+            (3, "completely different words with zero overlap whatsoever here"),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert rows[1] & rows[2]          # shared run → shared fingerprint
+    assert not (rows[1] & rows[3])    # disjoint → no collision
+    assert len(rows[1]) < 12          # sketch, not the full hash list
