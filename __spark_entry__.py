@@ -666,6 +666,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling (§1.2: the reference special-cases
+    MySQL JSON through CONVERT wrappers; Spark's typed route is from_json):
+    parse events.props, aggregate the extracted field per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def s5_multicol_chunked_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: two-level composite-key chunking (outer=value step, inner=range),
     reassembled — must equal the plain scan."""
@@ -887,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cosine_topk": x_cosine_topk,
         "x_events_sessionize": x_events_sessionize,
         "x_events_agg": x_events_agg,
+        "x_json_extract": x_json_extract,
         "x_topk_per_group": x_topk_per_group,
         "x_multimodal_features": x_multimodal_features,
         "x_ngram_jaccard": x_ngram_jaccard,
@@ -929,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "x_cosine_topk": _COSINE_SQL,
         "x_events_sessionize": _SESSION_SQL,
         "x_events_agg": _EVENTS_AGG_SQL,
+        "x_json_extract": _JSON_SQL,
         "x_topk_per_group": _TOPK_GROUP_SQL,
         "x_multimodal_features": _MULTIMODAL_SQL,
         "x_ngram_jaccard": _NGRAM_JACCARD_SQL,
