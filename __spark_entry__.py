@@ -695,6 +695,37 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (ST7 batch twin of the streaming
+    windowed agg): hourly rollup per event_type via F.window."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    return (
+        ev.groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            F.round(F.col("sum_value_c") / 100.0, 2).alias("sum_value"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type, count(*) AS n,
+       round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def s5_multicol_chunked_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: two-level composite-key chunking (outer=value step, inner=range),
     reassembled — must equal the plain scan."""
@@ -916,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cosine_topk": x_cosine_topk,
         "x_events_sessionize": x_events_sessionize,
         "x_events_agg": x_events_agg,
+        "x_events_hourly": x_events_hourly,
         "x_json_extract": x_json_extract,
         "x_topk_per_group": x_topk_per_group,
         "x_multimodal_features": x_multimodal_features,
@@ -959,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "x_cosine_topk": _COSINE_SQL,
         "x_events_sessionize": _SESSION_SQL,
         "x_events_agg": _EVENTS_AGG_SQL,
+        "x_events_hourly": _EVENTS_HOURLY_SQL,
         "x_json_extract": _JSON_SQL,
         "x_topk_per_group": _TOPK_GROUP_SQL,
         "x_multimodal_features": _MULTIMODAL_SQL,
