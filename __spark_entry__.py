@@ -666,6 +666,59 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: LEFT SEMI join (EXISTS) — orders having at least one
+    late-shipping lineitem, counted by priority."""
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01'"
+    )
+    late = _t(spark, sf_dir, "lineitem").where("l_shipdate > TIMESTAMP '1996-03-31'")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1996-03-31')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def x_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers that never placed an order,
+    counted per market segment — the dump-vs-restore delta-report shape
+    (SURVEY §2.7: checksum comparison as an anti-join)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o.o_orderdate < TIMESTAMP '1997-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling (§1.2: the reference special-cases
     MySQL JSON through CONVERT wrappers; Spark's typed route is from_json):
@@ -926,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
         "q5_region_volume": q5_region_volume,
         "q6_revenue_delta": q6_revenue_delta,
         "s2_chunked_scan_orders": s2_chunked_scan_orders,
@@ -946,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quality_score": x_quality_score,
         "x_cosine_topk": x_cosine_topk,
         "x_events_sessionize": x_events_sessionize,
+        "x_customers_without_orders": x_customers_without_orders,
         "x_events_agg": x_events_agg,
         "x_events_hourly": x_events_hourly,
         "x_json_extract": x_json_extract,
@@ -967,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
         "q3_shipping_priority": _Q3_SQL,
+        "q4_order_priority": _Q4_SQL,
         "q5_region_volume": _Q5_SQL,
         "q6_revenue_delta": _Q6_SQL,
         "s2_chunked_scan_orders": "SELECT * FROM orders",
@@ -990,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
         "x_quality_score": _QUALITY_SQL,
         "x_cosine_topk": _COSINE_SQL,
         "x_events_sessionize": _SESSION_SQL,
+        "x_customers_without_orders": _ANTI_SQL,
         "x_events_agg": _EVENTS_AGG_SQL,
         "x_events_hourly": _EVENTS_HOURLY_SQL,
         "x_json_extract": _JSON_SQL,
