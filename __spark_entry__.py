@@ -30,7 +30,18 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet is INT64 TIMESTAMP(NANOS), which a vanilla session
+    # rejects (PARQUET_TYPE_ILLEGAL). The grading harness passes a vanilla
+    # SparkSession (not our session.py factory), so self-provision the
+    # legacy read path here: ts then arrives as bigint nanoseconds.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized from bigint nanoseconds to microseconds —
+    the one place the ns→µs convention (matching DuckDB epoch_us) lives."""
+    return _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
 
 
 def _cents(col):
@@ -271,7 +282,7 @@ def s7_partition_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.event_type; the reassembled union must equal the plain scan."""
     from mydumper_spark.planner import plan_partition_chunks, reassemble
 
-    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
+    ev = _events_us(spark, sf_dir)
     plan = plan_partition_chunks(ev, "event_type")
     return reassemble(ev, plan)
 
@@ -400,9 +411,7 @@ def a4_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = None
     for t in _TABLES:
-        df = _t(spark, sf_dir, t)
-        if t == "events":
-            df = df.withColumn("ts", F.expr("ts DIV 1000"))
+        df = _events_us(spark, sf_dir) if t == "events" else _t(spark, sf_dir, t)
         c = checksum_df(df).select(F.lit(t).alias("table_name"), "checksum", "rows")
         out = c if out is None else out.unionAll(c)
     return out
@@ -610,7 +619,7 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
 def x_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization by 30-min inactivity gap (window functions over the
     event stream; ST7-class operator in batch form)."""
-    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+    ev = _events_us(spark, sf_dir).withColumnRenamed("ts", "ts_us")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w)
     with_s = ev.withColumn(
@@ -751,9 +760,7 @@ GROUP BY event_type ORDER BY event_type
 def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (ST7 batch twin of the streaming
     windowed agg): hourly rollup per event_type via F.window."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ev = _events_us(spark, sf_dir).withColumn("ts_t", F.timestamp_micros(F.col("ts")))
     return (
         ev.groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
         .agg(
