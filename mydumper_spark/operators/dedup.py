@@ -109,7 +109,14 @@ def minhash_lsh_pairs(
             ]
         ),
     )
-    base = base.persist()
+    # Materialize once and cut lineage. localCheckpoint instead of persist():
+    # persist() blocks live in the CacheManager until an explicit unpersist,
+    # which a lazily-returned DataFrame can never safely issue — repeated
+    # per-table calls in a long-lived session would accumulate cached blocks.
+    # Checkpoint blocks are reclaimed by the ContextCleaner once the plan is
+    # garbage-collected, and the lineage cut also keeps the downstream
+    # self-join's Catalyst planning linear.
+    base = base.localCheckpoint(eager=True)
 
     banded = base.select(
         "id",
@@ -181,28 +188,62 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
-    """Min-label propagation over (id_a, id_b) edges → (id, component).
-    Iterative small-join loop; each iteration halves chain lengths
-    (pointer-jumping), so max_iters=10 covers chains of length 2^10."""
+def connected_components(pairs: DataFrame, max_iters: int = 16) -> DataFrame:
+    """Min-label components over (id_a, id_b) edges → (id, comp).
+
+    Shiloach–Vishkin-style alternation, logarithmic rounds: each iteration
+    does a **hook** (take the min label across neighbors) followed by a
+    **jump** (labels join labels: comp(v) ← comp(comp(v)), genuine pointer
+    doubling). The hook moves a label one edge; the jump then doubles the
+    distance already covered, so a chain of length L converges in
+    O(log L) rounds (a 64-node path takes 6, not 63). max_iters=16 covers
+    components of diameter ≫ 2^16.
+
+    Each round is two shuffles on (id, comp) longs — no payload columns.
+    Lineage is cut per round with localCheckpoint (iterative joins
+    otherwise blow up Catalyst planning), and the convergence probe runs
+    on the already-checkpointed frame so it costs one cheap job, mirroring
+    the reference's worker loop exiting when its queue stops changing."""
+    labels, _ = _cc_iterate(pairs, max_iters)
+    return labels
+
+
+def _cc_iterate(pairs: DataFrame, max_iters: int = 16) -> tuple[DataFrame, int]:
+    """connected_components body; returns (labels, rounds_used) so tests can
+    assert the logarithmic-round bound."""
     edges = pairs.select("id_a", "id_b")
     labels = (
         edges.select(F.col("id_a").alias("id"))
         .union(edges.select(F.col("id_b").alias("id")))
         .distinct()
         .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
+        # hook: comp(v) <- min(comp(v), min over neighbors u of comp(u))
         neigh_min = (
             sym.join(labels, sym["id_b"] == labels["id"])
             .groupBy("id_a")
             .agg(F.min("comp").alias("ncomp"))
             .withColumnRenamed("id_a", "id")
         )
+        hooked = labels.join(neigh_min, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
+        )
+        # jump: comp(v) <- comp(comp(v)). comp always holds a node id of the
+        # same component (a min over member ids), so the self-join hits.
+        mapping = hooked.select(
+            F.col("id").alias("comp"), F.col("comp").alias("jcomp")
+        )
         new_labels = (
-            labels.join(neigh_min, "id", "left")
-            .select("id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"))
+            hooked.join(mapping, "comp", "left")
+            .select("id", F.coalesce("jcomp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -211,10 +252,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        labels = new_labels
         if not changed:
             break
-    return labels
+    return labels, rounds
 
 
 def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

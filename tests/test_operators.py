@@ -120,6 +120,29 @@ def test_connected_components(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_connected_components_logarithmic_rounds(spark):
+    # A planted 64-node path is the worst case for 1-hop propagation
+    # (63 rounds); hook+jump must converge in O(log n) — 6 rounds for 64.
+    chain = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    labels, rounds = dd._cc_iterate(pairs, max_iters=16)
+    comp = {r["id"]: r["comp"] for r in labels.collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 64
+    assert rounds <= 7, f"expected logarithmic convergence, took {rounds} rounds"
+
+
+def test_connected_components_star_and_cycle(spark):
+    # star (hub 100) + 8-cycle + isolated edge, in one pair set
+    star = [(100, 100 + i) for i in range(1, 9)]
+    cycle = [(200 + i, 200 + (i + 1) % 8) for i in range(8)]
+    pairs = spark.createDataFrame(star + cycle + [(300, 301)], "id_a long, id_b long")
+    comp = {r["id"]: r["comp"] for r in dd.connected_components(pairs).collect()}
+    assert all(comp[100 + i] == 100 for i in range(9))
+    assert all(comp[200 + i] == 200 for i in range(8))
+    assert comp[300] == comp[301] == 300
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e"), (3, "z z z z z")], "doc_id long, text string"
