@@ -964,12 +964,41 @@ def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-bucket LSH (rows-only;
-    bucketing is xxhash64-based)."""
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH (rows-only;
+    the hyperplane bucketing has no DuckDB twin). τ=0.4 because the fixture
+    embeddings are near-random (max pairwise cosine ≈ 0.51) — at the 0.95
+    design point the query would be vacuously empty. Recall vs the exact
+    variant is pytest-asserted on planted near-dups."""
     from mydumper_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.95, dim=64, num_planes=8)
+    return embedding_near_dup_pairs(emb, threshold=0.4, dim=64, num_planes=16, bands=4)
+
+
+def x_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ τ — the ground-truth twin of
+    x_embedding_near_dup, oracle-checked in DuckDB (τ chosen to be
+    non-vacuous on the fixture: ~20 pairs at sf0.01)."""
+    from mydumper_spark.operators.similarity import embedding_pairs_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_pairs_exact(emb, threshold=0.44)
+
+
+_EMB_EXACT_SQL = """
+SELECT id_a, id_b, cosine_sim
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cosine_sim >= 0.44
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1018,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
         "x_embedding_near_dup": x_embedding_near_dup,
+        "x_embedding_pairs_exact": x_embedding_pairs_exact,
         "x_ann_topk": x_ann_topk,
         "x_ivf_topk": x_ivf_topk,
         "x_winnow_overlap": x_winnow_overlap,
@@ -1060,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "x_topk_per_group": _TOPK_GROUP_SQL,
         "x_multimodal_features": _MULTIMODAL_SQL,
         "x_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "x_embedding_pairs_exact": _EMB_EXACT_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

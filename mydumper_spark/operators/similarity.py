@@ -179,26 +179,91 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def embedding_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (id_a, id_b, cosine_sim) for every pair with cosine ≥ threshold
+    — the O(n²) ground-truth baseline the LSH path is measured against
+    (recall asserted in pytest, values oracle-checked in DuckDB). Use the
+    banded LSH variant below for corpora where n² is off the table."""
+    n = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    a = n.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = n.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim")
+    )
+    return scored.where(F.col("cosine_sim") >= threshold)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
     num_planes: int = 16,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim) for pairs with cosine ≥ threshold, found via
-    signature-bucket self-join then exact re-score — embedding-space near-dup
-    detection without the O(n²) cross join."""
+    **banded** hyperplane-signature buckets then exact re-score.
+
+    Banding (same pigeonhole as SimHash/MinHash): the ``num_planes``-bit
+    signature splits into ``bands`` sub-keys of ``num_planes // bands`` bits;
+    a pair collides if ANY band matches. At the 0.95 design point with
+    16 planes / 4 bands, per-band match ≈ 0.9⁴ ≈ 0.66 and pair recall
+    ≈ 1-(1-0.66)⁴ ≈ 0.99 — versus ≈ 0.43 for the old exact-full-signature
+    join, which silently dropped near-dups. Precision is always exact:
+    every candidate is re-scored with the real cosine.
+
+    Shuffle shape: explode to (band, key, id) — ``bands`` rows per vector,
+    16-byte keys; the self-join is on (band, key); vectors join back only
+    for surviving deduped candidate pairs."""
+    rows_per_band = num_planes // bands
+    mask = (1 << rows_per_band) - 1
     sig = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         simhash_embedding_signature(F.col(vec_col), dim, num_planes).alias("sig"),
     )
-    a = sig.select(F.col("sig"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = sig.select(F.col("sig"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    pairs = a.join(b, "sig").where(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim")
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright("sig", bnd * rows_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select("band", "key", F.col("id").alias("id_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    side_a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    side_b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    scored = (
+        pairs.join(side_a, "id_a")
+        .join(side_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
+        )
     )
     return scored.where(F.col("cosine_sim") >= threshold)

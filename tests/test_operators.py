@@ -174,6 +174,50 @@ def test_embedding_near_dup_self_join_excludes_diagonal(embeddings):
     assert all(r["id_a"] < r["id_b"] for r in pairs.collect())
 
 
+def _planted_near_dups(spark, n_pairs=30, dim=32):
+    """Deterministic corpus: n_pairs (base, perturbed) vector pairs with
+    cosine ≥ 0.95, plus unrelated fillers — no RNG state, sha256-derived."""
+    import hashlib
+
+    def unit(i):
+        v = [
+            (hashlib.sha256(f"{i}:{d}".encode()).digest()[0] / 255.0) * 2 - 1
+            for d in range(dim)
+        ]
+        nrm = sum(x * x for x in v) ** 0.5
+        return [x / nrm for x in v]
+
+    rows = []
+    for i in range(n_pairs):
+        base = unit(i)
+        noise = unit(1000 + i)
+        pert = [b + 0.12 * z for b, z in zip(base, noise)]  # cos ≈ 0.993
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, pert))
+    for i in range(n_pairs):  # fillers, uncorrelated
+        rows.append((10_000 + i, unit(5000 + i)))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_recall_vs_exact(spark):
+    emb = _planted_near_dups(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_pairs_exact(emb, threshold=0.95).collect()
+    }
+    assert len(exact) >= 25  # the planted pairs are really there
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup_pairs(
+            emb, threshold=0.95, dim=32, num_planes=16, bands=4
+        ).collect()
+    }
+    # precision is exact by construction (real cosine re-score)
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"banded LSH recall {recall:.2f} < 0.9"
+
+
 # -- multimodal --------------------------------------------------------------
 
 
