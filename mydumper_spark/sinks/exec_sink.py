@@ -27,11 +27,13 @@ def exec_per_file(root: str, command: str, max_workers: int = 4,
     """Run ``command`` once per data file under root. ``FILENAME`` in the
     command is substituted (reference semantics: appended if absent).
     Returns [(path, returncode)]."""
+    # Strictly data files only: the reference runs --exec on completed data
+    # files, never on metadata/manifest siblings (mydumper_exec_command.c).
     files = sorted(
         os.path.join(dp, f)
         for dp, _, fs in os.walk(root)
         for f in fs
-        if f.startswith(pattern) or not f.startswith(("_", "."))
+        if f.startswith(pattern)
     )
 
     def run(path: str) -> tuple[str, int]:

@@ -130,19 +130,30 @@ def records_per_file_for_bytes(df: DataFrame, target_bytes: int, sample_rows: in
 def _sql_literal(col, dtype: str):
     """Render a column as a SQL literal — the reference's quoting matrix
     (mydumper_write.c:676-706): numerics raw, NULL literal, strings escaped
-    and quoted, binary hex (--hex-blob), timestamps quoted."""
+    and quoted, binary hex (--hex-blob), dates/timestamps quoted.
+
+    String escaping mirrors mysql_real_escape_string (backslash, quote,
+    NUL, newline, CR, ctrl-Z) — which also guarantees one statement/tuple
+    never spans a physical line, the invariant the line-parallel INSERT
+    parser (sources/insert_parser.py) relies on."""
     c = F.col(col)
-    if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal", "boolean"):
+    if dtype.startswith("decimal") or dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double", "boolean"
+    ):
         return F.when(c.isNull(), F.lit("NULL")).otherwise(c.cast("string"))
     if dtype == "binary":
         return F.when(c.isNull(), F.lit("NULL")).otherwise(F.concat(F.lit("0x"), F.hex(c)))
-    quoted = F.concat(
-        F.lit("'"),
-        F.regexp_replace(
-            F.regexp_replace(c.cast("string"), r"\\", r"\\\\"), "'", r"\\'"
-        ),
-        F.lit("'"),
-    )
+    s = c.cast("string")
+    for pat, rep in (
+        (r"\\", r"\\\\"),
+        ("'", r"\\'"),
+        ("\x00", r"\\0"),
+        ("\n", r"\\n"),
+        ("\r", r"\\r"),
+        ("\x1a", r"\\Z"),
+    ):
+        s = F.regexp_replace(s, pat, rep)
+    quoted = F.concat(F.lit("'"), s, F.lit("'"))
     return F.when(c.isNull(), F.lit("NULL")).otherwise(quoted)
 
 
@@ -199,19 +210,29 @@ def write_load_data(
     fmt = fmt or CsvFormat()
     data_path = os.path.join(root, f"{table}.dat")
     write_csv(df, data_path, fmt, max_records_per_file)
-    if dialect == "clickhouse":
-        stmt = f"INSERT INTO `{table}` FROM INFILE '{data_path}/part-*' FORMAT CSV;"
-    else:
-        enc = fmt.fields_enclosed_by.replace("'", "\\'")
-        esc = fmt.fields_escaped_by.replace("\\", "\\\\")
-        stmt = (
-            f"LOAD DATA LOCAL INFILE '{data_path}/part-*' REPLACE INTO TABLE `{table}` "
-            f"CHARACTER SET utf8mb4 FIELDS TERMINATED BY '{fmt.fields_terminated_by}' "
-            f"ENCLOSED BY '{enc}' ESCAPED BY '{esc}' "
-            f"LINES TERMINATED BY '{repr(fmt.lines_terminated_by)[1:-1]}' "
-            f"({','.join('`' + c + '`' for c in df.columns)});"
-        )
+    # One statement per part file: MySQL/ClickHouse do not glob inside
+    # INFILE paths, and the reference likewise emits one LOAD DATA per data
+    # file (build_load_data_statement) — so the .sql must enumerate.
+    parts = sorted(
+        os.path.join(data_path, f)
+        for f in os.listdir(data_path)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    stmts = []
+    for p in parts:
+        if dialect == "clickhouse":
+            stmts.append(f"INSERT INTO `{table}` FROM INFILE '{p}' FORMAT CSV;")
+        else:
+            enc = fmt.fields_enclosed_by.replace("'", "\\'")
+            esc = fmt.fields_escaped_by.replace("\\", "\\\\")
+            stmts.append(
+                f"LOAD DATA LOCAL INFILE '{p}' REPLACE INTO TABLE `{table}` "
+                f"CHARACTER SET utf8mb4 FIELDS TERMINATED BY '{fmt.fields_terminated_by}' "
+                f"ENCLOSED BY '{enc}' ESCAPED BY '{esc}' "
+                f"LINES TERMINATED BY '{repr(fmt.lines_terminated_by)[1:-1]}' "
+                f"({','.join('`' + c + '`' for c in df.columns)});"
+            )
     sql_path = os.path.join(root, f"{table}.sql")
     with open(sql_path, "w") as f:
-        f.write(stmt + "\n")
+        f.write("\n".join(stmts) + "\n")
     return sql_path

@@ -35,25 +35,49 @@ def classify(filename: str) -> tuple[str, dict] | None:
 
 
 def read_dump_table(
-    spark: SparkSession, root: str, table: str, fmt: CsvFormat | None = None
+    spark: SparkSession,
+    root: str,
+    table: str,
+    fmt: CsvFormat | None = None,
+    schema=None,
 ) -> DataFrame:
     """Read one table back from a dump dir — parquet preferred, CSV (.dat)
-    fallback with the same dialect options the writer used (roundtrip
-    contract)."""
+    fallback with the same dialect options the writer used, and ``.sql``
+    INSERT dumps (the reference's primary format) as the final fallback.
+
+    ``schema`` (StructType or DDL string) is required for the ``.sql`` route
+    — in a reference dump it lives in the sibling ``-schema.sql`` file."""
+    from mydumper_spark.sources.insert_parser import read_insert_sql
+
     pq = os.path.join(root, f"{table}.parquet")
     if os.path.exists(pq):
         return spark.read.parquet(pq)
-    fmt = fmt or CsvFormat()
     dat = os.path.join(root, f"{table}.dat")
-    return (
-        spark.read.option("sep", fmt.fields_terminated_by)
-        .option("quote", fmt.fields_enclosed_by)
-        .option("escape", fmt.fields_escaped_by)
-        .option("lineSep", fmt.lines_terminated_by)
-        .option("header", str(fmt.header).lower())
-        .option("nullValue", fmt.null_value)
-        .csv(dat)
-    )
+    if os.path.exists(dat):
+        fmt = fmt or CsvFormat()
+        return (
+            spark.read.option("sep", fmt.fields_terminated_by)
+            .option("quote", fmt.fields_enclosed_by)
+            .option("escape", fmt.fields_escaped_by)
+            .option("lineSep", fmt.lines_terminated_by)
+            .option("header", str(fmt.header).lower())
+            .option("nullValue", fmt.null_value)
+            .csv(dat)
+        )
+    # .sql INSERT dump: either our write_insert_sql dir ({table}.sql/) or
+    # reference-style per-chunk files (db.table.NNNN.sql) in the root
+    sql_dir = os.path.join(root, f"{table}.sql")
+    chunked = [
+        os.path.join(root, f)
+        for f in sorted(os.listdir(root))
+        if (c := classify(f)) and c[0] == "data_sql" and c[1]["table"] == table
+    ]
+    target = sql_dir if os.path.isdir(sql_dir) else chunked
+    if not target:
+        raise FileNotFoundError(f"no parquet/.dat/.sql data for table {table!r} in {root}")
+    if schema is None:
+        raise ValueError(f".sql INSERT dump for {table!r} needs an explicit schema")
+    return read_insert_sql(spark, target, schema)
 
 
 def read_dump_dir(spark: SparkSession, root: str) -> dict[str, DataFrame]:

@@ -225,6 +225,79 @@ def test_read_dump_dir(spark, customer, tmp_path):
     assert tables["customer"].count() == customer.count()
 
 
+# -- .sql INSERT dump parsing (S12) ------------------------------------------
+
+
+def test_parse_tuples_unit():
+    from mydumper_spark.sources.insert_parser import parse_tuples
+
+    # full statement, escapes, doubled quotes, NULL vs 'NULL', hex, numbers
+    tups = parse_tuples(
+        "INSERT INTO `t` VALUES (1,'O\\'Brien','a''b',NULL,'NULL',0xDEAD,-1.5E-4);"
+    )
+    assert tups == [["1", "O'Brien", "a'b", None, "NULL", "0xDEAD", "-1.5E-4"]]
+    # control-char escapes round the mysql_real_escape_string matrix
+    assert parse_tuples("(2,'l1\\nl2\\tt\\\\x\\Z\\0')") == [["2", "l1\nl2\tt\\x\x1a\x00"]]
+    # multiple tuples on one line; continuation lines; trailing comma
+    assert parse_tuples("INSERT INTO t VALUES (1,'a'),(2,'b');") == [["1", "a"], ["2", "b"]]
+    assert parse_tuples("(3,'c'),") == [["3", "c"]]
+    # non-data lines are ignored
+    assert parse_tuples("/*!40101 SET NAMES binary*/;") == []
+    assert parse_tuples("SET @old := 1;") == []
+    assert parse_tuples("") == []
+    # VALUES inside a quoted value must not start the tuple scan early
+    assert parse_tuples("INSERT INTO `values` VALUES ('VALUES (9)')") == [["VALUES (9)"]]
+
+
+def test_insert_sql_roundtrip(spark, tmp_path):
+    """write_insert_sql → read_dump_table equals the source — the
+    reference's own dump-then-load oracle (myloader_restore.c)."""
+    from mydumper_spark.sinks.writers import write_insert_sql
+
+    df = spark.createDataFrame(
+        [
+            (1, "O'Brien \\ co", 3.5, bytearray(b"\x01\xff")),
+            (2, "line1\nline2\ttab", None, None),
+            (3, None, -0.125, bytearray(b"")),
+            (4, "NULL", 1e-4, bytearray(b"\x00")),
+        ],
+        "id bigint, name string, val double, payload binary",
+    )
+    write_insert_sql(df, str(tmp_path / "t.sql"), "t", rows_per_statement=2)
+    back = read_dump_table(spark, str(tmp_path), "t", schema=df.schema)
+
+    def norm(rows):
+        return {
+            r["id"]: (
+                r["name"],
+                r["val"],
+                bytes(r["payload"]) if r["payload"] is not None else None,
+            )
+            for r in rows
+        }
+
+    assert norm(back.collect()) == norm(df.collect())
+
+
+def test_reference_style_sql_chunks(spark, tmp_path):
+    """Multi-line per-chunk dump files named db.table.NNNN.sql — the
+    reference's primary on-disk format (myloader_process_filename.c)."""
+    (tmp_path / "mydb.t1.00001.sql").write_text(
+        "/*!40101 SET NAMES binary*/;\n"
+        "INSERT INTO `t1` VALUES\n(1,'a''s'),\n(2,'b\\nc'),\n(3,NULL);\n"
+    )
+    (tmp_path / "mydb.t1.00002.sql").write_text("INSERT INTO `t1` VALUES (4,'d');\n")
+    back = read_dump_table(spark, str(tmp_path), "t1", schema="id int, name string")
+    got = {r["id"]: r["name"] for r in back.collect()}
+    assert got == {1: "a's", 2: "b\nc", 3: None, 4: "d"}
+
+
+def test_read_dump_table_sql_requires_schema(spark, tmp_path):
+    (tmp_path / "mydb.t2.00001.sql").write_text("INSERT INTO `t2` VALUES (1);\n")
+    with pytest.raises(ValueError, match="schema"):
+        read_dump_table(spark, str(tmp_path), "t2")
+
+
 # -- streaming ---------------------------------------------------------------
 
 
