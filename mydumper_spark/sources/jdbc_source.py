@@ -106,3 +106,56 @@ def gtid_check_sql() -> tuple[str, str]:
         "SELECT @@global.gtid_executed",
         "SELECT BINLOG_GTID_POS(@@gtid_binlog_pos)",  # MariaDB variant
     )
+
+
+class SnapshotError(RuntimeError):
+    """Raised when a consistent snapshot cannot be fenced within the
+    configured number of attempts (reference: m_critical after the
+    no-locks GTID comparison keeps failing)."""
+
+
+@dataclass
+class SnapshotResult:
+    gtid: str
+    attempts: int
+
+
+def establish_consistent_snapshot(
+    control,
+    workers: list,
+    max_attempts: int = 10,
+    probe_sql: str = "SELECT @@global.gtid_executed",
+    snapshot_sql: str = CONSISTENT_SNAPSHOT_INIT,
+) -> SnapshotResult:
+    """S11 driver logic, executable: fence N worker connections onto one
+    table-wide snapshot by GTID equality — the reference's ``--no-locks``
+    mode (/root/reference/src/mydumper/mydumper_start_dump.c:1389-1417).
+
+    Per attempt: probe ``gtid_executed`` on the control connection, open a
+    REPEATABLE-READ consistent-snapshot transaction on every worker, probe
+    again; if the two GTID sets match, no write landed between the worker
+    snapshots and they are mutually consistent — done. Otherwise roll every
+    worker back and retry.
+
+    Connections are any objects with ``execute(sql) -> list[tuple]`` —
+    Spark's JDBC partitions play the workers in production (their
+    sessionInitStatement is ``snapshot_sql``); tests inject fakes. The
+    strict fallback when GTID never settles (a busy primary) is the FTWRL
+    fence, which the reference also degrades to."""
+    last = (None, None)
+    for attempt in range(1, max_attempts + 1):
+        g1 = control.execute(probe_sql)[0][0]
+        for w in workers:
+            for stmt in snapshot_sql.split(";"):
+                if stmt.strip():
+                    w.execute(stmt.strip())
+        g2 = control.execute(probe_sql)[0][0]
+        if g1 == g2:
+            return SnapshotResult(gtid=g2, attempts=attempt)
+        last = (g1, g2)
+        for w in workers:
+            w.execute("ROLLBACK")
+    raise SnapshotError(
+        f"gtid_executed kept advancing across {max_attempts} attempts "
+        f"(last: {last[0]!r} -> {last[1]!r}); fall back to the FTWRL fence"
+    )

@@ -132,3 +132,61 @@ def test_salted_join_equals_plain_join(lineitem, orders):
         "o_orderpriority"
     ).count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+# -- S11 consistent-snapshot fencing (executable driver loop) ----------------
+
+
+class _FakeConn:
+    """Injectable connection: scripted gtid_executed per probe, records
+    every statement executed."""
+
+    def __init__(self, gtids):
+        self.gtids = list(gtids)
+        self.log = []
+
+    def execute(self, sql):
+        self.log.append(sql)
+        if "gtid_executed" in sql:
+            g = self.gtids.pop(0) if len(self.gtids) > 1 else self.gtids[0]
+            return [(g,)]
+        return []
+
+
+def test_snapshot_fence_first_try():
+    from mydumper_spark.sources.jdbc_source import establish_consistent_snapshot
+
+    control = _FakeConn(["uuid:1-100"])
+    workers = [_FakeConn(["x"]), _FakeConn(["x"])]
+    res = establish_consistent_snapshot(control, workers)
+    assert res.attempts == 1 and res.gtid == "uuid:1-100"
+    # every worker got the full snapshot init, no rollbacks
+    for w in workers:
+        assert any("CONSISTENT SNAPSHOT" in s for s in w.log)
+        assert "ROLLBACK" not in w.log
+
+
+def test_snapshot_fence_retries_on_gtid_advance():
+    from mydumper_spark.sources.jdbc_source import establish_consistent_snapshot
+
+    # first attempt: gtid advances between probes -> rollback + retry;
+    # second attempt: stable
+    control = _FakeConn(["uuid:1-100", "uuid:1-101", "uuid:1-101", "uuid:1-101"])
+    workers = [_FakeConn(["x"])]
+    res = establish_consistent_snapshot(control, workers)
+    assert res.attempts == 2 and res.gtid == "uuid:1-101"
+    assert workers[0].log.count("ROLLBACK") == 1
+    assert sum("CONSISTENT SNAPSHOT" in s for s in workers[0].log) == 2
+
+
+def test_snapshot_fence_gives_up():
+    import pytest
+
+    from mydumper_spark.sources.jdbc_source import (
+        SnapshotError,
+        establish_consistent_snapshot,
+    )
+
+    control = _FakeConn([f"uuid:1-{i}" for i in range(100)])  # never stable
+    with pytest.raises(SnapshotError, match="FTWRL"):
+        establish_consistent_snapshot(control, [_FakeConn(["x"])], max_attempts=3)
