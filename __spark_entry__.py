@@ -932,15 +932,17 @@ def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate nearest neighbors: deterministic sampled
-    centroids, probe the 2 nearest of 4 cells (rows-only: centroid sampling
-    is xxhash64-ordered)."""
-    from mydumper_spark.operators.similarity import ivf_topk
+    """IVF-bucketed approximate nearest neighbors: KMeans-trained centroids
+    (pyspark.ml, deterministic seed + xxhash64-ordered sample), probe the 2
+    nearest of 4 cells (rows-only: approximate by design)."""
+    from mydumper_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    corpus = emb.where("vec_id <> 0")
+    cents = train_ivf_centroids(corpus, n_cells=4, sample_n=5000)
     return ivf_topk(
-        emb.where("vec_id <> 0"), [float(v) for v in qvec], k=10, n_cells=4, n_probe=2
+        corpus, [float(v) for v in qvec], k=10, n_cells=4, n_probe=2, centroids=cents
     )
 
 

@@ -120,22 +120,64 @@ def ann_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    sample_n: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """KMeans-trained IVF centroids (pyspark.ml) fit on a bounded,
+    deterministic sample.
+
+    The sample is the ``sample_n`` rows with the smallest
+    ``xxhash64(id)`` — Spark plans ``orderBy(...).limit(n)`` as
+    TakeOrderedAndProject (per-partition top-n + driver merge), NOT a full
+    sort, so this stays cheap at corpus scale and is reproducible with no
+    RNG state. KMeans itself runs distributed on the sample; only the
+    ``n_cells`` centers come back to the driver, to be inlined as literals
+    by the assignment pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = (
+        embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id").cast("string")))
+        .limit(sample_n)
+        .select(array_to_vector(F.col("__v").cast("array<double>")).alias("features"))
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(sample)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _cell_score(vec: Column, c: list[float]) -> Column:
+    """dot(v, c) − |c|²/2: argmax over cells == argmin Euclidean distance
+    (|v|² is constant per row), so assignment agrees exactly with the KMeans
+    objective while staying a pure-codegen dot product."""
+    bias = sum(x * x for x in c) / 2.0
+    return dot(vec, F.array(*[F.lit(x) for x in c])) - F.lit(bias)
+
+
 def ivf_assign_cells(
     embeddings: DataFrame,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF index build: pick ``n_cells`` deterministic sample centroids
-    (xxhash64-ordered sample — reproducible across runs, no RNG state) and
-    assign every vector to its nearest centroid by dot product.
+    """IVF index build: take ``centroids`` (train with
+    :func:`train_ivf_centroids` for KMeans quality) or fall back to
+    ``n_cells`` deterministic sample centroids (xxhash64-ordered sample —
+    reproducible across runs, no RNG state), then assign every vector to its
+    Euclidean-nearest centroid.
 
     At 100 TB the assignment is a write-time column and the table is
     partitioned/clustered by ``__cell``; a query then scans only the probed
     cells — partition pruning does the candidate selection. Centroids are
     inlined as literals (Catalyst constant-folds them), so assignment is one
     narrow codegen pass, no shuffle, no driver round-trips per row."""
-    cents = [
+    cents = centroids if centroids is not None else [
         [float(x) for x in r[vec_col]]
         for r in embeddings.select(vec_col, id_col)
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
@@ -145,7 +187,7 @@ def ivf_assign_cells(
     scored = F.array(
         *[
             F.struct(
-                dot(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("d"),
+                _cell_score(F.col(vec_col), c).alias("d"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(cents)
@@ -163,13 +205,16 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors in the ``n_probe`` cells
     whose centroids are closest to the query. ``n_probe == n_cells`` recovers
-    exact brute force (the recall dial)."""
-    assigned, cents = ivf_assign_cells(embeddings, n_cells, id_col, vec_col)
+    exact brute force (the recall dial). Pass KMeans ``centroids`` from
+    :func:`train_ivf_centroids` for trained-cell recall."""
+    assigned, cents = ivf_assign_cells(embeddings, n_cells, id_col, vec_col, centroids)
     qdots = [
-        (i, sum(q * x for q, x in zip(query_vec, c))) for i, c in enumerate(cents)
+        (i, sum(q * x for q, x in zip(query_vec, c)) - sum(x * x for x in c) / 2.0)
+        for i, c in enumerate(cents)
     ]
     probe = [i for i, _ in sorted(qdots, key=lambda t: -t[1])[:n_probe]]
     q = F.array(*[F.lit(float(v)) for v in query_vec])

@@ -287,6 +287,55 @@ def test_ivf_full_probe_equals_brute_force(embeddings):
     assert sims == sorted(sims, reverse=True)
 
 
+def _clustered_corpus(spark, per_cluster=40, dim=16, n_clusters=4):
+    """Deterministic corpus with planted clusters: vectors scattered around
+    n_clusters sha256-derived base directions (no RNG state)."""
+    import hashlib
+
+    def unit(i):
+        v = [
+            (hashlib.sha256(f"{i}:{d}".encode()).digest()[0] / 255.0) * 2 - 1
+            for d in range(dim)
+        ]
+        nrm = sum(x * x for x in v) ** 0.5
+        return [x / nrm for x in v]
+
+    bases = [unit(9000 + c) for c in range(n_clusters)]
+    rows, vid = [], 0
+    for c, b in enumerate(bases):
+        for j in range(per_cluster):
+            noise = unit(c * 1000 + j)
+            rows.append((vid, [x + 0.25 * z for x, z in zip(b, noise)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), bases
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """KMeans-trained centroids must not lose recall vs the hash-sampled
+    fallback, and must probe the right cell on a clustered corpus
+    (VERDICT r1 task #6)."""
+    corpus, bases = _clustered_corpus(spark)
+    cents = sim.train_ivf_centroids(corpus, n_cells=4, sample_n=1000)
+    assert len(cents) == 4
+    recalls = {}
+    for variant, kw in (("trained", {"centroids": cents}), ("sampled", {})):
+        hits = total = 0
+        for c in range(4):
+            q = [float(x) for x in bases[c]]
+            exact = {r["vec_id"] for r in sim.cosine_topk(corpus, q, k=10).collect()}
+            got = {
+                r["vec_id"]
+                for r in sim.ivf_topk(
+                    corpus, q, k=10, n_cells=4, n_probe=1, **kw
+                ).collect()
+            }
+            hits += len(got & exact)
+            total += len(exact)
+        recalls[variant] = hits / total
+    assert recalls["trained"] >= recalls["sampled"]
+    assert recalls["trained"] >= 0.9, f"trained recall {recalls['trained']:.2f}"
+
+
 def test_winnowing_guarantee(spark):
     """Documents sharing a long token run must share >=1 winnow fingerprint;
     disjoint documents share none."""
