@@ -1004,6 +1004,347 @@ WHERE cosine_sim >= 0.44
 
 
 # ---------------------------------------------------------------------------
+# Round-2 query widening: deeper TPC-H-shaped join/agg/window coverage.
+# Same plan discipline as q1-q6: dims broadcast, money through integer cents
+# (order-independent sums), ties broken by key. Not added to bench.py — the
+# 12-query headline set is frozen for cross-round comparison.
+# ---------------------------------------------------------------------------
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations by
+    ship year. Nation dim is filtered to the pair BEFORE the join (predicate
+    reaches the broadcast build side)."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(n1, n2))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(rev_c)/100.0, 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  WHERE sn.n_name IN ('NATION_1','NATION_2') AND cn.n_name IN ('NATION_1','NATION_2')
+    AND sn.n_name <> cn.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned items
+    in a one-quarter window."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'"
+    )
+    li = _t(spark, sf_dir, "lineitem").where("l_returnflag = 'R'")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "n_name",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name, round(sum(rev_c)/100.0, 2) AS revenue
+FROM (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+)
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode column): orders shipped > 90
+    days after order date, counted by priority class."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAYS"))
+        .select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("high")
+            ).otherwise(F.lit("low")).alias("prio_class"),
+            "l_orderkey",
+        )
+    )
+    return (
+        j.groupBy("prio_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_lines"),
+            F.countDistinct("l_orderkey").alias("n_late_orders"),
+        )
+        .orderBy("prio_class")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high' ELSE 'low' END
+         AS prio_class,
+       count(*) AS n_late_lines,
+       count(DISTINCT l.l_orderkey) AS n_late_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+ORDER BY prio_class
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-part revenue share over one year. Both sums go
+    through integer cents; the single final division is engine-identical."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+        F.when(F.col("p_type") == "PROMO", F.lit(1)).otherwise(F.lit(0)).alias("is_promo"),
+    )
+    agg = j.agg(
+        F.sum(F.col("rev_c") * F.col("is_promo")).alias("promo_c"),
+        F.sum("rev_c").alias("total_c"),
+    )
+    return agg.select(
+        F.round(F.col("promo_c") / 100.0, 2).alias("promo_revenue"),
+        F.round(F.col("total_c") / 100.0, 2).alias("total_revenue"),
+        F.round(F.col("promo_c") * 1000000.0 / F.col("total_c")).cast("bigint").alias("promo_share_ppm"),
+    )
+
+
+_Q14_SQL = """
+SELECT round(promo_c/100.0, 2) AS promo_revenue,
+       round(total_c/100.0, 2) AS total_revenue,
+       CAST(round(promo_c * 1000000.0 / total_c) AS BIGINT) AS promo_share_ppm
+FROM (
+  SELECT sum(rev_c * is_promo) AS promo_c, sum(rev_c) AS total_c
+  FROM (
+    SELECT CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) AS rev_c,
+           CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  )
+)
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (sum of quantities > 300) with
+    their customers. Quantity sums in integer centi-units."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
+        .where(F.col("qty_c") > 300 * 100)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round(F.col("qty_c") / 100.0, 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+    )
+
+
+_Q18_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(b.qty_c/100.0, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(round(l_quantity*100) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey HAVING qty_c > 30000
+) b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY sum_qty DESC, o.o_orderkey ASC
+"""
+
+
+def q19_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under OR'd (brand, size, qty)
+    predicate branches — Catalyst folds the disjunction into one scan."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).where(
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20) OR "
+        "(p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30) OR "
+        "(p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)"
+    )
+    return j.select(
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c")
+    ).agg(
+        F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT))/100.0, 2)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table): for each size-10 part,
+    the supplier that shipped the largest total quantity — correlated-min
+    rewritten as a rank-1 window over a pre-aggregated join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where("p_size = 10")
+    supp = _t(spark, sf_dir, "supplier")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("qty_c").desc(), F.col("l_suppkey").asc()
+    )
+    top = vol.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey", "p_name", F.col("l_suppkey").alias("s_suppkey"), "s_name",
+            F.round(F.col("qty_c") / 100.0, 2).alias("top_qty"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_Q2_SQL = """
+SELECT p_partkey, p_name, s_suppkey, s_name, round(qty_c/100.0, 2) AS top_qty
+FROM (
+  SELECT v.*, row_number() OVER (PARTITION BY p_partkey
+                                 ORDER BY qty_c DESC, l_suppkey ASC) AS rn
+  FROM (
+    SELECT p.p_partkey, p.p_name, l.l_suppkey,
+           sum(CAST(round(l.l_quantity*100) AS BIGINT)) AS qty_c
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 10
+    GROUP BY p.p_partkey, p.p_name, l.l_suppkey
+  ) v
+) JOIN supplier s ON l_suppkey = s.s_suppkey
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and no
+    orders since 2000 (every fixture customer has SOME order, so the classic
+    never-ordered predicate would be vacuous), grouped by code (custkey mod
+    10). The scalar average goes through exact integer cents (sum/count),
+    then broadcast to the filter."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_c", _cents(F.col("c_acctbal"))
+    )
+    thresh = cust.where("bal_c > 0").agg(
+        (F.sum("bal_c") / F.count(F.lit(1))).alias("avg_c")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where("o_orderdate >= TIMESTAMP '2000-01-01'")
+        .select("o_custkey")
+        .distinct()
+    )
+    idle = (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("bal_c").cast("double") > F.col("avg_c"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        idle.groupBy((F.col("c_custkey") % 10).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("bal_c") / 100.0, 2).alias("total_bal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_SQL = """
+SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, count(*) AS n_cust,
+       round(sum(bal_c)/100.0, 2) AS total_bal
+FROM (
+  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+  FROM customer
+) c
+WHERE CAST(bal_c AS DOUBLE) > (
+    SELECT sum(bal_c) / count(*) FROM
+      (SELECT CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer) t
+    WHERE bal_c > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+ORDER BY cntrycode
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1020,6 +1361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q5_region_volume": q5_region_volume,
         "q6_revenue_delta": q6_revenue_delta,
+        "q7_nation_trade": q7_nation_trade,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_late_shipping": q12_late_shipping,
+        "q14_promo_share": q14_promo_share,
+        "q18_large_orders": q18_large_orders,
+        "q19_brand_revenue": q19_brand_revenue,
+        "q2_top_supplier_per_part": q2_top_supplier_per_part,
+        "q22_idle_balance": q22_idle_balance,
         "s2_chunked_scan_orders": s2_chunked_scan_orders,
         "s3_adaptive_rescan_part": s3_adaptive_rescan_part,
         "s5_multicol_chunked_supplier": s5_multicol_chunked_supplier,
@@ -1064,6 +1413,14 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": _Q4_SQL,
         "q5_region_volume": _Q5_SQL,
         "q6_revenue_delta": _Q6_SQL,
+        "q7_nation_trade": _Q7_SQL,
+        "q10_returned_revenue": _Q10_SQL,
+        "q12_late_shipping": _Q12_SQL,
+        "q14_promo_share": _Q14_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "q19_brand_revenue": _Q19_SQL,
+        "q2_top_supplier_per_part": _Q2_SQL,
+        "q22_idle_balance": _Q22_SQL,
         "s2_chunked_scan_orders": "SELECT * FROM orders",
         "s3_adaptive_rescan_part": "SELECT * FROM part",
         "s5_multicol_chunked_supplier": "SELECT * FROM supplier",
