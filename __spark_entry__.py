@@ -1344,6 +1344,73 @@ ORDER BY cntrycode
 """
 
 
+def x_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample via Lehmer-hash bernoulli — pure
+    scan-side filter, zero shuffles, engine-portable membership."""
+    from mydumper_spark.operators.sampling import bernoulli_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return bernoulli_sample(docs, "doc_id", 0.1).select("doc_id", "lang", "source")
+
+
+def _sample_bernoulli_sql() -> str:
+    from mydumper_spark.operators.sampling import HASH_SPACE, sample_hash_sql
+
+    cut = int(0.1 * HASH_SPACE)  # same int() truncation as the Spark side
+    return (
+        f"SELECT doc_id, lang, source FROM documents "
+        f"WHERE {sample_hash_sql('doc_id')} < {cut}"
+    )
+
+
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language in deterministic hash order — the
+    one-shuffle stratified sampler."""
+    from mydumper_spark.operators.sampling import stratified_fixed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_fixed(docs, ["lang"], 5, "doc_id")
+
+
+def _sample_stratified_sql() -> str:
+    from mydumper_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id")
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def x_sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing fractions (downsample en, keep zh) as one
+    scan-side CASE predicate — zero shuffles."""
+    from mydumper_spark.operators.sampling import stratified_fractions
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_fractions(
+        docs, "lang", {"en": 0.05, "zh": 0.8}, "doc_id", default_fraction=0.3
+    ).select("doc_id", "lang")
+
+
+def _sample_rebalance_sql() -> str:
+    from mydumper_spark.operators.sampling import HASH_SPACE, sample_hash_sql
+
+    h = sample_hash_sql("doc_id")
+    c_en, c_zh, c_def = (
+        int(0.05 * HASH_SPACE), int(0.8 * HASH_SPACE), int(0.3 * HASH_SPACE)
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {h} < CASE WHEN lang = 'en' THEN {c_en}
+                 WHEN lang = 'zh' THEN {c_zh}
+                 ELSE {c_def} END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1403,6 +1470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_topk": x_ivf_topk,
         "x_winnow_overlap": x_winnow_overlap,
         "x_connected_components": x_connected_components,
+        "x_sample_bernoulli": x_sample_bernoulli,
+        "x_sample_stratified": x_sample_stratified,
+        "x_sample_rebalance": x_sample_rebalance,
     }
 
 
@@ -1450,6 +1520,9 @@ def oracle_sql() -> dict[str, str]:
         "x_multimodal_features": _MULTIMODAL_SQL,
         "x_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "x_embedding_pairs_exact": _EMB_EXACT_SQL,
+        "x_sample_bernoulli": _sample_bernoulli_sql(),
+        "x_sample_stratified": _sample_stratified_sql(),
+        "x_sample_rebalance": _sample_rebalance_sql(),
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

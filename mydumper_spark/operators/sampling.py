@@ -1,0 +1,122 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is sampled constantly — dev subsets, eval holdouts,
+per-source rebalancing — and the sample must be (a) reproducible across
+runs and engines (no RNG state, no seed files), (b) cheap (a sample must
+not cost a shuffle unless it structurally needs one), and (c) stable under
+re-partitioning (membership depends only on the key, never on task layout;
+``df.sample()`` breaks exactly this, which is why it is not used here).
+
+Mechanism: the first 8 hex digits of ``md5(key)`` read as a uniform 32-bit
+integer — the same engine-portable digest trick as the A4 checksum
+(`mydumper_spark/functions/checksum.py`), so Spark and the DuckDB oracle
+agree bit-for-bit. A row is in a ``fraction`` sample iff
+``h(k) < fraction * 2^32``. (A multiplicative Lehmer hash was rejected:
+it is LINEAR over consecutive integer keys — a 0.2 cut kept 89% of
+``range(10k)`` because small keys never wrap the modulus.)
+
+Shuffle budget (the 100 TB argument):
+- ``bernoulli_sample`` — zero shuffles: a pure filter the scan evaluates
+  (md5 is a JVM built-in inside whole-stage codegen); at 1000 executors
+  it is embarrassingly parallel.
+- ``stratified_fractions`` — zero shuffles: the per-stratum fraction is a
+  CASE chain over the stratum column, still a pure filter.
+- ``stratified_fixed`` — one shuffle (hash-partition by strata for the
+  row_number window); that shuffle is irreducible because "exactly n per
+  stratum" is a global per-group property. Rows are pre-filtered by an
+  over-sampled bernoulli gate BEFORE the exchange when ``prefilter_hint``
+  is set, so only ~n·margin candidate rows per stratum cross the wire, not
+  the full table.
+
+Reference behavior: mydumper itself exposes row LIMITs per table
+(`/root/reference/src/mydumper/mydumper_arguments.c` --rows/--where); these
+operators are the statistically-sound analogue a data-pipeline user needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_SPACE = 1 << 32  # 8 hex digits of md5
+
+
+def sample_hash(key: Column) -> Column:
+    """Uniform deterministic hash in [0, 2^32): first 8 hex digits of
+    ``md5(cast(key as string))``. Pure codegen, engine-portable."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def sample_hash_sql(expr: str) -> str:
+    """The byte-identical DuckDB twin of :func:`sample_hash`."""
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def bernoulli_sample(
+    df: DataFrame, key_col: str, fraction: float
+) -> DataFrame:
+    """Keep a row iff ``sample_hash(key) < fraction * 2^32``.
+
+    Zero-shuffle: evaluated inside the scan. Membership is a pure function
+    of the key — re-runs, re-partitions, and other engines agree exactly."""
+    cut = int(fraction * HASH_SPACE)
+    return df.where(sample_hash(F.col(key_col)) < cut)
+
+
+def stratified_fractions(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum bernoulli sampling (e.g. keep 100% of 'rare-lang' docs,
+    2% of 'en') — the rebalancing primitive for skewed corpora.
+
+    Still zero-shuffle: the per-stratum cut is a CASE chain on the stratum
+    column; Catalyst folds it into one scan-side predicate."""
+    h = sample_hash(F.col(key_col))
+    cut = F.lit(int(default_fraction * HASH_SPACE))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(F.col(stratum_col) == value, int(frac * HASH_SPACE)).otherwise(cut)
+    return df.where(h < cut)
+
+
+def stratified_fixed(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    prefilter_hint: float | None = None,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum, chosen in hash order
+    (deterministic "random" order, ties broken by key).
+
+    One irreducible shuffle for the per-stratum window. With
+    ``prefilter_hint`` (an upper-bound estimate of n/stratum_size), a
+    bernoulli gate drops most rows BEFORE the exchange — the over-sampling
+    margin keeps every stratum's top-n intact as long as the hint is not an
+    under-estimate; leave it None when stratum sizes are unknown."""
+    h = sample_hash(F.col(key_col))
+    if prefilter_hint is not None:
+        df = df.where(h < int(min(1.0, prefilter_hint) * HASH_SPACE))
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_fraction: float = 0.01
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive train/holdout split on the same hash — the
+    standard eval-contamination guard. Both sides are pure filters of the
+    same scan; a row can never migrate between splits across runs."""
+    cut = int(holdout_fraction * HASH_SPACE)
+    h = sample_hash(F.col(key_col))
+    return df.where(h >= cut), df.where(h < cut)

@@ -336,6 +336,55 @@ def test_ivf_trained_centroids_recall(spark):
     assert recalls["trained"] >= 0.9, f"trained recall {recalls['trained']:.2f}"
 
 
+# -- sampling ----------------------------------------------------------------
+
+
+def test_bernoulli_sample_deterministic_and_layout_stable(spark):
+    from mydumper_spark.operators import sampling as sp
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in sp.bernoulli_sample(df, "k", 0.2).collect()}
+    # membership must not depend on partition layout
+    b = {r["k"] for r in sp.bernoulli_sample(df.repartition(13), "k", 0.2).collect()}
+    assert a == b
+    # fraction lands near the target (Lehmer is uniform on [1, M-1])
+    assert abs(len(a) / 10_000 - 0.2) < 0.02
+
+
+def test_split_train_holdout_disjoint_exhaustive(spark):
+    from mydumper_spark.operators import sampling as sp
+
+    df = spark.range(0, 5_000).withColumnRenamed("id", "k")
+    train, hold = sp.split_train_holdout(df, "k", holdout_fraction=0.1)
+    t = {r["k"] for r in train.collect()}
+    h = {r["k"] for r in hold.collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == 5_000
+
+
+def test_stratified_fixed_exact_counts(spark):
+    from mydumper_spark.operators import sampling as sp
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = sp.stratified_fixed(df, ["g"], 7, "k")
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"g0": 7, "g1": 7, "g2": 7, "tiny": 1}  # min(n, stratum size)
+    # deterministic: same rows both runs
+    again = sp.stratified_fixed(df, ["g"], 7, "k")
+    assert {r["k"] for r in out.collect()} == {r["k"] for r in again.collect()}
+
+
+def test_stratified_fractions_per_group_gates(spark):
+    from mydumper_spark.operators import sampling as sp
+
+    rows = [(i, "keep" if i % 2 else "drop") for i in range(2_000)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = sp.stratified_fractions(df, "g", {"keep": 1.0, "drop": 0.0}, "k")
+    got = out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert {r["g"]: r["n"] for r in got} == {"keep": 1_000}
+
+
 def test_winnowing_guarantee(spark):
     """Documents sharing a long token run must share >=1 winnow fingerprint;
     disjoint documents share none."""

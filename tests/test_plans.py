@@ -99,3 +99,13 @@ def test_bucketed_join_no_exchange(spark, tmp_path, orders, customer):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bernoulli_sample_no_exchange(spark):
+    """Scan-side sampling must stay a pure filter — zero shuffles; the
+    stratified-fixed variant is allowed exactly one exchange (its window)."""
+    for q in ("x_sample_bernoulli", "x_sample_rebalance"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        assert "Exchange" not in plan, f"{q} grew a shuffle:\n{plan}"
+    plan = _plan(entry.queries()["x_sample_stratified"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
