@@ -1411,6 +1411,55 @@ WHERE {h} < CASE WHEN lang = 'en' THEN {c_en}
 """
 
 
+_TOKENS_EXPR_SQL = (
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT)"
+)
+
+
+def x_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram over the corpus (bucket width 10) — the
+    length-distribution profile for curation."""
+    from mydumper_spark.operators.text import token_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_histogram(docs, bucket_width=10)
+
+
+_TOKEN_HIST_SQL = f"""
+SELECT bucket, bucket*10 AS lo, (bucket+1)*10 - 1 AS hi, count(*) AS n_docs
+FROM (
+  SELECT CAST(floor({_TOKENS_EXPR_SQL} / 10.0) AS BIGINT) AS bucket FROM documents
+)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def x_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source doc-length quantiles (p50/p90/p99) via the portable
+    rank-pick formulation (percentile_disc semantics, no engine-specific
+    interpolation)."""
+    from mydumper_spark.operators.text import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quantiles(docs, "n_chars", "source", qs=(0.5, 0.9, 0.99))
+
+
+_SOURCE_QUANTILES_SQL = """
+SELECT source, q, value FROM (
+  SELECT t.source, t.n_chars AS value, t.rn, t.n, CAST(qs.q AS DOUBLE) AS q
+  FROM (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars ASC) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+  ) t, (VALUES (0.5),(0.9),(0.99)) qs(q)
+  WHERE t.rn = CAST(ceil(CAST(qs.q AS DOUBLE) * t.n) AS INT)
+)
+ORDER BY source, q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1473,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sample_bernoulli": x_sample_bernoulli,
         "x_sample_stratified": x_sample_stratified,
         "x_sample_rebalance": x_sample_rebalance,
+        "x_token_histogram": x_token_histogram,
+        "x_source_quantiles": x_source_quantiles,
     }
 
 
@@ -1523,6 +1574,8 @@ def oracle_sql() -> dict[str, str]:
         "x_sample_bernoulli": _sample_bernoulli_sql(),
         "x_sample_stratified": _sample_stratified_sql(),
         "x_sample_rebalance": _sample_rebalance_sql(),
+        "x_token_histogram": _TOKEN_HIST_SQL,
+        "x_source_quantiles": _SOURCE_QUANTILES_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

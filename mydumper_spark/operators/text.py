@@ -258,3 +258,65 @@ def winnow_fingerprints(col: Column, k: int = 3, window: int = 4) -> Column:
         )
     )
     return F.array_distinct(mins)
+
+
+def token_histogram(
+    df: DataFrame, bucket_width: int = 10, col_name: str = "text"
+) -> DataFrame:
+    """Token-count histogram: (bucket, lo, hi, n_docs) with
+    ``bucket = floor(n_tokens / width)``.
+
+    The length-distribution profile every corpus curation pass starts from.
+    One map-side-combinable groupBy — partial counts cross the exchange, not
+    rows; bucket cardinality is tiny so the shuffle is bytes, not data."""
+    tc = token_count(F.col(col_name))
+    b = F.floor(tc / F.lit(float(bucket_width))).cast("bigint")
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * bucket_width).alias("lo"),
+            ((F.col("bucket") + 1) * bucket_width - 1).alias("hi"),
+            "n_docs",
+        )
+        .orderBy("bucket")
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group quantiles, engine-portable: (group, q, value) where
+    value is the element at rank ``ceil(q * n)`` in ascending order —
+    percentile_disc semantics spelled out as a window so Spark and any SQL
+    oracle compute the identical row (built-in percentile functions differ
+    in interpolation across engines; this formulation cannot).
+
+    One shuffle (partition by group). For a 100 TB corpus use this for
+    profiling slices (per-source, per-lang — bounded group count). Rank
+    picking is tie-safe: equal values at the boundary yield the same
+    picked value regardless of their internal order."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = (
+        df.select(group_col, value_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    )
+    out = None
+    for q in qs:
+        pick = ranked.where(
+            F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")).cast("int")
+        ).select(
+            F.col(group_col),
+            F.lit(q).alias("q"),
+            F.col(value_col).alias("value"),
+        )
+        out = pick if out is None else out.unionAll(pick)
+    return out.orderBy(group_col, "q")

@@ -336,6 +336,26 @@ def test_ivf_trained_centroids_recall(spark):
     assert recalls["trained"] >= 0.9, f"trained recall {recalls['trained']:.2f}"
 
 
+def test_token_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "one two three four five six seven eight nine ten eleven"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in tx.token_histogram(df, bucket_width=10).collect()}
+    assert out[0]["n_docs"] == 2  # 3 tokens + 0 tokens
+    assert out[1]["n_docs"] == 1  # 11 tokens
+    assert out[1]["lo"] == 10 and out[1]["hi"] == 19
+
+
+def test_group_quantiles_exact_rank_pick(spark):
+    rows = [(i, "g") for i in range(1, 101)]  # values 1..100
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = {r["q"]: r["value"] for r in tx.group_quantiles(df, "v", "g").collect()}
+    assert out[0.5] == 50  # ceil(0.5*100) = 50
+    assert out[0.9] == 90  # 0.9*100 rounds to exactly 90.0 in IEEE
+    assert out[0.99] == 99
+
+
 # -- sampling ----------------------------------------------------------------
 
 
