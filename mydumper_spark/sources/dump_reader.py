@@ -20,8 +20,15 @@ from mydumper_spark.sinks.writers import CsvFormat
 FILE_PATTERNS = {
     "schema_create": re.compile(r"^(?P<db>[^.]+)-schema-create\.sql$"),
     "table_schema": re.compile(r"^(?P<db>[^.]+)\.(?P<table>[^.]+)-schema\.sql$"),
-    "data_sql": re.compile(r"^(?P<db>[^.]+)\.(?P<table>[^.]+)\.(?P<part>\d+)\.sql$"),
-    "data_dat": re.compile(r"^(?P<db>[^.]+)\.(?P<table>[^.]+)\.(?P<part>\d+)\.dat$"),
+    # compressed variants (the reference's -c/--compress writes .sql.gz or
+    # .sql.zst): Spark's text/csv readers decode .gz via the built-in Hadoop
+    # codec (verified in tests); .zst needs the native Hadoop zstd codec.
+    "data_sql": re.compile(
+        r"^(?P<db>[^.]+)\.(?P<table>[^.]+)\.(?P<part>\d+)\.sql(?P<comp>\.(gz|zst))?$"
+    ),
+    "data_dat": re.compile(
+        r"^(?P<db>[^.]+)\.(?P<table>[^.]+)\.(?P<part>\d+)\.dat(?P<comp>\.(gz|zst))?$"
+    ),
     "metadata": re.compile(r"^metadata(\.partial)?(\.json)?$"),
 }
 

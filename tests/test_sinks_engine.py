@@ -416,3 +416,19 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     out2 = run_once()
     assert "c" in out2 and out2["c"]["doc_id"] == 4
     assert out2.get("a", out1["a"])["doc_id"] == out1["a"]["doc_id"]  # no re-emit of a
+
+
+def test_reference_style_sql_gz_chunks(spark, tmp_path):
+    """Compressed per-chunk dumps (reference -c/--compress → .sql.gz) read
+    transparently through Spark's built-in gzip codec."""
+    import gzip
+
+    (tmp_path / "mydb.tz.00001.sql.gz").write_bytes(
+        gzip.compress(b"INSERT INTO `tz` VALUES\n(1,'a'),\n(2,'b\\nc');\n")
+    )
+    (tmp_path / "mydb.tz.00002.sql.gz").write_bytes(
+        gzip.compress(b"INSERT INTO `tz` VALUES (3,NULL);\n")
+    )
+    back = read_dump_table(spark, str(tmp_path), "tz", schema="id int, name string")
+    got = {r["id"]: r["name"] for r in back.collect()}
+    assert got == {1: "a", 2: "b\nc", 3: None}
