@@ -82,9 +82,18 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> dict:
 def checksum_df(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Checksum as a DataFrame (the oracle-checked query surface).
 
-    Stays scan-aligned on purpose: the hash is cheaper than the scan itself
-    (measured), so repartitioning for parallelism would only add a full-table
-    shuffle — the scan's own split count is the right parallelism here."""
+    md5 over the wide canonical row string dominates the scan (re-measured
+    at sf0.1: lineitem 3.2s single-task vs 1.8s at 32 — the earlier
+    "repartition is neutral" note was a small-input artifact), so the input
+    goes through the ``ensure_min_partitions`` floor: a no-op on any
+    well-split source (every real 100 TB table — many files/row groups),
+    and a one-time spread of at most one core's workload when the source
+    arrives as a single row group. The repartition must happen BEFORE the
+    hash projection — Catalyst would otherwise push the md5 below the
+    exchange and serialize it anyway."""
+    from mydumper_spark.util import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     row_hash = (
         F.conv(F.substring(F.md5(canonical_row_string(df, cols)), 1, 15), 16, 10)
         .cast("bigint")
