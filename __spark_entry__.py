@@ -1460,6 +1460,38 @@ ORDER BY source, q
 """
 
 
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the user's most recent prior
+    (or coincident) purchase — union+window merge, ONE shuffle, no range
+    explosion. Oracle twin is DuckDB's native ASOF LEFT JOIN."""
+    from mydumper_spark.operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir).withColumnRenamed("ts", "ts_us")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts_us")
+    purchases = ev.where("event_type = 'purchase'").select("user_id", "ts_us", "value")
+    return asof_join(
+        clicks, purchases,
+        on=["user_id"], left_ts="ts_us", right_ts="ts_us",
+        right_cols=["value"], suffix="_purchase",
+    ).select(
+        "event_id", "user_id", "ts_us",
+        F.col("ts_us_purchase").alias("purchase_ts"),
+        F.col("value_purchase").alias("purchase_value"),
+    )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts_us, r.ts_us AS purchase_ts,
+       r.value AS purchase_value
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+      WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1524,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sample_rebalance": x_sample_rebalance,
         "x_token_histogram": x_token_histogram,
         "x_source_quantiles": x_source_quantiles,
+        "x_asof_join": x_asof_join,
     }
 
 
@@ -1576,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "x_sample_rebalance": _sample_rebalance_sql(),
         "x_token_histogram": _TOKEN_HIST_SQL,
         "x_source_quantiles": _SOURCE_QUANTILES_SQL,
+        "x_asof_join": _ASOF_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

@@ -356,6 +356,62 @@ def test_group_quantiles_exact_rank_pick(spark):
     assert out[0.99] == 99
 
 
+# -- as-of join --------------------------------------------------------------
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 200), (3, 1, 50), (4, 2, 100), (5, 3, 10)],
+        "id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0), (2, 90, 3.0)],
+        "k long, ts long, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_ties(spark):
+    from mydumper_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {
+        r["id"]: (r["ts_r"], r["v_r"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["v"]
+        ).collect()
+    }
+    assert out[1] == (100, 1.0)   # coincident ts matches (inclusive)
+    assert out[2] == (150, 2.0)   # latest prior wins
+    assert out[3] == (None, None) # nothing at or before ts=50
+    assert out[4] == (90, 3.0)    # per-key isolation
+    assert out[5] == (None, None) # key with no right rows survives (left join)
+
+
+def test_asof_forward_and_tolerance(spark):
+    from mydumper_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    fwd = {
+        r["id"]: r["ts_r"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert fwd[3] == 100   # next upcoming
+    assert fwd[2] is None  # nothing at or after 200
+    tol = {
+        r["id"]: r["ts_r"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["v"], tolerance=10,
+        ).collect()
+    }
+    assert tol[1] == 100   # |100-100| <= 10
+    assert tol[2] is None  # |200-150| > 10 → nulled, row kept
+
+
 # -- sampling ----------------------------------------------------------------
 
 

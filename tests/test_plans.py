@@ -112,3 +112,12 @@ def test_bernoulli_sample_no_exchange(spark):
         assert "Exchange" not in plan, f"{q} grew a shuffle:\n{plan}"
     plan = _plan(entry.queries()["x_sample_stratified"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must stay the union+window merge: ONE hash exchange of
+    |L|+|R| rows, never a BroadcastNestedLoop/cartesian range join."""
+    plan = _plan(entry.queries()["x_asof_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
