@@ -1492,6 +1492,42 @@ ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """
 
 
+_DAY_US = 86_400 * 1_000_000
+
+
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: (click, error) event pairs per user with the error at
+    most 24h after the click — banded equi-join (≤2 band keys per left row),
+    never a nested-loop range join."""
+    from mydumper_spark.operators.rangejoin import range_join
+
+    ev = _events_us(spark, sf_dir).withColumnRenamed("ts", "ts_us")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts_us")
+    errors = ev.where("event_type = 'error'").select("event_id", "user_id", "ts_us")
+    out = range_join(
+        clicks, errors,
+        on=["user_id"], left_ts="ts_us", right_ts="ts_us",
+        lower=0, upper=_DAY_US,
+    )
+    return out.select(
+        F.col("event_id_l").alias("click_id"),
+        "user_id",
+        F.col("event_id_r").alias("error_id"),
+        (F.col("ts_us_r") - F.col("ts_us_l")).alias("delta_us"),
+    )
+
+
+_RANGE_SQL = f"""
+SELECT l.event_id AS click_id, l.user_id, r.event_id AS error_id,
+       r.t - l.t AS delta_us
+FROM (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'click') l
+JOIN (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND r.t - l.t BETWEEN 0 AND {_DAY_US}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1557,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_histogram": x_token_histogram,
         "x_source_quantiles": x_source_quantiles,
         "x_asof_join": x_asof_join,
+        "x_range_join": x_range_join,
     }
 
 
@@ -1610,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "x_token_histogram": _TOKEN_HIST_SQL,
         "x_source_quantiles": _SOURCE_QUANTILES_SQL,
         "x_asof_join": _ASOF_SQL,
+        "x_range_join": _RANGE_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

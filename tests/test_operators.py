@@ -412,6 +412,33 @@ def test_asof_forward_and_tolerance(spark):
     assert tol[2] is None  # |200-150| > 10 → nulled, row kept
 
 
+def test_range_join_exact_vs_bruteforce(spark):
+    """The banded equi-join must produce exactly the brute-force pair set,
+    incl. band-boundary pairs, each exactly once."""
+    from mydumper_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(i, 1, 10 * i) for i in range(20)], "id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, 1, 7 * i) for i in range(30)], "id long, k long, ts long"
+    )
+    lo, up = 3, 25  # awkward band width on purpose
+    got = sorted(
+        (r["id_l"], r["id_r"])
+        for r in range_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", lower=lo, upper=up
+        ).collect()
+    )
+    want = sorted(
+        (i, 100 + j)
+        for i in range(20)
+        for j in range(30)
+        if lo <= 7 * j - 10 * i <= up
+    )
+    assert got == want and len(got) == len(set(got))
+
+
 # -- sampling ----------------------------------------------------------------
 
 

@@ -121,3 +121,12 @@ def test_asof_join_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The range join must plan as a plain equi-join on (key, band) — never
+    BroadcastNestedLoop/cartesian over the inequality."""
+    plan = _plan(entry.queries()["x_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
