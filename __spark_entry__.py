@@ -1528,6 +1528,104 @@ JOIN (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
 """
 
 
+def x_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup (returnflag → linestatus → grand total) with
+    grouping_id — the hypertable/OLAP rollup surface. One shuffle; Spark
+    expands the grouping sets map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag", "l_linestatus",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+        )
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       count(*) AS n_lines,
+       round(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0, 2)
+         AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def x_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (explicit value list — no extra distinct
+    pass) + purchase revenue. Wide-format feature extraction."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES])
+    )
+    spend = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.round(F.sum(_cents(F.col("value"))) / 100.0, 2).alias("purchase_total"))
+    )
+    return counts.join(spend, "user_id", "left").na.fill({"purchase_total": 0.0})
+
+
+_PIVOT_SQL = """
+SELECT e.user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       coalesce(round(sum(CAST(round(value*100) AS BIGINT))
+                      FILTER (event_type = 'purchase')/100.0, 2), 0.0)
+         AS purchase_total
+FROM events e
+GROUP BY e.user_id
+"""
+
+
+def x_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total + order sequence number — cumulative
+    window over an explicit deterministic frame."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.sum(_cents(F.col("o_totalprice"))).over(cum) / 100.0, 2).alias(
+            "cum_spend"
+        ),
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       row_number() OVER w AS order_seq,
+       round(sum(CAST(round(o_totalprice*100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0, 2)
+         AS cum_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1594,6 +1692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_source_quantiles": x_source_quantiles,
         "x_asof_join": x_asof_join,
         "x_range_join": x_range_join,
+        "x_rollup_revenue": x_rollup_revenue,
+        "x_pivot_events": x_pivot_events,
+        "x_running_revenue": x_running_revenue,
     }
 
 
@@ -1648,6 +1749,9 @@ def oracle_sql() -> dict[str, str]:
         "x_source_quantiles": _SOURCE_QUANTILES_SQL,
         "x_asof_join": _ASOF_SQL,
         "x_range_join": _RANGE_SQL,
+        "x_rollup_revenue": _ROLLUP_SQL,
+        "x_pivot_events": _PIVOT_SQL,
+        "x_running_revenue": _RUNNING_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }
