@@ -1626,6 +1626,61 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot table diff (added/deleted/changed by PK) between
+    two deterministically simulated dump generations of orders. Comparison
+    traffic is (pk, digest) pairs only — row payloads never shuffle."""
+    from mydumper_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where("o_orderkey % 97 <> 0")
+    new = orders.where("o_orderkey % 89 <> 0").withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+_SNAPSHOT_DIFF_SQL = """
+SELECT o_orderkey, status FROM (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+         END AS status
+  FROM (SELECT * FROM orders WHERE o_orderkey % 97 <> 0) o
+  FULL OUTER JOIN (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 89 <> 0
+  ) n ON o.o_orderkey = n.o_orderkey
+)
+WHERE status IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-class approximate counting next to its exact twin: exact distinct
+    users per event type (oracle-checked); the HLL estimate itself is
+    asserted within 5% in pytest (sketch internals differ per engine)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1695,6 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rollup_revenue": x_rollup_revenue,
         "x_pivot_events": x_pivot_events,
         "x_running_revenue": x_running_revenue,
+        "x_snapshot_diff": x_snapshot_diff,
+        "x_approx_distinct": x_approx_distinct,
     }
 
 
@@ -1752,6 +1809,8 @@ def oracle_sql() -> dict[str, str]:
         "x_rollup_revenue": _ROLLUP_SQL,
         "x_pivot_events": _PIVOT_SQL,
         "x_running_revenue": _RUNNING_SQL,
+        "x_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "x_approx_distinct": _APPROX_DISTINCT_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

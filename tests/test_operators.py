@@ -439,6 +439,42 @@ def test_range_join_exact_vs_bruteforce(spark):
     assert got == want and len(got) == len(set(got))
 
 
+def test_snapshot_diff_statuses(spark):
+    from mydumper_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "pk long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.5), (3, "c", None), (4, "d", 4.0), (5, "e", 5.0)],
+        "pk long, s string, v double",
+    )
+    got = {r["pk"]: r["status"] for r in snapshot_diff(old, new, ["pk"]).collect()}
+    # 1 deleted, 2 changed, 3 unchanged (null-safe digest), 4 unchanged, 5 added
+    assert got == {1: "deleted", 2: "changed", 5: "added"}
+    # null → value transition is a change, not a silent equality
+    new2 = new.withColumn("v", F.when(F.col("pk") == 3, 3.0).otherwise(F.col("v")))
+    got2 = {r["pk"]: r["status"] for r in snapshot_diff(old, new2, ["pk"]).collect()}
+    assert got2[3] == "changed"
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
 # -- sampling ----------------------------------------------------------------
 
 
