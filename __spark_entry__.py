@@ -1681,6 +1681,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def x_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — explode + map-side-combined count +
+    TakeOrdered top-k."""
+    from mydumper_spark.operators.text import ngram_topk
+
+    return ngram_topk(_t(spark, sf_dir, "documents"), n=2, top=20)
+
+
+_TOP_BIGRAMS_SQL = """
+SELECT ngram, count(*) AS n_occurrences
+FROM (
+  SELECT unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(range(1, len(toks)),
+                           i -> array_to_string(toks[i:i+1], ' ')) END) AS ngram
+  FROM (
+    SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+    FROM documents
+  )
+)
+GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+"""
+
+
+def x_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words by document frequency (distinct-per-doc before the
+    explode)."""
+    from mydumper_spark.operators.text import doc_frequency
+
+    return doc_frequency(_t(spark, sf_dir, "documents"), top=20)
+
+
+_DOC_FREQ_SQL = """
+SELECT word, count(*) AS doc_freq
+FROM (
+  SELECT unnest(list_distinct(
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END)) AS word
+  FROM documents
+)
+GROUP BY word ORDER BY doc_freq DESC, word ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1752,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_running_revenue": x_running_revenue,
         "x_snapshot_diff": x_snapshot_diff,
         "x_approx_distinct": x_approx_distinct,
+        "x_top_bigrams": x_top_bigrams,
+        "x_doc_frequency": x_doc_frequency,
     }
 
 
@@ -1811,6 +1857,8 @@ def oracle_sql() -> dict[str, str]:
         "x_running_revenue": _RUNNING_SQL,
         "x_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "x_approx_distinct": _APPROX_DISTINCT_SQL,
+        "x_top_bigrams": _TOP_BIGRAMS_SQL,
+        "x_doc_frequency": _DOC_FREQ_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

@@ -320,3 +320,68 @@ def group_quantiles(
         )
         out = pick if out is None else out.unionAll(pick)
     return out.orderBy(group_col, "q")
+
+
+def ngram_topk(
+    df: DataFrame, n: int = 2, top: int = 20, col_name: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: (ngram, n_occurrences).
+
+    Explode → groupBy partial-aggregates map-side (counts cross the wire,
+    not shingles); the final top-k is TakeOrdered (per-partition heads +
+    driver merge), never a full sort. The exploded shingle expression is a
+    single flat transform — cheap enough to tolerate Generate's
+    per-output-element re-eval (the winnowing localCheckpoint lesson applies
+    only to deep expression trees)."""
+    from mydumper_spark.operators.dedup import shingles
+
+    return (
+        df.select(F.explode(shingles(F.col(col_name), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(top)
+    )
+
+
+def doc_frequency(
+    df: DataFrame, top: int = 20, col_name: str = "text"
+) -> DataFrame:
+    """Document frequency: in how many documents each word appears —
+    (word, doc_freq), top-k. Per-document distinct before the explode keeps
+    the exploded row count ≤ vocabulary-per-doc, not token count."""
+    from mydumper_spark.operators.dedup import tokens
+
+    return (
+        df.select(F.explode(F.array_distinct(tokens(F.col(col_name)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("word").asc())
+        .limit(top)
+    )
+
+
+#: PII patterns → replacement tokens. Deliberately RE2-compatible (no
+#: backreferences/lookarounds) so the same pattern text runs in Spark (Java
+#: regex) and any RE2 engine.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"(?:[0-9]{4}[- ]){3}[0-9]{4}", "<CARD>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Sequential regexp_replace chain over :data:`PII_PATTERNS` — the
+    training-corpus scrub pass. Order matters: SSN/card shapes are matched
+    before the greedy phone pattern can swallow them. Pure codegen."""
+    out = col
+    for pat, repl in [
+        (PII_PATTERNS[0][0], PII_PATTERNS[0][1]),  # email first (contains digits)
+        (PII_PATTERNS[2][0], PII_PATTERNS[2][1]),  # ssn before phone
+        (PII_PATTERNS[3][0], PII_PATTERNS[3][1]),  # card before phone
+        (PII_PATTERNS[1][0], PII_PATTERNS[1][1]),  # phone last
+    ]:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -475,6 +475,34 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
 
 
+def test_ngram_topk_and_doc_frequency(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "")], "doc_id long, text string"
+    )
+    top = [(r["ngram"], r["n_occurrences"]) for r in tx.ngram_topk(df, n=2, top=3).collect()]
+    assert top[0] == ("a b", 3)  # two in doc1, one in doc2
+    dfreq = {r["word"]: r["doc_freq"] for r in tx.doc_frequency(df, top=10).collect()}
+    assert dfreq["a"] == 2 and dfreq["b"] == 2 and dfreq["x"] == 1
+    assert "" not in dfreq  # empty doc → empty token array → explode drops it
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-ample.co.uk now"),
+            (2, "call +1 (415) 555-0199 today"),
+            (3, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["t"] for r in df.select("id", tx.redact_pii(F.col("text")).alias("t")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "call <PHONE> today"
+    assert out[3] == "ssn <SSN> card <CARD>"
+    assert out[4] == "clean text stays clean"
+
+
 # -- sampling ----------------------------------------------------------------
 
 
