@@ -85,15 +85,40 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
     path = os.path.join(root, name)
     with open(path, "w") as f:
         json.dump(doc, f, indent=2)
-    # INI twin for reference-format parity
-    ini = [f"[config]\nquote_character = {manifest.quote_character}\n"]
-    for t, e in sorted(manifest.tables.items()):
-        ini.append(
-            f"[`default`.`{t}`]\nrows = {e.rows}\ndata_checksum = {e.data_checksum}\n"
-            f"schema_checksum = {e.schema_checksum}\n"
-        )
-    with open(os.path.join(root, "_manifest.ini"), "w") as f:
-        f.write("\n".join(ini))
+    # Reference-exact `metadata` twin (myloader refuses a dump dir without
+    # it, myloader.c:162-164); `_manifest.ini` keeps the legacy name.
+    from mydumper_spark.sinks.metadata_file import (
+        DumpMetadata, TableMeta, format_metadata,
+    )
+
+    def _ts(epoch: float | None) -> str:
+        if epoch is None:
+            return ""
+        return time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(epoch))
+
+    ref = DumpMetadata(
+        started_at=_ts(manifest.started_at),
+        finished_at=_ts(manifest.finished_at) or None,
+        quote_character=(
+            "BACKTICK" if manifest.quote_character == "`" else manifest.quote_character
+        ),
+        tables=[
+            TableMeta(
+                "default", t, rows=e.rows,
+                data_checksum=str(e.data_checksum),
+                schema_checksum=str(e.schema_checksum),
+            )
+            for t, e in sorted(manifest.tables.items())
+        ],
+    )
+    text = format_metadata(ref)
+    # `metadata` (no underscore prefix) would break a parquet directory read,
+    # so the streaming partial flush (which writes INTO the live data dir)
+    # only gets the underscore-prefixed twin; the dump root gets both.
+    ini_names = ("_manifest.ini",) if partial else ("metadata", "_manifest.ini")
+    for ini_name in ini_names:
+        with open(os.path.join(root, ini_name), "w") as f:
+            f.write(text)
     return path
 
 

@@ -432,3 +432,76 @@ def test_reference_style_sql_gz_chunks(spark, tmp_path):
     back = read_dump_table(spark, str(tmp_path), "tz", schema="id int, name string")
     got = {r["id"]: r["name"] for r in back.collect()}
     assert got == {1: "a", 2: "b\nc", 3: None}
+
+
+def test_reference_metadata_roundtrip(tmp_path):
+    """Reference-format metadata file: write → parse recovers every field
+    (the GKeyFile body + comment timestamps myloader requires,
+    myloader.c:162-164)."""
+    from mydumper_spark.sinks.metadata_file import (
+        DumpMetadata, TableMeta, read_metadata, write_metadata,
+    )
+
+    meta = DumpMetadata(
+        started_at="2026-08-13 10:00:00",
+        finished_at="2026-08-13 10:05:00",
+        local_infile=True,
+        sql_mode="NO_AUTO_VALUE_ON_ZERO",
+        source={"executed_gtid_set": "uuid:1-100", "file": "binlog.000042", "pos": "1337"},
+        tables=[
+            TableMeta("shop", "orders", rows=15000, data_checksum="abc123",
+                      schema_checksum="def456"),
+            TableMeta("shop", "seq_ids", rows=1, is_sequence=True),
+        ],
+    )
+    p = tmp_path / "metadata"
+    write_metadata(str(p), meta)
+    text = p.read_text()
+    assert text.startswith("# Started dump at: 2026-08-13 10:00:00\n")
+    assert "[`shop`.`orders`]" in text and "rows = 15000" in text
+
+    back = read_metadata(str(p))
+    assert back.started_at == meta.started_at
+    assert back.finished_at == meta.finished_at
+    assert back.local_infile and back.sql_mode == "NO_AUTO_VALUE_ON_ZERO"
+    assert back.source == {"executed_gtid_set": "uuid:1-100",
+                           "file": "binlog.000042", "pos": "1337"}
+    assert [(t.database, t.table, t.rows) for t in back.tables] == [
+        ("shop", "orders", 15000), ("shop", "seq_ids", 1),
+    ]
+    assert back.tables[0].data_checksum == "abc123"
+    assert back.tables[1].is_sequence
+
+
+def test_parse_genuine_mydumper_metadata():
+    """Parse a verbatim snippet in the reference's own emitted shape
+    (mydumper_start_dump.c:1161,1176-1183,774-797; working_thread.c:535-548)."""
+    from mydumper_spark.sinks.metadata_file import parse_metadata
+
+    text = """# Started dump at: 2024-01-15 03:00:01
+[config]
+quote-character = BACKTICK
+local-infile = 1
+
+[myloader_session_variables]
+SQL_MODE='NO_AUTO_VALUE_ON_ZERO' /*!40101
+
+[source]
+# Channel_Name = '' # It can be use to setup replication FOR CHANNEL
+# executed_gtid_set = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5"
+# SOURCE_LOG_FILE = "mysql-bin.000003"
+# SOURCE_LOG_POS = 73
+
+[`mydb`.`t1`]
+real_table_name=t1
+rows = 42
+data_checksum = 12345
+
+# Finished dump at: 2024-01-15 03:02:11
+"""
+    m = parse_metadata(text)
+    assert m.started_at == "2024-01-15 03:00:01"
+    assert m.finished_at == "2024-01-15 03:02:11"
+    assert m.source["executed_gtid_set"].startswith("3e11fa47")
+    assert m.source["file"] == "mysql-bin.000003" and m.source["pos"] == "73"
+    assert m.tables[0].rows == 42 and m.tables[0].data_checksum == "12345"
