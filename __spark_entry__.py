@@ -1725,6 +1725,69 @@ GROUP BY word ORDER BY doc_freq DESC, word ASC LIMIT 20
 """
 
 
+def x_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (first 50 docs): term frequency ⋈
+    corpus document frequency ⋈ broadcast N, ranked by a per-doc window.
+    idf = ln(N/df) over exact integer counts — engine-identical doubles."""
+    from mydumper_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    tf = toks.where("doc_id < 50").groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        toks.select("doc_id", "word").distinct()
+        .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3")
+        .select("doc_id", "word", "tfidf", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks WHERE doc_id < 50
+  GROUP BY doc_id, word
+),
+dfreq AS (
+  SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM toks)
+  GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN dfreq df ON tf.word = df.word, n
+)
+SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1798,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_distinct": x_approx_distinct,
         "x_top_bigrams": x_top_bigrams,
         "x_doc_frequency": x_doc_frequency,
+        "x_tfidf_topterms": x_tfidf_topterms,
     }
 
 
@@ -1859,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
         "x_approx_distinct": _APPROX_DISTINCT_SQL,
         "x_top_bigrams": _TOP_BIGRAMS_SQL,
         "x_doc_frequency": _DOC_FREQ_SQL,
+        "x_tfidf_topterms": _TFIDF_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }
