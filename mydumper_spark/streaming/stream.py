@@ -136,3 +136,38 @@ def sessionize_stream(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "10 minutes",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: right rows that arrive in
+    ``[left_ts, left_ts + max_delay]`` per key — the continuous form of
+    operators/rangejoin.py (click→conversion attribution on a live stream).
+
+    Both sides carry a watermark and the join condition bounds both event
+    times, which is exactly what lets Spark expire join state: buffered rows
+    older than watermark + max_delay are dropped, so state is
+    O(rate × window), not unbounded. Works on static frames too (same plan
+    minus the state manager)."""
+    r = right
+    for c in [*on, right_ts]:
+        r = r.withColumnRenamed(c, f"{c}{right_suffix}")
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_ts}{right_suffix}", watermark)
+    rts = F.col(f"{right_ts}{right_suffix}")
+    cond = rts.between(
+        F.col(left_ts), F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+    )
+    for k in on:
+        cond = cond & (F.col(k) == F.col(f"{k}{right_suffix}"))
+    return left.join(r, cond)

@@ -99,3 +99,58 @@ def test_checksum_fold_order_independent(hashes):
     for h in shuffled:
         fold2 ^= h
     assert fold == fold2
+
+
+# -- INSERT-dump parser: escape→parse inversion ------------------------------
+
+_ESCAPES = (
+    ("\\", "\\\\"), ("'", "\\'"), ("\x00", "\\0"),
+    ("\n", "\\n"), ("\r", "\\r"), ("\x1a", "\\Z"),
+)
+
+
+def _mysql_escape(s: str) -> str:
+    """mysql_real_escape_string forward map (the writer's matrix,
+    sinks/writers.py:_sql_literal)."""
+    for raw, esc in _ESCAPES:
+        s = s.replace(raw, esc)
+    return s
+
+
+@st.composite
+def insert_rows(draw):
+    width = draw(st.integers(1, 5))
+    cell = st.one_of(
+        st.none(),
+        st.integers(-(10**9), 10**9),
+        st.text(max_size=40),  # arbitrary unicode incl. quotes/commas/parens
+    )
+    rows = draw(st.lists(st.lists(cell, min_size=width, max_size=width),
+                         min_size=1, max_size=6))
+    return rows
+
+
+@settings(max_examples=300, deadline=None)
+@given(insert_rows())
+def test_insert_parser_inverts_escaping(rows):
+    """For ANY cell values, writer-style escaping → parse_tuples recovers
+    them exactly: the parser must invert the escaping matrix, tolerate
+    quotes/commas/parens inside strings, and keep NULL vs '' distinct."""
+    from mydumper_spark.sources.insert_parser import parse_tuples
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + _mysql_escape(v) + "'"
+
+    stmt = (
+        "INSERT INTO `t` VALUES "
+        + ",".join("(" + ",".join(lit(v) for v in row) + ")" for row in rows)
+        + ";"
+    )
+    assert "\n" not in stmt  # the line-parallelism invariant itself
+    got = parse_tuples(stmt)
+    want = [[v if v is None else str(v) for v in row] for row in rows]
+    assert got == want

@@ -505,3 +505,46 @@ data_checksum = 12345
     assert m.source["executed_gtid_set"].startswith("3e11fa47")
     assert m.source["file"] == "mysql-bin.000003" and m.source["pos"] == "73"
     assert m.tables[0].rows == 42 and m.tables[0].data_checksum == "12345"
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join (availableNow): pairs within
+    the window come out; state expiry condition is accepted by the planner
+    (both sides watermarked, both event times bounded)."""
+    import datetime as dt
+
+    from mydumper_spark.streaming.stream import stream_interval_join
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, 10, base), (2, 10, base + dt.timedelta(hours=3)), (3, 20, base)],
+        "click_id long, user_id long, ts timestamp",
+    )
+    buys = spark.createDataFrame(
+        [
+            (101, 10, base + dt.timedelta(minutes=30)),   # joins click 1
+            (102, 10, base + dt.timedelta(hours=5)),      # 2h after click 2 → outside the 1h window
+            (103, 20, base - dt.timedelta(minutes=5)),    # before the click → no
+        ],
+        "buy_id long, user_id long, ts timestamp",
+    )
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    clicks.write.parquet(cdir)
+    buys.write.parquet(bdir)
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    bs = spark.readStream.schema(buys.schema).parquet(bdir)
+    joined = stream_interval_join(
+        cs, bs, on=["user_id"], left_ts="ts", right_ts="ts", max_delay="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ivj")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["buy_id"]) for r in spark.sql("select * from ivj").collect()}
+    assert got == {(1, 101)}
+    # static frames take the same code path (no watermark branch)
+    static = stream_interval_join(
+        clicks, buys, on=["user_id"], left_ts="ts", right_ts="ts", max_delay="1 hour"
+    )
+    assert {(r["click_id"], r["buy_id"]) for r in static.collect()} == {(1, 101)}
