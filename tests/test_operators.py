@@ -310,6 +310,32 @@ def _clustered_corpus(spark, per_cluster=40, dim=16, n_clusters=4):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), bases
 
 
+def test_ann_and_ivf_recall_on_clustered_corpus(spark):
+    """Pin approximate-search recall@10 vs exact brute force on a corpus
+    with REAL near neighbors (planted clusters). The sf fixture embeddings
+    are near-random (max pairwise cosine ≈ 0.5) — no LSH can recall there,
+    by geometry, so quality is asserted where the operator is designed to
+    work; the fixture queries remain rows-only sanity."""
+    corpus, bases = _clustered_corpus(spark, per_cluster=50, dim=16)
+    qvec = [float(x) for x in bases[1]]
+    exact = {r["vec_id"] for r in sim.cosine_topk(corpus, qvec, k=10).collect()}
+    ann = {
+        r["vec_id"]
+        for r in sim.ann_topk(
+            corpus, qvec, k=10, dim=16, num_planes=12, probe_hamming=3
+        ).collect()
+    }
+    assert len(ann & exact) / 10 >= 0.8, sorted(ann & exact)
+    cents = sim.train_ivf_centroids(corpus, n_cells=4, sample_n=5000)
+    ivf = {
+        r["vec_id"]
+        for r in sim.ivf_topk(
+            corpus, qvec, k=10, n_cells=4, n_probe=2, centroids=cents
+        ).collect()
+    }
+    assert len(ivf & exact) / 10 >= 0.9, sorted(ivf & exact)
+
+
 def test_ivf_trained_centroids_recall(spark):
     """KMeans-trained centroids must not lose recall vs the hash-sampled
     fallback, and must probe the right cell on a clustered corpus

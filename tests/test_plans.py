@@ -130,3 +130,17 @@ def test_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_new_tpch_queries_broadcast_dims(spark):
+    """Round-2 join queries keep the q3/q5 discipline: dimension sides
+    broadcast, the fact table shuffles at most once."""
+    for q in ("q7_nation_trade", "q10_returned_revenue", "q14_promo_share",
+              "q18_large_orders", "q19_brand_revenue"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        assert "BroadcastHashJoin" in plan, f"{q} lost its broadcasts:\n{plan}"
+
+
+def test_q10_filters_reach_scan(spark):
+    plan = _plan(entry.queries()["q10_returned_revenue"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
