@@ -108,6 +108,33 @@ def cmd_verify(args: argparse.Namespace) -> int:
     return 0 if all(r.get("ok") for r in results.values()) else 1
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Table-by-table diff between two dump directories: per-table counts of
+    added/deleted/changed primary keys (operators/diff.py). The PK column is
+    taken from --pk (table=col,...) or defaults to the first column."""
+    from mydumper_spark.operators.diff import snapshot_diff
+    from mydumper_spark.sources.dump_reader import read_dump_dir
+
+    spark = _session(args.threads)
+    old_tables = read_dump_dir(spark, args.old)
+    new_tables = read_dump_dir(spark, args.new)
+    pk_map = dict(kv.split("=") for kv in args.pk.split(",")) if args.pk else {}
+    out: dict[str, dict] = {}
+    for t in sorted(set(old_tables) | set(new_tables)):
+        if t not in old_tables:
+            out[t] = {"table_added": True}
+            continue
+        if t not in new_tables:
+            out[t] = {"table_deleted": True}
+            continue
+        pk = pk_map.get(t, old_tables[t].columns[0])
+        d = snapshot_diff(old_tables[t], new_tables[t], [pk])
+        counts = {r["status"]: r["n"] for r in d.groupBy("status").count().withColumnRenamed("count", "n").collect()}
+        out[t] = {s: int(counts.get(s, 0)) for s in ("added", "deleted", "changed")}
+    print(json.dumps(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mydumper_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -143,6 +170,13 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("-d", "--directory", required=True)
     v.add_argument("-t", "--threads", type=int)
     v.set_defaults(fn=cmd_verify)
+
+    f = sub.add_parser("diff", help="added/deleted/changed rows between two dumps")
+    f.add_argument("--old", required=True, help="older dump directory")
+    f.add_argument("--new", required=True, help="newer dump directory")
+    f.add_argument("--pk", help="per-table pk override: table=col[,table=col...]")
+    f.add_argument("-t", "--threads", type=int)
+    f.set_defaults(fn=cmd_diff)
     return p
 
 

@@ -250,3 +250,26 @@ def test_table_filters_admits():
     assert h.admits(meta("d1", "a"))
     assert not h.admits(meta("d2", "a"))               # P8 db list
     assert not h.admits(meta("d1", "b"))               # P8 table list
+
+
+def test_cli_diff(tmp_path):
+    """`diff` subcommand: two dump generations → per-table change counts."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    old_d, new_d = str(tmp_path / "old"), str(tmp_path / "new")
+    for d, where in ((old_d, "n_nationkey < 20"), (new_d, "n_nationkey >= 5")):
+        r = subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "dump", "--source",
+             "/root/testdata/sf0.001", "-o", d, "-T", "nation",
+             "--where", where, "--threads", "4"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "diff", "--old", old_d,
+         "--new", new_d, "--pk", "nation=n_nationkey", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    # old = keys 0-19, new = keys 5-24 → 5 added (20-24), 5 deleted (0-4)
+    assert out["nation"] == {"added": 5, "deleted": 5, "changed": 0}
