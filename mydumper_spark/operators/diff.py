@@ -51,3 +51,24 @@ def snapshot_diff(
         .where(F.col("status").isNotNull())
         .select(*pk_cols, "status")
     )
+
+
+def apply_diff(
+    old: DataFrame,
+    new: DataFrame,
+    diff: DataFrame,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Merge: apply a :func:`snapshot_diff` result to ``old`` so it becomes
+    ``new`` — the restore-side incremental load (only changed rows are read
+    from the new snapshot, the unchanged bulk stays put).
+
+    Plan shape: ``old`` drops deleted+changed keys (broadcast-able anti join
+    when the diff is small — the usual case for incremental loads), then
+    unions the added+changed rows pulled from ``new`` via a semi join. Rows
+    move proportionally to the CHANGE volume, not the table size."""
+    dels = diff.where(F.col("status").isin("deleted", "changed")).select(*pk_cols)
+    adds = diff.where(F.col("status").isin("added", "changed")).select(*pk_cols)
+    kept = old.join(F.broadcast(dels), pk_cols, "left_anti")
+    pulled = new.join(F.broadcast(adds), pk_cols, "left_semi")
+    return kept.unionByName(pulled)

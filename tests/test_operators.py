@@ -601,3 +601,19 @@ def test_winnowing_guarantee(spark):
     assert rows[1] & rows[2]          # shared run → shared fingerprint
     assert not (rows[1] & rows[3])    # disjoint → no collision
     assert len(rows[1]) < 12          # sketch, not the full hash list
+
+
+def test_apply_diff_roundtrip(spark):
+    """old + diff(old→new) == new, for every status class at once — the
+    incremental-restore property."""
+    from mydumper_spark.operators.diff import apply_diff, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "pk long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d"), (5, "e")], "pk long, v string"
+    )
+    d = snapshot_diff(old, new, ["pk"])
+    merged = {(r["pk"], r["v"]) for r in apply_diff(old, new, d, ["pk"]).collect()}
+    assert merged == {(r["pk"], r["v"]) for r in new.collect()}
