@@ -1788,6 +1788,58 @@ SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rn FROM (
 """
 
 
+def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (signup → first click after → first
+    purchase after that): per-stage user counts. Three key-local
+    aggregations — every join is on user_id, so AQE coalesces them onto one
+    partitioning; no per-event state."""
+    ev = (
+        _events_us(spark, sf_dir)
+        .withColumnRenamed("ts", "ts_us")
+        .select("user_id", "event_type", "ts_us")
+    )
+    s1 = ev.where("event_type = 'signup'").groupBy("user_id").agg(
+        F.min("ts_us").alias("t1")
+    )
+    s2 = (
+        ev.where("event_type = 'click'")
+        .join(s1, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.where("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t2").alias("n_click_after"),
+            F.count("t3").alias("n_purchase_after"),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'signup'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id)
+SELECT count(*) AS n_signup, count(t2) AS n_click_after,
+       count(t3) AS n_purchase_after
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1862,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_top_bigrams": x_top_bigrams,
         "x_doc_frequency": x_doc_frequency,
         "x_tfidf_topterms": x_tfidf_topterms,
+        "x_event_funnel": x_event_funnel,
     }
 
 
@@ -1924,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "x_top_bigrams": _TOP_BIGRAMS_SQL,
         "x_doc_frequency": _DOC_FREQ_SQL,
         "x_tfidf_topterms": _TFIDF_SQL,
+        "x_event_funnel": _FUNNEL_SQL,
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }
