@@ -1840,6 +1840,137 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def x_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit over the star schema's FK
+    edges (restore-verification class; sensitivity to planted orphans is
+    pytest-proven — the clean fixture legitimately reports zeros)."""
+    from mydumper_spark.operators.integrity import integrity_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    return integrity_report([
+        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]).orderBy("edge")
+
+
+_REF_INTEGRITY_SQL = """
+SELECT 'customer->nation' AS edge, (SELECT count(*) FROM customer) AS n_rows,
+       (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem->part', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders->customer', (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+ORDER BY edge
+"""
+
+
+def x_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier gate on events.value per event type (quality-filter
+    class): per-type p25/p75 via the portable rank-pick, then count rows
+    outside [p25 - 1.5·IQR, p75 + 1.5·IQR]. Bounds math in exact cents."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("v_c")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("v_c").asc())
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    q25 = ranked.where(
+        F.col("rn") == F.ceil(F.lit(0.25) * F.col("n")).cast("int")
+    ).select("event_type", F.col("v_c").alias("p25_c"))
+    q75 = ranked.where(
+        F.col("rn") == F.ceil(F.lit(0.75) * F.col("n")).cast("int")
+    ).select("event_type", F.col("v_c").alias("p75_c"))
+    bounds = q25.join(q75, "event_type").select(
+        "event_type",
+        (F.col("p25_c") - (F.col("p75_c") - F.col("p25_c")) * 3 / 2).alias("lo_c"),
+        (F.col("p75_c") + (F.col("p75_c") - F.col("p25_c")) * 3 / 2).alias("hi_c"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("v_c") < F.col("lo_c")) | (F.col("v_c") > F.col("hi_c")), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_OUTLIER_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_c FROM events
+),
+ranked AS (
+  SELECT event_type, v_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_c ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+q25 AS (SELECT event_type, v_c AS p25_c FROM ranked
+        WHERE rn = CAST(ceil(0.25 * n) AS INT)),
+q75 AS (SELECT event_type, v_c AS p75_c FROM ranked
+        WHERE rn = CAST(ceil(0.75 * n) AS INT)),
+bounds AS (
+  SELECT q25.event_type,
+         p25_c - (p75_c - p25_c) * 3 / 2 AS lo_c,
+         p75_c + (p75_c - p25_c) * 3 / 2 AS hi_c
+  FROM q25 JOIN q75 USING (event_type)
+)
+SELECT ev.event_type, count(*) AS n_rows,
+       sum(CASE WHEN ev.v_c < b.lo_c OR ev.v_c > b.hi_c THEN 1 ELSE 0 END)
+         AS n_outliers
+FROM ev JOIN bounds b USING (event_type)
+GROUP BY ev.event_type ORDER BY ev.event_type
+"""
+
+
+def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup canonicalization map: every doc → its cluster's
+    canonical (minimum) doc_id, singletons mapping to themselves — the
+    final artifact a dedup pipeline ships (rows-only: builds on the
+    xxhash64 MinHash graph)."""
+    from mydumper_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    comp = connected_components(pairs)  # (id, comp) for docs in ≥2-clusters
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1915,6 +2046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_doc_frequency": x_doc_frequency,
         "x_tfidf_topterms": x_tfidf_topterms,
         "x_event_funnel": x_event_funnel,
+        "x_ref_integrity": x_ref_integrity,
+        "x_outlier_filter": x_outlier_filter,
+        "x_dedup_canonical": x_dedup_canonical,
     }
 
 
@@ -1978,6 +2112,9 @@ def oracle_sql() -> dict[str, str]:
         "x_doc_frequency": _DOC_FREQ_SQL,
         "x_tfidf_topterms": _TFIDF_SQL,
         "x_event_funnel": _FUNNEL_SQL,
+        "x_ref_integrity": _REF_INTEGRITY_SQL,
+        "x_outlier_filter": _OUTLIER_SQL,
+        # x_dedup_canonical: rows-only (MinHash/xxhash64 graph, no DuckDB twin)
         # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
         # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
     }

@@ -529,6 +529,21 @@ def test_redact_pii_planted(spark):
     assert out[4] == "clean text stays clean"
 
 
+def test_fk_orphans_planted(spark):
+    """The integrity auditor must flag planted orphans and respect NULL-FK
+    semantics (a NULL FK is absent, not dangling)."""
+    from mydumper_spark.operators.integrity import fk_orphans, integrity_report
+
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "cid long, fk long"
+    )
+    orphans = fk_orphans(child, parent, "fk", "pid").collect()
+    assert [r["cid"] for r in orphans] == [12]  # 99 dangles; NULL is not an orphan
+    rep = integrity_report([("child->parent", child, "fk", parent, "pid")]).first()
+    assert rep["n_rows"] == 4 and rep["n_orphans"] == 1
+
+
 # -- sampling ----------------------------------------------------------------
 
 
