@@ -89,6 +89,34 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Range-clustered parquet — the scan-pruning layout.
+
+    ``repartitionByRange`` gives each output file a disjoint key range, and
+    the within-partition sort tightens every row group's min/max stats; a
+    range predicate on ``sort_cols`` then skips whole row groups at read
+    time (footer-only reads for non-matching files) and matching rows sit
+    in a handful of files instead of all of them. At 100 TB that is the
+    difference between decoding a key-clustered 1/Nth of the table and
+    decoding all of it (`test_sorted_write_range_clustering` pins pushdown
+    + locality; planning-time FILE pruning additionally needs hive
+    partitioning — the S7 surface). One shuffle at write time, amortized
+    over every read thereafter."""
+    w = (
+        df.repartitionByRange(*[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

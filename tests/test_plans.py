@@ -144,3 +144,36 @@ def test_new_tpch_queries_broadcast_dims(spark):
 def test_q10_filters_reach_scan(spark):
     plan = _plan(entry.queries()["q10_returned_revenue"](spark, SF))
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_sorted_write_range_clustering(spark, orders, tmp_path):
+    """Range-clustered layout: the range predicate reaches the parquet
+    reader (min/max row-group stat skipping), and matching rows are
+    physically clustered in a strict subset of the files — the locality
+    that makes the stat skip effective. (File-COUNT metrics don't move:
+    non-matching files are still opened for their footer, then their data
+    pages are skipped — planning-time file pruning needs hive partitioning,
+    which is the s7 surface.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.sinks.writers import write_sorted
+
+    p = str(tmp_path / "sorted")
+    write_sorted(orders, p, ["o_orderkey"], max_records_per_file=200)
+    total_files = len([f for f in os.listdir(p) if f.startswith("part-")])
+    assert total_files >= 5  # enough granularity for clustering to show
+    lo = spark.read.parquet(p).where("o_orderkey < 100")
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)" in _plan(lo)
+    assert lo.count() == orders.where("o_orderkey < 100").count()
+    touched = lo.select(F.input_file_name()).distinct().count()
+    assert touched <= 2, (touched, total_files)  # clustered, not scattered
+    # the same predicate on an UNSORTED copy touches (nearly) every file
+    q = str(tmp_path / "shuffled")
+    orders.repartition(8).write.parquet(q)
+    scattered = (
+        spark.read.parquet(q).where("o_orderkey < 100")
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert scattered > touched
