@@ -1971,6 +1971,101 @@ def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the scalar-max-over-aggregate pattern (CTE + broadcast max, no
+    rank-everything sort)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_c")
+    )
+    mx = rev.agg(F.max("rev_c").alias("max_c"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_c") == F.col("max_c"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("rev_c") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(rev.rev_c/100.0, 2) AS total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.rev_c = (SELECT max(rev_c) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp): suppliers whose 1996 shipped
+    quantity of size-10 parts exceeds a third of their all-time quantity of
+    those parts — nested aggregates + semi-join reduction."""
+    part = _t(spark, sf_dir, "part").where("p_size = 10").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    li10 = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    alltime = li10.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("all_c")
+    )
+    y96 = (
+        li10.where(
+            "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("y_c"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        y96.join(alltime, "l_suppkey")
+        .where(F.col("y_c") * 3 > F.col("all_c"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("y_c") / 100.0, 2).alias("qty_1996"),
+            F.round(F.col("all_c") / 100.0, 2).alias("qty_alltime"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH li10 AS (
+  SELECT l.l_suppkey, l.l_quantity, l.l_shipdate
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size = 10
+),
+alltime AS (
+  SELECT l_suppkey, sum(CAST(round(l_quantity*100) AS BIGINT)) AS all_c
+  FROM li10 GROUP BY l_suppkey
+),
+y96 AS (
+  SELECT l_suppkey, sum(CAST(round(l_quantity*100) AS BIGINT)) AS y_c
+  FROM li10
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(y.y_c/100.0, 2) AS qty_1996,
+       round(a.all_c/100.0, 2) AS qty_alltime
+FROM y96 y JOIN alltime a USING (l_suppkey)
+JOIN supplier s ON y.l_suppkey = s.s_suppkey
+WHERE y.y_c * 3 > a.all_c
+ORDER BY s.s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1996,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_brand_revenue": q19_brand_revenue,
         "q2_top_supplier_per_part": q2_top_supplier_per_part,
         "q22_idle_balance": q22_idle_balance,
+        "q15_top_supplier": q15_top_supplier,
+        "q20_excess_suppliers": q20_excess_suppliers,
         "s2_chunked_scan_orders": s2_chunked_scan_orders,
         "s3_adaptive_rescan_part": s3_adaptive_rescan_part,
         "s5_multicol_chunked_supplier": s5_multicol_chunked_supplier,
@@ -2067,6 +2164,8 @@ def oracle_sql() -> dict[str, str]:
         "q19_brand_revenue": _Q19_SQL,
         "q2_top_supplier_per_part": _Q2_SQL,
         "q22_idle_balance": _Q22_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q20_excess_suppliers": _Q20_SQL,
         "s2_chunked_scan_orders": "SELECT * FROM orders",
         "s3_adaptive_rescan_part": "SELECT * FROM part",
         "s5_multicol_chunked_supplier": "SELECT * FROM supplier",
