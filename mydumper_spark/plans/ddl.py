@@ -51,3 +51,74 @@ def is_view_ddl(ddl: str) -> bool:
     has an explicit regression test for a table whose COMMENT is 'VIEW'
     (test/specific_16): only the statement head decides."""
     return bool(re.match(r"\s*CREATE\s+(OR\s+REPLACE\s+)?(ALGORITHM=\S+\s+)?(DEFINER=\S+\s+)?(SQL\s+SECURITY\s+\w+\s+)?VIEW\b", ddl, re.IGNORECASE))
+
+
+#: MySQL type → Spark DDL type (the restore-side inverse of the reference's
+#: column-type rendering, mydumper_jobs.c schema dump). Parametrized types
+#: are matched on the base name; unsigned widens to the next Spark type
+#: (MySQL BIGINT UNSIGNED exceeds Spark's signed bigint → decimal(20,0)).
+_MYSQL_TO_SPARK: dict[str, str] = {
+    "tinyint": "tinyint", "smallint": "smallint", "mediumint": "int",
+    "int": "int", "integer": "int", "bigint": "bigint",
+    "float": "float", "double": "double", "real": "double",
+    "bit": "binary",
+    "char": "string", "varchar": "string", "tinytext": "string",
+    "text": "string", "mediumtext": "string", "longtext": "string",
+    "enum": "string", "set": "string", "json": "string",
+    "binary": "binary", "varbinary": "binary", "tinyblob": "binary",
+    "blob": "binary", "mediumblob": "binary", "longblob": "binary",
+    "date": "date", "datetime": "timestamp", "timestamp": "timestamp",
+    "time": "string", "year": "int",
+}
+
+_UNSIGNED_WIDEN: dict[str, str] = {
+    "tinyint": "smallint", "smallint": "int", "mediumint": "int",
+    "int": "bigint", "bigint": "decimal(20,0)",
+}
+
+_COL_LINE = re.compile(
+    r"^\s*`(?P<name>[^`]+)`\s+(?P<type>\w+)(?:\((?P<args>[^)]*)\))?(?P<rest>[^,]*)",
+    re.IGNORECASE,
+)
+_CONSTRAINT_HEAD = re.compile(
+    r"^\s*(PRIMARY\s+KEY|UNIQUE\s+KEY|KEY|INDEX|CONSTRAINT|FULLTEXT|SPATIAL|FOREIGN\s+KEY|CHECK)\b",
+    re.IGNORECASE,
+)
+
+
+def schema_from_create_table(ddl: str) -> str:
+    """Spark DDL schema string from a MySQL ``CREATE TABLE`` — what lets a
+    reference ``db.table-schema.sql`` file drive the typed read of its
+    sibling ``db.table.NNNN.sql`` data chunks with no user-supplied schema
+    (myloader derives the same thing by executing the DDL,
+    myloader_restore.c; we translate instead of execute)."""
+    body = ddl[ddl.index("(") + 1:] if "(" in ddl else ""
+    fields: list[str] = []
+    depth = 0
+    for rawline in body.splitlines():
+        line = rawline.strip().rstrip(",")
+        if not line or _CONSTRAINT_HEAD.match(line):
+            continue
+        if depth == 0 and line.startswith(")"):
+            break
+        depth += rawline.count("(") - rawline.count(")")
+        m = _COL_LINE.match(line)
+        if not m:
+            continue
+        base = m["type"].lower()
+        if base not in _MYSQL_TO_SPARK and base not in ("decimal", "numeric"):
+            continue
+        rest = (m["rest"] or "").lower()
+        if base in ("decimal", "numeric"):
+            args = m["args"] or "10,0"
+            spark_t = f"decimal({args})"
+        elif "unsigned" in rest and base in _UNSIGNED_WIDEN:
+            spark_t = _UNSIGNED_WIDEN[base]
+        elif base == "tinyint" and (m["args"] or "").strip() == "1":
+            spark_t = "boolean"  # MySQL idiom: tinyint(1) = bool
+        else:
+            spark_t = _MYSQL_TO_SPARK[base]
+        fields.append(f"`{m['name']}` {spark_t}")
+    if not fields:
+        raise ValueError("no parsable columns in CREATE TABLE DDL")
+    return ", ".join(fields)

@@ -83,8 +83,28 @@ def read_dump_table(
     if not target:
         raise FileNotFoundError(f"no parquet/.dat/.sql data for table {table!r} in {root}")
     if schema is None:
-        raise ValueError(f".sql INSERT dump for {table!r} needs an explicit schema")
+        schema = _schema_from_sidecar(root, table)
+    if schema is None:
+        raise ValueError(
+            f".sql INSERT dump for {table!r} needs a schema — none given and "
+            f"no sibling *-schema.sql file found in {root}"
+        )
     return read_insert_sql(spark, target, schema)
+
+
+def _schema_from_sidecar(root: str, table: str) -> str | None:
+    """Derive the Spark schema from the reference's sibling
+    ``db.table-schema.sql`` CREATE TABLE file, when one exists — the typed
+    read then needs no user-supplied schema, matching myloader's behavior
+    (it executes the schema file before loading data chunks)."""
+    from mydumper_spark.plans.ddl import schema_from_create_table
+
+    for f in sorted(os.listdir(root)):
+        c = classify(f)
+        if c and c[0] == "table_schema" and c[1]["table"] == table:
+            with open(os.path.join(root, f), encoding="utf-8") as fh:
+                return schema_from_create_table(fh.read())
+    return None
 
 
 def read_dump_dir(spark: SparkSession, root: str) -> dict[str, DataFrame]:

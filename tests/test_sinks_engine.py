@@ -548,3 +548,42 @@ def test_stream_interval_join(spark, tmp_path):
         clicks, buys, on=["user_id"], left_ts="ts", right_ts="ts", max_delay="1 hour"
     )
     assert {(r["click_id"], r["buy_id"]) for r in static.collect()} == {(1, 101)}
+
+
+def test_sql_dump_schema_from_sidecar(spark, tmp_path):
+    """A reference-style dump dir (schema file + data chunks) reads with NO
+    explicit schema: the CREATE TABLE sidecar drives the typed parse."""
+    (tmp_path / "mydb.ts-schema.sql").write_text(
+        "CREATE TABLE `ts` (\n"
+        "  `id` bigint unsigned NOT NULL,\n"
+        "  `name` varchar(64) DEFAULT NULL,\n"
+        "  `bal` decimal(12,2),\n"
+        "  `flag` tinyint(1),\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+    )
+    (tmp_path / "mydb.ts.00001.sql").write_text(
+        "INSERT INTO `ts` VALUES (1,'a',10.50,1),(2,NULL,-3.25,0);\n"
+    )
+    back = read_dump_table(spark, str(tmp_path), "ts")
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "decimal(20,0)", "string", "decimal(12,2)", "boolean",
+    ]
+    rows = {int(r["id"]): (r["name"], str(r["bal"]), r["flag"]) for r in back.collect()}
+    assert rows == {1: ("a", "10.50", True), 2: (None, "-3.25", False)}
+
+
+def test_schema_from_create_table_types():
+    from mydumper_spark.plans.ddl import schema_from_create_table
+
+    ddl = """CREATE TABLE `t` (
+      `a` int unsigned,
+      `b` mediumtext,
+      `c` datetime DEFAULT CURRENT_TIMESTAMP,
+      `d` varbinary(255),
+      `e` enum('x','y') NOT NULL,
+      KEY `k` (`a`)
+    )"""
+    assert schema_from_create_table(ddl) == (
+        "`a` bigint, `b` string, `c` timestamp, `d` binary, `e` string"
+    )
