@@ -331,9 +331,9 @@ def test_snapshot_ring(spark, customer, tmp_path):
 def test_sessionize_batch(spark, sf_dir):
     from mydumper_spark.streaming import sessionize_stream
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":  # legacy INT64-nanos fixture
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     out = sessionize_stream(ev, gap="30 minutes")
     assert out.count() > 0
     r = out.first()
