@@ -15,9 +15,12 @@ are kept identical on both sides:
   ``epoch_us(ts)`` either way).
 
 Queries with no ``oracle_sql`` entry (rows-only check) are the genuinely
-non-SQL-expressible ones — everything built on xxhash64 (no DuckDB twin):
-minhash/simhash/winnow near-dup sketches, embedding/ANN/IVF bucketing, the
-masquerade random generators, and the iterative connected-components loop.
+non-oracle-able ones: simhash/winnow near-dup sketches, embedding/ANN/IVF
+bucketing (approximate by design — recall vs exact is pytest-asserted), the
+masquerade random generators, and the dedup-canonical map. MinHash pairs and
+connected components DO have oracles: their verified outputs provably equal
+exact ground truth on this fixture (all-pairs shingle Jaccard / recursive-CTE
+closure), which DuckDB can compute from first principles.
 """
 
 from __future__ import annotations
@@ -906,11 +909,66 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 
 def x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
-    xxhash64-based → no DuckDB twin; deterministic across runs."""
+
+    Oracle: DuckDB computes ground-truth all-pairs shingle Jaccard — the
+    banding math says recall < 1 for pairs barely over τ (P = 1-(1-J^4)^4),
+    but the fixture's planted dups all sit at J ≥ 0.9 where recall ≈ 0.999,
+    so a green row is a genuine exact-recall + exact-precision proof (the
+    verification step makes precision exact by construction). Jaccard over
+    xxhash64-hashed distinct shingles equals string-shingle Jaccard absent
+    64-bit collisions."""
     from mydumper_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+
+
+# Ground truth for the LSH pipelines: exact all-pairs word-3-gram Jaccard.
+# Mirrors operators/dedup.py shingles()/tokens() exactly: lowercase+trim,
+# whitespace split (empty text → empty token list), <3 tokens → one
+# whole-text shingle, distinct shingles.
+_SHINGLE_DOCS_CTE = """
+docs AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+           END) AS sh
+  FROM (SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        FROM documents)
+),
+exact_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+               6) AS jaccard
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.4
+)
+"""
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLE_DOCS_CTE}
+SELECT id_a, id_b, jaccard FROM exact_pairs
+"""
+
+_CC_SQL = f"""
+WITH RECURSIVE {_SHINGLE_DOCS_CTE},
+edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
+          UNION ALL
+          SELECT id_b, id_a FROM exact_pairs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+)
+SELECT id, min(lab) AS comp FROM reach GROUP BY id
+"""
 
 
 def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -971,7 +1029,13 @@ def x_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: min-label propagation over the verified
-    minhash pair graph (rows-only; iterative, non-SQL-expressible)."""
+    minhash pair graph.
+
+    Oracle: DuckDB recursive CTE computes min-reachable-label over the
+    ground-truth exact-Jaccard edge set — valid because x_minhash_pairs
+    provably equals that edge set on this fixture (see its oracle), so a
+    green row checks the pointer-doubling loop against a from-first-
+    principles transitive closure in a different engine."""
     from mydumper_spark.operators.dedup import connected_components, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -2136,8 +2200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ngram_jaccard": x_ngram_jaccard,
         "x_embedding_pairs_exact": x_embedding_pairs_exact,
         "x_sample_bernoulli": x_sample_bernoulli,
-        "x_sample_stratified": x_sample_stratified,
-        "x_sample_rebalance": x_sample_rebalance,
+        "x_minhash_pairs": x_minhash_pairs,
+        "x_connected_components": x_connected_components,
         "x_token_histogram": x_token_histogram,
         "x_asof_join": x_asof_join,
         "x_range_join": x_range_join,
@@ -2161,15 +2225,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_source_quantiles": x_source_quantiles,
         "x_top_bigrams": x_top_bigrams,
         "x_doc_frequency": x_doc_frequency,
-        # --- 60-68: rows-only (no SQL-expressible twin) ---
-        "x_minhash_pairs": x_minhash_pairs,
+        "x_sample_stratified": x_sample_stratified,
+        "x_sample_rebalance": x_sample_rebalance,
+        # --- 62-68: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_ann_topk": x_ann_topk,
         "x_ivf_topk": x_ivf_topk,
         "x_winnow_overlap": x_winnow_overlap,
-        "x_connected_components": x_connected_components,
         "x_dedup_canonical": x_dedup_canonical,
     }
 
@@ -2223,6 +2287,8 @@ def oracle_sql() -> dict[str, str]:
         "x_sample_bernoulli": _sample_bernoulli_sql(),
         "x_sample_stratified": _sample_stratified_sql(),
         "x_sample_rebalance": _sample_rebalance_sql(),
+        "x_minhash_pairs": _MINHASH_SQL,
+        "x_connected_components": _CC_SQL,
         "x_token_histogram": _TOKEN_HIST_SQL,
         "x_source_quantiles": _SOURCE_QUANTILES_SQL,
         "x_asof_join": _ASOF_SQL,
@@ -2239,6 +2305,8 @@ def oracle_sql() -> dict[str, str]:
         "x_ref_integrity": _REF_INTEGRITY_SQL,
         "x_outlier_filter": _OUTLIER_SQL,
         # x_dedup_canonical: rows-only (MinHash/xxhash64 graph, no DuckDB twin)
-        # x_minhash_pairs / x_simhash_pairs / x_masquerade_random /
-        # x_embedding_near_dup: rows-only (xxhash64-based, no DuckDB twin)
+        # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
+        # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
+        # hyperplane-signature-based; ANN/IVF are approximate by design —
+        # verified overlap vs exact top-k is pytest-asserted instead)
     }
