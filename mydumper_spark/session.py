@@ -8,11 +8,32 @@ we turn them all on here so every operator in the package inherits them.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def discover_jdbc_jars() -> list[str]:
+    """Locate locally-cached JDBC driver jars (public Maven artifacts, e.g.
+    org.duckdb:duckdb_jdbc) to place on the session classpath, enabling the
+    executed JDBC source/sink paths. Override with SPARK_GRAFT_JDBC_JARS
+    (comma-separated); returns [] when nothing is available, in which case
+    the JDBC paths stay options-assembly-only (tests skip)."""
+    env = os.environ.get("SPARK_GRAFT_JDBC_JARS")
+    if env is not None:
+        return [p for p in env.split(",") if p]
+    patterns = [
+        "~/.cache/coursier/**/duckdb_jdbc*.jar",
+        "~/.m2/repository/org/duckdb/duckdb_jdbc/**/duckdb_jdbc*.jar",
+        "~/.ivy2/**/duckdb_jdbc*.jar",
+    ]
+    found: set[str] = set()
+    for pat in patterns:
+        found.update(glob.glob(os.path.expanduser(pat), recursive=True))
+    return sorted(found)
 
 
 def get_session(
@@ -58,6 +79,9 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
+    jars = discover_jdbc_jars()
+    if jars:
+        builder = builder.config("spark.jars", ",".join(jars))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

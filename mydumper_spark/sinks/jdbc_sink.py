@@ -56,10 +56,13 @@ class JdbcSinkConfig:
             "password": self.password,
             "batchsize": str(self.batchsize),
             "isolationLevel": self.isolation_level,
-            # one multi-row INSERT per batch — the reference's K1 statement
-            # shape (mydumper_write.c:874-1032), MySQL Connector/J flag
-            "rewriteBatchedStatements": "true",
         }
+        # one multi-row INSERT per batch — the reference's K1 statement
+        # shape (mydumper_write.c:874-1032). MySQL Connector/J-only flag;
+        # other drivers (DuckDB) hard-error on unknown properties.
+        scheme = self.url.split(":")[1].lower() if self.url.count(":") >= 2 else ""
+        if scheme in ("mysql", "mariadb"):
+            props["rewriteBatchedStatements"] = "true"
         if self.num_partitions is not None:
             props["numPartitions"] = str(self.num_partitions)
         if self.purge == PurgeMode.TRUNCATE:

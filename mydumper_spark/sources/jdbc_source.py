@@ -58,10 +58,14 @@ class JdbcSourceConfig:
             "user": self.user,
             "password": self.password,
             "fetchsize": str(self.fetchsize),
-            # stream rows instead of buffering the whole chunk (MySQL
-            # Connector/J needs Integer.MIN_VALUE OR useCursorFetch)
-            "useCursorFetch": "true",
         }
+        # stream rows instead of buffering the whole chunk (MySQL
+        # Connector/J needs Integer.MIN_VALUE OR useCursorFetch). Driver-
+        # specific: unknown connection properties are a hard error on other
+        # engines (e.g. DuckDB), so gate on the URL scheme.
+        scheme = self.url.split(":")[1].lower() if self.url.count(":") >= 2 else ""
+        if scheme in ("mysql", "mariadb"):
+            props["useCursorFetch"] = "true"
         if self.consistent_snapshot:
             props["sessionInitStatement"] = CONSISTENT_SNAPSHOT_INIT
         props.update(self.extra)
