@@ -927,7 +927,7 @@ def x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mirrors operators/dedup.py shingles()/tokens() exactly: lowercase+trim,
 # whitespace split (empty text → empty token list), <3 tokens → one
 # whole-text shingle, distinct shingles.
-_SHINGLE_DOCS_CTE = """
+_SHINGLE_DOCS = """
 docs AS (
   SELECT doc_id,
          list_distinct(
@@ -939,7 +939,11 @@ docs AS (
                CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
         FROM documents)
-),
+)
+"""
+
+_SHINGLE_DOCS_CTE = f"""
+{_SHINGLE_DOCS},
 exact_pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -968,6 +972,78 @@ reach(id, lab) AS (
   SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
 )
 SELECT id, min(lab) AS comp FROM reach GROUP BY id
+"""
+
+
+def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing ≥3 distinct word
+    3-gram shingles with the (stand-in) eval set — docs whose id ≡ 0 mod 100.
+    Eval side broadcast; corpus side never shuffles (see
+    operators/contamination.py)."""
+    from mydumper_spark.operators.contamination import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return (
+        contamination_pairs(docs, ev, min_shared=3)
+        .where("doc_id <> eval_id")
+        .select("doc_id", "eval_id", F.col("n_shared").cast("bigint").alias("n_shared"))
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH {_SHINGLE_DOCS},
+ev AS (SELECT doc_id AS eval_id, sh AS ev_sh FROM docs WHERE doc_id % 100 = 0)
+SELECT d.doc_id AS doc_id, e.eval_id AS eval_id,
+       CAST(len(list_intersect(d.sh, e.ev_sh)) AS BIGINT) AS n_shared
+FROM docs d JOIN ev e ON d.doc_id <> e.eval_id
+WHERE len(list_intersect(d.sh, e.ev_sh)) >= 3
+"""
+
+
+def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: duplicated word-3-gram and duplicated
+    line fractions per document, as integer ppm (floor(frac*1e6): decimal
+    round() half-tie behavior differs across engines, floor does not)."""
+    from mydumper_spark.operators.contamination import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+_REPETITION_SQL = """
+SELECT doc_id,
+       CAST(floor(CASE WHEN len(grams) <= 0 THEN 0.0
+                       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / CAST(len(grams) AS DOUBLE) END * 1000000)
+            AS BIGINT) AS dup_3gram_ppm,
+       CAST(floor(CASE WHEN len(lines) <= 0 THEN 0.0
+                       ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                             / CAST(len(lines) AS DOUBLE) END * 1000000)
+            AS BIGINT) AS dup_line_ppm,
+       (CAST(floor(CASE WHEN len(grams) <= 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                              / CAST(len(grams) AS DOUBLE) END * 1000000) AS BIGINT)
+          <= 300000
+        AND
+        CAST(floor(CASE WHEN len(lines) <= 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                              / CAST(len(lines) AS DOUBLE) END * 1000000) AS BIGINT)
+          <= 300000) AS passes_repetition
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+         END AS grams,
+         string_split(text, chr(10)) AS lines
+  FROM (SELECT doc_id, text,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        FROM documents)
+)
 """
 
 
@@ -2227,7 +2303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_doc_frequency": x_doc_frequency,
         "x_sample_stratified": x_sample_stratified,
         "x_sample_rebalance": x_sample_rebalance,
-        # --- 62-68: rows-only (no SQL-expressible twin) ---
+        "x_contamination": x_contamination,
+        "x_repetition_filter": x_repetition_filter,
+        # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
         "x_embedding_near_dup": x_embedding_near_dup,
@@ -2304,6 +2382,8 @@ def oracle_sql() -> dict[str, str]:
         "x_event_funnel": _FUNNEL_SQL,
         "x_ref_integrity": _REF_INTEGRITY_SQL,
         "x_outlier_filter": _OUTLIER_SQL,
+        "x_contamination": _CONTAMINATION_SQL,
+        "x_repetition_filter": _REPETITION_SQL,
         # x_dedup_canonical: rows-only (MinHash/xxhash64 graph, no DuckDB twin)
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or

@@ -1,0 +1,86 @@
+"""Contamination detection + repetition filters (operators/contamination.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mydumper_spark.operators.contamination import (
+    contamination_pairs,
+    decontaminate,
+    repetition_metrics,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog at dawn"),  # near-copy of 1
+            (3, "completely unrelated text about spark execution engines"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _eval_set(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "eval_id long, text string",
+    )
+
+
+def test_contamination_flags_copies_and_near_copies(spark):
+    hits = contamination_pairs(_corpus(spark), _eval_set(spark), min_shared=3)
+    got = {(r["doc_id"], r["eval_id"]) for r in hits.collect()}
+    # doc 1 is an exact copy, doc 2 shares the 8-word prefix's shingles
+    assert (1, 100) in got and (2, 100) in got
+    assert all(d not in (3, 4) for d, _ in got)
+    # exact copy shares every shingle
+    n1 = {r["doc_id"]: r["n_shared"] for r in hits.collect()}[1]
+    assert n1 == 8  # 10 tokens -> 8 trigram shingles, all shared
+
+
+def test_decontaminate_removes_hits_only(spark):
+    clean = decontaminate(_corpus(spark), _eval_set(spark), min_shared=3)
+    assert {r["doc_id"] for r in clean.collect()} == {3, 4}
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    """The 100 TB contract: eval side broadcast, corpus side not exchanged
+    before the join (the only exchange is the tiny post-join aggregate)."""
+    plan = (
+        contamination_pairs(_corpus(spark), _eval_set(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    head, _, tail = plan.partition("BroadcastHashJoin")
+    # no shuffle below the join on the corpus (streamed) side
+    assert "Exchange hashpartitioning" not in tail, plan
+
+
+def test_repetition_metrics_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),          # heavy 3-gram repetition
+            (2, "one two three four five six"),  # all distinct
+            (3, "x\nx\nx\ny"),                  # duplicated lines
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    # doc1: 7 trigrams, 3 distinct -> floor((1-3/7)*1e6) = 571428
+    assert rows[1]["dup_3gram_ppm"] == 571428
+    assert not rows[1]["passes_repetition"]
+    assert rows[2]["dup_3gram_ppm"] == 0
+    assert rows[2]["passes_repetition"]
+    # doc3: 4 lines, 2 distinct -> 500000 ppm
+    assert rows[3]["dup_line_ppm"] == 500000
+    assert not rows[3]["passes_repetition"]
+
+
+def test_repetition_empty_text_passes(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = repetition_metrics(df).first()
+    assert r["dup_3gram_ppm"] == 0 and r["dup_line_ppm"] == 0
+    assert r["passes_repetition"]
