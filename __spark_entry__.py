@@ -2221,6 +2221,209 @@ ORDER BY s.s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Round-4 TPC-H shapes (q8/q13/q17/q21 — q9/q11/q16 need the absent partsupp
+# table and are documented out of scope in PARITY.md)
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's revenue share of a regional
+    market per year. Two nation broadcasts (customer side restricts the
+    market, supplier side tags the target), share via the integer-ppm
+    division discipline (q14)."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where("r_name = 'ASIA'")
+    cust_nat = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where("p_type = 'ECONOMY'")
+    supp = _t(spark, sf_dir, "supplier")
+    sup_nat = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+            F.when(F.col("supp_nation") == "NATION_3", F.lit(1)).otherwise(F.lit(0)).alias("is_target"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.col("rev_c") * F.col("is_target")).alias("target_c"),
+        F.sum("rev_c").alias("total_c"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("total_c") / 100.0, 2).alias("total_revenue"),
+        F.round(F.col("target_c") * 1000000.0 / F.col("total_c")).cast("bigint").alias("mkt_share_ppm"),
+    ).orderBy("o_year")
+
+
+_Q8_SQL = """
+SELECT o_year, round(total_c/100.0, 2) AS total_revenue,
+       CAST(round(target_c * 1000000.0 / total_c) AS BIGINT) AS mkt_share_ppm
+FROM (
+  SELECT o_year, sum(rev_c * is_target) AS target_c, sum(rev_c) AS total_c
+  FROM (
+    SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) AS rev_c,
+           CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_target
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  ) GROUP BY o_year
+) ORDER BY o_year
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer count by order count — LEFT OUTER join with
+    the filter in the join condition (not a WHERE, which would drop the
+    zero-order customers), then a two-level aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where("o_orderpriority <> '1-URGENT'")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their part's
+    average quantity — correlated scalar subquery rewritten as a pre-
+    aggregated self-join (integer-cent average compare, cross-multiplied to
+    avoid any division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where("p_brand = 'Brand#23'")
+    li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    avg_q = li_p.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("n_li")
+    )
+    j = li_p.join(avg_q, "l_partkey")
+    # l_quantity < 0.2 * avg(qty)  <=>  qty_c * n * 5 < sum_qty_c (integers)
+    small = j.where(F.col("qty_c") * F.col("n_li") * 5 < F.col("sum_qty_c"))
+    return small.agg(
+        F.round(F.sum("price_c") / 100.0 / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(price_c)/100.0/7.0, 2) AS avg_yearly,
+       count(*) AS n_small_lines
+FROM (
+  SELECT li.l_partkey, li.qty_c, li.price_c,
+         sum(li.qty_c) OVER (PARTITION BY li.l_partkey) AS sum_qty_c,
+         count(*) OVER (PARTITION BY li.l_partkey) AS n_li
+  FROM (
+    SELECT l.l_partkey,
+           CAST(round(l.l_quantity*100) AS BIGINT) AS qty_c,
+           CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_c
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+  ) li
+)
+WHERE qty_c * n_li * 5 < sum_qty_c
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no receipt/commit dates in the fixture —
+    "late" = shipped >365 days after the order date): suppliers who were the
+    ONLY late shipper in a multi-supplier order. The double EXISTS/NOT
+    EXISTS is rewritten as one per-order aggregate (distinct suppliers,
+    distinct late suppliers) — a single shuffle on l_orderkey, then a count
+    per supplier; the scalable formulation of the same predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where("o_orderstatus = 'F'")
+    supp = _t(spark, sf_dir, "supplier")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365, F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    culprit = per_order.where("n_supp > 1 AND n_late_supp = 1")
+    return (
+        culprit.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+SELECT s.s_suppkey, s.s_name, w.numwait
+FROM (
+  SELECT late_supp, count(*) AS numwait
+  FROM (
+    SELECT l.l_orderkey,
+           count(DISTINCT l.l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 365
+                               THEN l.l_suppkey END) AS n_late_supp,
+           max(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 365
+                    THEN l.l_suppkey END) AS late_supp
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey
+  )
+  WHERE n_supp > 1 AND n_late_supp = 1
+  GROUP BY late_supp
+) w JOIN supplier s ON w.late_supp = s.s_suppkey
+ORDER BY w.numwait DESC, s.s_suppkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2305,6 +2508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sample_rebalance": x_sample_rebalance,
         "x_contamination": x_contamination,
         "x_repetition_filter": x_repetition_filter,
+        "q8_market_share": q8_market_share,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_waiting_supplier": q21_waiting_supplier,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -2384,6 +2591,10 @@ def oracle_sql() -> dict[str, str]:
         "x_outlier_filter": _OUTLIER_SQL,
         "x_contamination": _CONTAMINATION_SQL,
         "x_repetition_filter": _REPETITION_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q13_customer_distribution": _Q13_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "q21_waiting_supplier": _Q21_SQL,
         # x_dedup_canonical: rows-only (MinHash/xxhash64 graph, no DuckDB twin)
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or

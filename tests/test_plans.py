@@ -177,3 +177,20 @@ def test_sorted_write_range_clustering(spark, orders, tmp_path):
         .select(F.input_file_name()).distinct().count()
     )
     assert scattered > touched
+
+
+def test_round4_tpch_plan_shapes(spark):
+    """q8/q13/q17/q21: dims broadcast, no cartesian anywhere, and the
+    aggregate rewrites (Q17 correlated-avg, Q21 double-EXISTS) stay
+    bounded-shuffle joins/aggs rather than nested-loop shapes."""
+    for q in ("q8_market_share", "q13_customer_distribution",
+              "q17_small_quantity_revenue", "q21_waiting_supplier"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, f"{q}:\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{q}:\n{plan}"
+        assert "BroadcastHashJoin" in plan, f"{q} lost its broadcasts:\n{plan}"
+    # Q21's agg formulation: at most shuffle-on-orderkey + shuffle-on-suppkey
+    # (+1 AQE/sort variance margin) — the EXISTS formulation would add a
+    # per-order correlated probe
+    plan = _plan(entry.queries()["q21_waiting_supplier"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
