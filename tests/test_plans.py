@@ -194,3 +194,32 @@ def test_round4_tpch_plan_shapes(spark):
     # per-order correlated probe
     plan = _plan(entry.queries()["q21_waiting_supplier"](spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+# Queries allowed a BroadcastNestedLoopJoin, each a documented pattern:
+# - x_embedding_pairs_exact: the O(n^2) exact ground-truth baseline (the
+#   scale path is the banded-LSH variant)
+# - x_tfidf_topterms / x_ref_integrity / q22_idle_balance: joins against a
+#   ONE-ROW aggregate (corpus size / totals / global avg) — a broadcast
+#   scalar, not a data-data cross join
+_BNLJ_ALLOWED = {
+    "x_embedding_pairs_exact",
+    "x_tfidf_topterms",
+    "x_ref_integrity",
+    "q22_idle_balance",
+}
+
+
+def test_no_cartesian_or_nested_loop_anywhere(spark):
+    """Registry-wide plan hygiene: no query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin only where a documented scalar/baseline
+    pattern requires it. A new query that accidentally cross-joins two
+    data-sized inputs fails here before it ever ships."""
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+        if name not in _BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans a nested-loop join (add to _BNLJ_ALLOWED only "
+                f"with a documented scalar/baseline reason):\n{plan}"
+            )
