@@ -2423,6 +2423,66 @@ LIMIT 20
 """
 
 
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking for training sequences: 64-token windows with
+    8 tokens of overlap, (doc_id, chunk_id, chunk_text, n_tokens)."""
+    from mydumper_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=64, overlap=8)
+
+
+_CHUNK_SQL = """
+SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
+       u.n_tokens AS n_tokens
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks), 56),
+                s -> struct_pack(chunk_id := s // 56,
+                                 chunk_text := array_to_string(toks[s+1:s+64], ' '),
+                                 n_tokens := least(len(toks) - s, 64)))) AS u
+  FROM (SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        FROM documents)
+  WHERE len(toks) > 0
+)
+"""
+
+
+def x_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide duplicate-line removal: each non-empty line
+    survives only at its first (doc_id, position) occurrence."""
+    from mydumper_spark.operators.corpus import dedup_lines_global
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_lines_global(docs)
+
+
+_DEDUP_LINES_SQL = """
+WITH raw AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ls) + 1),
+                  i -> struct_pack(pos := i - 1, line := ls[i]))) AS u
+    FROM raw)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         (trim(line) = '' OR
+          row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1) AS keep
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+                '') AS clean_text,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2512,6 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
+        "x_chunk_documents": x_chunk_documents,
+        "x_dedup_lines_global": x_dedup_lines_global,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -2595,6 +2657,8 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": _Q13_SQL,
         "q17_small_quantity_revenue": _Q17_SQL,
         "q21_waiting_supplier": _Q21_SQL,
+        "x_chunk_documents": _CHUNK_SQL,
+        "x_dedup_lines_global": _DEDUP_LINES_SQL,
         # x_dedup_canonical: rows-only (MinHash/xxhash64 graph, no DuckDB twin)
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or

@@ -1,0 +1,108 @@
+"""Corpus-level text preparation for training pipelines: token-window
+document chunking and global (cross-document) duplicate-line removal.
+
+Scale shapes:
+
+- **Chunking** is a per-row array computation (split → windowed slices →
+  posexplode): zero shuffles, whole-stage codegen, output rows ∝ input
+  tokens / stride. The training-sequence builder this feeds is a plain
+  repartition of already-small chunks.
+
+- **Global line dedup** is the C4/RefinedWeb rule "a line that occurs more
+  than once in the corpus is kept only at its first occurrence". Exact
+  global dedup is irreducibly a corpus-wide exchange: exploded lines
+  shuffle ONCE on the line value (corpus bytes cross the wire exactly
+  once — same as C4's implementation), then the survivors reassemble on
+  doc_id. The arbiter ("first" = smallest (doc_id, position)) is a total
+  order, so the result is deterministic under any partitioning; the
+  window state per line group is one row_number counter, so skewed lines
+  (boilerplate repeated millions of times) cost sort, not memory. A
+  recall-relaxed variant could shuffle 8-byte line hashes instead and
+  re-verify, trading a second pass for 10-100× less wire volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mydumper_spark.operators.dedup import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into token windows of ``max_tokens`` with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    (id, chunk_id, chunk_text, n_tokens). Empty documents yield no chunks.
+
+    Stride = max_tokens - overlap; the final chunk may be shorter. All
+    array expressions; one posexplode, no shuffle."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s + 1, max_tokens)).alias("chunk_text"),
+            F.least(n - s, F.lit(max_tokens)).alias("n_tokens"),
+        ),
+    )
+    exploded = df.where(n > 0).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide duplicate-line removal: every non-empty line value
+    survives only at its first occurrence (smallest (doc_id, position));
+    empty lines always survive (they carry paragraph structure, and
+    deduplicating them would merge unrelated paragraphs).
+
+    Returns (id, clean_text, n_kept, n_removed) with surviving lines
+    rejoined in original order."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = lines.withColumn(
+        "keep",
+        (F.trim(F.col("line")) == "") | (F.row_number().over(w) == 1),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""Token-window chunking + corpus-level line dedup (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mydumper_spark.operators.corpus import chunk_documents, dedup_lines_global
+
+
+def test_chunking_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    )
+    # stride 3: starts 0,3,6,9 -> windows [0:4),[3:7),[6:10),[9:10)
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    assert rows[0][1] == "t0 t1 t2 t3" and rows[0][2] == 4
+    assert rows[1][1] == "t3 t4 t5 t6"  # 1-token overlap carried
+    assert rows[3] == (3, "t9", 1)  # short tail chunk
+
+
+def test_chunking_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, max_tokens=4, overlap=1).collect()
+    # empty/whitespace docs vanish; short doc -> single chunk
+    assert {r["doc_id"] for r in rows} == {1}
+    assert rows[0]["chunk_text"] == "only two" and rows[0]["n_tokens"] == 2
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma\nshared line"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines_global(df).collect()}
+    # doc 1 holds the first occurrence -> untouched
+    assert rows[1]["clean_text"] == "alpha\nshared line\nbeta"
+    assert rows[1]["n_removed"] == 0
+    # doc 2 loses both later occurrences (in-doc repeat included)
+    assert rows[2]["clean_text"] == "gamma"
+    assert rows[2]["n_kept"] == 1 and rows[2]["n_removed"] == 2
+
+
+def test_dedup_lines_preserves_empty_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two"), (2, "other\n\nmore")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines_global(df).collect()}
+    # blank separators survive in BOTH docs (never deduplicated)
+    assert rows[1]["clean_text"] == "para one\n\npara two"
+    assert rows[2]["clean_text"] == "other\n\nmore"
