@@ -84,3 +84,27 @@ def test_repetition_empty_text_passes(spark):
     r = repetition_metrics(df).first()
     assert r["dup_3gram_ppm"] == 0 and r["dup_line_ppm"] == 0
     assert r["passes_repetition"]
+
+
+def test_repetition_gate_runs_in_streaming(spark, tmp_path, documents):
+    """The hygiene gates are stateless per-row expressions, so the same
+    operator composes unchanged into a Structured Streaming pipeline —
+    land parquet, stream it through repetition_metrics, availableNow."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    documents.limit(50).write.parquet(src)
+    stream = spark.readStream.schema(documents.schema).parquet(src)
+    gated = repetition_metrics(stream)
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    batch = {r["doc_id"]: r["dup_3gram_ppm"]
+             for r in repetition_metrics(documents.limit(50)).collect()}
+    for r in got.collect():
+        assert batch[r["doc_id"]] == r["dup_3gram_ppm"]
