@@ -135,6 +135,60 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prepare(args: argparse.Namespace) -> int:
+    """Training-data preparation pipeline over a documents parquet: exact or
+    MinHash dedup → repetition gate → quality floor → decontamination
+    against an eval parquet → optional token-window chunking → parquet out.
+    Stage order mirrors cost: cheap per-row gates run after dedup shrinks
+    the corpus, the broadcast decontamination runs on survivors only, and
+    chunking (the only row-multiplying stage) runs last."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.contamination import (
+        decontaminate, repetition_metrics,
+    )
+    from mydumper_spark.operators.corpus import chunk_documents
+    from mydumper_spark.operators.dedup import exact_dedup, minhash_dedup
+    from mydumper_spark.operators.text import quality_score
+
+    spark = _session(args.threads)
+    df = spark.read.parquet(args.source)
+    counts = {"input": df.count()}
+
+    if args.dedup == "exact":
+        df = exact_dedup(df)
+    elif args.dedup == "minhash":
+        df = minhash_dedup(df, jaccard_threshold=args.jaccard_threshold)
+    counts["after_dedup"] = df.count()
+
+    if args.repetition_gate:
+        gate = repetition_metrics(df).where("passes_repetition").select("doc_id")
+        df = df.join(gate, "doc_id", "left_semi")
+    if args.min_quality is not None:
+        q = quality_score(df).where(
+            F.col("quality") >= args.min_quality
+        ).select("doc_id")
+        df = df.join(q, "doc_id", "left_semi")
+    counts["after_quality"] = df.count()
+
+    if args.decontaminate_eval:
+        ev = spark.read.parquet(args.decontaminate_eval).selectExpr(
+            "doc_id AS eval_id", "text"
+        )
+        df = decontaminate(df, ev, min_shared=args.min_shared)
+    counts["after_decontamination"] = df.count()
+
+    out = df
+    if args.chunk_tokens:
+        out = chunk_documents(
+            df, max_tokens=args.chunk_tokens, overlap=args.chunk_overlap
+        )
+    out.write.mode("overwrite").parquet(args.outputdir)
+    counts["output_rows"] = spark.read.parquet(args.outputdir).count()
+    print(json.dumps(counts))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mydumper_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -177,6 +231,27 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--pk", help="per-table pk override: table=col[,table=col...]")
     f.add_argument("-t", "--threads", type=int)
     f.set_defaults(fn=cmd_diff)
+
+    pp = sub.add_parser(
+        "prepare", help="training-data pipeline: dedup → gates → decontaminate → chunk"
+    )
+    pp.add_argument("--source", required=True, help="documents parquet path")
+    pp.add_argument("-o", "--outputdir", required=True)
+    pp.add_argument("--dedup", default="exact", choices=["none", "exact", "minhash"])
+    pp.add_argument("--jaccard-threshold", type=float, default=0.8)
+    pp.add_argument("--repetition-gate", action="store_true",
+                    help="drop docs failing the dup-3gram/dup-line gates")
+    pp.add_argument("--min-quality", type=float, default=None,
+                    help="drop docs below this quality_score")
+    pp.add_argument("--decontaminate-eval", default=None,
+                    help="parquet of eval docs (doc_id, text) to scrub against")
+    pp.add_argument("--min-shared", type=int, default=3,
+                    help="shared-shingle threshold for contamination")
+    pp.add_argument("--chunk-tokens", type=int, default=None,
+                    help="emit token-window chunks of this size instead of docs")
+    pp.add_argument("--chunk-overlap", type=int, default=8)
+    pp.add_argument("-t", "--threads", type=int)
+    pp.set_defaults(fn=cmd_prepare)
     return p
 
 

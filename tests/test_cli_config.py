@@ -273,3 +273,36 @@ def test_cli_diff(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     # old = keys 0-19, new = keys 5-24 → 5 added (20-24), 5 deleted (0-4)
     assert out["nation"] == {"added": 5, "deleted": 5, "changed": 0}
+
+
+def test_cli_prepare_pipeline(tmp_path):
+    """`prepare` subcommand end-to-end: exact dedup + repetition gate +
+    decontamination + chunking over the documents fixture, counts sane."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    ev = str(tmp_path / "eval")
+    out = str(tmp_path / "prepared")
+    # eval set = the doc_id%100==0 docs, extracted via a plain dump of the
+    # documents table then filtered here with pyarrow-free spark-less tools:
+    # simplest is to reuse the fixture itself as the eval source
+    import duckdb
+
+    duckdb.sql(
+        "COPY (SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') WHERE doc_id % 100 = 0) "
+        f"TO '{ev}' (FORMAT PARQUET)"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--dedup", "exact", "--repetition-gate",
+         "--decontaminate-eval", ev, "--min-shared", "3",
+         "--chunk-tokens", "64", "--chunk-overlap", "8", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    # every stage monotonically shrinks the doc count...
+    assert counts["input"] >= counts["after_dedup"] >= counts["after_quality"]
+    assert counts["after_quality"] >= counts["after_decontamination"] > 0
+    # ...and chunking re-expands into at least one chunk per surviving doc
+    assert counts["output_rows"] >= counts["after_decontamination"]
