@@ -224,6 +224,73 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the write-time ANN layout SCALE.md promises: full
+    hyperplane signature as a column, first ``band_bits`` signature bits as
+    the parquet PARTITION column. A query then reads only partitions whose
+    band is within the probe Hamming budget — partition pruning does the
+    candidate selection, so query cost scales with selectivity, not corpus
+    size."""
+    sig = simhash_embedding_signature(F.col(vec_col), dim, num_planes)
+    indexed = embeddings.withColumn("__sig", sig).withColumn(
+        "sig_band", F.col("__sig").bitwiseAND(F.lit((1 << band_bits) - 1))
+    )
+    indexed.write.mode("overwrite").partitionBy("sig_band").parquet(path)
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 16,
+    band_bits: int = 4,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted index: identical results to the inline
+    :func:`ann_topk` (pytest-pinned) but reading ONLY partitions whose
+    ``sig_band`` lies within ``probe_hamming`` bits of the query band — a
+    candidate's full-signature Hamming distance is ≥ its band distance, so
+    the pruned set is lossless. Probed partitions = Σ C(band_bits, i) for
+    i ≤ probe_hamming (e.g. 11 of 16 at 4 bits / h=2), and the scan plan
+    shows the pruning as PartitionFilters."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # driver-side query signature + band neighborhood (tiny, pure python)
+    import hashlib
+
+    qsig = 0
+    for p in range(num_planes):
+        acc = 0.0
+        for d, v in enumerate(query_vec):
+            h = hashlib.sha256(f"plane:{p}:{d}".encode()).digest()
+            acc += v * (1.0 if h[0] % 2 == 0 else -1.0)
+        if acc > 0:
+            qsig |= 1 << p
+    qband = qsig & ((1 << band_bits) - 1)
+    bands = [
+        b for b in range(1 << band_bits)
+        if bin(b ^ qband).count("1") <= probe_hamming
+    ]
+    df = spark.read.parquet(path).where(F.col("sig_band").isin(bands))
+    candidates = df.where(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
+    scored = candidates.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.95,

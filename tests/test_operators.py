@@ -632,3 +632,33 @@ def test_apply_diff_roundtrip(spark):
     d = snapshot_diff(old, new, ["pk"])
     merged = {(r["pk"], r["v"]) for r in apply_diff(old, new, d, ["pk"]).collect()}
     assert merged == {(r["pk"], r["v"]) for r in new.collect()}
+
+
+def test_ann_index_pruned_query_matches_inline(spark, embeddings, tmp_path):
+    """The persisted-ANN layout: partitioned write, pruned read. The indexed
+    query must equal the inline ann_topk exactly (band pruning is lossless
+    for the same probe budget), and the scan must actually prune — fewer
+    input files than the full index, PartitionFilters in the plan."""
+    from mydumper_spark.operators.similarity import ann_topk, ann_topk_indexed, write_ann_index
+
+    path = str(tmp_path / "ann_idx")
+    dim = len(embeddings.first()["embedding"])
+    write_ann_index(embeddings, path, dim=dim, num_planes=16, band_bits=4)
+    qvec = [float(v) for v in embeddings.where("vec_id = 0").first()["embedding"]]
+
+    inline = ann_topk(embeddings, qvec, k=10, num_planes=16, probe_hamming=2).collect()
+    indexed_df = ann_topk_indexed(spark, path, qvec, k=10, num_planes=16,
+                                  band_bits=4, probe_hamming=2)
+    indexed = indexed_df.collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in indexed] == [
+        (r["vec_id"], r["cosine_sim"]) for r in inline
+    ]
+
+    # pruning proof: the scan's PartitionFilters must enumerate exactly the
+    # 11-of-16 bands within Hamming 2 of the query band (sum C(4,i), i<=2)
+    # — inputFiles() reflects the unpruned relation, so assert on the plan
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [sig_band" in plan, plan
+    inset = plan.split("PartitionFilters: [sig_band")[1].split("]")[0]
+    n_bands = len(inset.split("INSET")[1].split(","))
+    assert n_bands == 11, (n_bands, inset)
