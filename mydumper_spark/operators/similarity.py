@@ -291,6 +291,48 @@ def ann_topk_indexed(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF layout: cell assignment as a parquet partition
+    column (``__cell``). Returns the centroids — the caller persists them
+    alongside (they ARE the index metadata a query needs)."""
+    assigned, cents = ivf_assign_cells(embeddings, n_cells, id_col, vec_col, centroids)
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted IVF index: identical to :func:`ivf_topk` over the
+    same centroids (pytest-pinned), but candidate selection is partition
+    pruning — only the ``n_probe`` nearest cells' directories are read."""
+    qdots = [
+        (i, sum(q * x for q, x in zip(query_vec, c)) - sum(x * x for x in c) / 2.0)
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(qdots, key=lambda t: -t[1])[:n_probe]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    df = spark.read.parquet(path).where(F.col("__cell").isin(probe))
+    scored = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -662,3 +662,28 @@ def test_ann_index_pruned_query_matches_inline(spark, embeddings, tmp_path):
     inset = plan.split("PartitionFilters: [sig_band")[1].split("]")[0]
     n_bands = len(inset.split("INSET")[1].split(","))
     assert n_bands == 11, (n_bands, inset)
+
+
+def test_ivf_index_pruned_query_matches_inline(spark, embeddings, tmp_path):
+    """Persisted IVF: partitioned by cell, query reads only probed cells,
+    result identical to the inline ivf_topk over the same centroids."""
+    from mydumper_spark.operators.similarity import (
+        ivf_topk, ivf_topk_indexed, train_ivf_centroids, write_ivf_index,
+    )
+
+    corpus = embeddings.where("vec_id <> 0")
+    qvec = [float(v) for v in embeddings.where("vec_id = 0").first()["embedding"]]
+    cents = train_ivf_centroids(corpus, n_cells=4, sample_n=5000)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(corpus, path, n_cells=4, centroids=cents)
+
+    inline = ivf_topk(corpus, qvec, k=10, n_cells=4, n_probe=2, centroids=cents).collect()
+    indexed_df = ivf_topk_indexed(spark, path, cents, qvec, k=10, n_probe=2)
+    assert [(r["vec_id"], r["cosine_sim"]) for r in indexed_df.collect()] == [
+        (r["vec_id"], r["cosine_sim"]) for r in inline
+    ]
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [__cell" in plan, plan
+    inset = plan.split("PartitionFilters: [__cell")[1].split("]")[0]
+    n_cells_read = len(inset.split("(")[-1].split(","))
+    assert n_cells_read == 2, (n_cells_read, inset)
