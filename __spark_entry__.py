@@ -2483,6 +2483,37 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def x_token_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency document scoring (perplexity-proxy quality filter):
+    per doc, mean corpus frequency of its tokens in ppb — pure BIGINT
+    arithmetic end-to-end, so the oracle comparison is exact."""
+    from mydumper_spark.operators.text import token_frequency_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_frequency_score(docs)
+
+
+_TOKEN_FREQ_SQL = """
+WITH toked AS (
+  SELECT doc_id, unnest(toks) AS word
+  FROM (SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        FROM documents)
+),
+counts AS (SELECT word, count(*) AS cnt FROM toked GROUP BY word),
+vocab AS (
+  SELECT word, cnt * 1000000000 // (SELECT sum(cnt) FROM counts) AS freq_ppb
+  FROM counts
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(v.freq_ppb) // count(*) AS BIGINT) AS mean_token_freq_ppb
+FROM toked t JOIN vocab v USING (word)
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2574,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "x_chunk_documents": x_chunk_documents,
         "x_dedup_lines_global": x_dedup_lines_global,
+        "x_token_frequency_score": x_token_frequency_score,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -2659,6 +2691,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_supplier": _Q21_SQL,
         "x_chunk_documents": _CHUNK_SQL,
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
+        "x_token_frequency_score": _TOKEN_FREQ_SQL,
         # x_dedup_canonical: rows-only (MinHash/xxhash64 graph, no DuckDB twin)
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or

@@ -361,6 +361,51 @@ def doc_frequency(
     )
 
 
+def token_frequency_score(
+    df: DataFrame,
+    col_name: str = "text",
+    id_col: str = "doc_id",
+    vocab_top: int | None = None,
+) -> DataFrame:
+    """Corpus-frequency document score — the integer-exact stand-in for a
+    unigram-LM perplexity filter: per document, the mean corpus frequency of
+    its tokens in parts-per-billion. Rare-word-heavy (noisy, OOV-dense)
+    documents score low; boilerplate scores high; both tails are filter
+    candidates.
+
+    Two passes: (1) corpus word counts — at 100 TB cap with ``vocab_top``
+    (words outside the cap contribute 0, the LM OOV floor; frequencies then
+    renormalize over the retained vocab) so the vocab side stays
+    broadcastable; (2) explode tokens, broadcast-join the vocab, average
+    per doc. ALL arithmetic is BIGINT: per-token ppb = count*1e9 DIV
+    total_tokens, doc score = sum(ppb) DIV n_tokens — no floats anywhere,
+    so the result is bit-identical in any engine (floats would differ in
+    ln()/rounding ULPs across runtimes). count*1e9 needs headroom: BIGINT
+    is safe to ~9e9 occurrences of one word (≈10¹³ corpus tokens); past
+    that, swap the two DIV expressions to DECIMAL(38,0) — both engines
+    support it and the arithmetic stays exact.
+
+    Returns (id, n_tokens, mean_token_freq_ppb)."""
+    from mydumper_spark.operators.dedup import tokens
+
+    toked = df.select(F.col(id_col), F.explode(tokens(F.col(col_name))).alias("word"))
+    counts = toked.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if vocab_top is not None:
+        counts = counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(vocab_top)
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.expr("cnt * 1000000000 DIV total_tokens").alias("freq_ppb"),
+    )
+    scored = toked.join(F.broadcast(vocab), "word", "left").select(
+        id_col, F.coalesce("freq_ppb", F.lit(0)).alias("freq_ppb")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("sum(freq_ppb) DIV count(1)").alias("mean_token_freq_ppb"),
+    )
+
+
 #: PII patterns → replacement tokens. Deliberately RE2-compatible (no
 #: backreferences/lookarounds) so the same pattern text runs in Spark (Java
 #: regex) and any RE2 engine.

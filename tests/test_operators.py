@@ -687,3 +687,30 @@ def test_ivf_index_pruned_query_matches_inline(spark, embeddings, tmp_path):
     inset = plan.split("PartitionFilters: [__cell")[1].split("]")[0]
     n_cells_read = len(inset.split("(")[-1].split(","))
     assert n_cells_read == 2, (n_cells_read, inset)
+
+
+def test_token_frequency_score_planted(spark):
+    # corpus: 10 tokens total; "common" appears 5x, rares once each
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common common"),   # all high-freq
+            (2, "rare1 rare2 rare3 rare4 rare5"),        # all 1/10 freq
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.token_frequency_score(df).collect()}
+    # common: 5/10 = 500000000 ppb; rare: 1/10 = 100000000 ppb
+    assert rows[1]["mean_token_freq_ppb"] == 500_000_000
+    assert rows[2]["mean_token_freq_ppb"] == 100_000_000
+    assert rows[1]["n_tokens"] == rows[2]["n_tokens"] == 5
+
+
+def test_token_frequency_vocab_cap_renormalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b b c d")], "doc_id long, text string"
+    )
+    # cap to top-1 vocab (a: 3 occurrences of 8 -> but renormalized over
+    # retained vocab: 3/3); words outside cap score 0
+    rows = {r["doc_id"]: r for r in tx.token_frequency_score(df, vocab_top=1).collect()}
+    assert rows[1]["mean_token_freq_ppb"] == 750_000_000  # (3*1e9 + 0) DIV 4
+    assert rows[2]["mean_token_freq_ppb"] == 0

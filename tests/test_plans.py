@@ -199,14 +199,16 @@ def test_round4_tpch_plan_shapes(spark):
 # Queries allowed a BroadcastNestedLoopJoin, each a documented pattern:
 # - x_embedding_pairs_exact: the O(n^2) exact ground-truth baseline (the
 #   scale path is the banded-LSH variant)
-# - x_tfidf_topterms / x_ref_integrity / q22_idle_balance: joins against a
-#   ONE-ROW aggregate (corpus size / totals / global avg) — a broadcast
-#   scalar, not a data-data cross join
+# - x_tfidf_topterms / x_ref_integrity / q22_idle_balance /
+#   x_token_frequency_score: joins against a ONE-ROW aggregate (corpus
+#   size / totals / global avg / total token count) — a broadcast scalar,
+#   not a data-data cross join
 _BNLJ_ALLOWED = {
     "x_embedding_pairs_exact",
     "x_tfidf_topterms",
     "x_ref_integrity",
     "q22_idle_balance",
+    "x_token_frequency_score",
 }
 
 
