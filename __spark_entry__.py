@@ -974,6 +974,22 @@ reach(id, lab) AS (
 SELECT id, min(lab) AS comp FROM reach GROUP BY id
 """
 
+_DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_SHINGLE_DOCS_CTE},
+edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
+          UNION ALL
+          SELECT id_b, id_a FROM exact_pairs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+),
+comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS canonical_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
 
 def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: corpus docs sharing ≥3 distinct word
@@ -2107,8 +2123,10 @@ GROUP BY ev.event_type ORDER BY ev.event_type
 def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup canonicalization map: every doc → its cluster's
     canonical (minimum) doc_id, singletons mapping to themselves — the
-    final artifact a dedup pipeline ships (rows-only: builds on the
-    xxhash64 MinHash graph)."""
+    final artifact a dedup pipeline ships. Oracle-backed like its inputs:
+    the minhash graph provably equals the exact-Jaccard edge set on this
+    fixture (see x_minhash_pairs), so DuckDB rebuilds the same map from
+    first principles (recursive closure + LEFT JOIN for singletons)."""
     from mydumper_spark.operators.dedup import connected_components, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -2606,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunk_documents": x_chunk_documents,
         "x_dedup_lines_global": x_dedup_lines_global,
         "x_token_frequency_score": x_token_frequency_score,
+        "x_dedup_canonical": x_dedup_canonical,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -2613,7 +2632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ann_topk": x_ann_topk,
         "x_ivf_topk": x_ivf_topk,
         "x_winnow_overlap": x_winnow_overlap,
-        "x_dedup_canonical": x_dedup_canonical,
     }
 
 
@@ -2692,7 +2710,7 @@ def oracle_sql() -> dict[str, str]:
         "x_chunk_documents": _CHUNK_SQL,
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
-        # x_dedup_canonical: rows-only (MinHash/xxhash64 graph, no DuckDB twin)
+        "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —
