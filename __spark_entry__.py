@@ -16,11 +16,13 @@ are kept identical on both sides:
 
 Queries with no ``oracle_sql`` entry (rows-only check) are the genuinely
 non-oracle-able ones: simhash/winnow near-dup sketches, embedding/ANN/IVF
-bucketing (approximate by design — recall vs exact is pytest-asserted), the
-masquerade random generators, and the dedup-canonical map. MinHash pairs and
-connected components DO have oracles: their verified outputs provably equal
-exact ground truth on this fixture (all-pairs shingle Jaccard / recursive-CTE
-closure), which DuckDB can compute from first principles.
+bucketing (approximate by design — recall vs exact is pytest-asserted), and
+the raw masquerade random generators. The MinHash pipeline (pairs, connected
+components, canonical map) DOES have oracles: its verified outputs provably
+equal exact ground truth on this fixture (all-pairs shingle Jaccard /
+recursive-CTE closure), which DuckDB computes from first principles; the
+masquerade generators additionally expose a property oracle
+(``x_masquerade_properties``) asserting the generator contract in SQL.
 """
 
 from __future__ import annotations
@@ -2532,6 +2534,42 @@ GROUP BY t.doc_id
 """
 
 
+def x_masquerade_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property oracle for the T2/T3/T4 random generators: the xxhash64
+    values themselves have no DuckDB twin, but their CONTRACT does —
+    length preservation, charset, and v4-uuid shape are computed Spark-side
+    from the actual generated values; the oracle asserts every property
+    TRUE for every row (the reference pins the same invariants in its
+    masquerade tests)."""
+    from mydumper_spark.functions import masquerade as mq
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    fake_name = mq.random_string(F.col("c_name"))
+    fake_int = mq.random_int(F.col("c_custkey"))
+    fake_uuid = mq.random_uuid(F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        (F.length(fake_name) == F.length("c_name")).alias("name_len_preserved"),
+        fake_name.rlike("^[a-z]*$").alias("name_lowercase_alpha"),
+        (
+            F.length(fake_int) == F.length(F.col("c_custkey").cast("string"))
+        ).alias("int_len_preserved"),
+        fake_int.rlike("^[0-9]+$").alias("int_all_digits"),
+        fake_uuid.rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-a[0-9a-f]{3}-[0-9a-f]{12}$"
+        ).alias("uuid_v4_shaped"),
+    )
+
+
+_MASQ_PROPS_SQL = """
+SELECT c_custkey,
+       true AS name_len_preserved, true AS name_lowercase_alpha,
+       true AS int_len_preserved, true AS int_all_digits,
+       true AS uuid_v4_shaped
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2625,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_lines_global": x_dedup_lines_global,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
+        "x_masquerade_properties": x_masquerade_properties,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -2711,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
+        "x_masquerade_properties": _MASQ_PROPS_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —
