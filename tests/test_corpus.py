@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mydumper_spark.operators.corpus import chunk_documents, dedup_lines_global
 
@@ -63,3 +64,50 @@ def test_dedup_lines_preserves_empty_lines(spark):
     # blank separators survive in BOTH docs (never deduplicated)
     assert rows[1]["clean_text"] == "para one\n\npara two"
     assert rows[2]["clean_text"] == "other\n\nmore"
+
+
+def test_chunking_reconstructs_token_stream(spark):
+    """Algebraic invariant: dropping each non-first chunk's overlap prefix
+    and concatenating reconstructs the exact token stream, for any
+    (max_tokens, overlap) — chunking must neither lose nor duplicate."""
+    texts = [
+        " ".join(f"w{i}" for i in range(n)) for n in (1, 5, 7, 8, 9, 63, 64, 65, 200)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for max_tokens, overlap in ((8, 3), (64, 8), (16, 0)):
+        stride = max_tokens - overlap
+        rows = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+        for doc_id, chunks in by_doc.items():
+            chunks.sort()
+            toks: list[str] = []
+            for cid, ctext in chunks:
+                parts = ctext.split(" ")
+                toks.extend(parts if cid == 0 else parts[overlap:])
+            assert toks == texts[doc_id].split(" "), (doc_id, max_tokens, overlap)
+
+
+def test_dedup_lines_idempotent(spark):
+    """Applying global line dedup to its own output changes nothing —
+    the survivor set is already duplicate-free."""
+    df = spark.createDataFrame(
+        [
+            (1, "keep\nshared\nkeep too"),
+            (2, "shared\nother\nshared"),
+            (3, "other\n\nlast"),
+        ],
+        "doc_id long, text string",
+    )
+    once = dedup_lines_global(df).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = dedup_lines_global(once)
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in twice.collect()}
+    base = {r["doc_id"]: r["clean_text"] for r in dedup_lines_global(df).collect()}
+    for doc_id, (text, n_removed) in got.items():
+        assert n_removed == 0, (doc_id, got)
+        assert text == base[doc_id]
