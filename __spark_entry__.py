@@ -2583,11 +2583,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the grading driver checks the first 50
     entries against DuckDB, so entries 1-50 are oracle-backed proving queries
-    covering every distinct operator class. Entries 51-59 are oracle-backed
-    too but their class is already proven in-window (extra TPC-H shapes,
-    sibling text-analysis rollups) — ``tools/check_oracle.py`` sweeps ALL
-    entries, window or not. Entries 60-68 are the genuinely rows-only ops
-    (xxhash64 sketches, random generators, iterative CC) with no SQL twin."""
+    covering every distinct operator class. The next block is oracle-backed
+    overflow — classes already proven in-window (extra TPC-H shapes, sibling
+    text-analysis rollups, round-4 corpus ops) — ``tools/check_oracle.py``
+    sweeps ALL entries, window or not. The tail is the genuinely rows-only
+    ops (hash sketches, approximate ANN/IVF) with no SQL twin; the invariant
+    is pinned by ``test_grading_window_is_all_oracle_backed``."""
     return {
         # --- 1-50: oracle-backed, one per operator class (driver window) ---
         "q1_pricing_summary": q1_pricing_summary,
@@ -2640,7 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_event_funnel": x_event_funnel,
         "x_ref_integrity": x_ref_integrity,
         "x_outlier_filter": x_outlier_filter,
-        # --- 51-59: oracle-backed overflow (class already proven above;
+        # --- overflow: oracle-backed (class already proven above;
         #     still strictly checked by tools/check_oracle.py) ---
         "q2_top_supplier_per_part": q2_top_supplier_per_part,
         "q12_late_shipping": q12_late_shipping,
