@@ -49,7 +49,11 @@ EXPECTED: dict[str, dict[str, set[str]]] = {
         "o_custkey": {"int64"},
         "o_orderstatus": {"string", "large_string"},
         "o_totalprice": {"double"},
-        "o_orderdate": {"timestamp[us]", "timestamp[ns]"},
+        # [us] ONLY: a TIMESTAMP(NANOS) regeneration would read as bigint
+        # under nanosAsLong and silently break every date-literal filter —
+        # that drift must fail here, loudly (events.ts is the one column
+        # with a type-aware reader; these are not)
+        "o_orderdate": {"timestamp[us]"},
         "o_orderpriority": {"string", "large_string"},
     },
     "lineitem": {
@@ -63,7 +67,7 @@ EXPECTED: dict[str, dict[str, set[str]]] = {
         "l_tax": {"double"},
         "l_returnflag": {"string", "large_string"},
         "l_linestatus": {"string", "large_string"},
-        "l_shipdate": {"timestamp[us]", "timestamp[ns]"},
+        "l_shipdate": {"timestamp[us]"},  # [us] ONLY — see o_orderdate
     },
     "events": {
         "event_id": {"int64"},
