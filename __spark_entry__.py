@@ -823,7 +823,7 @@ def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").desc(), F.col("c_custkey").asc()
     )
     return (
-        cust.withColumn("rank_in_nation", F.row_number().over(w))
+        cust.withColumn("rank_in_nation", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank_in_nation") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rank_in_nation")
     )
@@ -1722,7 +1722,7 @@ def x_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        count(*) AS n_lines,
        round(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0, 2)
          AS revenue
@@ -1779,7 +1779,7 @@ def x_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
         F.round(F.sum(_cents(F.col("o_totalprice"))).over(cum) / 100.0, 2).alias(
             "cum_spend"
         ),
@@ -2115,8 +2115,8 @@ bounds AS (
   FROM q25 JOIN q75 USING (event_type)
 )
 SELECT ev.event_type, count(*) AS n_rows,
-       sum(CASE WHEN ev.v_c < b.lo_c OR ev.v_c > b.hi_c THEN 1 ELSE 0 END)
-         AS n_outliers
+       CAST(sum(CASE WHEN ev.v_c < b.lo_c OR ev.v_c > b.hi_c THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_outliers
 FROM ev JOIN bounds b USING (event_type)
 GROUP BY ev.event_type ORDER BY ev.event_type
 """
@@ -2457,7 +2457,7 @@ SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
        u.n_tokens AS n_tokens
 FROM (
   SELECT doc_id,
-         unnest(list_transform(range(0, len(toks), 56),
+         unnest(list_transform(range(0, greatest(len(toks) - 8, 1), 56),
                 s -> struct_pack(chunk_id := s // 56,
                                  chunk_text := array_to_string(toks[s+1:s+64], ' '),
                                  n_tokens := least(len(toks) - s, 64)))) AS u

@@ -41,14 +41,17 @@ def chunk_documents(
     ``overlap`` tokens of context carried between consecutive chunks —
     (id, chunk_id, chunk_text, n_tokens). Empty documents yield no chunks.
 
-    Stride = max_tokens - overlap; the final chunk may be shorter. All
+    Stride = max_tokens - overlap; the final chunk may be shorter. A start
+    past ``n - 1 - overlap`` would emit only tokens already present as the
+    previous chunk's overlap tail (pure duplicate training content), so
+    starts are bounded at the last index that contributes a new token. All
     array expressions; one posexplode, no shuffle."""
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1 - overlap, F.lit(0)), F.lit(stride))
     chunks = F.transform(
         starts,
         lambda s: F.struct(

@@ -59,18 +59,29 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
-def _hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: Rademacher ±1 coefficients
-    derived from sha256(plane,dim) on the driver and inlined as an array
-    literal — constant-folded by Catalyst, so signature evaluation is one
-    zip_with/aggregate per plane with zero per-row branching."""
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """Rademacher ±1 coefficients for one deterministic hyperplane, derived
+    from sha256(plane, dim). The single source of truth for BOTH the
+    executor-side signature column (:func:`_hyperplane`) and the driver-side
+    query signature in :func:`ann_topk_indexed` — a persisted index's ``__sig``
+    values and the query signature must come from the same planes or the
+    pruned candidate set is silently wrong."""
     import hashlib
 
-    signs = []
-    for d in range(dim):
-        h = hashlib.sha256(f"plane:{plane}:{d}".encode()).digest()
-        signs.append(1.0 if h[0] % 2 == 0 else -1.0)
-    return F.array(*[F.lit(s) for s in signs])
+    return [
+        1.0
+        if hashlib.sha256(f"plane:{plane}:{d}".encode()).digest()[0] % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: :func:`_plane_signs`
+    coefficients inlined as an array literal — constant-folded by Catalyst,
+    so signature evaluation is one zip_with/aggregate per plane with zero
+    per-row branching."""
+    return F.array(*[F.lit(s) for s in _plane_signs(plane, dim)])
 
 
 def simhash_embedding_signature(
@@ -265,16 +276,12 @@ def ann_topk_indexed(
     i ≤ probe_hamming (e.g. 11 of 16 at 4 bits / h=2), and the scan plan
     shows the pruning as PartitionFilters."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    # driver-side query signature + band neighborhood (tiny, pure python)
-    import hashlib
-
+    # driver-side query signature + band neighborhood (tiny, pure python);
+    # plane coefficients shared with the persisted __sig via _plane_signs
     qsig = 0
     for p in range(num_planes):
-        acc = 0.0
-        for d, v in enumerate(query_vec):
-            h = hashlib.sha256(f"plane:{p}:{d}".encode()).digest()
-            acc += v * (1.0 if h[0] % 2 == 0 else -1.0)
-        if acc > 0:
+        signs = _plane_signs(p, len(query_vec))
+        if sum(v * s for v, s in zip(query_vec, signs)) > 0:
             qsig |= 1 << p
     qband = qsig & ((1 << band_bits) - 1)
     bands = [

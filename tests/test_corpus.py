@@ -15,11 +15,13 @@ def test_chunking_windows_and_overlap(spark):
         (r["chunk_id"], r["chunk_text"], r["n_tokens"])
         for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
     )
-    # stride 3: starts 0,3,6,9 -> windows [0:4),[3:7),[6:10),[9:10)
-    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    # stride 3, starts bounded at n-1-overlap=8: 0,3,6 -> [0:4),[3:7),[6:10).
+    # A start at 9 would emit only "t9" — already chunk 2's overlap tail —
+    # so it must NOT appear.
+    assert [r[0] for r in rows] == [0, 1, 2]
     assert rows[0][1] == "t0 t1 t2 t3" and rows[0][2] == 4
     assert rows[1][1] == "t3 t4 t5 t6"  # 1-token overlap carried
-    assert rows[3] == (3, "t9", 1)  # short tail chunk
+    assert rows[2] == (2, "t6 t7 t8 t9", 4)  # tail reaches the last token
 
 
 def test_chunking_short_and_empty_docs(spark):
@@ -87,6 +89,11 @@ def test_chunking_reconstructs_token_stream(spark):
             toks: list[str] = []
             for cid, ctext in chunks:
                 parts = ctext.split(" ")
+                if cid > 0:
+                    # every non-first chunk must contribute ≥1 NEW token —
+                    # a chunk that is purely the previous chunk's overlap
+                    # tail duplicates training content
+                    assert len(parts) > overlap, (doc_id, cid, max_tokens, overlap)
                 toks.extend(parts if cid == 0 else parts[overlap:])
             assert toks == texts[doc_id].split(" "), (doc_id, max_tokens, overlap)
 
