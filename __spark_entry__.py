@@ -2571,6 +2571,233 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# Derived partsupp — unlocks TPC-H Q9/Q11/Q16 (fixture ships no partsupp)
+# ---------------------------------------------------------------------------
+#
+# The fixture has 9 tables but no partsupp, which blocked the three classic
+# part-supplier join shapes (the catalog-join pattern of
+# /root/reference/src/mydumper/mydumper_jobs.c:129-137 scaled to data).
+# Solution: derive a deterministic partsupp relation with pure BIGINT
+# modular arithmetic — 4 suppliers per part, TPC-H-style offset spreading —
+# expressed IDENTICALLY in Spark and in the DuckDB oracle SQL, so both
+# engines see the same relation and the join shapes become gradeable.
+# Keys are 0-based to match the fixture (p_partkey 0..N-1, s_suppkey
+# 0..S-1):
+#
+#   ps_suppkey      = (p_partkey + k * (S // 4)) % S      for k in 0..3
+#   ps_availqty     = (p_partkey * 11 + k * 7) % 9999 + 1
+#   ps_supplycost_c = (p_partkey * 31 + k * 17) % 99000 + 100   (cents)
+#
+# The k-offsets are distinct mod S for every fixture scale (S = 10/100/1000,
+# all divisible by 4... S=10 gives offsets 0,2,4,6), so (ps_partkey,
+# ps_suppkey) is unique — the partsupp PK invariant the joins rely on.
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp derived from part × 4 pseudo-suppliers. The supplier count
+    is a driver-side planning statistic (one COUNT, same class as the chunk
+    planner's bounds queries); all per-row arithmetic constant-folds into a
+    narrow codegen projection over part — at 100 TB this derivation is
+    embarrassingly parallel, no shuffle."""
+    part = _t(spark, sf_dir, "part")
+    ns = _t(spark, sf_dir, "supplier").count()
+    step = ns // 4
+    ps = part.select(
+        F.col("p_partkey"),
+        F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(4)])).alias("k"),
+    )
+    return ps.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") + F.col("k") * F.lit(step)) % F.lit(ns)).alias(
+            "ps_suppkey"
+        ),
+        ((F.col("p_partkey") * 11 + F.col("k") * 7) % 9999 + 1).alias("ps_availqty"),
+        ((F.col("p_partkey") * 31 + F.col("k") * 17) % 99000 + 100).alias(
+            "ps_supplycost_c"
+        ),
+    )
+
+
+# The same relation as a DuckDB CTE, prefixed to each oracle below. The
+# supplier count enters as a scalar subquery, so the SQL is sf-adaptive
+# exactly like the Spark side's driver count.
+_PS_CTE = """
+ps AS (
+  SELECT p.p_partkey AS ps_partkey,
+         (p.p_partkey + k.k * ((SELECT CAST(count(*) AS BIGINT) FROM supplier) // 4))
+           % (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS ps_suppkey,
+         (p.p_partkey * 11 + k.k * 7) % 9999 + 1 AS ps_availqty,
+         (p.p_partkey * 31 + k.k * 17) % 99000 + 100 AS ps_supplycost_c
+  FROM part p
+  CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) k
+)
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) over the
+    derived partsupp. Join shape at scale: lineitem (the fact) shuffles
+    never — part, derived partsupp, supplier, nation, orders-projection all
+    broadcast-joined onto it; profit in integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    ps = _derived_partsupp(spark, sf_dir)
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    amount_c = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - F.col("ps_supplycost_c") * F.round("l_quantity").cast("bigint")
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount_c.alias("amount_c"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount_c") / 100.0, 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q9_SQL = f"""
+WITH {_PS_CTE.strip()}
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)
+                       - ps.ps_supplycost_c
+                         * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part inventory
+    value within a nation group (3 nations, so every fixture scale has
+    suppliers in scope), kept when above 1/10000 of the group total.
+    The threshold compare is exact BIGINT (value_c * 10000 > total_c) — no
+    float fraction; the total enters as a broadcast 1×1 scalar."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_9", "NATION_3", "NATION_18"))
+        .select("n_nationkey")
+    )
+    g = ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    agg = g.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("value_c")
+    )
+    total = agg.agg(F.sum("value_c").alias("total_c"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .where(F.col("value_c") * 10000 > F.col("total_c"))
+        .select("ps_partkey", F.round(F.col("value_c") / 100.0, 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+_Q11_SQL = f"""
+WITH {_PS_CTE.strip()},
+g AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost_c, ps.ps_availqty
+  FROM ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN ('NATION_9', 'NATION_3', 'NATION_18')
+),
+agg AS (
+  SELECT ps_partkey,
+         CAST(sum(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+  FROM g GROUP BY ps_partkey
+)
+SELECT ps_partkey, round(value_c / 100.0, 2) AS value
+FROM agg
+WHERE value_c * 10000 > (SELECT CAST(sum(value_c) AS BIGINT) FROM agg)
+ORDER BY value DESC, ps_partkey ASC
+"""
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) bucket, excluding one brand, one type
+    family, and "problem" suppliers. The reference fixture has no s_comment,
+    so the complaints exclusion becomes a negative-balance exclusion — the
+    same anti-join shape. Derived partsupp joins part (broadcast) then a
+    broadcast anti-join removes excluded suppliers; countDistinct shuffles
+    only the small grouped projection."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").like("PROMO%"))
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    j = ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey).join(
+        F.broadcast(bad_supp), "ps_suppkey", "left_anti"
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+_Q16_SQL = f"""
+WITH {_PS_CTE.strip()}
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON ps.ps_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2660,6 +2887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_relationship": q16_supplier_relationship,
         "x_chunk_documents": x_chunk_documents,
         "x_dedup_lines_global": x_dedup_lines_global,
         "x_token_frequency_score": x_token_frequency_score,
@@ -2747,6 +2977,9 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": _Q13_SQL,
         "q17_small_quantity_revenue": _Q17_SQL,
         "q21_waiting_supplier": _Q21_SQL,
+        "q9_product_profit": _Q9_SQL,
+        "q11_important_stock": _Q11_SQL,
+        "q16_supplier_relationship": _Q16_SQL,
         "x_chunk_documents": _CHUNK_SQL,
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,

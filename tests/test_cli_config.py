@@ -306,3 +306,26 @@ def test_cli_prepare_pipeline(tmp_path):
     assert counts["after_quality"] >= counts["after_decontamination"] > 0
     # ...and chunking re-expands into at least one chunk per surviving doc
     assert counts["output_rows"] >= counts["after_decontamination"]
+
+
+def test_prepare_stage_counts_materialize_cache(spark):
+    """persist_and_count must leave the stage cached so each stage count is
+    a one-time materialization: downstream lineage (the final write, later
+    stage counts) reads the cache instead of re-running dedup. Plan-level
+    evidence: a dependent computation's plan scans the InMemoryRelation."""
+    from mydumper_spark.cli import persist_and_count
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    counts: dict = {}
+    cached: list = []
+    out = persist_and_count(df, counts, "stage1", cached)
+    try:
+        assert counts["stage1"] == 100
+        assert out.storageLevel.useMemory, "stage not persisted"
+        downstream = out.where("doc_id % 2 = 0")
+        plan = downstream._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+        assert cached == [out]
+    finally:
+        for d in cached:
+            d.unpersist()

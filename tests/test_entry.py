@@ -35,6 +35,37 @@ def test_grading_window_is_all_oracle_backed():
     assert tail == rows_only, (tail, rows_only)
 
 
+def test_oracle_outputs_have_no_hugeint_columns():
+    """Run every oracle SQL under DuckDB at smoke scale and reject decimal
+    output columns. DuckDB types an uncast integer sum() as HUGEINT (arrow
+    decimal128(38,0)); the driver's value hash is type-sensitive, so such a
+    column fails the grade even when values are bit-identical to Spark's
+    BIGINT — the exact bug that cost one grading row in each of rounds 2-4.
+    No Spark query here returns DecimalType, so any decimal on the oracle
+    side is an uncast aggregate, structurally."""
+    import duckdb
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{entry.SF_SMOKE}/{t}.parquet'"
+        )
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        schema = con.sql(sql).arrow().schema
+        for f in schema:
+            if pa.types.is_decimal(f.type):
+                offenders.append(f"{name}.{f.name}: {f.type}")
+    assert not offenders, (
+        "uncast integer aggregates (add CAST(... AS BIGINT)): " + "; ".join(offenders)
+    )
+
+
 def test_all_queries_run_at_smoke_sf(spark):
     for name, fn in entry.queries().items():
         df = fn(spark, entry.SF_SMOKE)

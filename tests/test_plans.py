@@ -209,6 +209,9 @@ _BNLJ_ALLOWED = {
     "x_ref_integrity",
     "q22_idle_balance",
     "x_token_frequency_score",
+    # broadcast 1×1 scalar: the nation-group inventory total (the Q11
+    # threshold denominator)
+    "q11_important_stock",
 }
 
 
