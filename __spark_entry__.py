@@ -15,9 +15,13 @@ are kept identical on both sides:
   ``epoch_us(ts)`` either way).
 
 Queries with no ``oracle_sql`` entry (rows-only check) are the genuinely
-non-oracle-able ones: simhash/winnow near-dup sketches, embedding/ANN/IVF
-bucketing (approximate by design — recall vs exact is pytest-asserted), and
-the raw masquerade random generators. The MinHash pipeline (pairs, connected
+non-oracle-able ones: simhash/winnow near-dup sketches (xxhash64-based),
+embedding near-dup bucketing, KMeans-probed IVF (pyspark.ml centroids have
+no SQL twin; recall vs exact is pytest-asserted), and the raw masquerade
+random generators. Hyperplane ANN, by contrast, IS oracle-backed: its
+planes are sha256-derived, which DuckDB recomputes natively, so the whole
+signature → Hamming-ball → re-score pipeline replays in SQL; and IVF's
+exhaustive-probe setting is oracle-backed against exact brute force. The MinHash pipeline (pairs, connected
 components, canonical map) DOES have oracles: its verified outputs provably
 equal exact ground truth on this fixture (all-pairs shingle Jaccard /
 recursive-CTE closure), which DuckDB computes from first principles; the
@@ -1088,13 +1092,67 @@ def x_masquerade_random(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbors (rows-only: hyperplane
-    signatures are xxhash64-derived). Deterministic across runs."""
+    """LSH-bucketed approximate nearest neighbors — **oracle-backed**: the
+    "approximation" is a deterministic algorithm, and every piece of it is
+    SQL-expressible. The hyperplane signs are sha256-derived
+    (similarity._plane_signs), which DuckDB recomputes with its own sha256;
+    signature bits, the Hamming-ball candidate filter, and the cosine
+    re-score then replay exactly. Sign-of-dot parity is safe: the smallest
+    |dot(embedding, plane)| on the fixture is ~2.6e-4, twelve orders above
+    double summation noise."""
     from mydumper_spark.operators.similarity import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
     return ann_topk(emb, [float(v) for v in qvec], k=10, num_planes=12, probe_hamming=2)
+
+
+# DuckDB twin of the full ANN pipeline. The planes CTE mirrors
+# _plane_signs: sign = +1 iff the first byte of sha256("plane:p:d") is even,
+# read as the parity of the second hex digit.
+_ANN_SQL = """
+WITH planes AS (
+  SELECT p.p, list(CASE WHEN substr(sha256('plane:' || p.p || ':' || d.d), 2, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS signs
+  FROM (SELECT unnest(range(0, 12)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d
+  GROUP BY p.p
+),
+sigs AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, pl.signs),
+                              x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+                       THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, e.embedding
+),
+q AS (SELECT s.embedding AS qv, s.sig AS qsig FROM sigs s WHERE s.vec_id = 0)
+SELECT s.vec_id,
+       round(
+         list_sum(list_transform(list_zip(s.embedding, q.qv),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine_sim
+FROM sigs s, q
+WHERE bit_count(xor(s.sig, q.qsig)) <= 2
+ORDER BY cosine_sim DESC, s.vec_id ASC LIMIT 10
+"""
+
+
+def x_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_cells — the recall dial at its exact end. Runs
+    the REAL IVF machinery (deterministic sample centroids, cell assignment,
+    per-cell probing, union of probed cells) and pins its completeness
+    invariant: probing every cell must recover brute-force top-k no matter
+    where the centroids landed. Oracle = the exact cosine top-k."""
+    from mydumper_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    corpus = emb.where("vec_id <> 0")
+    return ivf_topk(corpus, [float(v) for v in qvec], k=10, n_cells=4, n_probe=4)
 
 
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2895,11 +2953,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_masquerade_properties": x_masquerade_properties,
+        "x_ann_topk": x_ann_topk,
+        "x_ivf_exhaustive": x_ivf_exhaustive,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
         "x_embedding_near_dup": x_embedding_near_dup,
-        "x_ann_topk": x_ann_topk,
         "x_ivf_topk": x_ivf_topk,
         "x_winnow_overlap": x_winnow_overlap,
     }
@@ -2985,6 +3044,10 @@ def oracle_sql() -> dict[str, str]:
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_masquerade_properties": _MASQ_PROPS_SQL,
+        "x_ann_topk": _ANN_SQL,
+        # exhaustive probe provably equals brute force, so the exact
+        # cosine top-k IS its oracle
+        "x_ivf_exhaustive": _COSINE_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —
