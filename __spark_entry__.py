@@ -2561,6 +2561,94 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — **oracle-backed**: codebooks come
+    from a deterministic, SQL-replayable source (the 16 smallest-id vectors,
+    split into 8 subspaces), so DuckDB recomputes code assignment and the
+    asymmetric-distance scoring from first principles. The fixed-order
+    distance sums keep float parity; ordering ties break on the rounded
+    distance + id on both sides."""
+    from mydumper_spark.operators.similarity import pq_codebooks_from_ids, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    cbs = pq_codebooks_from_ids(emb, m=8, ksub=16)
+    return pq_topk(
+        emb.where("vec_id <> 0"), [float(v) for v in qvec], cbs, k=10
+    )
+
+
+_PQ_SQL = """
+WITH sub AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS j),
+cb AS (
+  SELECT s.j, e.vec_id AS code, e.embedding[s.j*8+1 : s.j*8+8] AS cvec
+  FROM embeddings e, sub s WHERE e.vec_id < 16
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dists AS (
+  SELECT e.vec_id, cb.j, cb.code,
+         list_sum(list_transform(list_zip(e.embedding[cb.j*8+1 : cb.j*8+8], cb.cvec),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+  FROM embeddings e, cb WHERE e.vec_id <> 0
+),
+codes AS (
+  SELECT vec_id, j, code,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+  FROM dists
+),
+lut AS (
+  SELECT cb.j, cb.code,
+         list_sum(list_transform(list_zip(q.qv[cb.j*8+1 : cb.j*8+8], cb.cvec),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS qd2
+  FROM cb, q
+)
+SELECT c.vec_id,
+       round(list_sum(list(l.qd2 ORDER BY l.j)), 6) AS approx_dist
+FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+WHERE c.rn = 1
+GROUP BY c.vec_id
+ORDER BY approx_dist ASC, c.vec_id ASC LIMIT 10
+"""
+
+
+def x_dedup_blocks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate token-block removal (32-token aligned windows,
+    first occurrence wins) — exact-substring dedup at block granularity."""
+    from mydumper_spark.operators.corpus import dedup_token_blocks_global
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_token_blocks_global(docs, block_tokens=32)
+
+
+_DEDUP_BLOCKS_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents),
+blocks AS (
+  SELECT doc_id, u.pos AS pos, u.block AS block FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks), 32),
+                  s -> struct_pack(pos := s // 32,
+                                   block := array_to_string(toks[s+1:s+32], ' ')))) AS u
+    FROM toked WHERE len(toks) > 0)
+),
+ranked AS (
+  SELECT doc_id, pos, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) = 1 AS keep
+  FROM blocks)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos),
+                '') AS clean_text,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
 def x_token_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-frequency document scoring (perplexity-proxy quality filter):
     per doc, mean corpus frequency of its tokens in ppb — pure BIGINT
@@ -2950,11 +3038,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_relationship": q16_supplier_relationship,
         "x_chunk_documents": x_chunk_documents,
         "x_dedup_lines_global": x_dedup_lines_global,
+        "x_dedup_blocks_global": x_dedup_blocks_global,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_masquerade_properties": x_masquerade_properties,
         "x_ann_topk": x_ann_topk,
         "x_ivf_exhaustive": x_ivf_exhaustive,
+        "x_pq_topk": x_pq_topk,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -3041,6 +3131,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_relationship": _Q16_SQL,
         "x_chunk_documents": _CHUNK_SQL,
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
+        "x_dedup_blocks_global": _DEDUP_BLOCKS_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_masquerade_properties": _MASQ_PROPS_SQL,
@@ -3048,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive probe provably equals brute force, so the exact
         # cosine top-k IS its oracle
         "x_ivf_exhaustive": _COSINE_SQL,
+        "x_pq_topk": _PQ_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —

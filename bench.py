@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "x_cosine_topk",
     "x_events_sessionize",
     "x_minhash_pairs",
+    # the heaviest shuffle shape in the repo: corpus-wide exchange on line
+    # value (C4-style global line dedup)
+    "x_dedup_lines_global",
 ]
 
 

@@ -70,6 +70,55 @@ def chunk_documents(
     )
 
 
+def dedup_token_blocks_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 32,
+) -> DataFrame:
+    """Corpus-wide duplicate token-block removal — the token-granularity
+    sibling of :func:`dedup_lines_global` and a Spark-sane approximation of
+    exact-substring training-data dedup (suffix-array dedup restricted to
+    aligned ``block_tokens`` windows): every distinct block value survives
+    only at its first occurrence (smallest (doc_id, position)); documents
+    are reconstructed from surviving blocks in order. Empty documents yield
+    no output row.
+
+    Returns (id, clean_text, n_kept, n_removed).
+
+    Scale shape: identical to line dedup — blocks shuffle ONCE on the block
+    value (corpus tokens cross the wire exactly once), the first-occurrence
+    arbiter is a total order so the result is partitioning-independent, and
+    a block repeated millions of times costs sort, not memory."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(block_tokens))
+    blocks = df.where(n > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.concat_ws(" ", F.slice(toks, s + 1, block_tokens)),
+            )
+        ).alias("pos", "block"),
+    )
+    w = Window.partitionBy("block").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = blocks.withColumn("keep", F.row_number().over(w) == 1)
+    return ranked.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "block")))
+                ),
+                lambda s: s["block"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_removed"),
+    )
+
+
 def dedup_lines_global(
     df: DataFrame,
     text_col: str = "text",

@@ -2,8 +2,10 @@
 (north-star extension, SURVEY §7.9).
 
 Scale design (the point of each choice):
-- **Exact dedup** shuffles once on a 128-bit fingerprint, never on the full
-  text: at 100 TB you exchange 16-byte keys, not documents.
+- **Exact dedup** is one hash aggregate keyed on a 128-bit fingerprint with
+  a min_by(row) arbiter: map-side partial aggregation forwards at most one
+  candidate row per fingerprint per task, so the exchange is bounded by the
+  unique-document fraction of the corpus and there is no sort.
 - **MinHash+LSH** is the classic shingle→minhash→band→bucket-join pipeline.
   Everything is array expressions inside codegen; the only shuffles are the
   band-bucket groupBy and the candidate-pair self-join, both on small keys.
@@ -25,22 +27,27 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from mydumper_spark.operators.text import fingerprint
 from mydumper_spark.util import ensure_min_partitions  # noqa: F401 (re-export)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id document per normalized-text fingerprint."""
-    fp = fingerprint(F.col(text_col)).alias("__fp")
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__fp", fp)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+    """Keep the lowest-id document per normalized-text fingerprint.
+
+    Shaped as ``groupBy(fp).agg(min_by(row, id))`` rather than a
+    row_number window: the hash aggregate gets map-side partial
+    aggregation — each task forwards at most ONE candidate row per
+    fingerprint, so shuffle volume is bounded by the number of *unique*
+    documents (a duplicate-heavy 100 TB corpus exchanges only its unique
+    fraction) — and there is no per-partition sort. A window over the
+    fingerprint would shuffle and sort every input row."""
+    cols = df.columns
+    fp = fingerprint(F.col(text_col))
+    agg = df.groupBy(fp.alias("__fp")).agg(
+        F.min_by(F.struct(*cols), F.col(id_col)).alias("__row")
     )
+    return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
 def tokens(col: Column) -> Column:

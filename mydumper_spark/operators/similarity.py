@@ -340,6 +340,114 @@ def ivf_topk_indexed(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def pq_codebooks_from_ids(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks from a deterministic, SQL-replayable
+    source: the ``ksub`` vectors with the smallest ids, each split into
+    ``m`` subvectors. codebooks[j][c] is subspace j's centroid with code
+    c == the donor vector's id (ids are contiguous from 0 in the fixture).
+    A bounded driver collect (ksub rows), same class as the chunk planner's
+    boundary queries. For trained-quality codebooks, swap in KMeans per
+    subspace (then the entry is rows-only, like IVF's trained path)."""
+    rows = (
+        embeddings.where(F.col(id_col) < ksub)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    dsub = dim // m
+    return [
+        [[float(v) for v in r[vec_col][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_sq_dist(vec_col: Column, offset: int, center: list[float]) -> Column:
+    """||v[offset:offset+len(center)] - center||² as a fixed-order
+    left-to-right sum of products — bit-reproducible by the DuckDB oracle's
+    list_sum over the same term order."""
+    acc = None
+    for i, c in enumerate(center):
+        d = F.element_at(vec_col, offset + i + 1).cast("double") - F.lit(c)
+        term = d * d
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Assign each vector its PQ code array: per subspace, the code of the
+    squared-Euclidean-nearest centroid (ties to the smallest code).
+
+    This is the 100 TB memory story: an encoded corpus stores ``m`` small
+    ints (8 bytes here) per vector instead of the raw floats (256 bytes) —
+    candidate scoring reads codes only. All codebook literals constant-fold;
+    encoding is one narrow codegen projection, no shuffle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    code_exprs = []
+    for j in range(m):
+        cand = F.array(
+            *[
+                F.struct(
+                    _pq_sq_dist(F.col(vec_col), j * dsub, center).alias("d"),
+                    F.lit(code).cast("bigint").alias("code"),
+                )
+                for code, center in enumerate(codebooks[j])
+            ]
+        )
+        code_exprs.append(F.array_min(cand)["code"])
+    return embeddings.withColumn(out_col, F.array(*code_exprs))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per subspace, a lookup table of
+    squared distances from the query subvector to each centroid is computed
+    on the driver; a candidate's approximate distance is the j-ordered sum
+    of its codes' table entries — no float vector is touched at scoring
+    time. Returns (id, approx_dist) nearest-first, ties by id on the
+    ROUNDED distance so cross-engine ordering is stable."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    encoded = pq_encode(embeddings, codebooks, vec_col=vec_col)
+    total = None
+    for j in range(m):
+        qsub = query_vec[j * dsub : (j + 1) * dsub]
+        lut = []
+        for center in codebooks[j]:
+            acc = 0.0
+            for qv, cv in zip(qsub, center):
+                d = float(qv) - cv
+                acc = acc + d * d
+            lut.append(acc)
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]),
+            (F.element_at(F.col("pq_code"), j + 1) + 1).cast("int"),
+        )
+        total = term if total is None else total + term
+    scored = encoded.select(
+        F.col(id_col), F.round(total, 6).alias("approx_dist")
+    )
+    return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -5,7 +5,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from mydumper_spark.operators.corpus import chunk_documents, dedup_lines_global
+from mydumper_spark.operators.corpus import (
+    chunk_documents,
+    dedup_lines_global,
+    dedup_token_blocks_global,
+)
 
 
 def test_chunking_windows_and_overlap(spark):
@@ -96,6 +100,57 @@ def test_chunking_reconstructs_token_stream(spark):
                     assert len(parts) > overlap, (doc_id, cid, max_tokens, overlap)
                 toks.extend(parts if cid == 0 else parts[overlap:])
             assert toks == texts[doc_id].split(" "), (doc_id, max_tokens, overlap)
+
+
+def test_dedup_blocks_keeps_first_occurrence(spark):
+    """Aligned 4-token blocks: a block value repeated later in the corpus —
+    in another doc or later in the same doc — is removed; the survivor is
+    the smallest (doc_id, position)."""
+    shared = "a b c d"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} w x y z"),
+            (2, f"p q r s {shared}"),          # cross-doc duplicate block
+            (3, f"{shared} {shared}"),          # would-be in-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup_token_blocks_global(df, block_tokens=4).collect()}
+    assert rows[1]["clean_text"] == "a b c d w x y z"
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["clean_text"] == "p q r s" and rows[2]["n_removed"] == 1
+    # doc 3's copies are BOTH later than doc 1's -> both removed
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 2
+
+
+def test_dedup_blocks_short_tail_block(spark):
+    """The final short block (< block_tokens) participates in dedup like
+    any other block value."""
+    df = spark.createDataFrame(
+        [(1, "a b c d tail"), (2, "e f g h tail")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup_token_blocks_global(df, block_tokens=4).collect()}
+    assert rows[1]["clean_text"] == "a b c d tail"
+    assert rows[2]["clean_text"] == "e f g h" and rows[2]["n_removed"] == 1
+
+
+def test_dedup_blocks_idempotent(spark):
+    """Re-applying block dedup to its own output removes nothing further
+    when surviving blocks stay aligned (clean_text token count stays a
+    multiple of the block size until the final block)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d w x y z"), (2, "a b c d p q r s"), (3, "m n o t")],
+        "doc_id long, text string",
+    )
+    once = dedup_token_blocks_global(df, block_tokens=4).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = dedup_token_blocks_global(once, block_tokens=4)
+    for r in twice.collect():
+        assert r["n_removed"] == 0, r
 
 
 def test_dedup_lines_idempotent(spark):

@@ -169,6 +169,45 @@ def test_ann_recalls_self(embeddings):
     assert top and top[0]["vec_id"] == 7
 
 
+def test_pq_encode_codes_in_range_and_deterministic(embeddings):
+    cbs = sim.pq_codebooks_from_ids(embeddings, m=8, ksub=16)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    enc = sim.pq_encode(embeddings.limit(50), cbs)
+    rows = {r["vec_id"]: list(r["pq_code"]) for r in enc.collect()}
+    assert all(len(c) == 8 and all(0 <= v < 16 for v in c) for c in rows.values())
+    # a codebook donor vector must encode to its own code in every subspace
+    # (distance 0 to itself beats any other centroid or ties to smaller code)
+    assert rows[3] == [3] * 8 or all(
+        cbs[j][rows[3][j]] == cbs[j][3] for j in range(8)
+    )
+    again = {r["vec_id"]: list(r["pq_code"])
+             for r in sim.pq_encode(embeddings.limit(50), cbs).collect()}
+    assert rows == again
+
+
+def test_pq_adc_matches_explicit_reconstruction(embeddings):
+    """The ADC score of a candidate equals the python-computed sum of
+    per-subspace squared distances from the query to the candidate's
+    assigned centroids — the lookup-table plumbing loses nothing."""
+    cbs = sim.pq_codebooks_from_ids(embeddings, m=8, ksub=16)
+    q = [float(v) for v in embeddings.where("vec_id = 0").first()["embedding"]]
+    corpus = embeddings.where("vec_id <> 0 AND vec_id < 40")
+    top = sim.pq_topk(corpus, q, cbs, k=5).collect()
+    codes = {r["vec_id"]: list(r["pq_code"])
+             for r in sim.pq_encode(corpus, cbs).collect()}
+    for r in top:
+        expect = 0.0
+        for j in range(8):
+            center = cbs[j][codes[r["vec_id"]][j]]
+            qsub = q[j * 8 : (j + 1) * 8]
+            acc = 0.0
+            for qv, cv in zip(qsub, center):
+                d = qv - cv
+                acc = acc + d * d
+            expect = expect + acc
+        assert abs(r["approx_dist"] - round(expect, 6)) < 1e-9, r
+
+
 def test_embedding_near_dup_self_join_excludes_diagonal(embeddings):
     pairs = sim.embedding_near_dup_pairs(embeddings.limit(100), threshold=0.0, num_planes=4)
     assert all(r["id_a"] < r["id_b"] for r in pairs.collect())
