@@ -2613,6 +2613,88 @@ ORDER BY approx_dist ASC, c.vec_id ASC LIMIT 10
 """
 
 
+def x_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — **oracle-backed**: cell centroids AND PQ
+    codebooks both come from deterministic smallest-id vectors, so DuckDB
+    replays the entire pipeline (cell assignment, probe selection, code
+    assignment, ADC scoring) from first principles. This is the full 100 TB
+    ANN query shape: prune cells, score codes, never touch raw vectors."""
+    from mydumper_spark.operators.similarity import (
+        ivf_centroids_from_ids,
+        ivf_pq_topk,
+        pq_codebooks_from_ids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.where("vec_id = 0").first()["embedding"]]
+    cents = ivf_centroids_from_ids(emb, n_cells=4)
+    cbs = pq_codebooks_from_ids(emb, m=8, ksub=16)
+    return ivf_pq_topk(emb.where("vec_id <> 0"), qvec, cbs, cents, k=10, n_probe=2)
+
+
+_IVF_PQ_SQL = """
+WITH icents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 4
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cellscore AS (
+  SELECT e.vec_id, ic.cell,
+         list_sum(list_transform(list_zip(e.embedding, ic.cvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         - list_sum(list_transform(ic.cvec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 2.0 AS d
+  FROM embeddings e, icents ic WHERE e.vec_id <> 0
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+  FROM cellscore
+),
+qcell AS (
+  SELECT ic.cell,
+         list_sum(list_transform(list_zip(q.qv, ic.cvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         - list_sum(list_transform(ic.cvec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 2.0 AS d
+  FROM icents ic, q
+),
+probe AS (SELECT cell FROM qcell ORDER BY d DESC, cell ASC LIMIT 2),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell WHERE a.rn = 1
+),
+sub AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS j),
+cb AS (
+  SELECT s.j, e.vec_id AS code, e.embedding[s.j*8+1 : s.j*8+8] AS cvec
+  FROM embeddings e, sub s WHERE e.vec_id < 16
+),
+dists AS (
+  SELECT e.vec_id, cb.j, cb.code,
+         list_sum(list_transform(list_zip(e.embedding[cb.j*8+1 : cb.j*8+8], cb.cvec),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+  FROM embeddings e JOIN cand USING (vec_id), cb
+),
+codes AS (
+  SELECT vec_id, j, code,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+  FROM dists
+),
+lut AS (
+  SELECT cb.j, cb.code,
+         list_sum(list_transform(list_zip(q.qv[cb.j*8+1 : cb.j*8+8], cb.cvec),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS qd2
+  FROM cb, q
+)
+SELECT c.vec_id,
+       round(list_sum(list(l.qd2 ORDER BY l.j)), 6) AS approx_dist
+FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+WHERE c.rn = 1
+GROUP BY c.vec_id
+ORDER BY approx_dist ASC, c.vec_id ASC LIMIT 10
+"""
+
+
 def x_dedup_blocks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicate token-block removal (32-token aligned windows,
     first occurrence wins) — exact-substring dedup at block granularity."""
@@ -3045,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ann_topk": x_ann_topk,
         "x_ivf_exhaustive": x_ivf_exhaustive,
         "x_pq_topk": x_pq_topk,
+        "x_ivf_pq_topk": x_ivf_pq_topk,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -3140,6 +3223,7 @@ def oracle_sql() -> dict[str, str]:
         # cosine top-k IS its oracle
         "x_ivf_exhaustive": _COSINE_SQL,
         "x_pq_topk": _PQ_SQL,
+        "x_ivf_pq_topk": _IVF_PQ_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —

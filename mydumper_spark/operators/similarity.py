@@ -448,6 +448,55 @@ def pq_topk(
     return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_centroids_from_ids(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic, SQL-replayable IVF centroids: the ``n_cells`` vectors
+    with the smallest ids (cell index == donor id). The oracle-able sibling
+    of the xxhash64-sampled fallback in :func:`ivf_assign_cells`; use
+    :func:`train_ivf_centroids` when recall matters more than replayability."""
+    rows = (
+        embeddings.where(F.col(id_col) < n_cells)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composition that actually ships at 100 TB. Candidate
+    selection = IVF cell pruning (with a persisted ``__cell``-partitioned
+    layout this is partition pruning — query cost ∝ probed cells);
+    candidate scoring = PQ asymmetric distance over 8-byte code arrays
+    (memory ∝ codes, not raw vectors). Both stages are narrow: centroids
+    and codebooks are constant-folded literals, so the whole query is one
+    filter + one projection + TakeOrdered."""
+    n_cells = len(centroids)
+    assigned, cents = ivf_assign_cells(
+        embeddings, n_cells, id_col, vec_col, centroids
+    )
+    qdots = [
+        (i, sum(q * x for q, x in zip(query_vec, c)) - sum(x * x for x in c) / 2.0)
+        for i, c in enumerate(cents)
+    ]
+    probe = [i for i, _ in sorted(qdots, key=lambda t: -t[1])[:n_probe]]
+    cand = assigned.where(F.col("__cell").isin(probe)).drop("__cell")
+    return pq_topk(cand, query_vec, codebooks, k, id_col, vec_col)
+
+
 def embedding_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.95,

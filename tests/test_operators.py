@@ -208,6 +208,23 @@ def test_pq_adc_matches_explicit_reconstruction(embeddings):
         assert abs(r["approx_dist"] - round(expect, 6)) < 1e-9, r
 
 
+def test_ivf_pq_full_probe_equals_plain_pq(embeddings):
+    """Probing every IVF cell must make IVF-PQ degenerate to plain PQ over
+    the whole corpus — the cell pruning loses nothing at the exhaustive
+    end, mirroring test_ivf_full_probe_equals_brute_force."""
+    cbs = sim.pq_codebooks_from_ids(embeddings, m=8, ksub=16)
+    cents = sim.ivf_centroids_from_ids(embeddings, n_cells=4)
+    q = [float(v) for v in embeddings.where("vec_id = 0").first()["embedding"]]
+    corpus = embeddings.where("vec_id <> 0")
+    full = [tuple(r) for r in
+            sim.ivf_pq_topk(corpus, q, cbs, cents, k=5, n_probe=4).collect()]
+    plain = [tuple(r) for r in sim.pq_topk(corpus, q, cbs, k=5).collect()]
+    assert full == plain
+    # partial probe returns a subset of the plain-PQ candidate universe
+    part = sim.ivf_pq_topk(corpus, q, cbs, cents, k=5, n_probe=1).collect()
+    assert 0 < len(part) <= 5
+
+
 def test_embedding_near_dup_self_join_excludes_diagonal(embeddings):
     pairs = sim.embedding_near_dup_pairs(embeddings.limit(100), threshold=0.0, num_planes=4)
     assert all(r["id_a"] < r["id_b"] for r in pairs.collect())
