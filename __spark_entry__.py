@@ -2971,6 +2971,86 @@ ORDER BY value DESC, ps_partkey ASC
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's canonical correlated-min shape, now possible over the
+    derived partsupp (the round-4 adaptation q2_top_supplier_per_part kept
+    the window formulation): for each size-10 part, the EUROPE supplier(s)
+    offering the minimum supply cost. The correlated subquery becomes a
+    per-part min aggregate joined back on (partkey, cost) — partsupp and
+    the min relation are co-keyed on partkey, so at scale this is one
+    co-partitioned join, not a per-row probe."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = (
+        _t(spark, sf_dir, "part").where("p_size = 10").select("p_partkey", "p_name")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").where("r_name = 'EUROPE'")
+    sn = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    j = ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey).join(
+        F.broadcast(sn), ps.ps_suppkey == sn.s_suppkey
+    )
+    mn = (
+        j.groupBy(F.col("ps_partkey").alias("mk"))
+        .agg(F.min("ps_supplycost_c").alias("min_cost_c"))
+    )
+    return (
+        j.join(
+            mn,
+            (j.ps_partkey == mn.mk) & (j.ps_supplycost_c == mn.min_cost_c),
+        )
+        .select(
+            F.col("ps_suppkey").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("ps_supplycost_c") / 100.0, 2).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+_Q2_MIN_SQL = f"""
+WITH {_PS_CTE.strip()},
+sn AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+j AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_c,
+         p.p_partkey, p.p_name, sn.s_name, sn.s_acctbal, sn.n_name
+  FROM ps
+  JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_size = 10
+  JOIN sn ON ps.ps_suppkey = sn.s_suppkey
+),
+mn AS (
+  SELECT ps_partkey AS mk, min(ps_supplycost_c) AS min_cost_c
+  FROM j GROUP BY ps_partkey
+)
+SELECT j.ps_suppkey AS s_suppkey, j.s_name, j.s_acctbal, j.n_name,
+       j.p_partkey, j.p_name,
+       round(j.ps_supplycost_c / 100.0, 2) AS supply_cost
+FROM j JOIN mn ON j.ps_partkey = mn.mk AND j.ps_supplycost_c = mn.min_cost_c
+ORDER BY j.s_acctbal DESC, j.n_name ASC, j.s_name ASC, j.p_partkey ASC
+LIMIT 100
+"""
+
+
 def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
     counts per (brand, type, size) bucket, excluding one brand, one type
@@ -3118,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q11_important_stock": q11_important_stock,
         "q16_supplier_relationship": q16_supplier_relationship,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "x_chunk_documents": x_chunk_documents,
         "x_dedup_lines_global": x_dedup_lines_global,
         "x_dedup_blocks_global": x_dedup_blocks_global,
@@ -3212,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": _Q9_SQL,
         "q11_important_stock": _Q11_SQL,
         "q16_supplier_relationship": _Q16_SQL,
+        "q2_min_cost_supplier": _Q2_MIN_SQL,
         "x_chunk_documents": _CHUNK_SQL,
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
         "x_dedup_blocks_global": _DEDUP_BLOCKS_SQL,

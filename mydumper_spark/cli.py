@@ -148,8 +148,9 @@ def cmd_diff(args: argparse.Namespace) -> int:
 
 def cmd_prepare(args: argparse.Namespace) -> int:
     """Training-data preparation pipeline over a documents parquet: exact or
-    MinHash dedup → repetition gate → quality floor → decontamination
-    against an eval parquet → optional token-window chunking → parquet out.
+    MinHash dedup → optional corpus-wide line/block dedup → repetition gate
+    → quality floor → decontamination against an eval parquet → optional
+    token-window chunking → parquet out.
     Stage order mirrors cost: cheap per-row gates run after dedup shrinks
     the corpus, the broadcast decontamination runs on survivors only, and
     chunking (the only row-multiplying stage) runs last."""
@@ -158,7 +159,11 @@ def cmd_prepare(args: argparse.Namespace) -> int:
     from mydumper_spark.operators.contamination import (
         decontaminate, repetition_metrics,
     )
-    from mydumper_spark.operators.corpus import chunk_documents
+    from mydumper_spark.operators.corpus import (
+        chunk_documents,
+        dedup_lines_global,
+        dedup_token_blocks_global,
+    )
     from mydumper_spark.operators.dedup import exact_dedup, minhash_dedup
     from mydumper_spark.operators.text import quality_score
 
@@ -179,6 +184,21 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         df = exact_dedup(df)
     elif args.dedup == "minhash":
         df = minhash_dedup(df, jaccard_threshold=args.jaccard_threshold)
+    # sub-document dedup: rewrite text with corpus-wide duplicate lines /
+    # aligned token blocks removed (first occurrence survives); non-text
+    # columns carry through on doc_id
+    if args.line_dedup:
+        cleaned = dedup_lines_global(df)
+        df = df.drop("text").join(
+            cleaned.selectExpr("doc_id", "clean_text AS text"), "doc_id"
+        )
+    if args.block_dedup_tokens:
+        cleaned = dedup_token_blocks_global(
+            df, block_tokens=args.block_dedup_tokens
+        )
+        df = df.drop("text").join(
+            cleaned.selectExpr("doc_id", "clean_text AS text"), "doc_id"
+        )
     df = _stage(df, "after_dedup")
 
     if args.repetition_gate:
@@ -261,6 +281,10 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("-o", "--outputdir", required=True)
     pp.add_argument("--dedup", default="exact", choices=["none", "exact", "minhash"])
     pp.add_argument("--jaccard-threshold", type=float, default=0.8)
+    pp.add_argument("--line-dedup", action="store_true",
+                    help="corpus-wide duplicate-line removal (C4 rule) after doc dedup")
+    pp.add_argument("--block-dedup-tokens", type=int, default=None,
+                    help="corpus-wide aligned token-block dedup at this block size")
     pp.add_argument("--repetition-gate", action="store_true",
                     help="drop docs failing the dup-3gram/dup-line gates")
     pp.add_argument("--min-quality", type=float, default=None,

@@ -308,6 +308,30 @@ def test_cli_prepare_pipeline(tmp_path):
     assert counts["output_rows"] >= counts["after_decontamination"]
 
 
+def test_cli_prepare_sub_document_dedup(tmp_path):
+    """`prepare --line-dedup --block-dedup-tokens N`: corpus-wide line and
+    token-block dedup rewrite text in place; non-text columns carry through
+    and the pipeline still writes a valid corpus."""
+    out = str(tmp_path / "prepared")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--dedup", "none", "--line-dedup",
+         "--block-dedup-tokens", "16", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < counts["after_dedup"] <= counts["input"]
+    assert counts["output_rows"] == counts["after_decontamination"]
+    import duckdb
+
+    cols = {c[0] for c in duckdb.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{out}/*.parquet')").fetchall()}
+    assert {"doc_id", "text", "lang", "source"} <= cols
+
+
 def test_prepare_stage_counts_materialize_cache(spark):
     """persist_and_count must leave the stage cached so each stage count is
     a one-time materialization: downstream lineage (the final write, later

@@ -196,6 +196,24 @@ def test_round4_tpch_plan_shapes(spark):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
+def test_round5_tpch_plan_shapes(spark):
+    """q9/q11/q16 over the derived partsupp: every dimension input
+    broadcast-joins (the fact side never shuffles for a join), no
+    cartesian/nested-loop beyond q11's documented 1x1 scalar."""
+    for q in ("q9_product_profit", "q16_supplier_relationship"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, f"{q}:\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{q}:\n{plan}"
+        assert "BroadcastHashJoin" in plan, f"{q} lost its broadcasts:\n{plan}"
+    # Q9: lineitem joins part/partsupp/supplier/nation broadcast; only the
+    # orders join + the final group aggregate may shuffle (+1 AQE margin)
+    plan = _plan(entry.queries()["q9_product_profit"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # Q16: the supplier exclusion stays a broadcast ANTI join, not a shuffle
+    plan = _plan(entry.queries()["q16_supplier_relationship"](spark, SF))
+    assert "BuildRight, LeftAnti" in plan or "LeftAnti, BuildRight" in plan, plan
+
+
 # Queries allowed a BroadcastNestedLoopJoin, each a documented pattern:
 # - x_embedding_pairs_exact: the O(n^2) exact ground-truth baseline (the
 #   scale path is the banded-LSH variant)
