@@ -2613,6 +2613,46 @@ ORDER BY approx_dist ASC, c.vec_id ASC LIMIT 10
 """
 
 
+def x_batch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-batch exact top-k: 3 query vectors against the corpus in one
+    pass via the numpy-GEMM mapInPandas path (the one workload where an
+    Arrow-batched UDF legitimately beats codegen). Oracle-backed: scores
+    round to 6 before ranking and ties rank by id on both engines."""
+    from mydumper_spark.operators.similarity import cosine_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    return cosine_topk_batch(emb, qs, k=10)
+
+
+_BATCH_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= 10
+"""
+
+
 def x_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition — **oracle-backed**: cell centroids AND PQ
     codebooks both come from deterministic smallest-id vectors, so DuckDB
@@ -3209,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_exhaustive": x_ivf_exhaustive,
         "x_pq_topk": x_pq_topk,
         "x_ivf_pq_topk": x_ivf_pq_topk,
+        "x_batch_cosine_topk": x_batch_cosine_topk,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
@@ -3306,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         "x_ivf_exhaustive": _COSINE_SQL,
         "x_pq_topk": _PQ_SQL,
         "x_ivf_pq_topk": _IVF_PQ_SQL,
+        "x_batch_cosine_topk": _BATCH_COSINE_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —

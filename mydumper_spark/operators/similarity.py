@@ -448,6 +448,72 @@ def pq_topk(
     return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a BATCH of query vectors in ONE
+    corpus pass — the query-batch workload (ann_topk serves one vector).
+
+    This is the deliberate Pandas-UDF case: scoring a corpus batch against
+    Q queries is a dense matrix product, where one numpy/BLAS GEMM per
+    Arrow batch beats Q×D per-element codegen expressions. The queries are
+    driver-collected (bounded: a query batch, not a corpus) and shipped in
+    the closure; each mapInPandas batch emits only its LOCAL top-k per
+    query, so the global per-query reduction sees ~partitions×k candidate
+    rows, never corpus×Q. Scores round to 6 decimals before ranking, and
+    ties rank by id, so the result is engine-portable.
+
+    Returns (query_id, vec_id, cosine_sim) with k rows per query."""
+    import numpy as np
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    qids = np.array([r[q_id_col] for r in qrows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[q_vec_col]] for r in qrows],
+                  dtype=np.float64)
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+    schema = f"{q_id_col} bigint, {id_col} bigint, cosine_sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            # dot / (|v|·|q|) in the same operation order as the SQL twin
+            sims = np.round((v @ qm.T) / (vnorm[:, None] * qnorm[None, :]), 6)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(qids)):
+                col = sims[:, qi]
+                order = np.lexsort((ids, -col))[:k]
+                out_q.extend([qids[qi]] * len(order))
+                out_id.extend(ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame(
+                {q_id_col: out_q, id_col: out_id, "cosine_sim": out_s}
+            )
+
+    candidates = embeddings.select(id_col, vec_col).mapInPandas(score, schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_centroids_from_ids(
     embeddings: DataFrame,
     n_cells: int = 4,

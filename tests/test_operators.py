@@ -208,6 +208,26 @@ def test_pq_adc_matches_explicit_reconstruction(embeddings):
         assert abs(r["approx_dist"] - round(expect, 6)) < 1e-9, r
 
 
+def test_batch_cosine_topk_matches_single_query(embeddings):
+    """The GEMM batch path must return, per query, the same neighbor set
+    as the expression-based single-query cosine_topk (both rank on the
+    6-decimal-rounded score with id tie-break)."""
+    qs = embeddings.where("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    batch = {}
+    for r in sim.cosine_topk_batch(embeddings, qs, k=5).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine_sim"])
+        )
+    for qid in (0, 1):
+        qvec = [float(v) for v in
+                embeddings.where(f"vec_id = {qid}").first()["embedding"]]
+        single = [(r["vec_id"], r["cosine_sim"])
+                  for r in sim.cosine_topk(embeddings, qvec, k=5).collect()]
+        assert batch[qid] == single, (qid, batch[qid], single)
+
+
 def test_ivf_pq_full_probe_equals_plain_pq(embeddings):
     """Probing every IVF cell must make IVF-PQ degenerate to plain PQ over
     the whole corpus — the cell pruning loses nothing at the exhaustive
