@@ -1196,15 +1196,62 @@ def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via banded hyperplane LSH (rows-only;
-    the hyperplane bucketing has no DuckDB twin). τ=0.4 because the fixture
-    embeddings are near-random (max pairwise cosine ≈ 0.51) — at the 0.95
-    design point the query would be vacuously empty. Recall vs the exact
-    variant is pytest-asserted on planted near-dups."""
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH —
+    **oracle-backed** (promoted in round 5): the planes are sha256-derived,
+    so DuckDB replays signatures, the 4×4-bit band split, the any-band
+    candidate join, and the exact cosine re-score. τ=0.4 because the
+    fixture embeddings are near-random (max pairwise cosine ≈ 0.51) — at
+    the 0.95 design point the query would be vacuously empty. Recall vs
+    the exact variant is additionally pytest-asserted on planted
+    near-dups."""
     from mydumper_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4, dim=64, num_planes=16, bands=4)
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH planes AS (
+  SELECT p.p, list(CASE WHEN substr(sha256('plane:' || p.p || ':' || d.d), 2, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS signs
+  FROM (SELECT unnest(range(0, 16)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d
+  GROUP BY p.p
+),
+sigs AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, pl.signs),
+                              x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+                       THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, e.embedding
+),
+banded AS (
+  SELECT s.vec_id AS id, b.b AS band, (s.sig >> (b.b * 4)) & 15 AS key
+  FROM sigs s, (SELECT unnest(range(0, 4)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM banded a JOIN banded bb
+    ON a.band = bb.band AND a.key = bb.key AND a.id < bb.id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         round(
+           list_sum(list_transform(list_zip(sa.embedding, sb.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(sa.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(sb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM pairs p
+  JOIN sigs sa ON p.id_a = sa.vec_id
+  JOIN sigs sb ON p.id_b = sb.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
+"""
 
 
 def x_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3250,10 +3297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pq_topk": x_pq_topk,
         "x_ivf_pq_topk": x_ivf_pq_topk,
         "x_batch_cosine_topk": x_batch_cosine_topk,
+        "x_embedding_near_dup": x_embedding_near_dup,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
-        "x_embedding_near_dup": x_embedding_near_dup,
         "x_ivf_topk": x_ivf_topk,
         "x_winnow_overlap": x_winnow_overlap,
     }
@@ -3348,6 +3395,7 @@ def oracle_sql() -> dict[str, str]:
         "x_pq_topk": _PQ_SQL,
         "x_ivf_pq_topk": _IVF_PQ_SQL,
         "x_batch_cosine_topk": _BATCH_COSINE_SQL,
+        "x_embedding_near_dup": _EMB_NEAR_DUP_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —
