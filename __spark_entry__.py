@@ -3207,7 +3207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries against DuckDB, so entries 1-50 are oracle-backed proving queries
     covering every distinct operator class. The next block is oracle-backed
     overflow — classes already proven in-window (extra TPC-H shapes, sibling
-    text-analysis rollups, round-4 corpus ops) — ``tools/check_oracle.py``
+    text-analysis rollups, corpus ops, the derived-partsupp TPC-H shapes,
+    and the round-5 PQ/ANN promotions) — ``tools/check_oracle.py``
     sweeps ALL entries, window or not. The tail is the genuinely rows-only
     ops (hash sketches, approximate ANN/IVF) with no SQL twin; the invariant
     is pinned by ``test_grading_window_is_all_oracle_backed``."""

@@ -13,6 +13,14 @@ Two tiers, as a 100 TB design requires:
   planes with zero driver shipping.
 - **embedding near-dup**: pairs within cosine ≥ τ via the same bucketing —
   the embedding-space analogue of MinHash dedup.
+- **Product quantization (PQ / IVF-PQ)** — the memory tier: vectors encode
+  to ``m`` one-byte codes (32× smaller than raw float32); ADC queries score
+  codes from driver-side lookup tables, and IVF-PQ composes cell pruning
+  (partition pruning when persisted) with code scoring.
+- **Batch top-k** (``cosine_topk_batch``) — the query-batch workload as one
+  numpy GEMM per Arrow batch inside ``mapInPandas`` (the case where a
+  vectorized pandas UDF legitimately beats per-element codegen), with
+  per-batch local top-k so the reduce stage sees ~partitions×k rows.
 """
 
 from __future__ import annotations

@@ -66,6 +66,21 @@ def test_oracle_outputs_have_no_hugeint_columns():
     )
 
 
+def test_derived_partsupp_pk_unique(spark):
+    """The derived partsupp must satisfy the real table's PK invariant —
+    (ps_partkey, ps_suppkey) unique — or the Q2/Q9/Q11/Q16 joins silently
+    double-count. The k-offset spreading guarantees it for every fixture
+    supplier count; pin it rather than trust the arithmetic."""
+    for sf_dir in (entry.SF_SMOKE, "/root/testdata/sf0.01"):
+        ps = entry._derived_partsupp(spark, sf_dir)
+        total = ps.count()
+        distinct = ps.select("ps_partkey", "ps_suppkey").distinct().count()
+        assert total == distinct, (sf_dir, total, distinct)
+        # 4 suppliers per part, exactly
+        parts = ps.select("ps_partkey").distinct().count()
+        assert total == 4 * parts, (sf_dir, total, parts)
+
+
 def test_all_queries_run_at_smoke_sf(spark):
     for name, fn in entry.queries().items():
         df = fn(spark, entry.SF_SMOKE)
