@@ -2250,6 +2250,86 @@ def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-arbitered dedup: per near-dup cluster, the survivor is the
+    highest-quality document (ties → smallest doc_id) — the production
+    alternative to min-id canonicalization (a crawl usually keeps the
+    cleanest copy, not the earliest). Composes three oracle-proven pieces:
+    the exact-on-fixture MinHash cluster map, the integer-ppm quality
+    score, and a struct-min arbiter that is deterministic under any
+    partitioning. Oracle rebuilds the same map with a recursive closure +
+    window."""
+    from mydumper_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from mydumper_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    qual = quality_score(docs.select("doc_id", "text")).select("doc_id", "quality")
+    clustered = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("cluster_id"))
+        .join(qual, "doc_id")
+    )
+    # min over (-quality, doc_id) == max quality with min-id tiebreak; the
+    # negation is exact for doubles, so cross-engine ordering agrees
+    best = clustered.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("id"))
+        )["id"].alias("keeper_id")
+    )
+    return clustered.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_SHINGLE_DOCS_CTE},
+edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
+          UNION ALL
+          SELECT id_b, id_a FROM exact_pairs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+),
+comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+clusters AS (
+  SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+qual AS (
+  SELECT doc_id,
+         (len_ok * 4000000
+          + (1000000 - least(punct_ppm * 5, 1000000)) * 3
+          + least(space_ppm * 5, 1000000) * 3) / 10000000.0 AS quality
+  FROM (
+    SELECT doc_id,
+           CAST(length(text) >= 50 AND length(text) <= 100000 AS BIGINT) AS len_ok,
+           CAST(round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1000000) AS BIGINT) AS punct_ppm,
+           CAST(round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1000000) AS BIGINT) AS space_ppm
+    FROM documents
+  )
+),
+ranked AS (
+  SELECT cl.doc_id, cl.cluster_id, q.quality,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY q.quality DESC, cl.doc_id ASC) AS rn
+  FROM clusters cl JOIN qual q USING (doc_id)
+),
+best AS (SELECT cluster_id, doc_id AS keeper_id FROM ranked WHERE rn = 1)
+SELECT r.doc_id, r.cluster_id, b.keeper_id, r.doc_id = b.keeper_id AS kept
+FROM ranked r JOIN best b USING (cluster_id)
+"""
+
+
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
     the scalar-max-over-aggregate pattern (CTE + broadcast max, no
@@ -3292,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_blocks_global": x_dedup_blocks_global,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
+        "x_dedup_keep_best": x_dedup_keep_best,
         "x_masquerade_properties": x_masquerade_properties,
         "x_ann_topk": x_ann_topk,
         "x_ivf_exhaustive": x_ivf_exhaustive,
@@ -3388,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_blocks_global": _DEDUP_BLOCKS_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
+        "x_dedup_keep_best": _KEEP_BEST_SQL,
         "x_masquerade_properties": _MASQ_PROPS_SQL,
         "x_ann_topk": _ANN_SQL,
         # exhaustive probe provably equals brute force, so the exact
