@@ -183,7 +183,11 @@ def cmd_prepare(args: argparse.Namespace) -> int:
     if args.dedup == "exact":
         df = exact_dedup(df)
     elif args.dedup == "minhash":
-        df = minhash_dedup(df, jaccard_threshold=args.jaccard_threshold)
+        df = minhash_dedup(
+            df,
+            jaccard_threshold=args.jaccard_threshold,
+            arbiter=args.dedup_arbiter,
+        )
     # sub-document dedup: rewrite text with corpus-wide duplicate lines /
     # aligned token blocks removed (first occurrence survives); non-text
     # columns carry through on doc_id
@@ -281,6 +285,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("-o", "--outputdir", required=True)
     pp.add_argument("--dedup", default="exact", choices=["none", "exact", "minhash"])
     pp.add_argument("--jaccard-threshold", type=float, default=0.8)
+    pp.add_argument("--dedup-arbiter", default="min_id",
+                    choices=["min_id", "quality"],
+                    help="near-dup survivor rule: earliest id or highest quality")
     pp.add_argument("--line-dedup", action="store_true",
                     help="corpus-wide duplicate-line removal (C4 rule) after doc dedup")
     pp.add_argument("--block-dedup-tokens", type=int, default=None,

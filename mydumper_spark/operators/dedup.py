@@ -184,15 +184,51 @@ def minhash_lsh_pairs(
 
 
 def minhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arbiter: str = "min_id",
+    **kw,
 ) -> DataFrame:
-    """Greedy near-dup removal: drop any doc that has a verified near-dup
-    with a smaller id. (Greedy, not transitive closure — at worst keeps an
-    extra representative per chain, never loses a cluster entirely; the
-    closure variant is connected_components below.)"""
+    """Near-dup removal with a pluggable survivor rule.
+
+    ``arbiter="min_id"`` (default): greedy — drop any doc that has a
+    verified near-dup with a smaller id. (Greedy, not transitive closure —
+    at worst keeps an extra representative per chain, never loses a
+    cluster entirely; the closure variant is connected_components below.)
+
+    ``arbiter="quality"``: cluster-exact — build components over the
+    verified pairs and keep each cluster's highest-quality document (ties
+    → smallest id), the rule a production crawl pipeline wants (keep the
+    cleanest copy, not the earliest). Costs the O(log L) component rounds
+    on top of the pair join; the arbiter itself is a struct-min aggregate,
+    deterministic under any partitioning."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    if arbiter == "min_id":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
+    if arbiter != "quality":
+        raise ValueError(f"unknown arbiter: {arbiter!r}")
+    from mydumper_spark.operators.text import quality_score
+
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    qual = quality_score(
+        df.select(id_col, F.col(text_col).alias("text"))
+    ).select(id_col, "quality")
+    clustered = (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce("comp", F.col(id_col)).alias("__cluster")
+        )
+        .join(qual, id_col)
+    )
+    keepers = clustered.groupBy("__cluster").agg(
+        F.min(
+            F.struct((-F.col("quality")).alias("nq"), F.col(id_col).alias("id"))
+        )["id"].alias(id_col)
+    ).select(id_col)
+    return df.join(keepers, id_col, "left_semi")
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 16) -> DataFrame:

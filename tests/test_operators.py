@@ -88,6 +88,30 @@ def test_exact_dedup(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
 
 
+def test_minhash_dedup_quality_arbiter_keeps_best(spark):
+    """arbiter='quality': the cluster survivor is the highest-quality copy,
+    not the earliest id. Doc 1 is a punctuation-noisy copy (higher
+    punct_ppm → lower composite quality); doc 2 is the clean near-dup;
+    min_id keeps 1, quality must keep 2."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    noisy = ("!!! " + base.replace("lazy", "sleepy") + " ???!!!;;;###...")
+    far = "completely unrelated words about spark engines and parquet files " * 3
+    df = spark.createDataFrame(
+        [(1, noisy), (2, base), (3, far)], "doc_id long, text string"
+    )
+    kw = dict(jaccard_threshold=0.5, bands=8, num_hashes=16)
+    greedy = sorted(r["doc_id"] for r in
+                    dd.minhash_dedup(df, **kw).collect())
+    best = sorted(r["doc_id"] for r in
+                  dd.minhash_dedup(df, arbiter="quality", **kw).collect())
+    assert greedy == [1, 3]      # min-id keeps the noisy earlier copy
+    assert best == [2, 3]        # quality keeps the clean copy
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.minhash_dedup(df, arbiter="nope", **kw)
+
+
 def test_minhash_finds_planted_near_dup(spark):
     base = "the quick brown fox jumps over the lazy dog again and again " * 3
     near = base.replace("lazy", "sleepy")
