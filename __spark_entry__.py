@@ -2330,6 +2330,49 @@ FROM ranked r JOIN best b USING (cluster_id)
 """
 
 
+def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split: membership hashes the near-dup
+    CLUSTER id (singletons → own id), so a near-copy of a holdout doc
+    structurally cannot land in train. 20% holdout so the fixture's
+    clusters exercise both sides. Oracle rebuilds the cluster map with the
+    recursive closure and replays the md5 split hash bit-for-bit."""
+    from mydumper_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from mydumper_spark.operators.sampling import cluster_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    clusters = (
+        connected_components(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("comp", "cluster_id")
+    )
+    return cluster_safe_split(docs, clusters, holdout_fraction=0.2)
+
+
+_CLUSTER_SPLIT_SQL = f"""
+WITH RECURSIVE {_SHINGLE_DOCS_CTE},
+edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
+          UNION ALL
+          SELECT id_b, id_a FROM exact_pairs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+),
+comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+clustered AS (
+  SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) < CAST(0.2 * 4294967296 AS BIGINT)
+            THEN 'holdout' ELSE 'train' END AS split
+FROM clustered
+"""
+
+
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
     the scalar-max-over-aggregate pattern (CTE + broadcast max, no
@@ -3373,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_dedup_keep_best": x_dedup_keep_best,
+        "x_cluster_safe_split": x_cluster_safe_split,
         "x_masquerade_properties": x_masquerade_properties,
         "x_ann_topk": x_ann_topk,
         "x_ivf_exhaustive": x_ivf_exhaustive,
@@ -3470,6 +3514,7 @@ def oracle_sql() -> dict[str, str]:
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_dedup_keep_best": _KEEP_BEST_SQL,
+        "x_cluster_safe_split": _CLUSTER_SPLIT_SQL,
         "x_masquerade_properties": _MASQ_PROPS_SQL,
         "x_ann_topk": _ANN_SQL,
         # exhaustive probe provably equals brute force, so the exact

@@ -116,7 +116,47 @@ def split_train_holdout(
 ) -> tuple[DataFrame, DataFrame]:
     """Disjoint, exhaustive train/holdout split on the same hash — the
     standard eval-contamination guard. Both sides are pure filters of the
-    same scan; a row can never migrate between splits across runs."""
+    same scan; a row can never migrate between splits across runs.
+
+    Caveat: membership hashes the ROW key, so two near-duplicate documents
+    can land on opposite sides — a near-copy of a holdout doc leaking into
+    train. Use :func:`cluster_safe_split` with a near-dup cluster map when
+    that leakage matters (it always does for eval sets)."""
     cut = int(holdout_fraction * HASH_SPACE)
     h = sample_hash(F.col(key_col))
     return df.where(h >= cut), df.where(h < cut)
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    holdout_fraction: float = 0.01,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe train/holdout assignment: split membership hashes the
+    near-dup CLUSTER id, never the document id, so an entire cluster lands
+    on one side — a near-duplicate of a holdout document structurally
+    cannot appear in train. ``clusters`` maps ``id_col → cluster_col``
+    (e.g. from connected_components over verified MinHash pairs); docs
+    absent from the map are singletons (cluster = own id).
+
+    Returns (id, cluster, split) with split ∈ {'train','holdout'}. One
+    broadcast-or-hash join against the cluster map (clusters ≪ corpus:
+    only multi-doc clusters need rows); the hash itself is scan-side
+    codegen, so the split adds no extra shuffle beyond that join."""
+    cut = int(holdout_fraction * HASH_SPACE)
+    joined = (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(cluster_col), F.col(id_col)).alias(cluster_col),
+        )
+    )
+    h = sample_hash(F.col(cluster_col))
+    return joined.select(
+        id_col,
+        cluster_col,
+        F.when(h < cut, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
+    )

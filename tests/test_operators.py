@@ -670,6 +670,35 @@ def test_split_train_holdout_disjoint_exhaustive(spark):
     assert len(t) + len(h) == 5_000
 
 
+def test_cluster_safe_split_never_straddles_clusters(spark):
+    """The leakage invariant: every near-dup cluster lands wholly on one
+    side of the split, and the assignment is exhaustive over the corpus
+    with singletons hashed on their own id (identical to the plain split
+    for unclustered docs)."""
+    from mydumper_spark.operators import sampling as sp
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    # plant clusters: docs 0-9 share cluster 0, docs 10-14 share cluster 10
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(i, 10) for i in range(10, 15)],
+        "doc_id long, cluster_id long",
+    )
+    out = sp.cluster_safe_split(df, clusters, holdout_fraction=0.3).collect()
+    assert len(out) == 200
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+    # singleton assignment matches the plain key split (same hash, same cut)
+    train, hold = sp.split_train_holdout(
+        df.where("doc_id >= 15"), "doc_id", holdout_fraction=0.3
+    )
+    plain_hold = {r["doc_id"] for r in hold.collect()}
+    ours_hold = {r["doc_id"] for r in out
+                 if r["doc_id"] >= 15 and r["split"] == "holdout"}
+    assert plain_hold == ours_hold
+
+
 def test_stratified_fixed_exact_counts(spark):
     from mydumper_spark.operators import sampling as sp
 
