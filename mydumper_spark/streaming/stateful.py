@@ -55,6 +55,65 @@ def _dedup_fn(
         )
 
 
+#: output of streaming line dedup: each surviving line occurrence
+LINE_OUTPUT_SCHEMA = "line string, doc_id bigint, pos bigint, n_duplicates bigint"
+LINE_STATE_SCHEMA = "seen bigint"
+
+
+def _line_dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (line,) = key
+    seen = state.get[0] if state.exists else 0
+    first = None
+    batch_count = 0
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            cand = (int(row["doc_id"]), int(row["pos"]))
+            if first is None or cand < first:
+                first = cand
+        batch_count += len(pdf)
+    state.update((seen + batch_count,))
+    if seen == 0 and first is not None:
+        yield pd.DataFrame(
+            {
+                "line": [line],
+                "doc_id": [first[0]],
+                "pos": [first[1]],
+                "n_duplicates": [batch_count - 1],
+            }
+        )
+
+
+def streaming_line_dedup(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming twin of
+    :func:`mydumper_spark.operators.dedup_lines_global`'s arbitration
+    stage: documents stream in, lines explode out, and each distinct line
+    VALUE survives only the first micro-batch it ever appears in (within
+    that batch, the smallest (doc_id, pos) wins — matching the batch
+    arbiter when ids arrive in order). Duplicate lines in any later batch
+    are swallowed by per-line state.
+
+    Emits surviving (line, doc_id, pos) rows; document reassembly is a
+    downstream batch concern (a streaming re-group would need a second
+    stateful stage, which update-mode chains disallow). State shards by
+    line value across executors exactly like the batch shuffle; per-key
+    state is one long."""
+    from pyspark.sql import functions as F
+
+    lines = stream.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).where(F.trim(F.col("line")) != "")
+    return lines.groupBy("line").applyInPandasWithState(
+        _line_dedup_fn,
+        outputStructType=LINE_OUTPUT_SCHEMA,
+        stateStructType=LINE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(stream: DataFrame, fp_col: str = "fp") -> DataFrame:
     """Cross-batch first-occurrence dedup over a fingerprint column.
 

@@ -418,6 +418,47 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert out2.get("a", out1["a"])["doc_id"] == out1["a"]["doc_id"]  # no re-emit of a
 
 
+def test_streaming_line_dedup(spark, tmp_path):
+    """Cross-batch line-value dedup: a line first seen in batch 1 is
+    swallowed when any later document repeats it; new lines still emit."""
+    from mydumper_spark.streaming.stateful import streaming_line_dedup
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "alpha\nshared line"), (2, "shared line\nbeta")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(landing)
+
+    def run_once():
+        rows = []
+        stream = spark.readStream.schema("doc_id long, text string").parquet(landing)
+        q = (
+            streaming_line_dedup(stream)
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["line"]: r for r in rows}
+
+    out1 = run_once()
+    assert set(out1) == {"alpha", "shared line", "beta"}
+    # in-batch arbiter: the smallest (doc_id, pos) wins and dups count
+    assert out1["shared line"]["doc_id"] == 1
+    assert out1["shared line"]["n_duplicates"] == 1
+
+    # batch 2: repeats of old lines are swallowed; the new line emits
+    spark.createDataFrame(
+        [(3, "shared line\nalpha\nbrand new")], "doc_id long, text string"
+    ).write.mode("append").parquet(landing)
+    out2 = run_once()
+    assert "brand new" in out2 and out2["brand new"]["doc_id"] == 3
+    assert out2.get("shared line", out1["shared line"])["doc_id"] == 1
+
+
 def test_reference_style_sql_gz_chunks(spark, tmp_path):
     """Compressed per-chunk dumps (reference -c/--compress → .sql.gz) read
     transparently through Spark's built-in gzip codec."""
