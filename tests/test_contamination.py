@@ -86,6 +86,38 @@ def test_repetition_empty_text_passes(spark):
     assert r["passes_repetition"]
 
 
+def test_decontaminate_runs_in_streaming(spark, tmp_path, documents):
+    """Decontamination in a streaming ingest composes via foreachBatch:
+    the decision is per-document (each doc's shared-shingle count against
+    the static broadcast eval side needs no cross-batch state), so running
+    the batch operator per micro-batch is semantically exact — unlike a
+    direct stream aggregation, which would demand a watermark for state it
+    doesn't actually need. Output must equal the batch operator."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    corpus = documents.limit(60)
+    ev = documents.where("doc_id % 20 = 0").selectExpr(
+        "doc_id AS eval_id", "text"
+    )
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+
+    def scrub(batch_df, _id):
+        decontaminate(batch_df, ev, min_shared=3).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(scrub)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch = {r["doc_id"] for r in decontaminate(corpus, ev, min_shared=3).collect()}
+    assert got == batch
+    assert len(got) < 60  # the planted eval docs themselves were scrubbed
+
+
 def test_repetition_gate_runs_in_streaming(spark, tmp_path, documents):
     """The hygiene gates are stateless per-row expressions, so the same
     operator composes unchanged into a Structured Streaming pipeline —
