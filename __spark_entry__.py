@@ -2941,6 +2941,48 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: 64-token chunks of the documents corpus
+    packed into 512-token sequences by deterministic contiguous fill
+    (seq = floor(pre-chunk running total / 512) over (doc, chunk) order)."""
+    from mydumper_spark.operators.corpus import chunk_documents, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=64, overlap=8)
+    return pack_sequences(chunks, budget_tokens=512)
+
+
+_PACK_SQL = """
+WITH chunks AS (
+  SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
+         u.n_tokens AS n_tokens
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(toks) - 8, 1), 56),
+                  s -> struct_pack(chunk_id := s // 56,
+                                   chunk_text := array_to_string(toks[s+1:s+64], ' '),
+                                   n_tokens := least(len(toks) - s, 64)))) AS u
+    FROM (SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+          FROM documents)
+    WHERE len(toks) > 0
+  )
+),
+cum AS (
+  SELECT doc_id, chunk_id, chunk_text, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM chunks
+)
+SELECT CAST(pre // 512 AS BIGINT) AS seq_id,
+       string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS text,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_chunks
+FROM cum GROUP BY seq_id
+"""
+
+
 def x_token_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-frequency document scoring (perplexity-proxy quality filter):
     per doc, mean corpus frequency of its tokens in ppb — pure BIGINT
@@ -3413,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunk_documents": x_chunk_documents,
         "x_dedup_lines_global": x_dedup_lines_global,
         "x_dedup_blocks_global": x_dedup_blocks_global,
+        "x_pack_sequences": x_pack_sequences,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_dedup_keep_best": x_dedup_keep_best,
@@ -3511,6 +3554,7 @@ def oracle_sql() -> dict[str, str]:
         "x_chunk_documents": _CHUNK_SQL,
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
         "x_dedup_blocks_global": _DEDUP_BLOCKS_SQL,
+        "x_pack_sequences": _PACK_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_dedup_keep_best": _KEEP_BEST_SQL,

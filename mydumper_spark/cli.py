@@ -227,6 +227,10 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         out = chunk_documents(
             df, max_tokens=args.chunk_tokens, overlap=args.chunk_overlap
         )
+        if args.pack_tokens:
+            from mydumper_spark.operators.corpus import pack_sequences
+
+            out = pack_sequences(out, budget_tokens=args.pack_tokens)
     out.write.mode("overwrite").parquet(args.outputdir)
     for d in cached:
         d.unpersist()
@@ -303,6 +307,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--chunk-tokens", type=int, default=None,
                     help="emit token-window chunks of this size instead of docs")
     pp.add_argument("--chunk-overlap", type=int, default=8)
+    pp.add_argument("--pack-tokens", type=int, default=None,
+                    help="pack chunks into sequences of this token budget "
+                         "(requires --chunk-tokens)")
     pp.add_argument("-t", "--threads", type=int)
     pp.set_defaults(fn=cmd_prepare)
     return p

@@ -1,5 +1,6 @@
 """Corpus-level text preparation for training pipelines: token-window
-document chunking and global (cross-document) duplicate-line removal.
+document chunking, fixed-budget sequence packing, and global
+(cross-document) duplicate line/block removal.
 
 Scale shapes:
 
@@ -67,6 +68,79 @@ def chunk_documents(
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget_tokens: int = 2048,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    n_col: str = "n_tokens",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Pack chunk rows into fixed-budget training sequences — the last
+    stage of the corpus pipeline (dedup → gates → chunk → **pack**).
+
+    Deterministic contiguous-fill: chunks are taken in (doc, chunk) order
+    and a sequence closes when the running token total passes the budget —
+    ``seq_id = floor(pre_chunk_cumsum / budget)``, so every sequence
+    (except the final remainder) fills to within one chunk's tokens of the
+    budget on either side (bounded by the chunking ``max_tokens``,
+    ≪ budget). The scalable stand-in for greedy bin packing, which is
+    inherently sequential.
+
+    **Set** ``n_shards`` **at scale.** The prefix sum with no shard column
+    is a single-partition window (Spark moves every chunk row to one task
+    — fine at fixture scale, a wall at 100 TB). With ``n_shards``, docs
+    hash into shards, each shard packs independently in parallel, and
+    sequence ids are disjoint across shards (``shard * 2^40 + local``).
+    Cost of sharding: at most one underfilled remainder sequence per shard
+    — waste ≤ n_shards × budget tokens, negligible against any corpus that
+    needed sharding in the first place.
+
+    Returns (seq_id, text, n_tokens, n_chunks)."""
+    if n_shards:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        w = Window.partitionBy("__shard").orderBy(
+            F.col(id_col).asc(), F.col(chunk_id_col).asc()
+        )
+        chunks = chunks.withColumn("__shard", shard)
+        seq = F.col("__shard") * F.lit(1 << 40) + (
+            F.col("__pre") / budget_tokens
+        ).cast("bigint")
+    else:
+        w = Window.orderBy(F.col(id_col).asc(), F.col(chunk_id_col).asc())
+        seq = (F.col("__pre") / budget_tokens).cast("bigint")
+    with_cum = chunks.withColumn(
+        "__pre",
+        F.coalesce(
+            F.sum(n_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("__seq", seq)
+    return (
+        with_cum.groupBy(F.col("__seq").alias("seq_id"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(id_col).alias("d"),
+                                F.col(chunk_id_col).alias("c"),
+                                F.col(text_col).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            ).alias("text"),
+            F.sum(n_col).cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        )
     )
 
 

@@ -9,6 +9,7 @@ from mydumper_spark.operators.corpus import (
     chunk_documents,
     dedup_lines_global,
     dedup_token_blocks_global,
+    pack_sequences,
 )
 
 
@@ -42,6 +43,67 @@ def test_chunking_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_pack_sequences_budget_and_reconstruction(spark):
+    """Packing invariants: (a) concatenating all sequences in seq order
+    reproduces the chunk stream exactly — nothing lost or duplicated;
+    (b) every sequence except possibly the last fills to within one chunk
+    of the budget on either side — the boundary chunk attaches to whichever
+    bin its pre-sum lands in, so |n - budget| < max chunk tokens;
+    (c) counts are consistent."""
+    texts = [" ".join(f"d{i}t{j}" for j in range(n))
+             for i, n in enumerate((100, 7, 64, 200, 31))]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(df, max_tokens=16, overlap=0)
+    chunk_rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunks.collect()
+    )
+    budget = 48
+    packed = sorted(
+        (r["seq_id"], r["text"], r["n_tokens"], r["n_chunks"])
+        for r in pack_sequences(chunks, budget_tokens=budget).collect()
+    )
+    # (a) exact reconstruction
+    assert " ".join(t for _, t, _, _ in packed) == " ".join(
+        t for _, _, t, _ in chunk_rows
+    )
+    # (b) fill level: all but the last within one chunk of the budget
+    for i, (_, _, n, _) in enumerate(packed):
+        if i < len(packed) - 1:
+            assert budget - 16 < n < budget + 16, packed[i]
+    # (c) token totals agree
+    assert sum(n for _, _, n, _ in packed) == sum(n for _, _, _, n in chunk_rows)
+    assert sum(c for _, _, _, c in packed) == len(chunk_rows)
+
+
+def test_pack_sequences_sharded_mode(spark):
+    """n_shards: same chunk multiset packed, disjoint seq ids across
+    shards, per-shard fill levels hold, and nothing is lost — the parallel
+    variant must conserve exactly what the global window conserves."""
+    texts = [" ".join(f"d{i}t{j}" for j in range(n))
+             for i, n in enumerate((100, 7, 64, 200, 31, 90, 45))]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(df, max_tokens=16, overlap=0)
+    total_tokens = sum(r["n_tokens"] for r in chunks.collect())
+    packed = pack_sequences(chunks, budget_tokens=48, n_shards=3).collect()
+    assert sum(r["n_tokens"] for r in packed) == total_tokens
+    # shard encoding keeps ids disjoint and recoverable
+    shards = {r["seq_id"] >> 40 for r in packed}
+    assert shards <= {0, 1, 2} and len(shards) > 1
+    # within each shard, at most one sequence underfills the budget
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in packed:
+        by_shard[r["seq_id"] >> 40].append(r["n_tokens"])
+    for shard, sizes in by_shard.items():
+        assert sum(1 for n in sizes if n < 48 - 15) <= 1, (shard, sizes)
 
 
 def test_dedup_lines_keeps_first_occurrence(spark):
