@@ -2941,6 +2941,79 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: per-(source, lang) rollup of document counts,
+    whitespace-token totals, and integer-ppm mean quality — the summary a
+    data curator reads before training. ROLLUP gives source subtotals and
+    the grand total in the same single-shuffle pass (grouping sets expand
+    map-side, like x_rollup_revenue)."""
+    from mydumper_spark.operators.dedup import tokens
+    from mydumper_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    # Recover the integer composite (0..1e7) from quality_score's exact
+    # ratio columns: round() recovers each ppm integer exactly (error
+    # ≪ 0.5), and everything after is BIGINT arithmetic — no double
+    # cast-rounding divergence (Spark truncates, DuckDB rounds).
+    qs = quality_score(docs)
+    p_ppm = F.round(F.col("punct_ratio") * 1_000_000).cast("bigint")
+    s_ppm = F.round(F.col("space_ratio") * 1_000_000).cast("bigint")
+    composite = (
+        F.col("len_ok").cast("bigint") * 4_000_000
+        + (F.lit(1_000_000) - F.least(p_ppm * 5, F.lit(1_000_000))) * 3
+        + F.least(s_ppm * 5, F.lit(1_000_000)) * 3
+    )
+    q = qs.select("doc_id", composite.alias("q_scaled"))
+    base = docs.join(q, "doc_id").select(
+        "source", "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        "q_scaled",
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.expr("sum(q_scaled) div count(1)").alias("mean_q_scaled"),
+        )
+        .orderBy("gid", "source", "lang")
+    )
+
+
+_CORPUS_REPORT_SQL = """
+WITH q AS (
+  SELECT doc_id,
+         len_ok * 4000000
+         + (1000000 - least(punct_ppm * 5, 1000000)) * 3
+         + least(space_ppm * 5, 1000000) * 3 AS q_scaled
+  FROM (
+    SELECT doc_id,
+           CAST(length(text) >= 50 AND length(text) <= 100000 AS BIGINT) AS len_ok,
+           CAST(round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1000000) AS BIGINT) AS punct_ppm,
+           CAST(round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1000000) AS BIGINT) AS space_ppm
+    FROM documents
+  )
+),
+base AS (
+  SELECT d.source, d.lang,
+         CAST(CASE WHEN trim(lower(d.text)) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(d.text)), '\\s+')) END AS BIGINT) AS n_tok,
+         q.q_scaled
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(CAST(sum(q_scaled) AS BIGINT) // count(*) AS BIGINT) AS mean_q_scaled
+FROM base
+GROUP BY ROLLUP (source, lang)
+ORDER BY gid, source, lang
+"""
+
+
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: 64-token chunks of the documents corpus
     packed into 512-token sequences by deterministic contiguous fill
@@ -3456,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_lines_global": x_dedup_lines_global,
         "x_dedup_blocks_global": x_dedup_blocks_global,
         "x_pack_sequences": x_pack_sequences,
+        "x_corpus_report": x_corpus_report,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_dedup_keep_best": x_dedup_keep_best,
@@ -3555,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
         "x_dedup_blocks_global": _DEDUP_BLOCKS_SQL,
         "x_pack_sequences": _PACK_SQL,
+        "x_corpus_report": _CORPUS_REPORT_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_dedup_keep_best": _KEEP_BEST_SQL,
