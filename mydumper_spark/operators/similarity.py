@@ -571,6 +571,69 @@ def ivf_pq_topk(
     return pq_topk(cand, query_vec, codebooks, k, id_col, vec_col)
 
 
+def write_ivf_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the full IVF-PQ layout: PQ code array as the payload
+    (ids + m small ints — the raw vectors are NOT stored), IVF cell as the
+    parquet partition column. At 100 TB this is the whole point: the index
+    is ~32× smaller than the corpus vectors, queries read only the probed
+    cells' directories, and scoring touches codes only."""
+    n_cells = len(centroids)
+    assigned, _ = ivf_assign_cells(embeddings, n_cells, id_col, vec_col, centroids)
+    encoded = pq_encode(assigned, codebooks, vec_col=vec_col)
+    encoded.select(id_col, "pq_code", "__cell").write.mode("overwrite").partitionBy(
+        "__cell"
+    ).parquet(path)
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the persisted IVF-PQ index: identical results to the inline
+    :func:`ivf_pq_topk` over the same codebooks/centroids (pytest-pinned),
+    but candidate selection is partition pruning over ``__cell`` and the
+    ADC score reads ONLY the stored code arrays — no embedding column
+    exists in the index at all."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qdots = [
+        (i, sum(q * x for q, x in zip(query_vec, c)) - sum(x * x for x in c) / 2.0)
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(qdots, key=lambda t: -t[1])[:n_probe]]
+    df = spark.read.parquet(path).where(F.col("__cell").isin(probe))
+    total = None
+    for j in range(m):
+        qsub = query_vec[j * dsub : (j + 1) * dsub]
+        lut = []
+        for center in codebooks[j]:
+            acc = 0.0
+            for qv, cv in zip(qsub, center):
+                d = float(qv) - cv
+                acc = acc + d * d
+            lut.append(acc)
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]),
+            (F.element_at(F.col("pq_code"), j + 1) + 1).cast("int"),
+        )
+        total = term if total is None else total + term
+    scored = df.select(F.col(id_col), F.round(total, 6).alias("approx_dist"))
+    return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -818,6 +818,37 @@ def test_ivf_index_pruned_query_matches_inline(spark, embeddings, tmp_path):
     assert n_cells_read == 2, (n_cells_read, inset)
 
 
+def test_ivf_pq_index_pruned_query_matches_inline(spark, embeddings, tmp_path):
+    """Persisted IVF-PQ: code arrays partitioned by cell (no embedding
+    column stored at all), query reads only probed cells and scores codes,
+    result identical to the inline ivf_pq_topk."""
+    from mydumper_spark.operators.similarity import (
+        ivf_centroids_from_ids,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+        pq_codebooks_from_ids,
+        write_ivf_pq_index,
+    )
+
+    corpus = embeddings.where("vec_id <> 0")
+    qvec = [float(v) for v in embeddings.where("vec_id = 0").first()["embedding"]]
+    cents = ivf_centroids_from_ids(embeddings, n_cells=4)
+    cbs = pq_codebooks_from_ids(embeddings, m=8, ksub=16)
+    path = str(tmp_path / "ivfpq_idx")
+    write_ivf_pq_index(corpus, path, cbs, cents)
+
+    stored_cols = set(spark.read.parquet(path).columns)
+    assert stored_cols == {"vec_id", "pq_code", "__cell"}  # vectors absent
+
+    inline = ivf_pq_topk(corpus, qvec, cbs, cents, k=10, n_probe=2).collect()
+    indexed_df = ivf_pq_topk_indexed(spark, path, qvec, cbs, cents, k=10, n_probe=2)
+    assert [(r["vec_id"], r["approx_dist"]) for r in indexed_df.collect()] == [
+        (r["vec_id"], r["approx_dist"]) for r in inline
+    ]
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [__cell" in plan, plan
+
+
 def test_token_frequency_score_planted(spark):
     # corpus: 10 tokens total; "common" appears 5x, rares once each
     df = spark.createDataFrame(
