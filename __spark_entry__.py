@@ -961,27 +961,11 @@ exact_pairs AS (
 )
 """
 
-_MINHASH_SQL = f"""
-WITH {_SHINGLE_DOCS_CTE}
-SELECT id_a, id_b, jaccard FROM exact_pairs
-"""
-
-_CC_SQL = f"""
-WITH RECURSIVE {_SHINGLE_DOCS_CTE},
-edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
-          UNION ALL
-          SELECT id_b, id_a FROM exact_pairs),
-nodes AS (SELECT DISTINCT u AS id FROM edges),
-reach(id, lab) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
-)
-SELECT id, min(lab) AS comp FROM reach GROUP BY id
-"""
-
-_DEDUP_CANONICAL_SQL = f"""
-WITH RECURSIVE {_SHINGLE_DOCS_CTE},
+# Shared closure over the exact near-dup edge set: undirected edges →
+# recursive min-label reachability → per-node component. Single source
+# of truth for every cluster-consuming oracle (components, canonical
+# map, keep-best, split) — they must all see the SAME clusters.
+_CLOSURE_CTES = """
 edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
           UNION ALL
           SELECT id_b, id_a FROM exact_pairs),
@@ -992,6 +976,22 @@ reach(id, lab) AS (
   SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
 ),
 comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+"""
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLE_DOCS_CTE}
+SELECT id_a, id_b, jaccard FROM exact_pairs
+"""
+
+_CC_SQL = f"""
+WITH RECURSIVE {_SHINGLE_DOCS_CTE},
+{_CLOSURE_CTES.strip()}
+SELECT id, comp FROM comp
+"""
+
+_DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_SHINGLE_DOCS_CTE},
+{_CLOSURE_CTES.strip()}
 SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS canonical_id
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
@@ -2289,16 +2289,7 @@ def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KEEP_BEST_SQL = f"""
 WITH RECURSIVE {_SHINGLE_DOCS_CTE},
-edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
-          UNION ALL
-          SELECT id_b, id_a FROM exact_pairs),
-nodes AS (SELECT DISTINCT u AS id FROM edges),
-reach(id, lab) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
-),
-comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+{_CLOSURE_CTES.strip()},
 clusters AS (
   SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
@@ -2351,16 +2342,7 @@ def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_SPLIT_SQL = f"""
 WITH RECURSIVE {_SHINGLE_DOCS_CTE},
-edges AS (SELECT id_a AS u, id_b AS v FROM exact_pairs
-          UNION ALL
-          SELECT id_b, id_a FROM exact_pairs),
-nodes AS (SELECT DISTINCT u AS id FROM edges),
-reach(id, lab) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
-),
-comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+{_CLOSURE_CTES.strip()},
 clustered AS (
   SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id

@@ -418,6 +418,42 @@ def pq_encode(
     return embeddings.withColumn(out_col, F.array(*code_exprs))
 
 
+def _adc_luts(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Per-subspace lookup tables of squared distances from the query
+    subvector to each centroid, with fixed-order float sums. The single
+    source of truth for ADC scoring — used by :func:`pq_topk` and
+    :func:`ivf_pq_topk_indexed`; a drift between them would silently score
+    persisted codes against different tables than inline queries."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    luts = []
+    for j in range(m):
+        qsub = query_vec[j * dsub : (j + 1) * dsub]
+        lut = []
+        for center in codebooks[j]:
+            acc = 0.0
+            for qv, cv in zip(qsub, center):
+                d = float(qv) - cv
+                acc = acc + d * d
+            lut.append(acc)
+        luts.append(lut)
+    return luts
+
+
+def _adc_total(luts: list[list[float]], code_col: str = "pq_code") -> Column:
+    """j-ordered sum of each code's lookup-table entry — the ADC score."""
+    total = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]),
+            (F.element_at(F.col(code_col), j + 1) + 1).cast("int"),
+        )
+        total = term if total is None else total + term
+    return total
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -432,24 +468,8 @@ def pq_topk(
     of its codes' table entries — no float vector is touched at scoring
     time. Returns (id, approx_dist) nearest-first, ties by id on the
     ROUNDED distance so cross-engine ordering is stable."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     encoded = pq_encode(embeddings, codebooks, vec_col=vec_col)
-    total = None
-    for j in range(m):
-        qsub = query_vec[j * dsub : (j + 1) * dsub]
-        lut = []
-        for center in codebooks[j]:
-            acc = 0.0
-            for qv, cv in zip(qsub, center):
-                d = float(qv) - cv
-                acc = acc + d * d
-            lut.append(acc)
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut]),
-            (F.element_at(F.col("pq_code"), j + 1) + 1).cast("int"),
-        )
-        total = term if total is None else total + term
+    total = _adc_total(_adc_luts(query_vec, codebooks))
     scored = encoded.select(
         F.col(id_col), F.round(total, 6).alias("approx_dist")
     )
@@ -607,29 +627,13 @@ def ivf_pq_topk_indexed(
     but candidate selection is partition pruning over ``__cell`` and the
     ADC score reads ONLY the stored code arrays — no embedding column
     exists in the index at all."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     qdots = [
         (i, sum(q * x for q, x in zip(query_vec, c)) - sum(x * x for x in c) / 2.0)
         for i, c in enumerate(centroids)
     ]
     probe = [i for i, _ in sorted(qdots, key=lambda t: -t[1])[:n_probe]]
     df = spark.read.parquet(path).where(F.col("__cell").isin(probe))
-    total = None
-    for j in range(m):
-        qsub = query_vec[j * dsub : (j + 1) * dsub]
-        lut = []
-        for center in codebooks[j]:
-            acc = 0.0
-            for qv, cv in zip(qsub, center):
-                d = float(qv) - cv
-                acc = acc + d * d
-            lut.append(acc)
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut]),
-            (F.element_at(F.col("pq_code"), j + 1) + 1).cast("int"),
-        )
-        total = term if total is None else total + term
+    total = _adc_total(_adc_luts(query_vec, codebooks))
     scored = df.select(F.col(id_col), F.round(total, 6).alias("approx_dist"))
     return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
