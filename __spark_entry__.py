@@ -1077,6 +1077,77 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def x_simhash_pairs_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the engine-portable sha256-derived
+    token hash (60-bit signature, 4×15-bit bands) — **oracle-backed**:
+    DuckDB replays token hashing, the per-bit ±1 sums, sign-bit packing,
+    banding, and the exact Hamming verification, proving the SimHash
+    ALGORITHM (the xxhash64 sibling x_simhash_pairs stays the fast
+    production path and remains rows-only)."""
+    from mydumper_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, max_hamming=3, hash_fn="sha256", num_bits=60
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _build_simhash_sha_sql(num_bits: int = 60) -> str:
+    """The 60 per-bit aggregates would be unreadable written out; generate
+    them. Mirrors simhash_signature/simhash_near_dup_pairs with
+    hash_fn='sha256' exactly."""
+    bit_aggs = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(num_bits)
+    )
+    sig_terms = "\n         + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END)"
+        for b in range(num_bits)
+    )
+    bpb = num_bits // 4
+    mask = (1 << bpb) - 1
+    return f"""
+WITH toked AS (
+  SELECT doc_id AS id, unnest(toks) AS tok
+  FROM (SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        FROM documents)
+),
+hashed AS (
+  SELECT id, CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) AS h FROM toked
+),
+bits AS (
+  SELECT id,
+         {bit_aggs}
+  FROM hashed GROUP BY id
+),
+sigs AS (
+  SELECT id,
+         CAST({sig_terms} AS BIGINT) AS sig
+  FROM bits
+),
+banded AS (
+  SELECT s.id, b.b AS band, (s.sig >> (b.b * {bpb})) & {mask} AS key
+  FROM sigs s, (SELECT unnest(range(0, 4)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM banded a JOIN banded bb
+    ON a.band = bb.band AND a.key = bb.key AND a.id < bb.id
+)
+SELECT p.id_a, p.id_b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+FROM pairs p
+JOIN sigs sa ON p.id_a = sa.id
+JOIN sigs sb ON p.id_b = sb.id
+WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+"""
+
+
+_SIMHASH_SHA_SQL = _build_simhash_sha_sql()
+
+
 def x_masquerade_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T3/T4: deterministic 'random' generators (xxhash64-keyed) —
     rows-only; value properties are pytest-verified."""
@@ -1177,6 +1248,60 @@ def x_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return winnow_overlap_pairs(docs, min_shared=3)
+
+
+def x_winnow_overlap_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap pairs with the engine-portable sha256-derived
+    hash — **oracle-backed**: DuckDB replays the k-gram hashing, the
+    per-window minima selection, the hot/singleton fingerprint pruning,
+    and the shared-count join from first principles, proving the winnowing
+    ALGORITHM (the xxhash64 sibling x_winnow_overlap stays the fast
+    production path and remains rows-only)."""
+    from mydumper_spark.operators.text import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, min_shared=3, hash_fn="sha256")
+
+
+_WINNOW_SHA_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+         END AS grams
+  FROM (SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        FROM documents)
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(grams,
+             s -> CAST(('0x' || substr(sha256(s), 1, 15)) AS BIGINT)) AS h
+  FROM sh
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                ELSE list_transform(range(1, len(h) - 2),
+                                    i -> list_min(h[i:i+3]))
+           END) AS fps
+  FROM hashed
+),
+expl AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+counts AS (SELECT fp, count(*) AS c FROM expl GROUP BY fp),
+live AS (
+  SELECT e.doc_id, e.fp
+  FROM expl e JOIN counts c ON e.fp = c.fp
+  WHERE c.c > 1 AND c.c <= 100
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY id_a, id_b
+HAVING count(*) >= 3
+"""
 
 
 def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3512,6 +3637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_blocks_global": x_dedup_blocks_global,
         "x_pack_sequences": x_pack_sequences,
         "x_corpus_report": x_corpus_report,
+        "x_winnow_overlap_sha": x_winnow_overlap_sha,
+        "x_simhash_pairs_sha": x_simhash_pairs_sha,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_dedup_keep_best": x_dedup_keep_best,
@@ -3612,6 +3739,8 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_blocks_global": _DEDUP_BLOCKS_SQL,
         "x_pack_sequences": _PACK_SQL,
         "x_corpus_report": _CORPUS_REPORT_SQL,
+        "x_winnow_overlap_sha": _WINNOW_SHA_SQL,
+        "x_simhash_pairs_sha": _SIMHASH_SHA_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_dedup_keep_best": _KEEP_BEST_SQL,

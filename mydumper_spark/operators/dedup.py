@@ -19,8 +19,11 @@ Scale design (the point of each choice):
 - **Jaccard verification** re-checks every LSH candidate pair exactly, so LSH
   recall/precision tuning never affects correctness of the output, only cost.
 
-All hashes are xxhash64 (JVM-side, seedable, deterministic) — runs are
-reproducible, which the reference achieves only by being single-source.
+All hashes default to xxhash64 (JVM-side, seedable, deterministic) — runs
+are reproducible, which the reference achieves only by being single-source.
+SimHash (and winnowing in operators/text.py) also accept
+``hash_fn="sha256"`` — the engine-portable 60-bit hash the DuckDB oracle
+can replay, turning the sketch itself into an oracle-checked algorithm.
 """
 
 from __future__ import annotations
@@ -301,35 +304,50 @@ def _cc_iterate(pairs: DataFrame, max_iters: int = 16) -> tuple[DataFrame, int]:
     return labels, rounds
 
 
-def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: explode tokens, hash, per-bit ±1 sums,
-    reassemble sign bits. One explode + one groupBy(sum×64) — fully
-    JVM-side, partial-aggregated map-side."""
+def simhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    num_bits: int = 64,
+) -> DataFrame:
+    """SimHash per document: explode tokens, hash, per-bit ±1 sums,
+    reassemble sign bits. One explode + one groupBy(sum×bits) — fully
+    JVM-side, partial-aggregated map-side.
+
+    ``hash_fn="sha256"`` (with ``num_bits=60`` — the portable hash is 60
+    bits wide) makes the signature engine-portable so the DuckDB oracle
+    can replay it; xxhash64/64-bit stays the fast production default."""
+    from mydumper_spark.operators.text import portable_hash64
+
     toked = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = F.xxhash64("tok") if hash_fn == "xxhash64" else portable_hash64(F.col("tok"))
     bit_sums = toked.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(num_bits)
         ]
     )
     sig = sum(
         (F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint")))
-        for b in range(64)
+        for b in range(num_bits)
     )
     return bit_sums.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                           max_hamming: int = 3) -> DataFrame:
-    """Band the 64-bit signature into 4×16-bit keys; any pair within Hamming
+                           max_hamming: int = 3, hash_fn: str = "xxhash64",
+                           num_bits: int = 64) -> DataFrame:
+    """Band the signature into 4 equal keys; any pair within Hamming
     distance ≤3 collides on at least one band (pigeonhole). Verify exactly
     with bit_count(xor)."""
-    sig = simhash_signature(df, text_col, id_col)
+    bits_per_band = num_bits // 4
+    mask = (1 << bits_per_band) - 1
+    sig = simhash_signature(df, text_col, id_col, hash_fn, num_bits)
     banded = sig.select(
         "id",
         "simhash",
@@ -338,7 +356,7 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright("simhash", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("key"),
                     )
                     for b in range(4)
                 ]

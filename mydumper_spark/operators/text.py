@@ -170,8 +170,25 @@ def winnow_from_hashes(h: Column, window: int = 4) -> Column:
     return F.array_distinct(mins)
 
 
+def portable_hash64(s: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex digits of sha256 read as a
+    BIGINT — bit-identical in DuckDB via CAST('0x'||substr(sha256(s),1,15)).
+    Slower than xxhash64 (crypto rounds) but replayable by the oracle; the
+    winnowing/simhash sketches accept either via ``hash_fn``."""
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def _shingle_hasher(hash_fn: str):
+    if hash_fn == "xxhash64":
+        return lambda s: F.xxhash64(s)
+    if hash_fn == "sha256":
+        return portable_hash64
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
 def winnow_fingerprint_df(
-    df, text_col: str = "text", id_col: str = "doc_id", k: int = 3, window: int = 4
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 3, window: int = 4,
+    hash_fn: str = "xxhash64",
 ):
     """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     rolling k-gram hashes → per-window minimum → distinct selected hashes,
@@ -185,9 +202,10 @@ def winnow_fingerprint_df(
     winnow_from_hashes)."""
     from mydumper_spark.operators.dedup import shingles
 
+    hasher = _shingle_hasher(hash_fn)
     hashed = df.select(
         F.col(id_col),
-        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("__h"),
+        F.transform(shingles(F.col(text_col), k), hasher).alias("__h"),
     )
     return hashed.select(
         F.col(id_col), winnow_from_hashes(F.col("__h"), window).alias("fps")
@@ -202,6 +220,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 3,
     max_bucket: int = 100,
+    hash_fn: str = "xxhash64",
 ) -> "DataFrame":  # noqa: F821
     """Overlap-candidate pairs: documents sharing ≥ min_shared winnow
     fingerprints.
@@ -221,7 +240,7 @@ def winnow_overlap_pairs(
     # read a materialized array, and shrinks the self-join's plan so
     # Catalyst's constraint propagation stays linear.
     fps = (
-        winnow_fingerprint_df(df, text_col, id_col, k, window)
+        winnow_fingerprint_df(df, text_col, id_col, k, window, hash_fn)
         .localCheckpoint(eager=True)
         .select(F.col(id_col).alias("doc_id"), F.explode("fps").alias("fp"))
     )
