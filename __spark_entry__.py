@@ -1250,6 +1250,34 @@ def x_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, min_shared=3)
 
 
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level novelty score: per doc, the ppm share of its distinct
+    word 3-grams appearing in no other document. Grams shuffle as 8-byte
+    portable hashes; the oracle replays the hash."""
+    from mydumper_spark.operators.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs)
+
+
+_NGRAM_NOVELTY_SQL = f"""
+WITH {_SHINGLE_DOCS.strip()},
+grams AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(unnest(sh)), 1, 15)) AS BIGINT) AS gh
+  FROM docs
+),
+dfreq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM grams GROUP BY gh)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM grams g JOIN dfreq d USING (gh)
+GROUP BY g.doc_id
+"""
+
+
 def x_winnow_overlap_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing overlap pairs with the engine-portable sha256-derived
     hash — **oracle-backed**: DuckDB replays the k-gram hashing, the
@@ -3639,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_corpus_report": x_corpus_report,
         "x_winnow_overlap_sha": x_winnow_overlap_sha,
         "x_simhash_pairs_sha": x_simhash_pairs_sha,
+        "x_ngram_novelty": x_ngram_novelty,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_dedup_keep_best": x_dedup_keep_best,
@@ -3741,6 +3770,7 @@ def oracle_sql() -> dict[str, str]:
         "x_corpus_report": _CORPUS_REPORT_SQL,
         "x_winnow_overlap_sha": _WINNOW_SHA_SQL,
         "x_simhash_pairs_sha": _SIMHASH_SHA_SQL,
+        "x_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_dedup_keep_best": _KEEP_BEST_SQL,

@@ -279,6 +279,36 @@ def winnow_fingerprints(col: Column, k: int = 3, window: int = 4) -> Column:
     return F.array_distinct(mins)
 
 
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Share of each document's distinct word k-grams that occur in no
+    other document — the gram-level novelty/boilerplate signal (a doc of
+    template text scores near 0; original prose near 1e6). Integer ppm so
+    the oracle comparison is exact.
+
+    Shuffle shape: grams leave the scan as 8-byte portable hashes (never
+    strings); one groupBy on the hash for corpus doc-frequency, one join
+    back, one per-doc aggregate. Same economics as MinHash banding."""
+    from mydumper_spark.operators.dedup import shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("g"),
+    ).select(id_col, portable_hash64(F.col("g")).alias("gh"))
+    doc_freq = grams.groupBy("gh").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    joined = grams.join(doc_freq, "gh")
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        novel.alias("n_novel"),
+        F.expr(
+            "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
+
+
 def token_histogram(
     df: DataFrame, bucket_width: int = 10, col_name: str = "text"
 ) -> DataFrame:

@@ -849,6 +849,27 @@ def test_ivf_pq_index_pruned_query_matches_inline(spark, embeddings, tmp_path):
     assert "PartitionFilters: [__cell" in plan, plan
 
 
+def test_ngram_novelty_planted(spark):
+    """Planted values: a doc fully copied as another doc's prefix has zero
+    novel grams; the doc that extends it keeps only its unshared grams
+    novel; an unrelated doc is fully novel."""
+    shared = "alpha beta gamma delta epsilon"          # 3 distinct 3-grams
+    df = spark.createDataFrame(
+        [
+            (1, shared),                               # all grams shared w/ 2
+            (2, shared + " zeta eta"),                 # 5 grams, 3 shared
+            (3, "one two three four"),                 # 2 grams, all novel
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.ngram_novelty(df).collect()}
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_novel"] == 0
+    assert rows[1]["novelty_ppm"] == 0
+    assert rows[2]["n_grams"] == 5 and rows[2]["n_novel"] == 2
+    assert rows[2]["novelty_ppm"] == 400_000
+    assert rows[3]["n_grams"] == 2 and rows[3]["novelty_ppm"] == 1_000_000
+
+
 def test_token_frequency_score_planted(spark):
     # corpus: 10 tokens total; "common" appears 5x, rares once each
     df = spark.createDataFrame(
