@@ -213,6 +213,13 @@ def cmd_prepare(args: argparse.Namespace) -> int:
             F.col("quality") >= args.min_quality
         ).select("doc_id")
         df = df.join(q, "doc_id", "left_semi")
+    if args.min_novelty is not None:
+        from mydumper_spark.operators.text import ngram_novelty
+
+        nov = ngram_novelty(df).where(
+            F.col("novelty_ppm") >= args.min_novelty
+        ).select("doc_id")
+        df = df.join(nov, "doc_id", "left_semi")
     df = _stage(df, "after_quality")
 
     if args.decontaminate_eval:
@@ -300,6 +307,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop docs failing the dup-3gram/dup-line gates")
     pp.add_argument("--min-quality", type=float, default=None,
                     help="drop docs below this quality_score")
+    pp.add_argument("--min-novelty", type=int, default=None,
+                    help="drop docs whose novel-3gram share (ppm) is below "
+                         "this — a boilerplate filter")
     pp.add_argument("--decontaminate-eval", default=None,
                     help="parquet of eval docs (doc_id, text) to scrub against")
     pp.add_argument("--min-shared", type=int, default=3,

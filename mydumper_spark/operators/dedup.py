@@ -53,6 +53,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    known_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Rolling-ingest dedup: drop new documents whose fingerprint already
+    exists in the accumulated corpus, THEN dedup the batch internally.
+    Returns (survivors, updated_fps) — the caller persists updated_fps as
+    the state for the next batch (the batch analogue of
+    streaming/stateful.streaming_exact_dedup, for pipelines that land data
+    in increments rather than a stream).
+
+    Shuffle shape: the anti-join and the state union move 16-byte
+    fingerprints only; document payloads shuffle once, inside the batch's
+    own exact_dedup."""
+    from mydumper_spark.operators.text import fingerprint as _fp
+
+    fresh = new_docs.join(
+        known_fps.select(F.col(fp_col).alias("__known")),
+        _fp(F.col(text_col)) == F.col("__known"),
+        "left_anti",
+    )
+    survivors = exact_dedup(fresh, text_col, id_col)
+    new_fps = survivors.select(_fp(F.col(text_col)).alias(fp_col))
+    return survivors, known_fps.select(fp_col).union(new_fps).distinct()
+
+
 def tokens(col: Column) -> Column:
     t = F.trim(F.lower(col))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(

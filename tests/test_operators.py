@@ -88,6 +88,32 @@ def test_exact_dedup(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
 
 
+def test_exact_dedup_incremental_batches(spark):
+    """Rolling ingest: batch 2 drops docs whose fingerprint batch 1
+    already registered (including normalization-equal variants), dedups
+    itself internally, and the returned state accumulates."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    empty_fps = spark.createDataFrame([], StructType([StructField("fp", StringType())]))
+    b1 = spark.createDataFrame(
+        [(1, "first doc"), (2, "second doc")], "doc_id long, text string"
+    )
+    s1, fps1 = dd.exact_dedup_incremental(b1, empty_fps)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    assert fps1.count() == 2
+    b2 = spark.createDataFrame(
+        [
+            (3, "First  Doc"),        # normalization-dup of doc 1 -> dropped
+            (4, "third doc"),
+            (5, "third doc"),         # in-batch dup -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    s2, fps2 = dd.exact_dedup_incremental(b2, fps1)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [4]
+    assert fps2.count() == 3
+
+
 def test_minhash_dedup_quality_arbiter_keeps_best(spark):
     """arbiter='quality': the cluster survivor is the highest-quality copy,
     not the earliest id. Doc 1 is a punctuation-noisy copy (higher
