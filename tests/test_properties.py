@@ -154,3 +154,69 @@ def test_insert_parser_inverts_escaping(rows):
     got = parse_tuples(stmt)
     want = [[v if v is None else str(v) for v in row] for row in rows]
     assert got == want
+
+
+# -- corpus chunking/packing boundary arithmetic ------------------------------
+#
+# The Spark expressions in operators/corpus.py are pure integer arithmetic
+# over (n, max_tokens, overlap, budget); these properties check the same
+# formulas across the whole parameter space, Spark-free. Both round-5 bug
+# classes lived exactly here: a start past n-1-overlap emitted a
+# pure-overlap duplicate chunk, and the packing fill-level claim was
+# asymmetric in the wrong direction.
+
+
+def _chunk_spans(n: int, max_tokens: int, overlap: int) -> list[tuple[int, int]]:
+    """Mirror of chunk_documents' start sequence: [start, end) spans."""
+    stride = max_tokens - overlap
+    upper = max(n - 1 - overlap, 0)
+    starts = list(range(0, upper + 1, stride))
+    return [(s, min(s + max_tokens, n)) for s in starts]
+
+
+@given(
+    st.integers(1, 500),
+    st.integers(2, 64),
+    st.integers(0, 62),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_spans_cover_exactly_once_with_overlap(n, max_tokens, overlap):
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    spans = _chunk_spans(n, max_tokens, overlap)
+    # coverage: dropping each non-first span's overlap prefix tiles [0, n)
+    rebuilt = []
+    for i, (s, e) in enumerate(spans):
+        lo = s if i == 0 else s + overlap
+        assert lo < e, (n, max_tokens, overlap, spans)  # no pure-overlap chunk
+        rebuilt.extend(range(lo, e))
+    assert rebuilt == list(range(n)), (n, max_tokens, overlap, spans)
+    # every span is a genuine window: ≤ max_tokens tokens, > 0
+    assert all(0 < e - s <= max_tokens for s, e in spans)
+
+
+@given(
+    st.lists(st.integers(1, 64), min_size=1, max_size=300),
+    st.integers(8, 4096),
+)
+@settings(max_examples=300, deadline=None)
+def test_pack_binning_fill_bounds_and_conservation(sizes, budget):
+    max_chunk = max(sizes)
+    pre = 0
+    bins: dict[int, int] = {}
+    for sz in sizes:
+        b = pre // budget
+        bins[b] = bins.get(b, 0) + sz
+        pre += sz
+    # conservation
+    assert sum(bins.values()) == sum(sizes)
+    # bin ids are contiguous from 0 (no empty bins skipped... except when a
+    # single chunk is larger than the budget, which may jump bins)
+    if max_chunk <= budget:
+        assert sorted(bins) == list(range(len(bins)))
+    # fill bounds: every non-last bin within one chunk of the budget
+    last = max(bins)
+    for b, total in bins.items():
+        if b != last and max_chunk <= budget:
+            assert budget - max_chunk < total < budget + max_chunk, (
+                b, total, budget, max_chunk)
