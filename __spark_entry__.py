@@ -3040,6 +3040,42 @@ ORDER BY approx_dist ASC, c.vec_id ASC LIMIT 10
 """
 
 
+def x_dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal (split on blank lines,
+    first occurrence wins) — the middle rung between line and block
+    dedup."""
+    from mydumper_spark.operators.corpus import dedup_paragraphs_global
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_paragraphs_global(docs)
+
+
+_DEDUP_PARAS_SQL = """
+WITH raw AS (
+  SELECT doc_id, string_split_regex(text, '\\n\\n+') AS ps FROM documents
+),
+paras AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ps) + 1),
+                  i -> struct_pack(pos := i - 1, line := ps[i]))) AS u
+    FROM raw)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         (trim(line) = '' OR
+          row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1) AS keep
+  FROM paras
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN line END,
+                           chr(10) || chr(10) ORDER BY pos), '') AS clean_text,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
 def x_dedup_blocks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicate token-block removal (32-token aligned windows,
     first occurrence wins) — exact-substring dedup at block granularity."""
@@ -3663,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunk_documents": x_chunk_documents,
         "x_dedup_lines_global": x_dedup_lines_global,
         "x_dedup_blocks_global": x_dedup_blocks_global,
+        "x_dedup_paragraphs_global": x_dedup_paragraphs_global,
         "x_pack_sequences": x_pack_sequences,
         "x_corpus_report": x_corpus_report,
         "x_winnow_overlap_sha": x_winnow_overlap_sha,
@@ -3766,6 +3803,7 @@ def oracle_sql() -> dict[str, str]:
         "x_chunk_documents": _CHUNK_SQL,
         "x_dedup_lines_global": _DEDUP_LINES_SQL,
         "x_dedup_blocks_global": _DEDUP_BLOCKS_SQL,
+        "x_dedup_paragraphs_global": _DEDUP_PARAS_SQL,
         "x_pack_sequences": _PACK_SQL,
         "x_corpus_report": _CORPUS_REPORT_SQL,
         "x_winnow_overlap_sha": _WINNOW_SHA_SQL,

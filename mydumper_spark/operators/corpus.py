@@ -193,6 +193,49 @@ def dedup_token_blocks_global(
     )
 
 
+def dedup_paragraphs_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal — the middle rung of the
+    dedup granularity ladder (line → **paragraph** → aligned token block →
+    document). Paragraphs split on blank lines (``\\n\\n``); every
+    non-empty paragraph value survives only at its first occurrence
+    (smallest (doc_id, position)), and documents rejoin their survivors
+    with blank-line separators. Same single-exchange scale shape as
+    :func:`dedup_lines_global`.
+
+    Returns (id, clean_text, n_kept, n_removed)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n\n+")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = paras.withColumn(
+        "keep",
+        (F.trim(F.col("line")) == "") | (F.row_number().over(w) == 1),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def dedup_lines_global(
     df: DataFrame,
     text_col: str = "text",

@@ -8,9 +8,29 @@ from pyspark.sql import functions as F
 from mydumper_spark.operators.corpus import (
     chunk_documents,
     dedup_lines_global,
+    dedup_paragraphs_global,
     dedup_token_blocks_global,
     pack_sequences,
 )
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    """Paragraph granularity: a paragraph (blank-line-separated) repeated
+    later in the corpus is removed whole; single newlines inside a
+    paragraph do NOT split it."""
+    shared = "first line\nsecond line"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared}\n\nunique one"),
+            (2, f"other intro\n\n{shared}"),    # cross-doc duplicate para
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_paragraphs_global(df).collect()}
+    assert rows[1]["clean_text"] == f"{shared}\n\nunique one"
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["clean_text"] == "other intro"
+    assert rows[2]["n_kept"] == 1 and rows[2]["n_removed"] == 1
 
 
 def test_chunking_windows_and_overlap(spark):
