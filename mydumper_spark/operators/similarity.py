@@ -388,19 +388,22 @@ def _pq_sq_dist(vec_col: Column, offset: int, center: list[float]) -> Column:
     return acc
 
 
-def pq_encode(
+def pq_encode_expr(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_code",
 ) -> DataFrame:
-    """Assign each vector its PQ code array: per subspace, the code of the
-    squared-Euclidean-nearest centroid (ties to the smallest code).
+    """Expression-tree PQ encoder — the SQL-replayable SPEC twin of
+    :func:`pq_encode` (pytest pins them identical). Per subspace, the code of
+    the squared-Euclidean-nearest centroid (ties to the smallest code), all
+    codebook literals constant-folded.
 
-    This is the 100 TB memory story: an encoded corpus stores ``m`` small
-    ints (8 bytes here) per vector instead of the raw floats (256 bytes) —
-    candidate scoring reads codes only. All codebook literals constant-fold;
-    encoding is one narrow codegen projection, no shuffle."""
+    NOT the production path: the m×ksub×dsub term tree exceeds Janino's
+    64 KB generated-method limit already at m=8/ksub=16 when composed with
+    IVF cell scoring, and Spark silently falls back to interpreted row-at-a-
+    time evaluation (measured ~10× slower). Kept because DuckDB can replay
+    this exact term order, which is what makes the PQ pipeline oracle-able."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     code_exprs = []
@@ -416,6 +419,68 @@ def pq_encode(
         )
         code_exprs.append(F.array_min(cand)["code"])
     return embeddings.withColumn(out_col, F.array(*code_exprs))
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Assign each vector its PQ code array: per subspace, the code of the
+    squared-Euclidean-nearest centroid (ties to the smallest code).
+
+    This is the 100 TB memory story: an encoded corpus stores ``m`` small
+    ints (8 bytes here) per vector instead of the raw floats (256 bytes) —
+    candidate scoring reads codes only.
+
+    Production path = Arrow-batched numpy inside ``mapInPandas`` (the
+    ``cosine_topk_batch`` pattern): the codebooks are a tiny closure
+    broadcast, each batch computes all m×ksub squared distances as
+    vectorized float64 ops, and — critically — the per-(row,center)
+    accumulation runs dimension-by-dimension left-to-right, the SAME
+    operation order as the expression twin :func:`pq_encode_expr` and the
+    DuckDB oracle, so all three produce bit-identical codes (pytest-pinned).
+    The expression twin is what it replaces: its m×ksub inlined distance
+    tree blows Janino's 64 KB method limit (ksub=256 production codebooks
+    are 16× worse) and degrades to interpreted execution; numpy encode cost
+    is flat in ksub and never leaves the Arrow batch."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    # ksub×dsub float64 per subspace — exact doubles of the spec literals
+    cb = [np.array(codebooks[j], dtype=np.float64) for j in range(m)]
+    out_schema = T.StructType(
+        list(embeddings.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.LongType(), False), False)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if pdf.empty:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            # float32 parquet values widen exactly to float64 — same as the
+            # expression twin's cast("double")
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]  # n × dsub
+                dist = np.zeros((len(pdf), len(cb[j])), dtype=np.float64)
+                for i in range(dsub):  # ordered accumulation, not np.sum
+                    d = sub[:, i : i + 1] - cb[j][None, :, i]
+                    dist = dist + d * d
+                # argmin first-occurrence == ties to the smallest code,
+                # matching array_min over struct(d, code)
+                codes[:, j] = np.argmin(dist, axis=1)
+            pdf[out_col] = list(codes)
+            yield pdf
+
+    return embeddings.mapInPandas(encode, out_schema)
 
 
 def _adc_luts(
@@ -468,7 +533,11 @@ def pq_topk(
     of its codes' table entries — no float vector is touched at scoring
     time. Returns (id, approx_dist) nearest-first, ties by id on the
     ROUNDED distance so cross-engine ordering is stable."""
-    encoded = pq_encode(embeddings, codebooks, vec_col=vec_col)
+    # explicit projection: mapInPandas is a pruning barrier, so narrow the
+    # Arrow transfer to (id, vec) ourselves instead of relying on Catalyst
+    encoded = pq_encode(
+        embeddings.select(id_col, vec_col), codebooks, vec_col=vec_col
+    )
     total = _adc_total(_adc_luts(query_vec, codebooks))
     scored = encoded.select(
         F.col(id_col), F.round(total, 6).alias("approx_dist")
@@ -505,6 +574,12 @@ def cosine_topk_batch(
     qm = np.array([[float(x) for x in r[q_vec_col]] for r in qrows],
                   dtype=np.float64)
     qnorm = np.sqrt((qm * qm).sum(axis=1))
+    # zero-norm vectors have no defined cosine: a zero-norm QUERY raises
+    # (silently ranking NaNs would displace real neighbors), zero-norm
+    # CORPUS rows are filtered before the GEMM below
+    if np.any(qnorm == 0.0):
+        bad = qids[qnorm == 0.0].tolist()
+        raise ValueError(f"zero-norm query vector(s): {bad} — cosine undefined")
     schema = f"{q_id_col} bigint, {id_col} bigint, cosine_sim double"
 
     def score(batches):
@@ -516,6 +591,11 @@ def cosine_topk_batch(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vnorm = np.sqrt((v * v).sum(axis=1))
+            nz = vnorm != 0.0
+            if not nz.all():
+                ids, v, vnorm = ids[nz], v[nz], vnorm[nz]
+            if len(ids) == 0:
+                continue
             # dot / (|v|·|q|) in the same operation order as the SQL twin
             sims = np.round((v @ qm.T) / (vnorm[:, None] * qnorm[None, :]), 6)
             out_q, out_id, out_s = [], [], []
@@ -606,7 +686,9 @@ def write_ivf_pq_index(
     cells' directories, and scoring touches codes only."""
     n_cells = len(centroids)
     assigned, _ = ivf_assign_cells(embeddings, n_cells, id_col, vec_col, centroids)
-    encoded = pq_encode(assigned, codebooks, vec_col=vec_col)
+    encoded = pq_encode(
+        assigned.select(id_col, vec_col, "__cell"), codebooks, vec_col=vec_col
+    )
     encoded.select(id_col, "pq_code", "__cell").write.mode("overwrite").partitionBy(
         "__cell"
     ).parquet(path)

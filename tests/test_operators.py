@@ -235,6 +235,43 @@ def test_pq_encode_codes_in_range_and_deterministic(embeddings):
     assert rows == again
 
 
+def test_pq_encode_numpy_matches_expression_twin(embeddings):
+    """The production numpy encoder and the SQL-replayable expression twin
+    must produce bit-identical code arrays — the ordered float64
+    accumulation is the contract that keeps the whole PQ pipeline
+    oracle-able after the codegen-blowup fix."""
+    cbs = sim.pq_codebooks_from_ids(embeddings, m=8, ksub=16)
+    fast = {r["vec_id"]: list(r["pq_code"])
+            for r in sim.pq_encode(embeddings, cbs).collect()}
+    spec = {r["vec_id"]: list(r["pq_code"])
+            for r in sim.pq_encode_expr(embeddings, cbs).collect()}
+    assert fast == spec
+
+
+def test_batch_cosine_topk_zero_norm_guard(spark, embeddings):
+    """Zero-norm corpus rows must not reach the top-k (their cosine is
+    undefined; unguarded NaNs would outrank real neighbors under lexsort),
+    and a zero-norm query must raise instead of silently returning NaNs."""
+    import pytest as _pytest
+
+    dim = len(embeddings.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(zero)
+    qs = embeddings.where("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = sim.cosine_topk_batch(corpus, qs, k=5).collect()
+    assert got and all(r["vec_id"] != 999_999 for r in got)
+    assert all(r["cosine_sim"] == r["cosine_sim"] for r in got)  # no NaN
+    zq = spark.createDataFrame(
+        [(1, [0.0] * dim)], "query_id long, query_vec array<float>"
+    )
+    with _pytest.raises(ValueError, match="zero-norm"):
+        sim.cosine_topk_batch(corpus, zq, k=5)
+
+
 def test_pq_adc_matches_explicit_reconstruction(embeddings):
     """The ADC score of a candidate equals the python-computed sum of
     per-subspace squared distances from the query to the candidate's
