@@ -440,6 +440,26 @@ def a4_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def a4_checksums_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 production fast path: the same per-table bit_xor row-hash
+    aggregate over the same canonical row string, but with JVM xxhash64 as
+    the row hash instead of md5 + hex-substring + base-conversion — the
+    algorithm manifests record by default (sinks/manifest.py). Rows-only:
+    DuckDB has no xxhash64, so the VALUES have no SQL twin; the md5 sibling
+    ``a4_checksums`` is the oracle-graded spec, and pytest pins that both
+    algorithms detect the same tamper (tests/test_checksum.py)."""
+    from mydumper_spark.functions.checksum import checksum_df
+
+    out = None
+    for t in _TABLES:
+        df = _events_us(spark, sf_dir) if t == "events" else _t(spark, sf_dir, t)
+        c = checksum_df(df, algorithm="xxhash64").select(
+            F.lit(t).alias("table_name"), "checksum", "rows"
+        )
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
 _DUCK_FIELDS: dict[str, list[tuple[str, str]]] = {
     "region": [("r_regionkey", "INTEGER"), ("r_name", "VARCHAR")],
     "nation": [("n_nationkey", "INTEGER"), ("n_name", "VARCHAR"), ("n_regionkey", "INTEGER")],
@@ -3717,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_batch_cosine_topk": x_batch_cosine_topk,
         "x_embedding_near_dup": x_embedding_near_dup,
         # --- tail: rows-only (no SQL-expressible twin) ---
+        "a4_checksums_fast": a4_checksums_fast,
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
         "x_ivf_topk": x_ivf_topk,

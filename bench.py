@@ -33,6 +33,13 @@ BENCH_QUERIES = [
     # the heaviest shuffle shape in the repo: corpus-wide exchange on line
     # value (C4-style global line dedup)
     "x_dedup_lines_global",
+    # token-block dedup: same single-exchange shape, block-granularity
+    "x_dedup_blocks_global",
+    # the ANN/PQ composition — benched so a codegen/interpretation
+    # regression in the encode path (the round-5 64 KB fallback) is visible
+    "x_ivf_pq_topk",
+    # production checksum path (xxhash64 row hash); md5 twin stays above
+    "a4_checksums_fast",
 ]
 
 

@@ -58,6 +58,26 @@ def canonical_row_string(df: DataFrame, cols: list[str] | None = None) -> Column
     return F.concat_ws(SEP, *parts, nullmap)
 
 
+#: checksum algorithms: "md5" is the cross-engine SPEC (DuckDB replays it —
+#: the oracle-graded a4 path); "xxhash64" is the PRODUCTION fast path (same
+#: canonical row string, but the row hash is one JVM xxhash64 instead of
+#: md5 + hex-substring + base-conversion — ~2× cheaper on wide/text tables,
+#: not oracle-replayable because DuckDB lacks xxhash64). Manifests record
+#: which one they used; verification honors the recorded algorithm.
+ALGORITHMS = ("md5", "xxhash64")
+
+
+def row_hash(df: DataFrame, cols: list[str] | None = None,
+             algorithm: str = "md5") -> Column:
+    """Per-row 64-bit hash of the canonical row string under ``algorithm``."""
+    canon = canonical_row_string(df, cols)
+    if algorithm == "md5":
+        return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    if algorithm == "xxhash64":
+        return F.xxhash64(canon)
+    raise ValueError(f"unknown checksum algorithm {algorithm!r}; use {ALGORITHMS}")
+
+
 def portable_checksum(df: DataFrame, cols: list[str] | None = None) -> Column:
     """Order-independent 60-bit per-row hash, identical in Spark and DuckDB.
 
@@ -65,21 +85,20 @@ def portable_checksum(df: DataFrame, cols: list[str] | None = None) -> Column:
     and trivially partial-aggregatable (map-side combine), which is what makes
     it viable at 100 TB: the aggregate state is a single long per partition,
     merged on the driver."""
-    return (
-        F.conv(F.substring(F.md5(canonical_row_string(df, cols)), 1, 15), 16, 10)
-        .cast("bigint")
-    )
+    return row_hash(df, cols, "md5")
 
 
-def table_checksum(df: DataFrame, cols: list[str] | None = None) -> dict:
+def table_checksum(df: DataFrame, cols: list[str] | None = None,
+                   algorithm: str = "md5") -> dict:
     """A4 + A1: {rows, checksum} for one table — the manifest entry the
     reference writes per table (mydumper_start_dump.c:774-797) and re-checks
     after load (L9)."""
-    r = checksum_df(df, cols).first()
+    r = checksum_df(df, cols, algorithm).first()
     return {"rows": r["rows"], "checksum": r["checksum"]}
 
 
-def checksum_df(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def checksum_df(df: DataFrame, cols: list[str] | None = None,
+                algorithm: str = "md5") -> DataFrame:
     """Checksum as a DataFrame (the oracle-checked query surface).
 
     md5 over the wide canonical row string dominates the scan (re-measured
@@ -94,12 +113,8 @@ def checksum_df(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     from mydumper_spark.util import ensure_min_partitions
 
     df = ensure_min_partitions(df)
-    row_hash = (
-        F.conv(F.substring(F.md5(canonical_row_string(df, cols)), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("__rh")
-    )
-    return df.select(row_hash).agg(
+    rh = row_hash(df, cols, algorithm).alias("__rh")
+    return df.select(rh).agg(
         F.expr("bit_xor(__rh)").alias("checksum"), F.count(F.lit(1)).alias("rows")
     )
 
@@ -132,9 +147,9 @@ def oracle_checksum_sql(
         f"CASE WHEN {name} IS NULL THEN '1' ELSE '0' END" for name, _ in fields
     )
     canon = "concat_ws(chr(1), " + ", ".join(parts) + ", " + nullmap + ")"
-    row_hash = f"CAST(('0x' || substr(md5({canon}), 1, 15)) AS BIGINT)"
+    rh_sql = f"CAST(('0x' || substr(md5({canon}), 1, 15)) AS BIGINT)"
     w = f" WHERE {where}" if where else ""
     return (
         f"SELECT bit_xor(rh) AS checksum, count(*) AS rows "
-        f"FROM (SELECT {row_hash} AS rh FROM {table}{w}) t"
+        f"FROM (SELECT {rh_sql} AS rh FROM {table}{w}) t"
     )

@@ -35,10 +35,20 @@ class Manifest:
     started_at: float = field(default_factory=time.time)
     finished_at: float | None = None
     quote_character: str = "`"  # [config] parity (mydumper_start_dump.c:1175)
+    #: row-hash algorithm for data checksums. Production default is the
+    #: JVM xxhash64 fast path (~2× cheaper than md5 on wide/text tables —
+    #: checksumming is pure overhead on every dump, so the default should
+    #: be the cheap one); "md5" stays the cross-engine spec the oracle
+    #: replays. Recorded in the manifest so verification always recomputes
+    #: with the same algorithm the dump used.
+    algorithm: str = "xxhash64"
+    #: reference [source] section: the GTID/binlog position the dump is
+    #: consistent at, set by the S11 fence (engine._open_source)
+    source_info: dict[str, str] = field(default_factory=dict)
     tables: dict[str, TableEntry] = field(default_factory=dict)
 
     def add_table(self, df: DataFrame, name: str, path: str | None = None) -> TableEntry:
-        cs = table_checksum(df)
+        cs = table_checksum(df, algorithm=self.algorithm)
         entry = TableEntry(
             name=name,
             rows=cs["rows"],
@@ -69,9 +79,13 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
     os.makedirs(root, exist_ok=True)
     name = "_manifest.partial.json" if partial else "_manifest.json"
     doc = {
-        "config": {"quote_character": manifest.quote_character},
+        "config": {
+            "quote_character": manifest.quote_character,
+            "checksum_algorithm": manifest.algorithm,
+        },
         "started_at": manifest.started_at,
         "finished_at": manifest.finished_at,
+        "source": manifest.source_info,
         "tables": {
             t: {
                 "rows": e.rows,
@@ -99,6 +113,8 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
     ref = DumpMetadata(
         started_at=_ts(manifest.started_at),
         finished_at=_ts(manifest.finished_at) or None,
+        source={k: v for k, v in manifest.source_info.items()
+                if k == "executed_gtid_set"},
         quote_character=(
             "BACKTICK" if manifest.quote_character == "`" else manifest.quote_character
         ),
@@ -127,18 +143,27 @@ def read_manifest(root: str) -> dict:
         return json.load(f)
 
 
+def manifest_algorithm(doc: dict) -> str:
+    """The row-hash algorithm this manifest's checksums were computed with.
+    Manifests written before the algorithm field existed are md5 (the only
+    algorithm that existed then)."""
+    return doc.get("config", {}).get("checksum_algorithm", "md5")
+
+
 def verify_manifest(spark, root: str) -> dict[str, dict]:
     """L9 checksum verification: recompute every table's checksum from its
-    dumped files and compare (/root/reference/src/checksum.c:202-302).
+    dumped files and compare (/root/reference/src/checksum.c:202-302),
+    honoring the algorithm recorded at dump time.
     Returns {table: {"ok": bool, "expected": ..., "actual": ...}}."""
     doc = read_manifest(root)
+    algo = manifest_algorithm(doc)
     results = {}
     for t, entry in doc["tables"].items():
         if not entry.get("path"):
             results[t] = {"ok": None, "reason": "no data path recorded"}
             continue
         df = spark.read.parquet(entry["path"])
-        cs = table_checksum(df)
+        cs = table_checksum(df, algorithm=algo)
         results[t] = {
             "ok": cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"],
             "expected": {"rows": entry["rows"], "checksum": entry["data_checksum"]},
