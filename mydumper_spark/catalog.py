@@ -163,7 +163,9 @@ class ParquetCatalog:
             out.append(meta)
         return out
 
-    def read(self, meta: TableMeta) -> DataFrame:
+    def read(self, meta: TableMeta, num_chunks: int | None = None) -> DataFrame:
+        # num_chunks is a JDBC-source concern (one SELECT per chunk); parquet
+        # scan parallelism comes from row groups / maxPartitionBytes instead
         return self.spark.read.parquet(meta.path)
 
 
@@ -172,6 +174,112 @@ def _guess_primary_key(schema: T.StructType) -> list[str]:
         if re.search(r"(^id$|_id$|key$)", f.name, re.I):
             return [f.name]
     return []
+
+
+class JdbcCatalog:
+    """S10 over a live JDBC source: enumerate ``information_schema.tables``
+    through the same connection the data scan uses — the Spark-side analogue
+    of the reference's SHOW DATABASES / SHOW TABLE STATUS walk
+    (/root/reference/src/mydumper/mydumper_working_thread.c:247-295).
+
+    ``information_schema.tables`` is ANSI and exists in MySQL, MariaDB,
+    TiDB and DuckDB (our live test engine), so one discovery query serves
+    every dialect the engine targets. System schemas are dropped by the
+    same ``TableFilters`` P12 gate as everywhere else; the MySQL ``ENGINE``
+    column (P9 input) only exists on mysql-family servers and is probed
+    only there."""
+
+    DISCOVER_SQL = (
+        "SELECT table_schema, table_name FROM information_schema.tables "
+        "WHERE table_type = 'BASE TABLE'"
+    )
+
+    def __init__(self, spark: SparkSession, url: str,
+                 properties: dict[str, str] | None = None,
+                 mysql_like: bool = False):
+        self.spark = spark
+        self.url = url
+        self.properties = dict(properties or {})
+        self.mysql_like = mysql_like
+
+    def _q(self, sql: str) -> DataFrame:
+        return self.spark.read.jdbc(
+            url=self.url, table=f"({sql}) AS t", properties=self.properties
+        )
+
+    def _qident(self, name: str) -> str:
+        """Dialect identifier quoting (backtick for mysql-family, ANSI
+        double-quote otherwise), doubling embedded quote chars — the
+        reference's backtick_protect (/root/reference/src/common.c:1303).
+        What makes tables named ``a.b`` / ``t%`` / ``a/b`` scannable
+        (test/specific_16's pathological-name corpus)."""
+        q = "`" if self.mysql_like else '"'
+        return q + name.replace(q, q + q) + q
+
+    def _qtable(self, meta: TableMeta) -> str:
+        return f"{self._qident(meta.database)}.{self._qident(meta.name)}"
+
+    def discover(self, filters: TableFilters | None = None) -> list[TableMeta]:
+        filters = filters or TableFilters()
+        rows = None
+        if self.mysql_like:  # ENGINE feeds the P9 --ignore-engines gate
+            try:
+                rows = self._q(
+                    "SELECT table_schema, table_name, engine "
+                    "FROM information_schema.tables "
+                    "WHERE table_type = 'BASE TABLE'"
+                ).collect()
+            except Exception:
+                # dialect guess was wrong about the ENGINE column — degrade
+                # to the ANSI shape rather than failing discovery
+                self.mysql_like = False
+        if rows is None:
+            rows = self._q(self.DISCOVER_SQL).collect()
+        out: list[TableMeta] = []
+        for row in sorted(rows,
+                          key=lambda r: (r["table_schema"], r["table_name"])):
+            meta = TableMeta(
+                database=row["table_schema"],
+                name=row["table_name"],
+                path=None,
+                engine=(row["engine"] if self.mysql_like and row["engine"]
+                        else "jdbc"),
+                primary_key=KNOWN_PRIMARY_KEYS.get(row["table_name"], []),
+            )
+            if not filters.admits(meta):
+                continue
+            # schema probe: LIMIT-0 server round-trip, no data movement
+            meta.schema = self.read(meta).schema
+            if not meta.primary_key:
+                meta.primary_key = _guess_primary_key(meta.schema)
+            out.append(meta)
+        return out
+
+    def read(self, meta: TableMeta, num_chunks: int | None = None) -> DataFrame:
+        """One JDBC scan; with ``num_chunks`` and an integral chunk column,
+        a partitioned scan (S2) — one server SELECT per chunk, planned from
+        server-side MIN/MAX (S9), exactly the reference's per-chunk
+        execution shape."""
+        table = self._qtable(meta)
+        if num_chunks and num_chunks > 1:
+            col = pick_chunk_column(meta)
+            f = ({f.name: f for f in meta.schema.fields}.get(col)
+                 if meta.schema is not None and col else None)
+            if f is not None and isinstance(f.dataType, _INTEGRAL_TYPES):
+                qc = self._qident(col)
+                bounds = self._q(
+                    f"SELECT MIN({qc}) AS lo, MAX({qc}) AS hi FROM {table}"
+                ).first()
+                if bounds["lo"] is not None:
+                    return self.spark.read.jdbc(
+                        url=self.url, table=table, column=col,
+                        lowerBound=int(bounds["lo"]),
+                        upperBound=int(bounds["hi"]) + 1,
+                        numPartitions=num_chunks, properties=self.properties,
+                    )
+        return self.spark.read.jdbc(
+            url=self.url, table=table, properties=self.properties
+        )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

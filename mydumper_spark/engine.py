@@ -39,6 +39,50 @@ class DumpConfig:
     checksum: bool = True  # --checksum-all
     exec_per_file: str | None = None  # K9 --exec
     masquerade_filenames: bool = False  # T13 --masquerade-filename
+    # --- JDBC-source options (used when `source` is a jdbc: URL) ---
+    jdbc_properties: dict[str, str] = field(default_factory=dict)  # user/pw/driver
+    #: S11 fence connections: a zero-arg callable returning an object with
+    #: ``execute(sql) -> list[tuple]`` (e.g. a mysql-connector cursor
+    #: wrapper). Tests inject fakes; without one, MySQL-family dumps warn
+    #: that per-partition snapshots are unfenced.
+    connection_factory: object | None = None
+    fence_workers: int = 4  # worker connections the fence opens
+    dialect: object | None = None  # ServerDialect override (else probed live)
+
+
+def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
+    """Route the dump source: a directory → ParquetCatalog; a ``jdbc:`` URL
+    → live dialect probe → S11 snapshot fence (MySQL-family only) →
+    JdbcCatalog over the same connection properties. Returns
+    (catalog, SnapshotResult|None). The fence MUST run before any chunk
+    planning/scan — its whole point is that every subsequent per-chunk
+    SELECT observes one table-wide snapshot
+    (/root/reference/src/mydumper/mydumper_start_dump.c:1389-1417)."""
+    if not source.startswith("jdbc:"):
+        return ParquetCatalog(spark, source), None
+    from mydumper_spark.catalog import JdbcCatalog
+    from mydumper_spark.sources.jdbc_source import (
+        JdbcSourceConfig,
+        snapshot_fence_for_dump,
+    )
+    from mydumper_spark.sources.server_detect import (
+        ServerProduct,
+        detect_via_jdbc,
+    )
+
+    scheme = source.split(":")[1].lower() if source.count(":") >= 2 else ""
+    jcfg = JdbcSourceConfig(
+        url=source,
+        consistent_snapshot=scheme in ("mysql", "mariadb"),
+        extra=dict(cfg.jdbc_properties),
+    )
+    props = jcfg.properties()
+    dialect = cfg.dialect or detect_via_jdbc(spark, source, props)
+    snapshot = snapshot_fence_for_dump(
+        dialect, cfg.connection_factory, num_workers=cfg.fence_workers
+    )
+    mysql_like = dialect.is_mysql_like and dialect.product is not ServerProduct.UNKNOWN
+    return JdbcCatalog(spark, source, props, mysql_like=mysql_like), snapshot
 
 
 def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
@@ -53,11 +97,18 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         masquerade_table_name,
     )
 
-    cat = ParquetCatalog(spark, source_dir)
+    cat, snapshot = _open_source(spark, source_dir, cfg)
     manifest = Manifest()
+    if snapshot is not None:
+        # reference [source] section: the binlog/GTID position the dump is
+        # consistent at (mydumper_start_dump.c:774-808)
+        manifest.source_info = {
+            "executed_gtid_set": snapshot.gtid,
+            "fence_attempts": str(snapshot.attempts),
+        }
     fnames = FilenameRegistry()
     for meta in cat.discover(cfg.filters):
-        df = cat.read(meta)
+        df = cat.read(meta, cfg.chunks_per_table)
         tt = cfg.per_table.get(meta.name)
         if tt is not None and "DATA" not in tt.object_scope:  # P11
             manifest.add_table(df.limit(0), meta.name, path=None)
@@ -148,15 +199,18 @@ def restore(
     dag.run()
     results = {"load": {k[0]: v.ok for k, v in dag.results.items() if k[1] == Phase.DATA}}
     if verify:
-        # L9: recompute checksums on the *target* and compare to the manifest
+        # L9: recompute checksums on the *target* and compare to the
+        # manifest, with the algorithm the dump recorded
         from mydumper_spark.functions.checksum import table_checksum
+        from mydumper_spark.sinks.manifest import manifest_algorithm
 
+        algo = manifest_algorithm(doc)
         checks = {}
         for t, entry in doc["tables"].items():
             if entry.get("path") is None and entry["rows"] == 0:
                 continue  # schema-only: no data to verify
             df = spark.read.parquet(target_paths[t])
-            cs = table_checksum(df)
+            cs = table_checksum(df, algorithm=algo)
             checks[t] = cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"]
         results["verify"] = checks
     return results

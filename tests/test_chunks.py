@@ -190,3 +190,101 @@ def test_snapshot_fence_gives_up():
     control = _FakeConn([f"uuid:1-{i}" for i in range(100)])  # never stable
     with pytest.raises(SnapshotError, match="FTWRL"):
         establish_consistent_snapshot(control, [_FakeConn(["x"])], max_attempts=3)
+
+
+# -- S11 fence wired into the dump path (engine._open_source dispatcher) -----
+
+
+class _ProbeConn:
+    """Fence-dispatcher fake: answers any SELECT probe from a script,
+    records every statement."""
+
+    def __init__(self, gtids):
+        self.gtids = list(gtids)
+        self.log = []
+
+    def execute(self, sql):
+        self.log.append(sql)
+        if sql.strip().upper().startswith("SELECT"):
+            g = self.gtids.pop(0) if len(self.gtids) > 1 else self.gtids[0]
+            return [(g,)]
+        return []
+
+
+class _Factory:
+    def __init__(self, conns):
+        self.conns = list(conns)
+        self.made = []
+
+    def __call__(self):
+        c = self.conns.pop(0)
+        self.made.append(c)
+        return c
+
+
+def _dialect(product, major=8, secondary=0, revision=30):
+    from mydumper_spark.sources.server_detect import ServerDialect
+
+    return ServerDialect(product=product, major=major,
+                         secondary=secondary, revision=revision)
+
+
+def test_fence_for_dump_runs_and_retries_for_mysql():
+    """The dump-path dispatcher runs the GTID fence for MySQL-family
+    dialects with the mysql probe spelling, including the retry-on-advance
+    behavior — the round-5 wiring gap (the fence existed but nothing in the
+    dump lifecycle called it)."""
+    from mydumper_spark.sources.jdbc_source import snapshot_fence_for_dump
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    control = _ProbeConn(["uuid:1-100", "uuid:1-101", "uuid:1-101", "uuid:1-101"])
+    workers = [_ProbeConn(["x"]), _ProbeConn(["x"])]
+    fac = _Factory([control] + workers)
+    res = snapshot_fence_for_dump(
+        _dialect(ServerProduct.MYSQL), fac, num_workers=2
+    )
+    assert res.attempts == 2 and res.gtid == "uuid:1-101"
+    assert all("gtid_executed" in s for s in control.log)
+    for w in workers:
+        assert w.log.count("ROLLBACK") == 1
+        assert sum("CONSISTENT SNAPSHOT" in s for s in w.log) == 2
+
+
+def test_fence_for_dump_mariadb_probe_spelling():
+    from mydumper_spark.sources.jdbc_source import snapshot_fence_for_dump
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    control = _ProbeConn(["0-1-100"])
+    workers = [_ProbeConn(["x"])]
+    fac = _Factory([control] + workers)
+    # MariaDB 10.3: strategy ftwrl_or_gtid (backup_stage needs >= 10.4)
+    res = snapshot_fence_for_dump(
+        _dialect(ServerProduct.MARIADB, 10, 3, 0), fac, num_workers=1
+    )
+    assert res is not None
+    assert all("BINLOG_GTID_POS" in s for s in control.log)
+
+
+def test_fence_for_dump_skips_non_mysql_and_snapshot_everywhere():
+    """No fence (and no connections opened) for engines with no binlog
+    fence (DuckDB/ClickHouse) or snapshot-everywhere semantics (TiDB)."""
+    from mydumper_spark.sources.jdbc_source import snapshot_fence_for_dump
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    for product in (ServerProduct.DUCKDB, ServerProduct.CLICKHOUSE,
+                    ServerProduct.TIDB):
+        fac = _Factory([])
+        assert snapshot_fence_for_dump(_dialect(product), fac) is None
+        assert fac.made == []
+
+
+def test_fence_for_dump_warns_without_factory():
+    import warnings as _warnings
+
+    from mydumper_spark.sources.jdbc_source import snapshot_fence_for_dump
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert snapshot_fence_for_dump(_dialect(ServerProduct.MYSQL), None) is None
+    assert any("NOT fenced" in str(w.message) for w in caught)

@@ -149,3 +149,131 @@ def test_server_detect_live(spark, jdbc_url):
     assert d.major >= 1
     assert d.snapshot_strategy == "none"
     assert not d.is_mysql_like
+
+
+# -- dump() over a live JDBC source (S10 discovery + S1/S2 scans wired) ------
+
+
+@pytest.fixture()
+def dump_db(spark, sf_dir, tmp_path):
+    """A fresh DuckDB file per test (the module fixture is shared with the
+    restore-append test, which mutates it)."""
+    import duckdb
+
+    path = str(tmp_path / "dump_src.duckdb")
+    con = duckdb.connect(path)
+    con.execute(
+        f"CREATE TABLE customer AS SELECT * FROM read_parquet('{sf_dir}/customer.parquet')"
+    )
+    con.execute(
+        f"CREATE TABLE nation AS SELECT * FROM read_parquet('{sf_dir}/nation.parquet')"
+    )
+    con.execute("CHECKPOINT")
+    con.close()
+    return f"jdbc:duckdb:{path}"
+
+
+def test_dump_from_jdbc_live(spark, dump_db, customer, tmp_path):
+    """Full S10→S1 lifecycle over JDBC: discover via information_schema,
+    scan, write parquet, manifest + checksum verify — the dump CLI's
+    ``--source jdbc:...`` path, live. DuckDB's snapshot strategy is 'none',
+    so no fence runs and no [source] position is recorded."""
+    from mydumper_spark.engine import DumpConfig, dump
+    from mydumper_spark.sinks.manifest import verify_manifest
+
+    out = str(tmp_path / "jdump")
+    cfg = DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS))
+    manifest = dump(spark, dump_db, cfg)
+    assert set(manifest.tables) == {"customer", "nation"}
+    assert manifest.tables["customer"].rows == customer.count()
+    assert manifest.source_info == {}
+    results = verify_manifest(spark, out)
+    assert all(r["ok"] for r in results.values())
+
+
+def test_dump_from_jdbc_chunked_live(spark, dump_db, customer, tmp_path):
+    """chunks_per_table becomes real JDBC read partitions (S2): one server
+    SELECT per integer-range chunk, result identical to the plain scan."""
+    from mydumper_spark.engine import DumpConfig, dump
+
+    out = str(tmp_path / "jdump_chunked")
+    cfg = DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS),
+                     chunks_per_table=4, checksum=True)
+    manifest = dump(spark, dump_db, cfg)
+    assert manifest.tables["customer"].rows == customer.count()
+    back = spark.read.parquet(f"{out}/customer.parquet")
+    assert back.select("c_custkey").distinct().count() == customer.count()
+
+
+def test_dump_pathological_table_names_roundtrip(spark, tmp_path):
+    """The specific_16 corpus: tables named ``a.b`` / ``t%`` / ``a/b`` dump
+    through the FilenameRegistry's mydumper_<N> mapping
+    (/root/reference/src/mydumper/mydumper_common.c:66-90) and restore back
+    with original names + verified checksums — name→file mapping lives in
+    the manifest, identifier quoting in the JDBC scan."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    path = str(tmp_path / "weird.duckdb")
+    con = duckdb.connect(path)
+    con.execute('CREATE TABLE "a.b" AS SELECT range AS id, range*2 AS v FROM range(50)')
+    con.execute('CREATE TABLE "t%" AS SELECT range AS id FROM range(20)')
+    con.execute('CREATE TABLE "a/b" AS SELECT range AS id FROM range(10)')
+    con.execute("CHECKPOINT")
+    con.close()
+    out = str(tmp_path / "weird_dump")
+    cfg = DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS))
+    manifest = dump(spark, f"jdbc:duckdb:{path}", cfg)
+    assert set(manifest.tables) == {"a.b", "t%", "a/b"}
+    assert manifest.tables["a.b"].rows == 50
+    # every output file got a safe generated name, none contain the raw name
+    import os
+
+    files = set(os.listdir(out))
+    assert not any("%" in f or "/" in f for f in files)
+    assert sum(f.startswith("mydumper_") for f in files) == 3
+    target = str(tmp_path / "weird_restore")
+    results = restore(spark, out, target)
+    assert results["load"] == {"a.b": True, "t%": True, "a/b": True}
+    assert all(results["verify"].values())
+
+
+def test_dump_jdbc_fence_wired_end_to_end(spark, dump_db, tmp_path):
+    """dump() RUNS the S11 fence before planning when the dialect is
+    MySQL-family (injected here — the data connection stays DuckDB), and
+    records the fenced GTID position in the manifest's [source] info, which
+    survives to the reference-format metadata file."""
+    import os
+
+    from mydumper_spark.engine import DumpConfig, dump
+    from mydumper_spark.sinks.manifest import read_manifest
+    from mydumper_spark.sources.server_detect import ServerDialect, ServerProduct
+    from tests.test_chunks import _Factory, _ProbeConn
+
+    control = _ProbeConn(["uuid:1-7", "uuid:1-8", "uuid:1-8", "uuid:1-8"])
+    workers = [_ProbeConn(["x"]), _ProbeConn(["x"])]
+    fac = _Factory([control] + workers)
+    out = str(tmp_path / "jdump_fenced")
+    cfg = DumpConfig(
+        output_dir=out,
+        jdbc_properties=dict(DRIVER_PROPS),
+        connection_factory=fac,
+        fence_workers=2,
+        dialect=ServerDialect(product=ServerProduct.MYSQL, major=8,
+                              secondary=0, revision=30),
+    )
+    manifest = dump(spark, dump_db, cfg)
+    # fence ran (with a retry) BEFORE any scan, over the injected conns
+    assert [c is control for c in fac.made[:1]] == [True]
+    assert all(sum("CONSISTENT SNAPSHOT" in s for s in w.log) == 2
+               for w in workers)
+    assert manifest.source_info["executed_gtid_set"] == "uuid:1-8"
+    assert manifest.source_info["fence_attempts"] == "2"
+    doc = read_manifest(out)
+    assert doc["source"]["executed_gtid_set"] == "uuid:1-8"
+    with open(os.path.join(out, "metadata")) as f:
+        assert 'executed_gtid_set = "uuid:1-8"' in f.read()
+    # the dump itself still succeeded over the (DuckDB) data connection,
+    # ENGINE-probe fallback included
+    assert "customer" in manifest.tables
