@@ -63,17 +63,22 @@ def cmd_dump(args: argparse.Namespace) -> int:
     if args.ignore_engines:
         filters.ignore_engines = set(args.ignore_engines.split(","))
 
+    jdbc_props = dict(
+        kv.split("=", 1) for kv in (args.jdbc_property or [])
+    )
     cfg = DumpConfig(
         output_dir=args.outputdir,
         filters=filters,
         global_where=global_where,
         per_table=per_table,
+        chunks_per_table=args.chunks,
         fmt=args.format,
         csv_format=CsvFormat(compression=args.compress),
         max_records_per_file=args.rows,
         checksum=not args.no_checksum,
         exec_per_file=args.exec_cmd,
         masquerade_filenames=args.masquerade_filename,
+        jdbc_properties=jdbc_props,
     )
     spark = _session(args.threads)
     manifest = dump(spark, args.source, cfg)
@@ -167,6 +172,11 @@ def cmd_prepare(args: argparse.Namespace) -> int:
     from mydumper_spark.operators.dedup import exact_dedup, minhash_dedup
     from mydumper_spark.operators.text import quality_score
 
+    if args.pack_tokens and not args.chunk_tokens:
+        build_parser().error(
+            "--pack-tokens requires --chunk-tokens (sequences are packed "
+            "from token-window chunks)"
+        )
     spark = _session(args.threads)
     df = spark.read.parquet(args.source)
     counts = {"input": df.count()}
@@ -190,18 +200,23 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         )
     # sub-document dedup: rewrite text with corpus-wide duplicate lines /
     # aligned token blocks removed (first occurrence survives); non-text
-    # columns carry through on doc_id
+    # columns carry through on doc_id. LEFT join + coalesce to the original
+    # text: the block path emits no row for token-less documents, and an
+    # inner join would silently drop them — a dedup stage must never change
+    # the document SET, only document text.
+    def _rewrite_text(d, cleaned):
+        return (
+            d.withColumnRenamed("text", "__orig_text")
+            .join(cleaned.select("doc_id", "clean_text"), "doc_id", "left")
+            .withColumn("text", F.coalesce("clean_text", "__orig_text"))
+            .drop("clean_text", "__orig_text")
+        )
+
     if args.line_dedup:
-        cleaned = dedup_lines_global(df)
-        df = df.drop("text").join(
-            cleaned.selectExpr("doc_id", "clean_text AS text"), "doc_id"
-        )
+        df = _rewrite_text(df, dedup_lines_global(df))
     if args.block_dedup_tokens:
-        cleaned = dedup_token_blocks_global(
-            df, block_tokens=args.block_dedup_tokens
-        )
-        df = df.drop("text").join(
-            cleaned.selectExpr("doc_id", "clean_text AS text"), "doc_id"
+        df = _rewrite_text(
+            df, dedup_token_blocks_global(df, block_tokens=args.block_dedup_tokens)
         )
     df = _stage(df, "after_dedup")
 
@@ -253,6 +268,11 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dump", help="parallel consistent export (mydumper)")
     d.add_argument("--source", required=True, help="source dir (or JDBC url)")
     d.add_argument("-o", "--outputdir", required=True)
+    d.add_argument("--jdbc-property", action="append", metavar="K=V",
+                   help="JDBC connection property (user=, password=, driver=...); "
+                        "repeatable; only used with a jdbc: --source")
+    d.add_argument("--chunks", type=int, default=None,
+                   help="JDBC read partitions per table (S2; one SELECT per chunk)")
     d.add_argument("--where", help="global row predicate (P1)")
     d.add_argument("-x", "--regex", help="table regex filter (P6)")
     d.add_argument("-O", "--omit-from-file", help="skiplist file (P7)")

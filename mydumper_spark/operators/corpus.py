@@ -101,18 +101,20 @@ def pack_sequences(
     needed sharding in the first place.
 
     Returns (seq_id, text, n_tokens, n_chunks)."""
+    # exact long floor division ("div"), NOT double / then cast: past 2^53
+    # cumulative tokens the float quotient loses integer precision and can
+    # misassign boundary chunks — exactly the scale this operator targets
+    bucket = F.expr(f"`__pre` div {int(budget_tokens)}")
     if n_shards:
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         w = Window.partitionBy("__shard").orderBy(
             F.col(id_col).asc(), F.col(chunk_id_col).asc()
         )
         chunks = chunks.withColumn("__shard", shard)
-        seq = F.col("__shard") * F.lit(1 << 40) + (
-            F.col("__pre") / budget_tokens
-        ).cast("bigint")
+        seq = F.col("__shard") * F.lit(1 << 40) + bucket
     else:
         w = Window.orderBy(F.col(id_col).asc(), F.col(chunk_id_col).asc())
-        seq = (F.col("__pre") / budget_tokens).cast("bigint")
+        seq = bucket
     with_cum = chunks.withColumn(
         "__pre",
         F.coalesce(

@@ -332,6 +332,55 @@ def test_cli_prepare_sub_document_dedup(tmp_path):
     assert {"doc_id", "text", "lang", "source"} <= cols
 
 
+def test_cli_prepare_block_dedup_keeps_empty_docs(tmp_path):
+    """Sub-document dedup must never change the document SET, only text:
+    the block path emits no row for token-less docs, so the CLI's rewrite
+    join must be a LEFT join carrying the original text through — an inner
+    join silently deleted empty/whitespace docs while --line-dedup kept
+    them (round-5 advisor finding)."""
+    import duckdb
+
+    src = str(tmp_path / "src.parquet")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(0, 'alpha beta gamma delta', 'en', 's'), "
+        "(1, '   ', 'en', 's'), "           # whitespace-only: zero tokens
+        "(2, 'alpha beta gamma delta', 'en', 's')"  # dup of doc 0's block
+        ") t(doc_id, text, lang, source)) "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "prepared")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", src, "-o", out, "--dedup", "none",
+         "--block-dedup-tokens", "4", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert counts["output_rows"] == counts["input"] == 3
+    rows = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{out}/*.parquet')").fetchall())
+    assert rows[1] == "   "                  # untouched, not dropped
+    assert rows[0] == "alpha beta gamma delta"
+    assert rows[2] == ""                     # duplicate block removed
+
+
+def test_cli_prepare_pack_requires_chunk(tmp_path):
+    """--pack-tokens without --chunk-tokens is a usage error (exit 2), not a
+    silent no-op returning raw documents."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", str(tmp_path / "x"), "--pack-tokens", "256"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 2
+    assert "--pack-tokens requires --chunk-tokens" in r.stderr
+
+
 def test_prepare_stage_counts_materialize_cache(spark):
     """persist_and_count must leave the stage cached so each stage count is
     a one-time materialization: downstream lineage (the final write, later
