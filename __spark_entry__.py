@@ -2903,6 +2903,23 @@ def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over KMEANS-TRAINED codebooks (per-subspace Lloyd's on a
+    deterministic hash-ordered sample, similarity.train_pq_codebooks) —
+    the production-quality path. Rows-only: the trained centroids are fit
+    output, not SQL-replayable; the id-derived sibling ``x_pq_topk`` is
+    the oracle-backed spec, and pytest pins trained distortion/recall ≥
+    id-derived (test_pq_trained_codebooks_beat_id_derived)."""
+    from mydumper_spark.operators.similarity import pq_topk, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    cbs = train_pq_codebooks(emb, m=8, ksub=16, sample_n=5000)
+    return pq_topk(
+        emb.where("vec_id <> 0"), [float(v) for v in qvec], cbs, k=10
+    )
+
+
 _PQ_SQL = """
 WITH sub AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS j),
 cb AS (
@@ -3738,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_embedding_near_dup": x_embedding_near_dup,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "a4_checksums_fast": a4_checksums_fast,
+        "x_pq_trained_topk": x_pq_trained_topk,
         "x_simhash_pairs": x_simhash_pairs,
         "x_masquerade_random": x_masquerade_random,
         "x_ivf_topk": x_ivf_topk,

@@ -376,6 +376,90 @@ def pq_codebooks_from_ids(
     ]
 
 
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_n: int = 10_000,
+    iters: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """KMeans-trained PQ codebooks: per subspace, Lloyd's algorithm on a
+    bounded deterministic sample — the trained-quality sibling of
+    :func:`pq_codebooks_from_ids` (which stays the oracle-replayable twin),
+    mirroring :func:`train_ivf_centroids` for cell centroids.
+
+    Determinism without RNG state: the sample is the ``sample_n`` rows with
+    the smallest ``xxhash64(id)`` (TakeOrdered — per-partition top-n, no
+    full sort), and initial centers are evenly spaced rows of that
+    hash-ordered sample. The fit itself is driver-side numpy over the
+    bounded sample (same class as the chunk planner's boundary collects —
+    the corpus is never collected); output is m×ksub×dsub floats that ship
+    to executors inside the encode closure. Empty clusters re-seed to the
+    point farthest from its assigned center (standard Lloyd repair)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(F.col(vec_col).alias("__v"),
+                          F.xxhash64(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([[float(v) for v in r["__v"]] for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    dsub = dim // m
+    if n < ksub:
+        raise ValueError(f"sample of {n} rows cannot seed {ksub} centroids")
+    out = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        centers = sub[np.linspace(0, n - 1, ksub).astype(np.int64)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            new = centers.copy()
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+                else:  # empty cluster: re-seed to the worst-served point
+                    new[c] = sub[np.argmax(d[np.arange(n), assign])]
+            if np.allclose(new, centers):
+                break
+            centers = new
+        out.append([[float(v) for v in c] for c in centers])
+    return out
+
+
+def pq_distortion(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of the codebooks over the corpus —
+    the quantity KMeans minimizes; the quality pin for trained vs id-derived
+    codebooks (lower = candidate ADC distances track true distances
+    better). One encode pass + one aggregate, distributed."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = pq_encode(embeddings.select(vec_col), codebooks, vec_col=vec_col)
+    err = None
+    for j in range(m):
+        cb = F.array(*[
+            F.array(*[F.lit(float(v)) for v in center]) for center in codebooks[j]
+        ])
+        center = F.element_at(cb, (F.element_at("pq_code", j + 1) + 1).cast("int"))
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        e = F.aggregate(
+            F.zip_with(sub, center, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        err = e if err is None else err + e
+    return enc.select(F.avg(err).alias("mse")).first()["mse"]
+
+
 def _pq_sq_dist(vec_col: Column, offset: int, center: list[float]) -> Column:
     """||v[offset:offset+len(center)] - center||² as a fixed-order
     left-to-right sum of products — bit-reproducible by the DuckDB oracle's

@@ -525,6 +525,46 @@ def test_ivf_trained_centroids_recall(spark):
     assert recalls["trained"] >= 0.9, f"trained recall {recalls['trained']:.2f}"
 
 
+def test_pq_trained_codebooks_beat_id_derived(spark):
+    """KMeans-trained PQ codebooks must (a) reduce quantization distortion
+    vs the id-derived oracle twin — distortion is exactly what Lloyd's
+    minimizes, so this is the guaranteed win — and (b) not lose ADC top-k
+    recall on a corpus with real neighbor structure (VERDICT r5 task #6,
+    the PQ mirror of test_ivf_trained_centroids_recall)."""
+    corpus, bases = _clustered_corpus(spark, per_cluster=50, dim=16)
+    trained = sim.train_pq_codebooks(corpus, m=8, ksub=32, sample_n=1000)
+    derived = sim.pq_codebooks_from_ids(corpus, m=8, ksub=32)
+    assert len(trained) == 8 and len(trained[0]) == 32 and len(trained[0][0]) == 2
+    d_tr = sim.pq_distortion(corpus, trained)
+    d_id = sim.pq_distortion(corpus, derived)
+    # KMeans minimizes exactly this; on the clustered corpus it wins by >2x
+    # (measured ~150x — id-derived donors all come from cluster 0)
+    assert d_tr < 0.5 * d_id, (d_tr, d_id)
+    # ground truth in the metric ADC approximates: exact squared-EUCLIDEAN
+    # top-k (cosine top-k would be a metric mismatch — corpus vectors are
+    # base + noise with norms > 1)
+    import numpy as np
+
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    hits = {"trained": 0, "derived": 0}
+    total = 0
+    for c in range(4):
+        q = [float(x) for x in bases[c]]
+        d2 = ((mat - np.array(q)[None, :]) ** 2).sum(axis=1)
+        exact = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        total += len(exact)
+        for name, cbs in (("trained", trained), ("derived", derived)):
+            got = {r["vec_id"] for r in sim.pq_topk(corpus, q, cbs, k=10).collect()}
+            hits[name] += len(got & exact)
+    # intra-cluster top-10 of 50 near-equidistant members is genuinely hard
+    # for 8×2-dim quantizers — the pin is trained ≥ derived plus a floor
+    # above the ~0.2 random-member baseline (measured: 13/40 vs 5/40)
+    assert hits["trained"] >= hits["derived"], hits
+    assert hits["trained"] / total >= 0.25, hits
+
+
 def test_token_histogram_buckets(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "one two three four five six seven eight nine ten eleven"), (3, "")],
