@@ -158,34 +158,102 @@ def restore(
     purge: PurgeMode = PurgeMode.DROP,
     verify: bool = True,
     parallelism: int = 4,
+    jdbc_properties: dict | None = None,
+    ddl_executor=None,
+    jdbc_num_partitions: int | None = None,
 ) -> dict:
-    """myloader inverse: DAG-ordered parallel re-write of a dump into a
-    target directory tree (stand-in for a JDBC target — same scheduling,
-    different sink), then checksum verification against the manifest."""
+    """myloader inverse: DAG-ordered parallel load of a dump into either a
+    target directory tree (parquet sink) or — when ``target_root`` is a
+    ``jdbc:`` URL — a live database: the SCHEMA phase CREATEs each table
+    from the dump's schema (via ``ddl_executor``, a callable that runs one
+    DDL statement — Spark's JDBC writer cannot execute arbitrary DDL),
+    then the DATA phase appends through the K11 JDBC sink, then L9
+    recomputes checksums by reading the target back over JDBC. This is the
+    reference's full process_schema → data → verify ordering
+    (/root/reference/src/myloader/myloader_restore.c, myloader.c:684-730).
+    """
     from mydumper_spark.sinks.exec_sink import FilenameRegistry
     from mydumper_spark.sinks.manifest import read_manifest
     from mydumper_spark.sources.dump_reader import read_dump_table
 
+    jdbc_target = target_root.startswith("jdbc:")
     doc = read_manifest(dump_root)
     dag = LoaderDag(parallelism=parallelism)
-    tnames = FilenameRegistry()  # target-side safe filenames for weird names
-    target_paths = {
-        t: os.path.join(target_root, f"{tnames.filename_for(t)}.parquet")
-        for t in doc["tables"]
-    }
-    for t, entry in doc["tables"].items():
-        def make_data_action(table=t, src_path=entry.get("path")):
-            def action():
-                # manifest path wins: weird/masqueraded names don't match
-                # the table-name-derived default (FilenameRegistry mapping)
-                if src_path and src_path.endswith(".parquet") and os.path.exists(src_path):
-                    df = spark.read.parquet(src_path)
-                else:
-                    df = read_dump_table(spark, dump_root, table)
-                df.write.mode(purge.spark_mode).parquet(target_paths[table])
-            return action
+    if jdbc_target:
+        from mydumper_spark.sinks.jdbc_sink import JdbcSinkConfig
 
-        dag.add(LoadJob(table=t, phase=Phase.SCHEMA, action=lambda: None))
+        scheme = target_root.split(":")[1].lower()
+        dialect = "mysql" if scheme in ("mysql", "mariadb") else "ansi"
+        qc = "`" if dialect == "mysql" else '"'
+        sink = JdbcSinkConfig(
+            url=target_root,
+            num_partitions=jdbc_num_partitions,
+            # append into the freshly CREATEd table (DELETE → mode
+            # "append"; DROP's "overwrite" would re-issue CREATE via
+            # Spark, which several drivers' cross-connection DDL breaks)
+            purge=PurgeMode.DELETE,
+            extra=dict(jdbc_properties or {}),
+        )
+
+        def target_table(t: str) -> str:
+            return qc + t.replace(qc, qc + qc) + qc
+
+        def read_target(t: str) -> DataFrame:
+            return spark.read.jdbc(
+                url=target_root, table=target_table(t),
+                properties=dict(jdbc_properties or {}),
+            )
+    else:
+        tnames = FilenameRegistry()  # target-side safe names for weird tables
+        target_paths = {
+            t: os.path.join(target_root, f"{tnames.filename_for(t)}.parquet")
+            for t in doc["tables"]
+        }
+
+        def read_target(t: str) -> DataFrame:
+            return spark.read.parquet(target_paths[t])
+
+    def source_df(table: str, src_path: str | None) -> DataFrame:
+        # manifest path wins: weird/masqueraded names don't match the
+        # table-name-derived default (FilenameRegistry mapping)
+        if src_path and src_path.endswith(".parquet") and os.path.exists(src_path):
+            return spark.read.parquet(src_path)
+        return read_dump_table(spark, dump_root, table)
+
+    for t, entry in doc["tables"].items():
+        src_path = entry.get("path")
+        if jdbc_target:
+            def make_schema_action(table=t, sp=src_path):
+                def action():
+                    from mydumper_spark.plans.ddl import create_table_ddl
+
+                    if ddl_executor is None:
+                        raise ValueError(
+                            "jdbc: restore target needs ddl_executor to run "
+                            "CREATE TABLE (L7 SCHEMA phase)"
+                        )
+                    schema = source_df(table, sp).schema
+                    ddl_executor(create_table_ddl(table, schema, dialect))
+                return action
+
+            def make_data_action(table=t, sp=src_path):
+                def action():
+                    from mydumper_spark.sinks.jdbc_sink import write_jdbc
+
+                    write_jdbc(source_df(table, sp), sink, target_table(table))
+                return action
+        else:
+            def make_schema_action(table=t, sp=src_path):
+                return lambda: None
+
+            def make_data_action(table=t, sp=src_path):
+                def action():
+                    source_df(table, sp).write.mode(purge.spark_mode).parquet(
+                        target_paths[table]
+                    )
+                return action
+
+        dag.add(LoadJob(table=t, phase=Phase.SCHEMA, action=make_schema_action()))
         if entry.get("path") is None and entry["rows"] == 0:
             continue  # P11 schema-only export: nothing to load
         dag.add(
@@ -209,8 +277,7 @@ def restore(
         for t, entry in doc["tables"].items():
             if entry.get("path") is None and entry["rows"] == 0:
                 continue  # schema-only: no data to verify
-            df = spark.read.parquet(target_paths[t])
-            cs = table_checksum(df, algorithm=algo)
+            cs = table_checksum(read_target(t), algorithm=algo)
             checks[t] = cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"]
         results["verify"] = checks
     return results

@@ -76,6 +76,56 @@ _UNSIGNED_WIDEN: dict[str, str] = {
     "int": "bigint", "bigint": "decimal(20,0)",
 }
 
+#: Spark simpleString → SQL column type, per target dialect. The
+#: restore-side inverse of ``_MYSQL_TO_SPARK``: what lets ``restore`` run
+#: its L7 SCHEMA phase against a live JDBC target (CREATE TABLE before the
+#: DATA phase's parallel writes — myloader's process_schema ordering,
+#: /root/reference/src/myloader/myloader_restore.c).
+_SPARK_TO_SQL_ANSI: dict[str, str] = {
+    "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INTEGER",
+    "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "string": "VARCHAR", "binary": "BLOB", "boolean": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+}
+_SPARK_TO_SQL_MYSQL: dict[str, str] = {
+    **_SPARK_TO_SQL_ANSI,
+    "string": "TEXT", "binary": "LONGBLOB", "timestamp": "DATETIME",
+    "timestamp_ntz": "DATETIME",
+}
+
+
+def _sql_type(spark_type: str, dialect: str) -> str:
+    t = spark_type.lower()
+    table = _SPARK_TO_SQL_MYSQL if dialect == "mysql" else _SPARK_TO_SQL_ANSI
+    if t.startswith("decimal"):
+        return t.upper()
+    if t.startswith("array<"):
+        if dialect == "mysql":
+            return "JSON"  # MySQL has no array type; JSON is its container
+        return _sql_type(t[len("array<"):-1], dialect) + "[]"
+    if t in table:
+        return table[t]
+    raise ValueError(f"no {dialect} SQL type for spark type {spark_type!r}")
+
+
+def create_table_ddl(table: str, schema, dialect: str = "ansi") -> str:
+    """CREATE TABLE for a Spark schema against a JDBC target — dialect
+    identifier quoting (backticks for mysql-family, ANSI double quotes
+    otherwise, embedded quotes doubled) so pathological table names
+    (``a.b``, ``t%``) restore under their original names."""
+    q = "`" if dialect == "mysql" else '"'
+
+    def ident(name: str) -> str:
+        return q + name.replace(q, q + q) + q
+
+    cols = ", ".join(
+        f"{ident(f.name)} {_sql_type(f.dataType.simpleString(), dialect)}"
+        f"{'' if f.nullable else ' NOT NULL'}"
+        for f in schema.fields
+    )
+    return f"CREATE TABLE {ident(table)} ({cols})"
+
+
 _COL_LINE = re.compile(
     r"^\s*`(?P<name>[^`]+)`\s+(?P<type>\w+)(?:\((?P<args>[^)]*)\))?(?P<rest>[^,]*)",
     re.IGNORECASE,

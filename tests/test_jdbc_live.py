@@ -239,6 +239,60 @@ def test_dump_pathological_table_names_roundtrip(spark, tmp_path):
     assert all(results["verify"].values())
 
 
+def test_restore_into_jdbc_target_live(spark, sf_dir, tmp_path):
+    """The myloader job proper, live: dump (parquet source) → restore into
+    a live DuckDB over JDBC — SCHEMA phase CREATEs each table from the
+    dump's schema via the injected ddl_executor, DATA phase appends through
+    the K11 sink, L9 verify recomputes checksums by reading the TARGET
+    back over JDBC. parallelism=1 / num_partitions=1 respects DuckDB's
+    single-writer model (a MySQL target lifts both)."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    out = str(tmp_path / "dump")
+    cfg = DumpConfig(
+        output_dir=out,
+        filters=__import__("mydumper_spark.catalog", fromlist=["TableFilters"])
+        .TableFilters(tables_list={"default.customer", "default.nation"}),
+    )
+    dump(spark, sf_dir, cfg)
+    target = str(tmp_path / "target.duckdb")
+
+    def ddl_executor(sql):
+        con = duckdb.connect(target)
+        con.execute(sql)
+        con.execute("CHECKPOINT")
+        con.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}",
+        parallelism=1,
+        jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor,
+        jdbc_num_partitions=1,
+    )
+    assert results["load"] == {"customer": True, "nation": True}
+    assert results["verify"] == {"customer": True, "nation": True}
+    # the data really lives in the database, typed
+    con = duckdb.connect(target)
+    n = con.execute('SELECT count(*) FROM "customer"').fetchone()[0]
+    con.close()
+    assert n == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+
+
+def test_restore_jdbc_target_requires_ddl_executor(spark, sf_dir, tmp_path):
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    out = str(tmp_path / "dump2")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, filters=TableFilters(tables_list={"default.nation"})))
+    with pytest.raises(RuntimeError, match="ddl_executor"):
+        restore(spark, out, "jdbc:duckdb:/tmp/nope.duckdb", parallelism=1,
+                jdbc_properties=dict(DRIVER_PROPS))
+
+
 def test_dump_jdbc_fence_wired_end_to_end(spark, dump_db, tmp_path):
     """dump() RUNS the S11 fence before planning when the dialect is
     MySQL-family (injected here — the data connection stays DuckDB), and

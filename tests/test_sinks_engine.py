@@ -628,3 +628,31 @@ def test_schema_from_create_table_types():
     assert schema_from_create_table(ddl) == (
         "`a` bigint, `b` string, `c` timestamp, `d` binary, `e` string"
     )
+
+
+def test_create_table_ddl_dialects():
+    """The restore-side inverse: Spark schema → CREATE TABLE per target
+    dialect, with identifier quoting that survives pathological names."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from mydumper_spark.plans.ddl import create_table_ddl
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("bal", T.DoubleType(), True),
+        T.StructField("emb", T.ArrayType(T.FloatType()), True),
+        T.StructField("amt", T.DecimalType(12, 2), True),
+    ])
+    ansi = create_table_ddl("a.b", schema, "ansi")
+    assert ansi == (
+        'CREATE TABLE "a.b" ("id" BIGINT NOT NULL, "name" VARCHAR, '
+        '"bal" DOUBLE, "emb" FLOAT[], "amt" DECIMAL(12,2))'
+    )
+    mysql = create_table_ddl("t`x", schema, "mysql")
+    assert mysql.startswith("CREATE TABLE `t``x` (`id` BIGINT NOT NULL")
+    assert "`name` TEXT" in mysql and "`emb` JSON" in mysql
+    with _pytest.raises(ValueError, match="no ansi SQL type"):
+        create_table_ddl("m", T.StructType(
+            [T.StructField("m", T.MapType(T.StringType(), T.LongType()))]), "ansi")
