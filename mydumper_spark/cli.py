@@ -101,6 +101,22 @@ def cmd_restore(args: argparse.Namespace) -> int:
     purge = PurgeMode.DROP if args.drop_table else (
         PurgeMode.SKIP if args.skip_existing else PurgeMode.FAIL
     )
+    jdbc_props = dict(kv.split("=", 1) for kv in (args.jdbc_property or []))
+    ddl_executor = None
+    if args.target.startswith("jdbc:duckdb:"):
+        # the one engine whose client ships in this environment; other
+        # servers need engine.restore(ddl_executor=...) with their client
+        # (e.g. mysql-connector) — Spark's JDBC writer can't run bare DDL
+        db_path = args.target[len("jdbc:duckdb:"):]
+
+        def ddl_executor(sql, _p=db_path):
+            import duckdb
+
+            con = duckdb.connect(_p)
+            con.execute(sql)
+            con.execute("CHECKPOINT")
+            con.close()
+
     spark = _session(args.threads)
     results = restore(
         spark,
@@ -109,6 +125,9 @@ def cmd_restore(args: argparse.Namespace) -> int:
         purge=purge,
         verify=not args.no_checksum,
         parallelism=args.threads or 4,
+        jdbc_properties=jdbc_props,
+        ddl_executor=ddl_executor,
+        jdbc_num_partitions=args.jdbc_partitions,
     )
     print(json.dumps(results))
     ok = all(results["load"].values()) and all(results.get("verify", {"": True}).values())
@@ -290,7 +309,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("restore", help="DAG-scheduled parallel load (myloader)")
     r.add_argument("-d", "--directory", required=True)
-    r.add_argument("--target", required=True)
+    r.add_argument("--target", required=True,
+                   help="target dir, or a jdbc: URL for a live database")
+    r.add_argument("--jdbc-property", action="append", metavar="K=V",
+                   help="JDBC connection property; repeatable")
+    r.add_argument("--jdbc-partitions", type=int, default=None,
+                   help="per-table connection cap for a jdbc: target (L2)")
     r.add_argument("-t", "--threads", type=int)
     r.add_argument("--drop-table", action="store_true", help="purge mode DROP (L3)")
     r.add_argument("--skip-existing", action="store_true", help="purge mode SKIP (L3)")

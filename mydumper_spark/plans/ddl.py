@@ -118,12 +118,15 @@ def create_table_ddl(table: str, schema, dialect: str = "ansi") -> str:
     def ident(name: str) -> str:
         return q + name.replace(q, q + q) + q
 
-    cols = ", ".join(
+    cols = ",\n  ".join(
         f"{ident(f.name)} {_sql_type(f.dataType.simpleString(), dialect)}"
         f"{'' if f.nullable else ' NOT NULL'}"
         for f in schema.fields
     )
-    return f"CREATE TABLE {ident(table)} ({cols})"
+    # one column per line — the reference's CREATE TABLE file format, and
+    # what keeps this output parseable by schema_from_create_table (the
+    # dump-side inverse is line-oriented; round-trip property-tested)
+    return f"CREATE TABLE {ident(table)} (\n  {cols}\n)"
 
 
 _COL_LINE = re.compile(

@@ -281,6 +281,40 @@ def test_restore_into_jdbc_target_live(spark, sf_dir, tmp_path):
     assert n == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
 
 
+def test_cli_restore_into_jdbc_target_live(spark, sf_dir, tmp_path):
+    """`restore --target jdbc:duckdb:...` end-to-end from the CLI: the
+    duckdb client ships here, so the CLI wires the ddl_executor itself."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump
+
+    out = str(tmp_path / "dump_cli")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, filters=TableFilters(tables_list={"default.nation"})))
+    target = str(tmp_path / "cli_target.duckdb")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "restore",
+         "-d", out, "--target", f"jdbc:duckdb:{target}",
+         "--jdbc-property", "driver=org.duckdb.DuckDBDriver",
+         "--jdbc-partitions", "1", "-t", "1"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["load"] == {"nation": True}
+    assert res["verify"] == {"nation": True}
+    con = duckdb.connect(target)
+    assert con.execute('SELECT count(*) FROM "nation"').fetchone()[0] == 25
+    con.close()
+
+
 def test_restore_jdbc_target_requires_ddl_executor(spark, sf_dir, tmp_path):
     from mydumper_spark.catalog import TableFilters
     from mydumper_spark.engine import DumpConfig, dump, restore

@@ -220,3 +220,61 @@ def test_pack_binning_fill_bounds_and_conservation(sizes, budget):
         if b != last and max_chunk <= budget:
             assert budget - max_chunk < total < budget + max_chunk, (
                 b, total, budget, max_chunk)
+
+
+# -- DDL mapping round-trip (restore-side CREATE <-> dump-side schema parse) --
+
+_DDL_TYPES = {
+    "tinyint": None, "smallint": None, "int": None, "bigint": None,
+    "float": None, "double": None, "string": None, "binary": None,
+    "timestamp": None, "date": None, "decimal(12,2)": None,
+    "decimal(38,0)": None,
+}
+
+
+def _mk_type(name):
+    from pyspark.sql import types as T
+
+    simple = {
+        "tinyint": T.ByteType(), "smallint": T.ShortType(),
+        "int": T.IntegerType(), "bigint": T.LongType(),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "string": T.StringType(), "binary": T.BinaryType(),
+        "timestamp": T.TimestampType(), "date": T.DateType(),
+    }
+    if name in simple:
+        return simple[name]
+    p, s = name[len("decimal("):-1].split(",")
+    return T.DecimalType(int(p), int(s))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True),
+            st.sampled_from(sorted(_DDL_TYPES)),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_create_table_ddl_roundtrips_through_schema_parser(cols):
+    """create_table_ddl(mysql) output must parse back to the same Spark
+    types via schema_from_create_table -- the dump-side parser and the
+    restore-side generator are inverse maps on the common type set (the
+    parser maps MySQL FLOAT->float, TEXT->string, LONGBLOB->binary,
+    DATETIME->timestamp, DECIMAL(p,s) verbatim)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from mydumper_spark.plans.ddl import create_table_ddl, schema_from_create_table
+
+    schema = StructType([StructField(n, _mk_type(t), True) for n, t in cols])
+    ddl = create_table_ddl("t", schema, dialect="mysql")
+    parsed = schema_from_create_table(ddl)
+    got = {}
+    for part in parsed.split(", "):
+        name, typ = part.split("` ", 1)
+        got[name.lstrip("`")] = typ
+    assert got == dict(cols), (ddl, parsed)

@@ -647,11 +647,11 @@ def test_create_table_ddl_dialects():
     ])
     ansi = create_table_ddl("a.b", schema, "ansi")
     assert ansi == (
-        'CREATE TABLE "a.b" ("id" BIGINT NOT NULL, "name" VARCHAR, '
-        '"bal" DOUBLE, "emb" FLOAT[], "amt" DECIMAL(12,2))'
+        'CREATE TABLE "a.b" (\n  "id" BIGINT NOT NULL,\n  "name" VARCHAR,'
+        '\n  "bal" DOUBLE,\n  "emb" FLOAT[],\n  "amt" DECIMAL(12,2)\n)'
     )
     mysql = create_table_ddl("t`x", schema, "mysql")
-    assert mysql.startswith("CREATE TABLE `t``x` (`id` BIGINT NOT NULL")
+    assert mysql.startswith("CREATE TABLE `t``x` (\n  `id` BIGINT NOT NULL")
     assert "`name` TEXT" in mysql and "`emb` JSON" in mysql
     with _pytest.raises(ValueError, match="no ansi SQL type"):
         create_table_ddl("m", T.StructType(
