@@ -143,6 +143,28 @@ def test_dedup_lines_keeps_first_occurrence(spark):
     assert rows[2]["n_kept"] == 1 and rows[2]["n_removed"] == 2
 
 
+def test_dedup_lines_arbiters_identical_and_plan_shapes(spark, sf_dir):
+    """The agg (skew-splittable) and window arbiters must return identical
+    results on the fixture, and their plans must have the promised shapes:
+    agg has NO Window node (its arbiter is a partial-aggregatable min),
+    window has no line-side join."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = dedup_lines_global(df, arbiter="agg")
+    win = dedup_lines_global(df, arbiter="window")
+    a = {r["doc_id"]: tuple(r)[1:] for r in agg.collect()}
+    w = {r["doc_id"]: tuple(r)[1:] for r in win.collect()}
+    assert a == w and len(a) > 0
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in agg_plan, agg_plan
+    assert "partial_min" in agg_plan or "SortAggregate" in agg_plan or "HashAggregate" in agg_plan
+    win_plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in win_plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown arbiter"):
+        dedup_lines_global(df, arbiter="nope")
+
+
 def test_dedup_lines_preserves_empty_lines(spark):
     df = spark.createDataFrame(
         [(1, "para one\n\npara two"), (2, "other\n\nmore")],
