@@ -1813,6 +1813,71 @@ def _sample_bernoulli_sql() -> str:
     )
 
 
+def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/CCNet hygiene): at most 10 docs
+    per source, chosen by the deterministic hash lottery (not ingestion
+    order). One irreducible per-group window exchange."""
+    from mydumper_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", n=10).select("source", "doc_id")
+
+
+def _source_cap_sql() -> str:
+    from mydumper_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id")
+    return f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+_MIX_BUDGETS = {"src0": 700, "src1": 400, "src2": 10_000}
+
+
+def x_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (the training-data recipe step): per
+    source, take docs in deterministic hash order until the source's token
+    budget fills (first doc to cross is included; src2's budget exceeds
+    its supply, so it runs dry = whole source). Sources outside the recipe
+    are dropped. One prefix-sum exchange; budgets constant-fold."""
+    from mydumper_spark.operators.sampling import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_corpus(docs, _MIX_BUDGETS).select("source", "doc_id", "n_tokens")
+
+
+def _corpus_mix_sql() -> str:
+    from mydumper_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id")
+    srcs = ", ".join(f"'{s}'" for s in _MIX_BUDGETS)
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {v}" for s, v in _MIX_BUDGETS.items()
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END
+              AS BIGINT) AS n_tokens,
+         {h} AS hv
+  FROM documents WHERE source IN ({srcs})
+), p AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY hv ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT source, doc_id, n_tokens FROM p WHERE pre < {case}
+"""
+
+
 def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 5 docs per language in deterministic hash order — the
     one-shuffle stratified sampler."""
@@ -3696,6 +3761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ngram_jaccard": x_ngram_jaccard,
         "x_embedding_pairs_exact": x_embedding_pairs_exact,
         "x_sample_bernoulli": x_sample_bernoulli,
+        "x_source_cap": x_source_cap,
+        "x_corpus_mix": x_corpus_mix,
         "x_minhash_pairs": x_minhash_pairs,
         "x_connected_components": x_connected_components,
         "x_token_histogram": x_token_histogram,
@@ -3810,6 +3877,8 @@ def oracle_sql() -> dict[str, str]:
         "x_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "x_embedding_pairs_exact": _EMB_EXACT_SQL,
         "x_sample_bernoulli": _sample_bernoulli_sql(),
+        "x_source_cap": _source_cap_sql(),
+        "x_corpus_mix": _corpus_mix_sql(),
         "x_sample_stratified": _sample_stratified_sql(),
         "x_sample_rebalance": _sample_rebalance_sql(),
         "x_minhash_pairs": _MINHASH_SQL,

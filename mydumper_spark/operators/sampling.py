@@ -160,3 +160,86 @@ def cluster_safe_split(
         cluster_col,
         F.when(h < cut, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 100,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap (the RefinedWeb/CCNet per-domain hygiene
+    rule): keep at most ``n`` rows per group, deterministically.
+
+    Selection order inside a group: ``order_col`` DESCENDING when given
+    (e.g. keep the n highest-quality docs), else a stable uniform shuffle
+    by ``sample_hash(id)`` — taking the FIRST n ids would bias toward
+    whatever happened to be crawled/ingested first; the hash order is a
+    reproducible lottery. Id tie-break makes the result total-ordered and
+    engine-portable.
+
+    One irreducible exchange ("at most n per group" is a global per-group
+    property); row_number state is one counter per group, so a mega-domain
+    costs sort, not memory. When ``n ≪`` group size, pre-filter with
+    :func:`bernoulli_sample` at an over-sampled fraction first (the
+    ``stratified_fixed`` prefilter pattern) so only candidates cross the
+    wire."""
+    order = (
+        [F.col(order_col).desc()] if order_col else []
+    ) + [sample_hash(F.col(id_col)).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus mixing — the "data recipe" step of a training
+    pipeline: for each group (source/domain/language), take documents in
+    deterministic ``sample_hash(id)`` order until that group's token
+    budget is reached. The first document to cross the budget is INCLUDED
+    (budgets fill to at least the target unless the group runs dry);
+    groups absent from ``budgets`` are dropped entirely.
+
+    Returns the selected rows plus (n_tokens, __pre) so callers can audit
+    the fill. One exchange (the per-group prefix sum over hash order);
+    token counting is scan-side codegen. At 100 TB the budgets dict is a
+    handful of literals folded into a CASE chain — no join, no broadcast,
+    no driver data movement."""
+    from mydumper_spark.operators.dedup import tokens
+
+    budget = None
+    for k, v in budgets.items():
+        c = F.when(F.col(group_col) == k, F.lit(int(v)))
+        budget = c if budget is None else budget.when(
+            F.col(group_col) == k, F.lit(int(v))
+        )
+    if budget is None:
+        raise ValueError("budgets must name at least one group")
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    with_pre = (
+        df.where(budget.isNotNull())
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "__pre",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return with_pre.where(F.col("__pre") < budget)

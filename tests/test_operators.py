@@ -825,6 +825,53 @@ def test_stratified_fractions_per_group_gates(spark):
     assert {r["g"]: r["n"] for r in got} == {"keep": 1_000}
 
 
+def test_cap_per_group_counts_order_and_determinism(spark):
+    from mydumper_spark.operators import sampling as sp
+
+    rows = [(i, "g%d" % (i % 2), float(i % 7)) for i in range(100)] + [
+        (1000, "tiny", 0.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = sp.cap_per_group(df, "source", n=5, id_col="doc_id")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "tiny": 1}
+    again = sp.cap_per_group(df, "source", n=5, id_col="doc_id")
+    assert ({r["doc_id"] for r in out.collect()}
+            == {r["doc_id"] for r in again.collect()})
+    # quality-ordered variant keeps the top-q docs, not the hash lottery
+    best = sp.cap_per_group(df, "source", n=3, order_col="q", id_col="doc_id")
+    assert all(r["q"] == 6.0 for r in best.where("source = 'g0'").collect())
+
+
+def test_mix_corpus_budget_fill_and_drop(spark):
+    """Per group: selected docs' tokens reach the budget (first doc to
+    cross included) unless the group runs dry; unbudgeted groups drop."""
+    from mydumper_spark.operators import sampling as sp
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 60 else "c"),
+             "tok " * (5 + i % 11)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"a": 90, "b": 1_000_000}
+    out = sp.mix_corpus(df, budgets)
+    got = out.select("source", "doc_id", "n_tokens", "__pre").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"a", "b"}          # 'c' has no budget -> dropped
+    a_total = sum(r["n_tokens"] for r in by_src["a"])
+    a_max = max(r["n_tokens"] for r in by_src["a"])
+    assert 90 <= a_total < 90 + a_max          # fills budget, overshoot < 1 doc
+    assert len(by_src["b"]) == 20              # runs dry: whole group
+    # deterministic membership
+    again = {r["doc_id"] for r in sp.mix_corpus(df, budgets).collect()}
+    assert again == {r["doc_id"] for r in got}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one group"):
+        sp.mix_corpus(df, {})
+
+
 def test_winnowing_guarantee(spark):
     """Documents sharing a long token run must share >=1 winnow fingerprint;
     disjoint documents share none."""
