@@ -246,3 +246,23 @@ def test_no_cartesian_or_nested_loop_anywhere(spark):
                 f"{name} plans a nested-loop join (add to _BNLJ_ALLOWED only "
                 f"with a documented scalar/baseline reason):\n{plan}"
             )
+
+
+def test_round6_sampling_plan_shapes(spark):
+    """cap_per_group and mix_corpus are single-exchange, single-scan window
+    shapes: budgets/caps constant-fold (no join, no second pass), and the
+    scan reads only the used columns."""
+    for name in ("x_source_cap", "x_corpus_mix"):
+        plan = _plan(entry.queries()[name](spark, SF))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert plan.count("Scan parquet") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
+def test_round6_dedup_agg_arbiter_no_window(spark):
+    """The default (skew-splittable) dedup arbiter must keep its promised
+    shape: the first-occurrence computation is an aggregate + join, with
+    no Window node anywhere in the line-dedup plan."""
+    plan = _plan(entry.queries()["x_dedup_lines_global"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
