@@ -2985,6 +2985,63 @@ def x_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings into 4 deterministic IVF cells
+    (smallest-id donor centroids — SQL-replayable), drop any vector with
+    an earlier within-cell neighbor at cosine ≥ 0.4 (the fixture's
+    embeddings are near-random, max pairwise ≈ 0.5, so 0.95 would be
+    vacuous). Pairwise work is confined to cells: Σ|cell|² ≈ n²/k."""
+    from mydumper_spark.operators.similarity import (
+        ivf_centroids_from_ids,
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids_from_ids(emb, n_cells=4)
+    return semantic_dedup(emb, threshold=0.4, n_cells=4, centroids=cents).select(
+        "vec_id", "label"
+    )
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH icents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 4
+),
+cellscore AS (
+  SELECT e.vec_id, ic.cell,
+         list_sum(list_transform(list_zip(e.embedding, ic.cvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         - list_sum(list_transform(ic.cvec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 2.0 AS d
+  FROM embeddings e, icents ic
+),
+cellmap AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+    FROM cellscore
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM cellmap a
+  JOIN cellmap b ON a.cell = b.cell AND a.vec_id > b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(
+          list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ea.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(eb.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        >= 0.4
+)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 _PQ_SQL = """
 WITH sub AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS j),
 cb AS (
@@ -3820,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_pq_topk": x_ivf_pq_topk,
         "x_batch_cosine_topk": x_batch_cosine_topk,
         "x_embedding_near_dup": x_embedding_near_dup,
+        "x_semantic_dedup": x_semantic_dedup,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "a4_checksums_fast": a4_checksums_fast,
         "x_pq_trained_topk": x_pq_trained_topk,
@@ -3930,6 +3988,7 @@ def oracle_sql() -> dict[str, str]:
         "x_ivf_pq_topk": _IVF_PQ_SQL,
         "x_batch_cosine_topk": _BATCH_COSINE_SQL,
         "x_embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "x_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —

@@ -804,6 +804,46 @@ def ivf_pq_topk_indexed(
     return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    the embedding space, then inside each cluster drop every item that has
+    an EARLIER near-identical neighbor (cosine ≥ threshold, smaller id
+    survives). Returns the surviving rows of ``embeddings``.
+
+    This is the clustering-bounded alternative to the banded-LSH
+    :func:`embedding_near_dup_pairs`: candidate pairs are confined to a
+    cell, so pairwise cost is Σ|cell|² ≈ n²/k — the SemDeDup design point
+    (k grows with the corpus; at 100 TB cells are the persisted ``__cell``
+    partitions and each executor dedups its own cells with zero cross-cell
+    traffic). An exact duplicate always lands in its twin's cell (same
+    vector → same argmax), so exact-copy recall is structural; near-dup
+    recall is bounded by clustering, the method's documented trade.
+    Drop rule is per-pair (any earlier neighbor), matching the paper —
+    NOT transitive closure."""
+    assigned, _ = ivf_assign_cells(embeddings, n_cells, id_col, vec_col, centroids)
+    a = assigned.select(
+        F.col("__cell"), F.col(id_col).alias("__a"), F.col(vec_col).alias("__av")
+    )
+    b = assigned.select(
+        F.col("__cell"), F.col(id_col).alias("__b"), F.col(vec_col).alias("__bv")
+    )
+    dropped = (
+        a.join(b, "__cell")
+        .where(F.col("__a") > F.col("__b"))
+        .where(F.round(cosine(F.col("__av"), F.col("__bv")), 6) >= threshold)
+        .select(F.col("__a").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dropped, id_col, "left_anti")
+
+
 def embedding_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -332,6 +332,25 @@ def test_ivf_pq_full_probe_equals_plain_pq(embeddings):
     assert 0 < len(part) <= 5
 
 
+def test_semantic_dedup_drops_exact_copies_keeps_distinct(spark):
+    """SemDeDup structural guarantee: an exact duplicate vector lands in
+    its twin's cell (same vector → same argmax), so the later copy is
+    always dropped; clearly-distinct vectors all survive; the survivor of
+    each duplicate group is the smallest id."""
+    corpus, bases = _clustered_corpus(spark, per_cluster=20, dim=16)
+    n = corpus.count()
+    # append exact copies of vec_ids 3 and 41 under later ids
+    copies = corpus.where("vec_id IN (3, 41)").selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    )
+    df = corpus.unionByName(copies)
+    out = {r["vec_id"] for r in
+           sim.semantic_dedup(df, threshold=0.999, n_cells=4).collect()}
+    assert 1003 not in out and 1041 not in out  # later exact copies dropped
+    assert 3 in out and 41 in out               # earliest copy survives
+    assert len(out) == n                        # nothing else dropped at 0.999
+
+
 def test_embedding_near_dup_self_join_excludes_diagonal(embeddings):
     pairs = sim.embedding_near_dup_pairs(embeddings.limit(100), threshold=0.0, num_planes=4)
     assert all(r["id_a"] < r["id_b"] for r in pairs.collect())
