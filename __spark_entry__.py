@@ -1298,6 +1298,54 @@ GROUP BY g.doc_id
 """
 
 
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights against a deterministic
+    target slice (doc_id % 17 == 0 — a stand-in domain) — **oracle-backed**:
+    DuckDB replays tokenization, bigram bucketing via the sha256-derived
+    portable hash, both smoothed distributions, and the integer ratio
+    arithmetic from first principles."""
+    from mydumper_spark.operators.text import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_weights(docs, docs.where("doc_id % 17 = 0"))
+
+
+_DSIR_SQL = """
+WITH toksrc AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+gramlists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks)),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+         END AS gs
+  FROM toksrc
+),
+g AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(unnest(gs)), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM gramlists
+),
+s AS (SELECT b, count(*) AS sc FROM g GROUP BY b),
+t AS (SELECT b, count(*) AS tc FROM g WHERE doc_id % 17 = 0 GROUP BY b),
+dist AS (
+  SELECT s.b,
+         CAST((COALESCE(t.tc, 0) + 1) * 1000000 // (s.sc + 1) AS BIGINT) AS ratio
+  FROM s LEFT JOIN t USING (b)
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(ratio) AS BIGINT) AS score,
+       CAST(CAST(sum(ratio) AS BIGINT) // count(*) AS BIGINT) AS score_avg
+FROM g JOIN dist USING (b)
+GROUP BY g.doc_id
+"""
+
+
 def x_winnow_overlap_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing overlap pairs with the engine-portable sha256-derived
     hash — **oracle-backed**: DuckDB replays the k-gram hashing, the
@@ -3866,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_winnow_overlap_sha": x_winnow_overlap_sha,
         "x_simhash_pairs_sha": x_simhash_pairs_sha,
         "x_ngram_novelty": x_ngram_novelty,
+        "x_dsir_weights": x_dsir_weights,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_dedup_keep_best": x_dedup_keep_best,
@@ -3975,6 +4024,7 @@ def oracle_sql() -> dict[str, str]:
         "x_winnow_overlap_sha": _WINNOW_SHA_SQL,
         "x_simhash_pairs_sha": _SIMHASH_SHA_SQL,
         "x_ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "x_dsir_weights": _DSIR_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_dedup_keep_best": _KEEP_BEST_SQL,

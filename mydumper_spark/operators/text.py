@@ -479,3 +479,78 @@ def redact_pii(col: Column) -> Column:
     ]:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    k: int = 2,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance scoring (Xie et al., 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    bucket every word k-gram occurrence by portable hash; per bucket,
+    compare the TARGET distribution (the domain you want more of — small)
+    against the SOURCE distribution (the corpus itself); a document's
+    score is its count-weighted sum of per-bucket scaled probability
+    ratios ``ratio_b = (t_b + 1) * 10^6 div (s_b + 1)`` with add-one
+    smoothing.
+
+    Integer-exact BIGINT arithmetic throughout: the paper sums per-gram
+    LOG-ratios, but a float sum over an unordered explode is not
+    engine-reproducible (the repo's cross-engine float rule), and the
+    linear ratio preserves the selection intent — grams common in target
+    and rare in source score high. Returns (id, n_grams, score,
+    score_avg) with ``score_avg = score div n_grams`` (length-invariant).
+
+    Shuffle shape at 100 TB: grams cross the wire only as (id, bucket)
+    pairs; the two distribution aggregates are map-side combinable with
+    ≤ n_buckets groups; the ratio table (≤ n_buckets rows) broadcasts; one
+    per-doc aggregate. The target corpus is the small side by definition —
+    the same asymmetry as decontamination."""
+    from mydumper_spark.operators.dedup import shingles
+
+    def gram_buckets(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), k)).alias("g"),
+        ).select(
+            id_col,
+            F.pmod(portable_hash64(F.col("g")), F.lit(n_buckets)).alias("b"),
+        )
+
+    g = gram_buckets(df)
+    src = g.groupBy("b").agg(F.count(F.lit(1)).alias("s_cnt"))
+    tgt = gram_buckets(target).groupBy("b").agg(F.count(F.lit(1)).alias("t_cnt"))
+    dist = src.join(tgt, "b", "left").select(
+        "b",
+        F.expr("CAST((coalesce(t_cnt, 0) + 1) * 1000000 div (s_cnt + 1) AS BIGINT)")
+        .alias("ratio"),
+    )
+    return (
+        g.join(F.broadcast(dist), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("ratio").cast("bigint").alias("score"),
+            F.expr("CAST(sum(ratio) div count(1) AS BIGINT)").alias("score_avg"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    k: int = 2,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the ``n`` documents most target-like by DSIR importance
+    (score_avg descending, id tie-break). orderBy+limit plans as
+    TakeOrdered — per-partition top-n and a driver merge, no full sort."""
+    w = importance_weights(df, target, k, n_buckets, text_col, id_col)
+    return w.orderBy(F.col("score_avg").desc(), F.col(id_col).asc()).limit(n)

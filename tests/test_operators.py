@@ -1064,3 +1064,31 @@ def test_token_frequency_vocab_cap_renormalizes(spark):
     rows = {r["doc_id"]: r for r in tx.token_frequency_score(df, vocab_top=1).collect()}
     assert rows[1]["mean_token_freq_ppb"] == 750_000_000  # (3*1e9 + 0) DIV 4
     assert rows[2]["mean_token_freq_ppb"] == 0
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """A document sharing the target slice's vocabulary must outrank
+    documents with disjoint vocabulary, and dsir_select must surface it
+    first (deterministically)."""
+    from mydumper_spark.operators.text import dsir_select, importance_weights
+
+    target = spark.createDataFrame(
+        [(100, "quantum flux capacitor resonance cascade"),
+         (101, "flux resonance quantum entanglement cascade")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "quantum flux resonance cascade in the lab"),
+         (2, "the cat sat on the mat all day long"),
+         (3, "stock prices fell sharply on tuesday morning"),
+         (4, "flux capacitor resonance measured with quantum probes")],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["score_avg"]
+         for r in importance_weights(corpus, target).collect()}
+    assert w[1] > w[2] and w[1] > w[3]
+    assert w[4] > w[2] and w[4] > w[3]
+    top = [r["doc_id"] for r in dsir_select(corpus, target, n=2).collect()]
+    assert set(top) == {1, 4}
+    again = [r["doc_id"] for r in dsir_select(corpus, target, n=2).collect()]
+    assert top == again
