@@ -263,6 +263,22 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         df = decontaminate(df, ev, min_shared=args.min_shared)
     df = _stage(df, "after_decontamination")
 
+    # corpus-shaping stages: per-source caps, then target-domain selection
+    # (both operate on the cleaned corpus — selecting before hygiene would
+    # waste budget on docs the gates were about to drop)
+    if args.cap_per_source:
+        from mydumper_spark.operators.sampling import cap_per_group
+
+        df = cap_per_group(df, "source", n=args.cap_per_source)
+    if args.dsir_target:
+        from mydumper_spark.operators.text import dsir_select
+
+        tgt = spark.read.parquet(args.dsir_target)
+        keep = dsir_select(df, tgt, n=args.dsir_top).select("doc_id")
+        df = df.join(keep, "doc_id", "left_semi")
+    if args.cap_per_source or args.dsir_target:
+        df = _stage(df, "after_selection")
+
     out = df
     if args.chunk_tokens:
         out = chunk_documents(
@@ -358,6 +374,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parquet of eval docs (doc_id, text) to scrub against")
     pp.add_argument("--min-shared", type=int, default=3,
                     help="shared-shingle threshold for contamination")
+    pp.add_argument("--cap-per-source", type=int, default=None,
+                    help="keep at most N docs per source (hash lottery)")
+    pp.add_argument("--dsir-target", default=None,
+                    help="parquet of target-domain docs (doc_id, text): keep "
+                         "the docs most target-like by DSIR importance")
+    pp.add_argument("--dsir-top", type=int, default=1000,
+                    help="how many docs --dsir-target keeps")
     pp.add_argument("--chunk-tokens", type=int, default=None,
                     help="emit token-window chunks of this size instead of docs")
     pp.add_argument("--chunk-overlap", type=int, default=8)

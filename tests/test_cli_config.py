@@ -381,6 +381,38 @@ def test_cli_prepare_pack_requires_chunk(tmp_path):
     assert "--pack-tokens requires --chunk-tokens" in r.stderr
 
 
+def test_cli_prepare_cap_and_dsir_selection(tmp_path):
+    """`prepare --cap-per-source N --dsir-target T --dsir-top K`: the
+    corpus-shaping stages run after hygiene and before chunking — output
+    is exactly K docs, each from a source capped at N."""
+    import duckdb
+
+    tgt = str(tmp_path / "target.parquet")
+    duckdb.sql(
+        "COPY (SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') WHERE doc_id % 7 = 0) "
+        f"TO '{tgt}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "prepared")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--dedup", "none", "--cap-per-source", "10",
+         "--dsir-target", tgt, "--dsir-top", "40", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert counts["after_selection"] == 40
+    assert counts["output_rows"] == 40
+    per_src = duckdb.sql(
+        f"SELECT max(n) FROM (SELECT source, count(*) AS n "
+        f"FROM read_parquet('{out}/*.parquet') GROUP BY source)"
+    ).fetchone()[0]
+    assert per_src <= 10
+
+
 def test_prepare_stage_counts_materialize_cache(spark):
     """persist_and_count must leave the stage cached so each stage count is
     a one-time materialization: downstream lineage (the final write, later
