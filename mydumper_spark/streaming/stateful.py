@@ -128,3 +128,100 @@ def streaming_exact_dedup(stream: DataFrame, fp_col: str = "fp") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: streaming MinHash-LSH intake: one row per (doc, band) bucket probe
+MINHASH_OUTPUT_SCHEMA = (
+    "band int, bucket string, doc_id bigint, prior_doc bigint"
+)
+MINHASH_STATE_SCHEMA = "first_doc bigint"
+
+
+def _minhash_bucket_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    band, bucket = key
+    prior = int(state.get[0]) if state.exists else None
+    rows = []
+    batch_min = None
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            d = int(row["doc_id"])
+            rows.append(d)
+            if batch_min is None or d < batch_min:
+                batch_min = d
+    if batch_min is not None:
+        state.update((prior if prior is not None else batch_min,))
+    if rows:
+        # a doc's prior is the bucket's pre-batch holder; docs arriving in
+        # the same batch as the holder see the in-batch minimum (matching
+        # the batch LSH arbiter's smallest-id rule)
+        yield pd.DataFrame(
+            {
+                "band": [int(band)] * len(rows),
+                "bucket": [bucket] * len(rows),
+                "doc_id": rows,
+                "prior_doc": [
+                    prior if prior is not None
+                    else (batch_min if d != batch_min else None)
+                    for d in rows
+                ],
+            }
+        )
+
+
+def streaming_minhash_buckets(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming near-dup intake: the cross-batch stateful half of the
+    MinHash-LSH pipeline. Documents stream in; each emits ``bands`` bucket
+    probes; per-(band, bucket) state remembers the earliest document ever
+    to hold the bucket. Output rows carry ``prior_doc`` — the pre-existing
+    holder (NULL when this doc opened the bucket, or the in-batch minimum
+    for same-batch collisions). A document whose probes are all-NULL is
+    NOVEL; any non-null row names its near-dup candidate, to be
+    exact-verified downstream (the batch pipeline's verify stage —
+    chaining a second stateful aggregation is disallowed in update mode,
+    so the per-doc any() fold is a foreachBatch concern, same contract as
+    streaming_line_dedup's reassembly).
+
+    State shards by (band, bucket) exactly like the batch groupBy; per-key
+    state is one long, so a hot boilerplate bucket costs 8 bytes, not
+    memory."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.dedup import minhash_signature
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    banded = stream.select(
+        F.col(id_col).alias("doc_id"), sig.alias("__sig")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _minhash_bucket_fn,
+        outputStructType=MINHASH_OUTPUT_SCHEMA,
+        stateStructType=MINHASH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

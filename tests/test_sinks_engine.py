@@ -459,6 +459,51 @@ def test_streaming_line_dedup(spark, tmp_path):
     assert out2.get("shared line", out1["shared line"])["doc_id"] == 1
 
 
+def test_streaming_minhash_buckets_cross_batch(spark, tmp_path):
+    """Streaming LSH intake: a near-dup arriving in a LATER batch sees the
+    original as prior_doc on its colliding buckets; an unrelated doc's
+    probes are all-NULL (novel); state survives between runs."""
+    from mydumper_spark.streaming.stateful import streaming_minhash_buckets
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated words about spark engines and parquet files " * 3
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).write.mode("append").parquet(landing)
+
+    def run_once():
+        rows = []
+        stream = spark.readStream.schema("doc_id long, text string").parquet(landing)
+        q = (
+            streaming_minhash_buckets(stream, num_hashes=16, bands=8)
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {}
+        for r in rows:
+            out.setdefault(r["doc_id"], []).append(r["prior_doc"])
+        return out
+
+    out1 = run_once()
+    assert set(out1) == {1}
+    assert all(p is None for p in out1[1])        # opened every bucket
+    spark.createDataFrame(
+        [(2, near), (3, far)], "doc_id long, text string"
+    ).write.mode("append").parquet(landing)
+    out2 = run_once()
+    # the near-dup collides with doc 1 on at least one band; the unrelated
+    # doc is novel on every band
+    assert any(p == 1 for p in out2[2]), out2
+    assert all(p is None for p in out2[3]), out2
+
+
 def test_reference_style_sql_gz_chunks(spark, tmp_path):
     """Compressed per-chunk dumps (reference -c/--compress → .sql.gz) read
     transparently through Spark's built-in gzip codec."""
