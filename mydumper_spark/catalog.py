@@ -208,13 +208,13 @@ class JdbcCatalog:
         )
 
     def _qident(self, name: str) -> str:
-        """Dialect identifier quoting (backtick for mysql-family, ANSI
-        double-quote otherwise), doubling embedded quote chars — the
-        reference's backtick_protect (/root/reference/src/common.c:1303).
-        What makes tables named ``a.b`` / ``t%`` / ``a/b`` scannable
-        (test/specific_16's pathological-name corpus)."""
-        q = "`" if self.mysql_like else '"'
-        return q + name.replace(q, q + q) + q
+        """Dialect identifier quoting via the shared
+        :func:`mydumper_spark.plans.ddl.quote_ident` — what makes tables
+        named ``a.b`` / ``t%`` / ``a/b`` scannable (test/specific_16's
+        pathological-name corpus), guaranteed to match the restore side."""
+        from mydumper_spark.plans.ddl import quote_ident
+
+        return quote_ident(name, "mysql" if self.mysql_like else "ansi")
 
     def _qtable(self, meta: TableMeta) -> str:
         return f"{self._qident(meta.database)}.{self._qident(meta.name)}"

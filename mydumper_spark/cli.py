@@ -27,6 +27,20 @@ def _session(threads: int | None):
     return get_session("mydumper-spark-cli", master=master)
 
 
+def _parse_props(pairs: list[str] | None) -> dict[str, str]:
+    """K=V option list → dict, with a usage error (exit 2) instead of a
+    raw ValueError traceback on a malformed entry."""
+    out: dict[str, str] = {}
+    for kv in pairs or []:
+        if "=" not in kv:
+            build_parser().error(
+                f"--jdbc-property expects K=V, got {kv!r}"
+            )
+        k, v = kv.split("=", 1)
+        out[k] = v
+    return out
+
+
 def persist_and_count(df, counts: dict, key: str, cached: list):
     """Materialize a pipeline stage once: persist, record the row count, and
     track the handle for end-of-run unpersist. The persist is what keeps each
@@ -63,9 +77,7 @@ def cmd_dump(args: argparse.Namespace) -> int:
     if args.ignore_engines:
         filters.ignore_engines = set(args.ignore_engines.split(","))
 
-    jdbc_props = dict(
-        kv.split("=", 1) for kv in (args.jdbc_property or [])
-    )
+    jdbc_props = _parse_props(args.jdbc_property)
     cfg = DumpConfig(
         output_dir=args.outputdir,
         filters=filters,
@@ -101,7 +113,7 @@ def cmd_restore(args: argparse.Namespace) -> int:
     purge = PurgeMode.DROP if args.drop_table else (
         PurgeMode.SKIP if args.skip_existing else PurgeMode.FAIL
     )
-    jdbc_props = dict(kv.split("=", 1) for kv in (args.jdbc_property or []))
+    jdbc_props = _parse_props(args.jdbc_property)
     ddl_executor = None
     if args.target.startswith("jdbc:duckdb:"):
         # the one engine whose client ships in this environment; other

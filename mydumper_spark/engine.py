@@ -54,9 +54,12 @@ def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
     """Route the dump source: a directory → ParquetCatalog; a ``jdbc:`` URL
     → live dialect probe → S11 snapshot fence (MySQL-family only) →
     JdbcCatalog over the same connection properties. Returns
-    (catalog, SnapshotResult|None). The fence MUST run before any chunk
-    planning/scan — its whole point is that every subsequent per-chunk
-    SELECT observes one table-wide snapshot
+    (catalog, DumpFence|None). The fence runs before any chunk
+    planning/scan and records the GTID position; because Spark's
+    per-partition scan connections open later (their REPEATABLE-READ
+    snapshot comes from sessionInitStatement), the table-wide guarantee is
+    completed by ``fence.verify_after()`` at dump end — GTID unchanged
+    across the window ⇒ all partition snapshots observed identical data
     (/root/reference/src/mydumper/mydumper_start_dump.c:1389-1417)."""
     if not source.startswith("jdbc:"):
         return ParquetCatalog(spark, source), None
@@ -97,27 +100,33 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         masquerade_table_name,
     )
 
-    cat, snapshot = _open_source(spark, source_dir, cfg)
+    cat, fence = _open_source(spark, source_dir, cfg)
     manifest = Manifest()
-    if snapshot is not None:
+    if fence is not None:
         # reference [source] section: the binlog/GTID position the dump is
         # consistent at (mydumper_start_dump.c:774-808)
         manifest.source_info = {
-            "executed_gtid_set": snapshot.gtid,
-            "fence_attempts": str(snapshot.attempts),
+            "executed_gtid_set": fence.gtid,
+            "fence_attempts": str(fence.attempts),
         }
     fnames = FilenameRegistry()
-    for meta in cat.discover(cfg.filters):
+    metas = cat.discover(cfg.filters)
+    # a multi-database JDBC server can hold same-named tables in different
+    # schemas — bare names would collide on both the manifest key and the
+    # output filename, silently overwriting one table with another
+    multi_db = len({m.database for m in metas}) > 1
+    for meta in metas:
+        key = meta.qualified_name if multi_db else meta.name
         df = cat.read(meta, cfg.chunks_per_table)
-        tt = cfg.per_table.get(meta.name)
+        tt = cfg.per_table.get(key) or cfg.per_table.get(meta.name)
         if tt is not None and "DATA" not in tt.object_scope:  # P11
-            manifest.add_table(df.limit(0), meta.name, path=None)
+            manifest.add_table(df.limit(0), key, path=None)
             continue
         out = apply_transform(df, tt, global_where=cfg.global_where)
         out_name = (
-            masquerade_table_name(meta.name)
+            masquerade_table_name(key)
             if cfg.masquerade_filenames
-            else fnames.filename_for(meta.name)  # weird-name safety (specific_16)
+            else fnames.filename_for(key)  # weird-name safety (specific_16)
         )
         path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
         if cfg.fmt == "csv":
@@ -137,7 +146,27 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                     "nullValue", cfg.csv_format.null_value
                 ).csv(path)
             )
-            manifest.add_table(written, meta.name, path)
+            manifest.add_table(written, key, path)
+    if fence is not None:
+        # full-window GTID verification: still the fenced position ⇒ no
+        # write committed while ANY partition was scanning ⇒ all per-
+        # partition snapshots observed identical data. Recorded either
+        # way — a consumer must be able to see when the fence was only
+        # point-in-time (reference --no-locks degraded mode).
+        stable = fence.verify_after()
+        manifest.source_info["consistency"] = (
+            "gtid-stable" if stable else "writes-during-dump"
+        )
+        if not stable:
+            import warnings
+
+            warnings.warn(
+                "gtid_executed advanced during the dump: per-partition "
+                "snapshots may be mutually inconsistent (recorded as "
+                "consistency=writes-during-dump in the manifest)",
+                stacklevel=2,
+            )
+        fence.release()
     manifest.finish()
     write_manifest(manifest, cfg.output_dir)
     return manifest
@@ -180,23 +209,32 @@ def restore(
     doc = read_manifest(dump_root)
     dag = LoaderDag(parallelism=parallelism)
     if jdbc_target:
+        from mydumper_spark.plans.ddl import quote_ident
         from mydumper_spark.sinks.jdbc_sink import JdbcSinkConfig
 
+        if purge == PurgeMode.SKIP:
+            raise ValueError(
+                "purge=SKIP is not supported for jdbc targets: existence "
+                "cannot be probed portably through Spark's JDBC reader; "
+                "use DROP (re-create), TRUNCATE/DELETE (keep, re-fill) or "
+                "FAIL (abort on existing)"
+            )
         scheme = target_root.split(":")[1].lower()
         dialect = "mysql" if scheme in ("mysql", "mariadb") else "ansi"
-        qc = "`" if dialect == "mysql" else '"'
         sink = JdbcSinkConfig(
             url=target_root,
             num_partitions=jdbc_num_partitions,
-            # append into the freshly CREATEd table (DELETE → mode
-            # "append"; DROP's "overwrite" would re-issue CREATE via
-            # Spark, which several drivers' cross-connection DDL breaks)
+            # the Spark write itself always appends (mode from DELETE):
+            # purge semantics are executed through ddl_executor below —
+            # Spark's "overwrite" would re-issue CREATE on a second
+            # connection, which several drivers' cross-connection DDL
+            # visibility breaks
             purge=PurgeMode.DELETE,
             extra=dict(jdbc_properties or {}),
         )
 
         def target_table(t: str) -> str:
-            return qc + t.replace(qc, qc + qc) + qc
+            return quote_ident(t, dialect)
 
         def read_target(t: str) -> DataFrame:
             return spark.read.jdbc(
@@ -222,24 +260,44 @@ def restore(
 
     for t, entry in doc["tables"].items():
         src_path = entry.get("path")
+        schema_only = entry.get("path") is None and entry["rows"] == 0
         if jdbc_target:
-            def make_schema_action(table=t, sp=src_path):
+            def make_schema_action(table=t, sp=src_path, skip=schema_only):
                 def action():
                     from mydumper_spark.plans.ddl import create_table_ddl
 
+                    if skip:
+                        # P11 schema-only export carries no data files to
+                        # derive a column schema from — record, don't abort
+                        return
                     if ddl_executor is None:
                         raise ValueError(
                             "jdbc: restore target needs ddl_executor to run "
                             "CREATE TABLE (L7 SCHEMA phase)"
                         )
                     schema = source_df(table, sp).schema
-                    ddl_executor(create_table_ddl(table, schema, dialect))
+                    qt = target_table(table)
+                    if purge == PurgeMode.DROP:
+                        ddl_executor(f"DROP TABLE IF EXISTS {qt}")
+                        ddl_executor(create_table_ddl(table, schema, dialect))
+                    elif purge in (PurgeMode.TRUNCATE, PurgeMode.DELETE):
+                        # keep an existing table (grants/triggers survive,
+                        # myloader_restore_job.c:120-160); data clearing
+                        # happens in the data action
+                        ddl_executor(create_table_ddl(
+                            table, schema, dialect, if_not_exists=True))
+                    else:  # FAIL: bare CREATE — an existing table aborts
+                        ddl_executor(create_table_ddl(table, schema, dialect))
                 return action
 
             def make_data_action(table=t, sp=src_path):
                 def action():
                     from mydumper_spark.sinks.jdbc_sink import write_jdbc
 
+                    # DELETE-then-append makes the action idempotent: the
+                    # DAG retries failed jobs, and a re-run of a partially
+                    # committed append would otherwise duplicate rows
+                    ddl_executor(f"DELETE FROM {target_table(table)}")
                     write_jdbc(source_df(table, sp), sink, target_table(table))
                 return action
         else:

@@ -217,14 +217,15 @@ def mix_corpus(
     no driver data movement."""
     from mydumper_spark.operators.dedup import tokens
 
+    if not budgets:
+        raise ValueError("budgets must name at least one group")
     budget = None
     for k, v in budgets.items():
-        c = F.when(F.col(group_col) == k, F.lit(int(v)))
-        budget = c if budget is None else budget.when(
-            F.col(group_col) == k, F.lit(int(v))
+        budget = (
+            F.when(F.col(group_col) == k, F.lit(int(v)))
+            if budget is None
+            else budget.when(F.col(group_col) == k, F.lit(int(v)))
         )
-    if budget is None:
-        raise ValueError("budgets must name at least one group")
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
     w = Window.partitionBy(group_col).orderBy(
         sample_hash(F.col(id_col)).asc(), F.col(id_col).asc()

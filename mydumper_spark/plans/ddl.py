@@ -94,6 +94,18 @@ _SPARK_TO_SQL_MYSQL: dict[str, str] = {
 }
 
 
+def quote_ident(name: str, dialect: str = "ansi") -> str:
+    """Dialect identifier quoting: backtick for mysql-family, ANSI double
+    quote otherwise, embedded quote chars doubled — the reference's
+    backtick_protect (/root/reference/src/common.c:1303). The ONE shared
+    implementation: the dump-side scan (catalog.JdbcCatalog), the
+    restore-side DDL/data/verify (engine.restore), and CREATE TABLE
+    generation all quote through here, so they cannot diverge on
+    pathological names."""
+    q = "`" if dialect == "mysql" else '"'
+    return q + name.replace(q, q + q) + q
+
+
 def _sql_type(spark_type: str, dialect: str) -> str:
     t = spark_type.lower()
     table = _SPARK_TO_SQL_MYSQL if dialect == "mysql" else _SPARK_TO_SQL_ANSI
@@ -108,25 +120,23 @@ def _sql_type(spark_type: str, dialect: str) -> str:
     raise ValueError(f"no {dialect} SQL type for spark type {spark_type!r}")
 
 
-def create_table_ddl(table: str, schema, dialect: str = "ansi") -> str:
-    """CREATE TABLE for a Spark schema against a JDBC target — dialect
-    identifier quoting (backticks for mysql-family, ANSI double quotes
-    otherwise, embedded quotes doubled) so pathological table names
-    (``a.b``, ``t%``) restore under their original names."""
-    q = "`" if dialect == "mysql" else '"'
-
-    def ident(name: str) -> str:
-        return q + name.replace(q, q + q) + q
-
+def create_table_ddl(
+    table: str, schema, dialect: str = "ansi", if_not_exists: bool = False
+) -> str:
+    """CREATE TABLE for a Spark schema against a JDBC target — identifier
+    quoting via :func:`quote_ident` so pathological table names (``a.b``,
+    ``t%``) restore under their original names."""
     cols = ",\n  ".join(
-        f"{ident(f.name)} {_sql_type(f.dataType.simpleString(), dialect)}"
+        f"{quote_ident(f.name, dialect)}"
+        f" {_sql_type(f.dataType.simpleString(), dialect)}"
         f"{'' if f.nullable else ' NOT NULL'}"
         for f in schema.fields
     )
+    ine = "IF NOT EXISTS " if if_not_exists else ""
     # one column per line — the reference's CREATE TABLE file format, and
     # what keeps this output parseable by schema_from_create_table (the
     # dump-side inverse is line-oriented; round-trip property-tested)
-    return f"CREATE TABLE {ident(table)} (\n  {cols}\n)"
+    return f"CREATE TABLE {ine}{quote_ident(table, dialect)} (\n  {cols}\n)"
 
 
 _COL_LINE = re.compile(

@@ -165,12 +165,60 @@ def establish_consistent_snapshot(
     )
 
 
+@dataclass
+class DumpFence:
+    """Live handle to an established S11 fence. What the pre-dump fence
+    can and cannot guarantee under Spark's execution model: the fenced
+    worker connections are NOT the executors' scan connections (those open
+    later, per partition, with the REPEATABLE-READ sessionInitStatement),
+    so the fence alone proves consistency only at its own instant. The
+    full-strength check is :meth:`verify_after`, called when the dump
+    finishes: if ``gtid_executed`` is STILL the fenced value, no write
+    committed during the entire dump window, so every per-partition
+    snapshot trivially observed the same data — the reference's
+    ``--no-locks`` GTID-compare extended across the whole dump
+    (/root/reference/src/mydumper/mydumper_start_dump.c:1389-1417)."""
+
+    result: SnapshotResult
+    control: object
+    workers: list
+    probe_sql: str
+
+    # passthrough so callers/tests read fence.gtid / fence.attempts
+    @property
+    def gtid(self) -> str:
+        return self.result.gtid
+
+    @property
+    def attempts(self) -> int:
+        return self.result.attempts
+
+    def verify_after(self) -> bool:
+        """True iff no write committed since the fence was established."""
+        return self.control.execute(self.probe_sql)[0][0] == self.result.gtid
+
+    def release(self) -> None:
+        """Roll back and close the fence's own transactions (they pin the
+        snapshot/undo horizon while open)."""
+        for conn in [*self.workers, self.control]:
+            try:
+                conn.execute("ROLLBACK")
+            except Exception:
+                pass
+            close = getattr(conn, "close", None)
+            if callable(close):
+                try:
+                    close()
+                except Exception:
+                    pass
+
+
 def snapshot_fence_for_dump(
     dialect,
     connection_factory,
     num_workers: int = 4,
     max_attempts: int = 10,
-) -> SnapshotResult | None:
+) -> DumpFence | None:
     """The dump-path entry to the S11 fence — called by ``engine.dump``
     before any chunk planning when the source is a JDBC URL (the wiring the
     round-5 verdict flagged as missing: the fence existed but the dump
@@ -209,6 +257,7 @@ def snapshot_fence_for_dump(
     )
     control = connection_factory()
     workers = [connection_factory() for _ in range(num_workers)]
-    return establish_consistent_snapshot(
+    res = establish_consistent_snapshot(
         control, workers, max_attempts=max_attempts, probe_sql=probe
     )
+    return DumpFence(result=res, control=control, workers=workers, probe_sql=probe)

@@ -142,14 +142,11 @@ def _minhash_bucket_fn(
 ) -> Iterator[pd.DataFrame]:
     band, bucket = key
     prior = int(state.get[0]) if state.exists else None
-    rows = []
-    batch_min = None
-    for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            d = int(row["doc_id"])
-            rows.append(d)
-            if batch_min is None or d < batch_min:
-                batch_min = d
+    rows: list[int] = []
+    for pdf in pdfs:  # vectorized: a hot bucket must not iterate rows
+        if len(pdf):
+            rows.extend(pdf["doc_id"].astype("int64").tolist())
+    batch_min = min(rows) if rows else None
     if batch_min is not None:
         state.update((prior if prior is not None else batch_min,))
     if rows:

@@ -315,6 +315,47 @@ def test_cli_restore_into_jdbc_target_live(spark, sf_dir, tmp_path):
     con.close()
 
 
+def test_restore_jdbc_purge_modes_rerun(spark, sf_dir, tmp_path):
+    """Re-running a restore against the same live target must honor purge:
+    DROP re-creates and re-fills (no duplicates — the checksum verify
+    proves it), FAIL aborts on the existing table, SKIP is rejected
+    up-front for jdbc targets."""
+    import duckdb
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+    from mydumper_spark.plans.loader_dag import PurgeMode
+
+    out = str(tmp_path / "dump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, filters=TableFilters(tables_list={"default.nation"})))
+    target = str(tmp_path / "t.duckdb")
+    url = f"jdbc:duckdb:{target}"
+
+    def ddl_executor(sql):
+        con = duckdb.connect(target)
+        con.execute(sql)
+        con.execute("CHECKPOINT")
+        con.close()
+
+    kw = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+              ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    r1 = restore(spark, out, url, purge=PurgeMode.DROP, **kw)
+    assert r1["verify"] == {"nation": True}
+    # second run with DROP: table exists — must still verify clean
+    r2 = restore(spark, out, url, purge=PurgeMode.DROP, **kw)
+    assert r2["verify"] == {"nation": True}
+    con = duckdb.connect(target)
+    assert con.execute('SELECT count(*) FROM "nation"').fetchone()[0] == 25
+    con.close()
+    # FAIL on an existing table aborts
+    with pytest.raises(RuntimeError):
+        restore(spark, out, url, purge=PurgeMode.FAIL, **kw)
+    # SKIP is rejected before any work
+    with pytest.raises(ValueError, match="SKIP"):
+        restore(spark, out, url, purge=PurgeMode.SKIP, **kw)
+
+
 def test_restore_jdbc_target_requires_ddl_executor(spark, sf_dir, tmp_path):
     from mydumper_spark.catalog import TableFilters
     from mydumper_spark.engine import DumpConfig, dump, restore
@@ -358,6 +399,10 @@ def test_dump_jdbc_fence_wired_end_to_end(spark, dump_db, tmp_path):
                for w in workers)
     assert manifest.source_info["executed_gtid_set"] == "uuid:1-8"
     assert manifest.source_info["fence_attempts"] == "2"
+    # full-window verification: GTID still the fenced value at dump end →
+    # consistency recorded; fence transactions released (final ROLLBACK)
+    assert manifest.source_info["consistency"] == "gtid-stable"
+    assert all(w.log[-1] == "ROLLBACK" for w in workers)
     doc = read_manifest(out)
     assert doc["source"]["executed_gtid_set"] == "uuid:1-8"
     with open(os.path.join(out, "metadata")) as f:
@@ -365,3 +410,56 @@ def test_dump_jdbc_fence_wired_end_to_end(spark, dump_db, tmp_path):
     # the dump itself still succeeded over the (DuckDB) data connection,
     # ENGINE-probe fallback included
     assert "customer" in manifest.tables
+
+
+def test_dump_multi_schema_same_table_name_no_collision(spark, tmp_path):
+    """Two schemas holding same-named tables must not collide: manifest
+    keys qualify with the schema and each table keeps its own data (the
+    bare-name collision silently overwrote one with the other)."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    path = str(tmp_path / "multi.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+    con.execute("CREATE TABLE s1.t AS SELECT range AS id FROM range(30)")
+    con.execute("CREATE TABLE s2.t AS SELECT range AS id FROM range(70)")
+    con.execute("CHECKPOINT")
+    con.close()
+    out = str(tmp_path / "mdump")
+    manifest = dump(spark, f"jdbc:duckdb:{path}",
+                    DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+    assert set(manifest.tables) == {"s1.t", "s2.t"}
+    assert manifest.tables["s1.t"].rows == 30
+    assert manifest.tables["s2.t"].rows == 70
+    results = restore(spark, out, str(tmp_path / "mrestore"))
+    assert results["verify"] == {"s1.t": True, "s2.t": True}
+
+
+def test_dump_jdbc_fence_flags_writes_during_dump(spark, dump_db, tmp_path):
+    """If gtid_executed has advanced by dump end, the manifest must record
+    consistency=writes-during-dump and a warning must fire — the fence is
+    honest about the degraded (reference --no-locks) guarantee."""
+    import warnings as _warnings
+
+    from mydumper_spark.engine import DumpConfig, dump
+    from mydumper_spark.sources.server_detect import ServerDialect, ServerProduct
+    from tests.test_chunks import _Factory, _ProbeConn
+
+    # fence settles at 1-7 immediately; the post-dump probe sees 1-9
+    control = _ProbeConn(["uuid:1-7", "uuid:1-7", "uuid:1-9"])
+    fac = _Factory([control, _ProbeConn(["x"]), _ProbeConn(["x"])])
+    cfg = DumpConfig(
+        output_dir=str(tmp_path / "out"),
+        jdbc_properties=dict(DRIVER_PROPS),
+        connection_factory=fac,
+        fence_workers=2,
+        dialect=ServerDialect(product=ServerProduct.MYSQL, major=8,
+                              secondary=0, revision=30),
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        manifest = dump(spark, dump_db, cfg)
+    assert manifest.source_info["consistency"] == "writes-during-dump"
+    assert any("advanced during the dump" in str(w.message) for w in caught)

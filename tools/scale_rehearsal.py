@@ -1,5 +1,7 @@
 """Corpus-dedup scale rehearsal (VERDICT r5 task #7): measure — not argue —
-how the sub-document dedup ladder scales when the corpus grows ~10×.
+how the sub-document dedup ladder scales as the corpus grows 30×
+(10×/100×/300× replication of the sf0.1 documents fixture; a separate
+1000× run extends the top rung to 1.6 GB — results in SCALE.md).
 
 Builds replicated corpora from the sf0.1 documents fixture (each replica
 gets perturbed doc ids and a replica-tagged first line so exact doc dedup
