@@ -84,7 +84,11 @@ class TableFilters:
             return False
         if self.databases is not None and t.database not in self.databases:
             return False
-        if self.tables_list is not None and qn not in self.tables_list:
+        # qualified entries ("db.table") match exactly; bare entries match
+        # the table name in any database — so `-T customer` works against a
+        # JDBC source whose schema is "main", not "default"
+        if self.tables_list is not None and qn not in self.tables_list \
+                and t.name not in self.tables_list:
             return False
         # skiplist matches either "db" or "db.table" (tables_skiplist.c:35-89)
         if t.database in self.skiplist or qn in self.skiplist:

@@ -71,9 +71,9 @@ def cmd_dump(args: argparse.Namespace) -> int:
     if args.omit_from_file:
         filters.skiplist = parse_skiplist_file(args.omit_from_file)
     if args.tables_list:
-        filters.tables_list = {
-            t if "." in t else f"default.{t}" for t in args.tables_list.split(",")
-        }
+        # bare names match any schema (admits() checks name OR db.name), so
+        # -T customer works for both parquet ("default") and JDBC sources
+        filters.tables_list = set(args.tables_list.split(","))
     if args.ignore_engines:
         filters.ignore_engines = set(args.ignore_engines.split(","))
 
