@@ -111,10 +111,20 @@ def cmd_restore(args: argparse.Namespace) -> int:
     from mydumper_spark.plans.loader_dag import PurgeMode
 
     purge = PurgeMode.DROP if args.drop_table else (
-        PurgeMode.SKIP if args.skip_existing else PurgeMode.FAIL
+        PurgeMode.TRUNCATE if args.truncate else (
+            PurgeMode.SKIP if args.skip_existing else PurgeMode.FAIL
+        )
     )
+    if args.target.startswith("jdbc:") and purge == PurgeMode.SKIP:
+        build_parser().error(
+            "--skip-existing is not supported with a jdbc: target "
+            "(existence cannot be probed portably); use --drop-table or "
+            "--truncate"
+        )
     jdbc_props = _parse_props(args.jdbc_property)
     ddl_executor = None
+    parallelism = args.threads or 4
+    jdbc_partitions = args.jdbc_partitions
     if args.target.startswith("jdbc:duckdb:"):
         # the one engine whose client ships in this environment; other
         # servers need engine.restore(ddl_executor=...) with their client
@@ -129,6 +139,13 @@ def cmd_restore(args: argparse.Namespace) -> int:
             con.execute("CHECKPOINT")
             con.close()
 
+        # DuckDB is single-writer across processes: concurrent DATA-phase
+        # jobs (python DELETE vs another table's in-flight JVM write) would
+        # fight over the file lock, so serialize (MySQL-family keeps full
+        # parallelism)
+        parallelism = 1
+        jdbc_partitions = 1
+
     spark = _session(args.threads)
     results = restore(
         spark,
@@ -136,10 +153,10 @@ def cmd_restore(args: argparse.Namespace) -> int:
         args.target,
         purge=purge,
         verify=not args.no_checksum,
-        parallelism=args.threads or 4,
+        parallelism=parallelism,
         jdbc_properties=jdbc_props,
         ddl_executor=ddl_executor,
-        jdbc_num_partitions=args.jdbc_partitions,
+        jdbc_num_partitions=jdbc_partitions,
     )
     print(json.dumps(results))
     ok = all(results["load"].values()) and all(results.get("verify", {"": True}).values())
@@ -345,6 +362,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-table connection cap for a jdbc: target (L2)")
     r.add_argument("-t", "--threads", type=int)
     r.add_argument("--drop-table", action="store_true", help="purge mode DROP (L3)")
+    r.add_argument("--truncate", action="store_true",
+                   help="purge mode TRUNCATE (L3): keep tables, re-fill data")
     r.add_argument("--skip-existing", action="store_true", help="purge mode SKIP (L3)")
     r.add_argument("--no-checksum", action="store_true")
     r.set_defaults(fn=cmd_restore)

@@ -109,64 +109,77 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             "executed_gtid_set": fence.gtid,
             "fence_attempts": str(fence.attempts),
         }
-    fnames = FilenameRegistry()
-    metas = cat.discover(cfg.filters)
-    # a multi-database JDBC server can hold same-named tables in different
-    # schemas — bare names would collide on both the manifest key and the
-    # output filename, silently overwriting one table with another
-    multi_db = len({m.database for m in metas}) > 1
-    for meta in metas:
-        key = meta.qualified_name if multi_db else meta.name
-        df = cat.read(meta, cfg.chunks_per_table)
-        tt = cfg.per_table.get(key) or cfg.per_table.get(meta.name)
-        if tt is not None and "DATA" not in tt.object_scope:  # P11
-            manifest.add_table(df.limit(0), key, path=None)
-            continue
-        out = apply_transform(df, tt, global_where=cfg.global_where)
-        out_name = (
-            masquerade_table_name(key)
-            if cfg.masquerade_filenames
-            else fnames.filename_for(key)  # weird-name safety (specific_16)
-        )
-        path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
-        if cfg.fmt == "csv":
-            path = os.path.join(cfg.output_dir, f"{out_name}.dat")
-            write_csv(out, path, cfg.csv_format, cfg.max_records_per_file)
-        else:
-            write_parquet(out, path, cfg.max_records_per_file)
-        if cfg.exec_per_file:
-            exec_per_file(path, cfg.exec_per_file)
-        if cfg.checksum:
-            written = (
-                spark.read.parquet(path) if cfg.fmt == "parquet" else spark.read.schema(
-                    out.schema
-                ).option("sep", cfg.csv_format.fields_terminated_by).option(
-                    "quote", cfg.csv_format.fields_enclosed_by
-                ).option("escape", cfg.csv_format.fields_escaped_by).option(
-                    "nullValue", cfg.csv_format.null_value
-                ).csv(path)
+    try:
+        fnames = FilenameRegistry()
+        metas = cat.discover(cfg.filters)
+        # a multi-database JDBC server can hold same-named tables in
+        # different schemas — bare names would collide on both the manifest
+        # key and the output filename, silently overwriting one table with
+        # another
+        multi_db = len({m.database for m in metas}) > 1
+        for meta in metas:
+            key = meta.qualified_name if multi_db else meta.name
+            db_rec = meta.database if multi_db else None
+            df = cat.read(meta, cfg.chunks_per_table)
+            # per-table config: exact qualified key always wins; the
+            # bare-name form is honored only in single-namespace dumps
+            # (matching it across schemas would apply one schema's
+            # WHERE/scope to a stranger table of the same name)
+            tt = cfg.per_table.get(key)
+            if tt is None and not multi_db:
+                tt = cfg.per_table.get(meta.qualified_name)
+            if tt is not None and "DATA" not in tt.object_scope:  # P11
+                manifest.add_table(df.limit(0), key, path=None, database=db_rec)
+                continue
+            out = apply_transform(df, tt, global_where=cfg.global_where)
+            out_name = (
+                masquerade_table_name(key)
+                if cfg.masquerade_filenames
+                else fnames.filename_for(key)  # weird-name safety (specific_16)
             )
-            manifest.add_table(written, key, path)
-    if fence is not None:
-        # full-window GTID verification: still the fenced position ⇒ no
-        # write committed while ANY partition was scanning ⇒ all per-
-        # partition snapshots observed identical data. Recorded either
-        # way — a consumer must be able to see when the fence was only
-        # point-in-time (reference --no-locks degraded mode).
-        stable = fence.verify_after()
-        manifest.source_info["consistency"] = (
-            "gtid-stable" if stable else "writes-during-dump"
-        )
-        if not stable:
-            import warnings
+            path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
+            if cfg.fmt == "csv":
+                path = os.path.join(cfg.output_dir, f"{out_name}.dat")
+                write_csv(out, path, cfg.csv_format, cfg.max_records_per_file)
+            else:
+                write_parquet(out, path, cfg.max_records_per_file)
+            if cfg.exec_per_file:
+                exec_per_file(path, cfg.exec_per_file)
+            if cfg.checksum:
+                written = (
+                    spark.read.parquet(path) if cfg.fmt == "parquet" else spark.read.schema(
+                        out.schema
+                    ).option("sep", cfg.csv_format.fields_terminated_by).option(
+                        "quote", cfg.csv_format.fields_enclosed_by
+                    ).option("escape", cfg.csv_format.fields_escaped_by).option(
+                        "nullValue", cfg.csv_format.null_value
+                    ).csv(path)
+                )
+                manifest.add_table(written, key, path, database=db_rec)
+        if fence is not None:
+            # full-window GTID verification: still the fenced position ⇒ no
+            # write committed while ANY partition was scanning ⇒ all per-
+            # partition snapshots observed identical data. Recorded either
+            # way — a consumer must be able to see when the fence was only
+            # point-in-time (reference --no-locks degraded mode).
+            stable = fence.verify_after()
+            manifest.source_info["consistency"] = (
+                "gtid-stable" if stable else "writes-during-dump"
+            )
+            if not stable:
+                import warnings
 
-            warnings.warn(
-                "gtid_executed advanced during the dump: per-partition "
-                "snapshots may be mutually inconsistent (recorded as "
-                "consistency=writes-during-dump in the manifest)",
-                stacklevel=2,
-            )
-        fence.release()
+                warnings.warn(
+                    "gtid_executed advanced during the dump: per-partition "
+                    "snapshots may be mutually inconsistent (recorded as "
+                    "consistency=writes-during-dump in the manifest)",
+                    stacklevel=2,
+                )
+    finally:
+        # a mid-dump failure must not leak the fence's open REPEATABLE-READ
+        # transaction (it pins the source's undo/history horizon)
+        if fence is not None:
+            fence.release()
     manifest.finish()
     write_manifest(manifest, cfg.output_dir)
     return manifest
@@ -233,8 +246,17 @@ def restore(
             extra=dict(jdbc_properties or {}),
         )
 
+        def entry_db_and_name(t: str) -> tuple[str | None, str]:
+            """Manifest key → (schema, bare name). The recorded database
+            disambiguates a multi-schema key "s1.t" from a single table
+            literally NAMED "s1.t" — both are legal and must not conflate."""
+            db = doc["tables"][t].get("database")
+            return (db, t[len(db) + 1:]) if db else (None, t)
+
         def target_table(t: str) -> str:
-            return quote_ident(t, dialect)
+            db, bare = entry_db_and_name(t)
+            qt = quote_ident(bare, dialect)
+            return f"{quote_ident(db, dialect)}.{qt}" if db else qt
 
         def read_target(t: str) -> DataFrame:
             return spark.read.jdbc(
@@ -276,18 +298,27 @@ def restore(
                             "CREATE TABLE (L7 SCHEMA phase)"
                         )
                     schema = source_df(table, sp).schema
+                    db, bare = entry_db_and_name(table)
+                    if db:  # reproduce the source layout, not a flat name
+                        ddl_executor(
+                            f"CREATE SCHEMA IF NOT EXISTS "
+                            f"{quote_ident(db, dialect)}"
+                        )
                     qt = target_table(table)
                     if purge == PurgeMode.DROP:
                         ddl_executor(f"DROP TABLE IF EXISTS {qt}")
-                        ddl_executor(create_table_ddl(table, schema, dialect))
+                        ddl_executor(create_table_ddl(
+                            bare, schema, dialect, database=db))
                     elif purge in (PurgeMode.TRUNCATE, PurgeMode.DELETE):
                         # keep an existing table (grants/triggers survive,
                         # myloader_restore_job.c:120-160); data clearing
                         # happens in the data action
                         ddl_executor(create_table_ddl(
-                            table, schema, dialect, if_not_exists=True))
+                            bare, schema, dialect, if_not_exists=True,
+                            database=db))
                     else:  # FAIL: bare CREATE — an existing table aborts
-                        ddl_executor(create_table_ddl(table, schema, dialect))
+                        ddl_executor(create_table_ddl(
+                            bare, schema, dialect, database=db))
                 return action
 
             def make_data_action(table=t, sp=src_path):
@@ -312,7 +343,7 @@ def restore(
                 return action
 
         dag.add(LoadJob(table=t, phase=Phase.SCHEMA, action=make_schema_action()))
-        if entry.get("path") is None and entry["rows"] == 0:
+        if schema_only:
             continue  # P11 schema-only export: nothing to load
         dag.add(
             LoadJob(
@@ -334,7 +365,7 @@ def restore(
         checks = {}
         for t, entry in doc["tables"].items():
             if entry.get("path") is None and entry["rows"] == 0:
-                continue  # schema-only: no data to verify
+                continue  # schema-only (same predicate as schema_only above)
             cs = table_checksum(read_target(t), algorithm=algo)
             checks[t] = cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"]
         results["verify"] = checks

@@ -121,11 +121,16 @@ def _sql_type(spark_type: str, dialect: str) -> str:
 
 
 def create_table_ddl(
-    table: str, schema, dialect: str = "ansi", if_not_exists: bool = False
+    table: str,
+    schema,
+    dialect: str = "ansi",
+    if_not_exists: bool = False,
+    database: str | None = None,
 ) -> str:
     """CREATE TABLE for a Spark schema against a JDBC target — identifier
     quoting via :func:`quote_ident` so pathological table names (``a.b``,
-    ``t%``) restore under their original names."""
+    ``t%``) restore under their original names; ``database`` qualifies the
+    name for multi-schema restores (schema.table, each part quoted)."""
     cols = ",\n  ".join(
         f"{quote_ident(f.name, dialect)}"
         f" {_sql_type(f.dataType.simpleString(), dialect)}"
@@ -133,10 +138,13 @@ def create_table_ddl(
         for f in schema.fields
     )
     ine = "IF NOT EXISTS " if if_not_exists else ""
+    name = quote_ident(table, dialect)
+    if database:
+        name = f"{quote_ident(database, dialect)}.{name}"
     # one column per line — the reference's CREATE TABLE file format, and
     # what keeps this output parseable by schema_from_create_table (the
     # dump-side inverse is line-oriented; round-trip property-tested)
-    return f"CREATE TABLE {ine}{quote_ident(table, dialect)} (\n  {cols}\n)"
+    return f"CREATE TABLE {ine}{name} (\n  {cols}\n)"
 
 
 _COL_LINE = re.compile(

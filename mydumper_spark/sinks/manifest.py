@@ -28,6 +28,11 @@ class TableEntry:
     data_checksum: int
     schema_checksum: str
     path: str | None = None
+    #: source schema/database for multi-schema dumps (the manifest key is
+    #: then "db.table"); None when the dump had a single namespace. What
+    #: lets a jdbc-target restore tell "schema s1, table t" apart from a
+    #: single table literally named "s1.t" (both are legal).
+    database: str | None = None
 
 
 @dataclass
@@ -47,7 +52,8 @@ class Manifest:
     source_info: dict[str, str] = field(default_factory=dict)
     tables: dict[str, TableEntry] = field(default_factory=dict)
 
-    def add_table(self, df: DataFrame, name: str, path: str | None = None) -> TableEntry:
+    def add_table(self, df: DataFrame, name: str, path: str | None = None,
+                  database: str | None = None) -> TableEntry:
         cs = table_checksum(df, algorithm=self.algorithm)
         entry = TableEntry(
             name=name,
@@ -55,6 +61,7 @@ class Manifest:
             data_checksum=cs["checksum"],
             schema_checksum=_schema_checksum(df),
             path=path,
+            database=database,
         )
         self.tables[name] = entry
         return entry
@@ -92,6 +99,7 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
                 "data_checksum": e.data_checksum,
                 "schema_checksum": e.schema_checksum,
                 "path": e.path,
+                "database": e.database,
             }
             for t, e in sorted(manifest.tables.items())  # O5 metadata sorting
         },
@@ -120,7 +128,9 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
         ),
         tables=[
             TableMeta(
-                "default", t, rows=e.rows,
+                e.database or "default",
+                t[len(e.database) + 1:] if e.database else t,  # bare name
+                rows=e.rows,
                 data_checksum=str(e.data_checksum),
                 schema_checksum=str(e.schema_checksum),
             )

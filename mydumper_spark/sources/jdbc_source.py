@@ -197,10 +197,8 @@ class DumpFence:
         """True iff no write committed since the fence was established."""
         return self.control.execute(self.probe_sql)[0][0] == self.result.gtid
 
-    def release(self) -> None:
-        """Roll back and close the fence's own transactions (they pin the
-        snapshot/undo horizon while open)."""
-        for conn in [*self.workers, self.control]:
+    def _release_conns(self, conns: list) -> None:
+        for conn in conns:
             try:
                 conn.execute("ROLLBACK")
             except Exception:
@@ -211,6 +209,19 @@ class DumpFence:
                     close()
                 except Exception:
                     pass
+
+    def release_workers(self) -> None:
+        """Roll back and close the worker snapshots (their open
+        REPEATABLE-READ transactions pin the undo horizon); the control
+        connection stays for :meth:`verify_after`."""
+        self._release_conns(self.workers)
+        self.workers = []
+
+    def release(self) -> None:
+        """Release everything still held (workers if not already released,
+        then control)."""
+        self._release_conns([*self.workers, self.control])
+        self.workers = []
 
 
 def snapshot_fence_for_dump(
@@ -260,4 +271,11 @@ def snapshot_fence_for_dump(
     res = establish_consistent_snapshot(
         control, workers, max_attempts=max_attempts, probe_sql=probe
     )
-    return DumpFence(result=res, control=control, workers=workers, probe_sql=probe)
+    fence = DumpFence(result=res, control=control, workers=workers,
+                      probe_sql=probe)
+    # the workers' snapshots were only needed to PROVE settleability at the
+    # fenced GTID; holding them open for a multi-hour dump would pin the
+    # undo horizon for no benefit (verify_after uses only control). Release
+    # them now; release() at dump end then just closes control.
+    fence.release_workers()
+    return fence

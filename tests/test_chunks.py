@@ -246,8 +246,12 @@ def test_fence_for_dump_runs_and_retries_for_mysql():
     assert res.attempts == 2 and res.gtid == "uuid:1-101"
     assert all("gtid_executed" in s for s in control.log)
     for w in workers:
-        assert w.log.count("ROLLBACK") == 1
+        # one retry ROLLBACK + the immediate post-establishment release
+        # (worker snapshots must not pin the undo horizon through the dump)
+        assert w.log.count("ROLLBACK") == 2
+        assert w.log[-1] == "ROLLBACK"
         assert sum("CONSISTENT SNAPSHOT" in s for s in w.log) == 2
+    assert res.workers == []  # released; only control stays for verify_after
 
 
 def test_fence_for_dump_mariadb_probe_spelling():

@@ -433,8 +433,34 @@ def test_dump_multi_schema_same_table_name_no_collision(spark, tmp_path):
     assert set(manifest.tables) == {"s1.t", "s2.t"}
     assert manifest.tables["s1.t"].rows == 30
     assert manifest.tables["s2.t"].rows == 70
+    assert manifest.tables["s1.t"].database == "s1"
     results = restore(spark, out, str(tmp_path / "mrestore"))
     assert results["verify"] == {"s1.t": True, "s2.t": True}
+    # restore into a live DB reproduces the SCHEMA LAYOUT (s1.t / s2.t),
+    # not flat tables literally named "s1.t"
+    target = str(tmp_path / "mtarget.duckdb")
+
+    def ddl_executor(sql):
+        con = duckdb.connect(target)
+        con.execute(sql)
+        con.execute("CHECKPOINT")
+        con.close()
+
+    r2 = restore(spark, out, f"jdbc:duckdb:{target}", parallelism=1,
+                 jdbc_properties=dict(DRIVER_PROPS),
+                 ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    assert r2["verify"] == {"s1.t": True, "s2.t": True}
+    con = duckdb.connect(target)
+    layout = dict(con.execute(
+        "SELECT table_schema || '.' || table_name, "
+        "(SELECT count(*) FROM information_schema.tables) "
+        "FROM information_schema.tables WHERE table_schema IN ('s1','s2')"
+    ).fetchall())
+    n1 = con.execute('SELECT count(*) FROM s1.t').fetchone()[0]
+    n2 = con.execute('SELECT count(*) FROM s2.t').fetchone()[0]
+    con.close()
+    assert set(layout) == {"s1.t", "s2.t"}
+    assert (n1, n2) == (30, 70)
 
 
 def test_dump_jdbc_fence_flags_writes_during_dump(spark, dump_db, tmp_path):
