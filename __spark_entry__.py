@@ -1298,6 +1298,23 @@ GROUP BY g.doc_id
 """
 
 
+def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of customer (rows / nulls / exact distincts /
+    canonical min-max strings) — one aggregate pass, A1/A2 widened to every
+    column. Exact distincts here because the oracle must agree bit-for-bit;
+    production uses the HLL sketch (approx_distinct=True, rows-only by
+    nature)."""
+    from mydumper_spark.operators.profile import table_profile
+
+    return table_profile(_t(spark, sf_dir, "customer"), approx_distinct=False)
+
+
+def _table_profile_sql() -> str:
+    from mydumper_spark.operators.profile import oracle_profile_sql
+
+    return oracle_profile_sql("customer", _DUCK_FIELDS["customer"])
+
+
 def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-bigram importance weights against a deterministic
     target slice (doc_id % 17 == 0 — a stand-in domain) — **oracle-backed**:
@@ -3915,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_pairs_sha": x_simhash_pairs_sha,
         "x_ngram_novelty": x_ngram_novelty,
         "x_dsir_weights": x_dsir_weights,
+        "x_table_profile": x_table_profile,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_dedup_keep_best": x_dedup_keep_best,
@@ -4025,6 +4043,7 @@ def oracle_sql() -> dict[str, str]:
         "x_simhash_pairs_sha": _SIMHASH_SHA_SQL,
         "x_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "x_dsir_weights": _DSIR_SQL,
+        "x_table_profile": _table_profile_sql(),
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_dedup_keep_best": _KEEP_BEST_SQL,
