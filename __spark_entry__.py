@@ -1298,6 +1298,36 @@ GROUP BY g.doc_id
 """
 
 
+def x_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (seed 7), proven
+    cross-engine by ranking the full order — both engines must produce the
+    identical permutation. Fixture-scale total order; production shards
+    with sortWithinPartitions (sampling.shuffle_corpus n_shards)."""
+    from pyspark.sql.window import Window
+
+    from mydumper_spark.operators.sampling import shuffle_corpus
+
+    out = shuffle_corpus(_t(spark, sf_dir, "documents").select("doc_id"), seed=7)
+    w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    return out.select(
+        "doc_id", "shuffle_key",
+        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
+    )
+
+
+_SHUFFLE_SQL = """
+SELECT doc_id, sk AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY sk ASC, doc_id ASC) AS BIGINT)
+         AS shuffle_rank
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS sk
+  FROM documents
+)
+"""
+
+
 def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of customer (rows / nulls / exact distincts /
     canonical min-max strings) — one aggregate pass, A1/A2 widened to every
@@ -3933,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ngram_novelty": x_ngram_novelty,
         "x_dsir_weights": x_dsir_weights,
         "x_table_profile": x_table_profile,
+        "x_shuffle_corpus": x_shuffle_corpus,
         "x_token_frequency_score": x_token_frequency_score,
         "x_dedup_canonical": x_dedup_canonical,
         "x_dedup_keep_best": x_dedup_keep_best,
@@ -4044,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
         "x_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "x_dsir_weights": _DSIR_SQL,
         "x_table_profile": _table_profile_sql(),
+        "x_shuffle_corpus": _SHUFFLE_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,
         "x_dedup_canonical": _DEDUP_CANONICAL_SQL,
         "x_dedup_keep_best": _KEEP_BEST_SQL,

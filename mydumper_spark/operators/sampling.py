@@ -244,3 +244,44 @@ def mix_corpus(
         )
     )
     return with_pre.where(F.col("__pre") < budget)
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order randomization
+    every corpus gets before sequence packing. Order = ascending 60-bit
+    ``md5(seed:id)`` (engine-portable, reproducible across runs and
+    engines; change ``seed`` for a fresh epoch order, no RNG state).
+
+    Scale shape: with ``n_shards`` the rows hash into that many ordered
+    shards (``__shard`` column, ascending with the key) and sort only
+    WITHIN shards — one exchange plus local sorts, no single global
+    merge; consuming files shard-by-shard yields the full shuffled order.
+    Without ``n_shards`` the result is a true total order (a full sort —
+    fixture/oracle scale; at 100 TB always set shards).
+
+    Returns the input columns + ``shuffle_key`` (+ ``__shard`` when
+    sharded), ordered."""
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(int(seed)), F.col(id_col).cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("bigint").alias("shuffle_key")
+    with_key = df.withColumn("shuffle_key", key)
+    if n_shards:
+        # RANGE buckets (not mod): each shard holds a contiguous key
+        # interval, so reading shards 0..n-1 in order reproduces the
+        # exact global shuffled order without any global sort/merge
+        width = (1 << 60) // int(n_shards) + 1
+        shard = F.expr(f"shuffle_key div {width}")
+        return (
+            with_key.withColumn("__shard", shard)
+            .repartition(int(n_shards), "__shard")
+            .sortWithinPartitions("__shard", "shuffle_key", id_col)
+        )
+    return with_key.orderBy("shuffle_key", id_col)

@@ -1121,3 +1121,33 @@ def test_table_profile_values_and_approx_mode(spark):
     arr = spark.createDataFrame([(1, [1.0, 2.0])], "id long, e array<double>")
     p2 = {r["column_name"]: r for r in table_profile(arr).collect()}
     assert p2["e"]["min_str"] is None and p2["e"]["n_rows"] == 1
+
+
+def test_shuffle_corpus_deterministic_sharded_consistency(spark):
+    """Same seed → same permutation; different seed → different order;
+    sharded mode contains exactly the same rows with shard-ascending keys
+    consistent with consuming shards in order."""
+    from mydumper_spark.operators.sampling import shuffle_corpus
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in shuffle_corpus(df, seed=1).collect()]
+    b = [r["doc_id"] for r in shuffle_corpus(df, seed=1).collect()]
+    c = [r["doc_id"] for r in shuffle_corpus(df, seed=2).collect()]
+    assert a == b
+    assert a != c and sorted(a) == sorted(c) == list(range(500))
+    sharded = shuffle_corpus(df, seed=1, n_shards=8)
+    rows = sharded.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(500))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["__shard"], []).append(r["shuffle_key"])
+    assert set(by_shard) <= set(range(8))
+    for keys in by_shard.values():   # sorted within each shard
+        assert keys == sorted(keys)
+    # RANGE buckets: shard intervals are disjoint and ordered, so
+    # concatenating shards 0..n-1 reproduces the exact global order
+    ordered_shards = sorted(by_shard)
+    for lo, hi in zip(ordered_shards, ordered_shards[1:]):
+        assert max(by_shard[lo]) < min(by_shard[hi])
+    concat = [k for s in ordered_shards for k in by_shard[s]]
+    assert concat == sorted(r["shuffle_key"] for r in rows)
