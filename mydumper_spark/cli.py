@@ -317,6 +317,15 @@ def cmd_prepare(args: argparse.Namespace) -> int:
             from mydumper_spark.operators.corpus import pack_sequences
 
             out = pack_sequences(out, budget_tokens=args.pack_tokens)
+    if args.shuffle_seed is not None:
+        from mydumper_spark.operators.sampling import shuffle_corpus
+
+        # shuffle on the natural unit id: packed sequences individually,
+        # otherwise documents (a doc's chunks stay adjacent — sequence-
+        # level shuffling is what packing is for)
+        unit = "seq_id" if (args.chunk_tokens and args.pack_tokens) else "doc_id"
+        out = shuffle_corpus(out, id_col=unit, seed=args.shuffle_seed,
+                             n_shards=args.shuffle_shards)
     out.write.mode("overwrite").parquet(args.outputdir)
     for d in cached:
         d.unpersist()
@@ -418,6 +427,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--pack-tokens", type=int, default=None,
                     help="pack chunks into sequences of this token budget "
                          "(requires --chunk-tokens)")
+    pp.add_argument("--shuffle-seed", type=int, default=None,
+                    help="deterministic training-order shuffle with this seed")
+    pp.add_argument("--shuffle-shards", type=int, default=None,
+                    help="range-sharded shuffle (read shards in order = "
+                         "global order); omit for a total sort")
     pp.add_argument("-t", "--threads", type=int)
     pp.set_defaults(fn=cmd_prepare)
     return p

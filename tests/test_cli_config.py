@@ -413,6 +413,31 @@ def test_cli_prepare_cap_and_dsir_selection(tmp_path):
     assert per_src <= 10
 
 
+def test_cli_prepare_shuffle_stage(tmp_path):
+    """`prepare --shuffle-seed`: output carries a shuffle_key and the
+    document set is unchanged; chunk+pack+shuffle composes."""
+    import duckdb
+
+    out = str(tmp_path / "prepared")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--dedup", "none", "--chunk-tokens", "64",
+         "--pack-tokens", "256", "--shuffle-seed", "3",
+         "--shuffle-shards", "4", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    cols = {c[0] for c in duckdb.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{out}/*.parquet')").fetchall()}
+    assert {"seq_id", "text", "shuffle_key", "__shard"} <= cols
+    n = duckdb.sql(
+        f"SELECT count(DISTINCT seq_id) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    assert n > 0
+
+
 def test_prepare_stage_counts_materialize_cache(spark):
     """persist_and_count must leave the stage cached so each stage count is
     a one-time materialization: downstream lineage (the final write, later
