@@ -1298,6 +1298,39 @@ GROUP BY g.doc_id
 """
 
 
+def x_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination of the embeddings corpus against a
+    deterministic eval slice (vec_id % 13 == 0) at cosine ≥ 0.4 —
+    **oracle-backed**: DuckDB replays the all-pairs cosine (ordered fold,
+    6-decimal round) and the NOT-EXISTS drop rule from first principles.
+    Eval rows drop themselves (self-cosine 1.0), paraphrase-near rows drop
+    too, the rest survive."""
+    from mydumper_spark.operators.similarity import embedding_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where("vec_id % 13 = 0")
+    return embedding_decontaminate(emb, ev, threshold=0.4).select(
+        "vec_id", "label"
+    )
+
+
+_EMB_DECON_SQL = """
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings q
+  WHERE q.vec_id % 13 = 0
+    AND round(
+          list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        >= 0.4
+)
+"""
+
+
 def x_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (seed 7), proven
     cross-engine by ranking the full order — both engines must produce the
@@ -3976,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_batch_cosine_topk": x_batch_cosine_topk,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_semantic_dedup": x_semantic_dedup,
+        "x_embedding_decontaminate": x_embedding_decontaminate,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "a4_checksums_fast": a4_checksums_fast,
         "x_pq_trained_topk": x_pq_trained_topk,
@@ -4090,6 +4124,7 @@ def oracle_sql() -> dict[str, str]:
         "x_batch_cosine_topk": _BATCH_COSINE_SQL,
         "x_embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "x_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "x_embedding_decontaminate": _EMB_DECON_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —

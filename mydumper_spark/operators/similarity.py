@@ -844,6 +844,67 @@ def semantic_dedup(
     return embeddings.join(dropped, id_col, "left_anti")
 
 
+def embedding_decontaminate(
+    embeddings: DataFrame,
+    eval_embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: drop every corpus row whose embedding is
+    within cosine ``threshold`` of ANY eval-set embedding — the
+    embedding-space sibling of the n-gram ``decontaminate`` operator
+    (paraphrased benchmark leakage that shares no shingles still collides
+    in embedding space). Returns the surviving corpus rows.
+
+    Scale shape = the contamination asymmetry: the eval set is KBs-to-MBs
+    while the corpus is the 100 TB side, so the eval matrix ships in the
+    mapInPandas closure (same bounded-driver-collect class as the chunk
+    planner) and each Arrow batch does ONE numpy GEMM against it — the
+    corpus is never shuffled, never self-joined. Scores round to 6
+    decimals before the threshold compare so the oracle agrees exactly;
+    zero-norm vectors on either side never match (cosine undefined)."""
+    import numpy as np
+
+    qrows = eval_embeddings.select(eval_id_col, eval_vec_col).collect()
+    if qrows:
+        qm = np.array([[float(x) for x in r[eval_vec_col]] for r in qrows],
+                      dtype=np.float64)
+        qnorm = np.sqrt((qm * qm).sum(axis=1))
+        nzq = qnorm != 0.0  # zero-norm eval vectors can never match
+        qm, qnorm = qm[nzq], qnorm[nzq]
+    else:
+        qm, qnorm = np.zeros((0, 0)), np.zeros(0)
+    keep_all = qm.shape[0] == 0
+
+    def contaminated(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty or keep_all:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            nz = vnorm != 0.0
+            if not nz.any():
+                continue
+            ids, v, vnorm = ids[nz], v[nz], vnorm[nz]
+            sims = np.round(
+                (v @ qm.T) / (vnorm[:, None] * qnorm[None, :]), 6
+            )
+            hit = ids[(sims >= threshold).any(axis=1)]
+            if len(hit):
+                yield pd.DataFrame({id_col: hit})
+
+    dropped = embeddings.select(id_col, vec_col).mapInPandas(
+        contaminated, f"{id_col} bigint"
+    )
+    return embeddings.join(dropped, id_col, "left_anti")
+
+
 def embedding_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1151,3 +1151,27 @@ def test_shuffle_corpus_deterministic_sharded_consistency(spark):
         assert max(by_shard[lo]) < min(by_shard[hi])
     concat = [k for s in ordered_shards for k in by_shard[s]]
     assert concat == sorted(r["shuffle_key"] for r in rows)
+
+
+def test_embedding_decontaminate_drops_eval_and_near(spark):
+    """Eval members drop themselves (self-cosine 1.0), a near-copy of an
+    eval vector drops at high threshold, unrelated vectors survive; empty
+    or all-zero eval sets drop nothing."""
+    corpus, bases = _clustered_corpus(spark, per_cluster=10, dim=16)
+    ev = corpus.where("vec_id IN (0, 15)")
+    near = corpus.where("vec_id = 0").selectExpr(
+        "900 AS vec_id",
+        "transform(embedding, x -> float(x * 1.0001)) AS embedding",
+    )
+    df = corpus.unionByName(near)
+    out = {r["vec_id"] for r in
+           sim.embedding_decontaminate(df, ev, threshold=0.999).collect()}
+    assert 0 not in out and 15 not in out    # eval members removed
+    assert 900 not in out                    # scaled copy: cosine 1.0
+    assert len(out) == df.count() - 3        # everyone else survives
+    zero_ev = spark.createDataFrame(
+        [(1, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    assert sim.embedding_decontaminate(df, zero_ev).count() == df.count()
+    empty_ev = ev.where("vec_id < 0")
+    assert sim.embedding_decontaminate(df, empty_ev).count() == df.count()
