@@ -1175,3 +1175,22 @@ def test_embedding_decontaminate_drops_eval_and_near(spark):
     assert sim.embedding_decontaminate(df, zero_ev).count() == df.count()
     empty_ev = ev.where("vec_id < 0")
     assert sim.embedding_decontaminate(df, empty_ev).count() == df.count()
+
+
+def test_null_text_documents_pinned_behavior(spark):
+    """NULL-text docs through the dedup/hygiene ops — pinned so the
+    composition contract stays explicit: exact dedup keeps the null doc
+    (its own fingerprint group), sub-document dedup emits no row for it
+    (the prepare CLI's LEFT join carries it through), and quality is NULL
+    (so a --min-quality floor drops it — no text, no quality)."""
+    from mydumper_spark.operators.corpus import dedup_lines_global
+    from mydumper_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    assert sorted(r["doc_id"] for r in exact_dedup(df).collect()) == [1, 2]
+    assert sorted(r["doc_id"] for r in dedup_lines_global(df).collect()) == [1, 3]
+    q = {r["doc_id"]: r["quality"] for r in tx.quality_score(df).collect()}
+    assert q[2] is None and q[1] is not None
