@@ -1194,3 +1194,15 @@ def test_null_text_documents_pinned_behavior(spark):
     assert sorted(r["doc_id"] for r in dedup_lines_global(df).collect()) == [1, 3]
     q = {r["doc_id"]: r["quality"] for r in tx.quality_score(df).collect()}
     assert q[2] is None and q[1] is not None
+
+
+def test_semantic_dedup_batch_twin_identical(spark):
+    """The GEMM applyInPandas production path must drop exactly the same
+    set as the expression-join spec over identical cells/threshold."""
+    corpus, _ = _clustered_corpus(spark, per_cluster=25, dim=16)
+    cents = sim.ivf_centroids_from_ids(corpus, n_cells=4)
+    a = sorted(r["vec_id"] for r in
+               sim.semantic_dedup(corpus, 0.9, 4, centroids=cents).collect())
+    b = sorted(r["vec_id"] for r in
+               sim.semantic_dedup_batch(corpus, 0.9, 4, centroids=cents).collect())
+    assert a == b and 0 < len(a) <= corpus.count()
