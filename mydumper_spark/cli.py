@@ -334,6 +334,53 @@ def cmd_prepare(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_embcurate(args: argparse.Namespace) -> int:
+    """Embedding-corpus curation: SemDeDup semantic dedup (GEMM path) →
+    semantic decontamination against an eval embedding set → optional
+    persisted IVF-PQ index build (trained centroids + codebooks). The
+    similarity stack as one pipeline command — the embedding-side sibling
+    of `prepare`."""
+    import json as _json
+    import os as _os
+
+    from mydumper_spark.operators.similarity import (
+        embedding_decontaminate,
+        semantic_dedup_batch,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        write_ivf_pq_index,
+    )
+
+    spark = _session(args.threads)
+    df = spark.read.parquet(args.source)
+    counts = {"input": df.count()}
+    if args.dedup_threshold is not None:
+        df = semantic_dedup_batch(
+            df, threshold=args.dedup_threshold, n_cells=args.cells
+        )
+        df = df.persist()
+        counts["after_semantic_dedup"] = df.count()
+    if args.decontaminate_eval:
+        ev = spark.read.parquet(args.decontaminate_eval)
+        df = embedding_decontaminate(
+            df, ev, threshold=args.decontaminate_threshold
+        )
+        df = df.persist()
+        counts["after_decontamination"] = df.count()
+    df.write.mode("overwrite").parquet(args.outputdir)
+    counts["output_rows"] = spark.read.parquet(args.outputdir).count()
+    if args.index_dir:
+        cents = train_ivf_centroids(df, n_cells=args.cells)
+        cbs = train_pq_codebooks(df, m=args.pq_m, ksub=args.pq_ksub)
+        write_ivf_pq_index(df, args.index_dir, cbs, cents)
+        with open(_os.path.join(args.index_dir, "_index_meta.json"), "w") as f:
+            _json.dump({"centroids": cents, "codebooks": cbs,
+                        "m": args.pq_m, "ksub": args.pq_ksub}, f)
+        counts["index"] = args.index_dir
+    print(_json.dumps(counts))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mydumper_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -434,6 +481,28 @@ def build_parser() -> argparse.ArgumentParser:
                          "global order); omit for a total sort")
     pp.add_argument("-t", "--threads", type=int)
     pp.set_defaults(fn=cmd_prepare)
+
+    ec = sub.add_parser(
+        "embcurate",
+        help="embedding curation: semantic dedup → decontaminate → ANN index",
+    )
+    ec.add_argument("--source", required=True, help="embeddings parquet "
+                    "(vec_id, embedding)")
+    ec.add_argument("-o", "--outputdir", required=True)
+    ec.add_argument("--dedup-threshold", type=float, default=None,
+                    help="SemDeDup cosine threshold (omit to skip dedup)")
+    ec.add_argument("--cells", type=int, default=8,
+                    help="IVF cells for dedup clustering and the index")
+    ec.add_argument("--decontaminate-eval", default=None,
+                    help="eval embeddings parquet to scrub near-matches of")
+    ec.add_argument("--decontaminate-threshold", type=float, default=0.95)
+    ec.add_argument("--index-dir", default=None,
+                    help="also build a persisted IVF-PQ index here "
+                         "(trained centroids + codebooks, metadata JSON)")
+    ec.add_argument("--pq-m", type=int, default=8)
+    ec.add_argument("--pq-ksub", type=int, default=16)
+    ec.add_argument("-t", "--threads", type=int)
+    ec.set_defaults(fn=cmd_embcurate)
     return p
 
 

@@ -438,6 +438,47 @@ def test_cli_prepare_shuffle_stage(tmp_path):
     assert n > 0
 
 
+def test_cli_embcurate_pipeline(tmp_path):
+    """`embcurate`: semantic dedup + decontamination + IVF-PQ index build
+    end-to-end over the embeddings fixture; the index directory holds
+    cell-partitioned code arrays plus queryable metadata."""
+    import duckdb
+
+    ev = str(tmp_path / "eval.parquet")
+    duckdb.sql(
+        "COPY (SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/embeddings.parquet') WHERE vec_id % 13 = 0) "
+        f"TO '{ev}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "curated")
+    idx = str(tmp_path / "index")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "embcurate",
+         "--source", "/root/testdata/sf0.001/embeddings.parquet",
+         "-o", out, "--dedup-threshold", "0.4", "--cells", "4",
+         "--decontaminate-eval", ev, "--decontaminate-threshold", "0.4",
+         "--index-dir", idx, "--pq-m", "8", "--pq-ksub", "16",
+         "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert (counts["input"] >= counts["after_semantic_dedup"]
+            >= counts["after_decontamination"] > 0)
+    assert counts["output_rows"] == counts["after_decontamination"]
+    assert os.path.exists(os.path.join(idx, "_index_meta.json"))
+    meta = json.load(open(os.path.join(idx, "_index_meta.json")))
+    assert len(meta["centroids"]) == 4 and len(meta["codebooks"]) == 8
+    # the index is cell-partitioned and stores codes, not vectors
+    cells = [d for d in os.listdir(idx) if d.startswith("__cell=")]
+    assert cells
+    cols = {c[0] for c in duckdb.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{idx}/__cell=*/*.parquet')"
+    ).fetchall()}
+    assert "pq_code" in cols and "embedding" not in cols
+
+
 def test_prepare_stage_counts_materialize_cache(spark):
     """persist_and_count must leave the stage cached so each stage count is
     a one-time materialization: downstream lineage (the final write, later
