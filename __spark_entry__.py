@@ -3118,17 +3118,20 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smallest-id donor centroids — SQL-replayable), drop any vector with
     an earlier within-cell neighbor at cosine ≥ 0.4 (the fixture's
     embeddings are near-random, max pairwise ≈ 0.5, so 0.95 would be
-    vacuous). Pairwise work is confined to cells: Σ|cell|² ≈ n²/k."""
+    vacuous). Pairwise work is confined to cells: Σ|cell|² ≈ n²/k.
+    Runs the GEMM production path — pytest pins it identical to the
+    expression spec the oracle replays
+    (test_semantic_dedup_batch_twin_identical)."""
     from mydumper_spark.operators.similarity import (
         ivf_centroids_from_ids,
-        semantic_dedup,
+        semantic_dedup_batch,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_centroids_from_ids(emb, n_cells=4)
-    return semantic_dedup(emb, threshold=0.4, n_cells=4, centroids=cents).select(
-        "vec_id", "label"
-    )
+    return semantic_dedup_batch(
+        emb, threshold=0.4, n_cells=4, centroids=cents
+    ).select("vec_id", "label")
 
 
 _SEMANTIC_DEDUP_SQL = """
