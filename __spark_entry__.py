@@ -1387,7 +1387,8 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mydumper_spark.operators.text import importance_weights
 
     docs = _t(spark, sf_dir, "documents")
-    return importance_weights(docs, docs.where("doc_id % 17 = 0"))
+    return importance_weights(docs, docs.where("doc_id % 17 = 0"),
+                              hash_fn="sha256")
 
 
 _DSIR_SQL = """

@@ -488,6 +488,7 @@ def importance_weights(
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """DSIR-style hashed n-gram importance scoring (Xie et al., 2023,
     "Data Selection for Language Models via Importance Resampling"):
@@ -509,8 +510,15 @@ def importance_weights(
     pairs; the two distribution aggregates are map-side combinable with
     ≤ n_buckets groups; the ratio table (≤ n_buckets rows) broadcasts; one
     per-doc aggregate. The target corpus is the small side by definition —
-    the same asymmetry as decontamination."""
+    the same asymmetry as decontamination. ``hash_fn``: the xxhash64
+    default is the production path (bucket identity only needs a uniform
+    hash); "sha256" is the oracle-replayable sibling — same pattern as the
+    winnowing/simhash sketches. The corpus gram pass is localCheckpoint-ed
+    because two consumers read it (the source distribution and the per-doc
+    scoring join); without the cut the explode+hash lineage runs twice."""
     from mydumper_spark.operators.dedup import shingles
+
+    hasher = _shingle_hasher(hash_fn)
 
     def gram_buckets(d: DataFrame) -> DataFrame:
         return d.select(
@@ -518,10 +526,10 @@ def importance_weights(
             F.explode(shingles(F.col(text_col), k)).alias("g"),
         ).select(
             id_col,
-            F.pmod(portable_hash64(F.col("g")), F.lit(n_buckets)).alias("b"),
+            F.pmod(hasher(F.col("g")), F.lit(n_buckets)).alias("b"),
         )
 
-    g = gram_buckets(df)
+    g = gram_buckets(df).localCheckpoint()
     src = g.groupBy("b").agg(F.count(F.lit(1)).alias("s_cnt"))
     tgt = gram_buckets(target).groupBy("b").agg(F.count(F.lit(1)).alias("t_cnt"))
     dist = src.join(tgt, "b", "left").select(
@@ -548,9 +556,10 @@ def dsir_select(
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Select the ``n`` documents most target-like by DSIR importance
     (score_avg descending, id tie-break). orderBy+limit plans as
     TakeOrdered — per-partition top-n and a driver merge, no full sort."""
-    w = importance_weights(df, target, k, n_buckets, text_col, id_col)
+    w = importance_weights(df, target, k, n_buckets, text_col, id_col, hash_fn)
     return w.orderBy(F.col("score_avg").desc(), F.col(id_col).asc()).limit(n)
