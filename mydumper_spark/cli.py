@@ -91,6 +91,7 @@ def cmd_dump(args: argparse.Namespace) -> int:
         exec_per_file=args.exec_cmd,
         masquerade_filenames=args.masquerade_filename,
         jdbc_properties=jdbc_props,
+        profile=args.profile,
     )
     spark = _session(args.threads)
     manifest = dump(spark, args.source, cfg)
@@ -399,13 +400,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-T", "--tables-list", help="explicit tables (P8)")
     d.add_argument("-i", "--ignore-engines", help="engine filter (P9)")
     d.add_argument("--defaults-file", help="INI config with per-table sections")
-    d.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    d.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
     d.add_argument("-c", "--compress", default=None, choices=[None, "gzip", "zstd"])
     d.add_argument("-r", "--rows", type=int, help="max records per output file (K5)")
     d.add_argument("-t", "--threads", type=int)
     d.add_argument("--no-checksum", action="store_true")
     d.add_argument("-E", "--exec", dest="exec_cmd", help="run CMD per finished file (K9)")
     d.add_argument("--masquerade-filename", action="store_true", help="hash table names in output paths (T13)")
+    d.add_argument("--profile", action="store_true",
+                   help="write per-table per-column stats to _profile.json")
     d.set_defaults(fn=cmd_dump)
 
     r = sub.add_parser("restore", help="DAG-scheduled parallel load (myloader)")

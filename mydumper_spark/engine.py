@@ -21,7 +21,12 @@ from mydumper_spark.operators.transform import TableTransform, apply_transform
 from mydumper_spark.planner.chunks import ChunkPlan, plan_chunks
 from mydumper_spark.plans.loader_dag import LoaderDag, LoadJob, Phase, PurgeMode
 from mydumper_spark.sinks.manifest import Manifest, verify_manifest, write_manifest
-from mydumper_spark.sinks.writers import CsvFormat, write_csv, write_parquet
+from mydumper_spark.sinks.writers import (
+    CsvFormat,
+    write_csv,
+    write_jsonl,
+    write_parquet,
+)
 
 
 @dataclass
@@ -33,12 +38,16 @@ class DumpConfig:
     global_where: str | None = None  # P1 --where
     per_table: dict[str, TableTransform] = field(default_factory=dict)  # P2-P5
     chunks_per_table: int | None = None  # --rows analogue
-    fmt: str = "parquet"  # parquet | csv  (K2-K4)
+    fmt: str = "parquet"  # parquet | csv | jsonl  (K2-K4 + corpus interchange)
     csv_format: CsvFormat = field(default_factory=CsvFormat)
     max_records_per_file: int | None = None  # K5 --chunk-filesize
     checksum: bool = True  # --checksum-all
     exec_per_file: str | None = None  # K9 --exec
     masquerade_filenames: bool = False  # T13 --masquerade-filename
+    #: write a per-table per-column profile (_profile.json) alongside the
+    #: manifest — rows/nulls/distincts/bounds from one extra aggregate per
+    #: table (operators/profile.py; HLL distincts, scale-safe)
+    profile: bool = False
     # --- JDBC-source options (used when `source` is a jdbc: URL) ---
     jdbc_properties: dict[str, str] = field(default_factory=dict)  # user/pw/driver
     #: S11 fence connections: a zero-arg callable returning an object with
@@ -111,6 +120,7 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         }
     try:
         fnames = FilenameRegistry()
+        profiles: dict[str, list] = {}
         metas = cat.discover(cfg.filters)
         # a multi-database JDBC server can hold same-named tables in
         # different schemas — bare names would collide on both the manifest
@@ -141,21 +151,45 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             if cfg.fmt == "csv":
                 path = os.path.join(cfg.output_dir, f"{out_name}.dat")
                 write_csv(out, path, cfg.csv_format, cfg.max_records_per_file)
+            elif cfg.fmt == "jsonl":
+                path = os.path.join(cfg.output_dir, f"{out_name}.jsonl")
+                write_jsonl(out, path, cfg.max_records_per_file,
+                            cfg.csv_format.compression)
+                # schema sidecar (the reference dumps schema files too):
+                # JSON is stringly-typed, so a typed restore/verify needs
+                # the dumped schema, not inference
+                with open(os.path.join(cfg.output_dir,
+                                       f"{out_name}.schema.json"), "w") as f:
+                    f.write(out.schema.json())
             else:
                 write_parquet(out, path, cfg.max_records_per_file)
             if cfg.exec_per_file:
                 exec_per_file(path, cfg.exec_per_file)
             if cfg.checksum:
-                written = (
-                    spark.read.parquet(path) if cfg.fmt == "parquet" else spark.read.schema(
-                        out.schema
-                    ).option("sep", cfg.csv_format.fields_terminated_by).option(
+                if cfg.fmt == "parquet":
+                    written = spark.read.parquet(path)
+                elif cfg.fmt == "jsonl":
+                    written = spark.read.schema(out.schema).json(path)
+                else:
+                    written = spark.read.schema(out.schema).option(
+                        "sep", cfg.csv_format.fields_terminated_by
+                    ).option(
                         "quote", cfg.csv_format.fields_enclosed_by
                     ).option("escape", cfg.csv_format.fields_escaped_by).option(
                         "nullValue", cfg.csv_format.null_value
                     ).csv(path)
-                )
                 manifest.add_table(written, key, path, database=db_rec)
+                if cfg.profile:
+                    from mydumper_spark.operators.profile import table_profile
+
+                    profiles[key] = [
+                        r.asDict() for r in table_profile(written).collect()
+                    ]
+        if cfg.profile and profiles:
+            import json as _json
+
+            with open(os.path.join(cfg.output_dir, "_profile.json"), "w") as f:
+                _json.dump(profiles, f, indent=1)
         if fence is not None:
             # full-window GTID verification: still the fenced position ⇒ no
             # write committed while ANY partition was scanning ⇒ all per-
@@ -278,6 +312,13 @@ def restore(
         # table-name-derived default (FilenameRegistry mapping)
         if src_path and src_path.endswith(".parquet") and os.path.exists(src_path):
             return spark.read.parquet(src_path)
+        if src_path and src_path.endswith(".jsonl") and os.path.exists(src_path):
+            from pyspark.sql import types as T
+
+            sidecar = src_path[: -len(".jsonl")] + ".schema.json"
+            with open(sidecar) as f:  # typed read via the dumped schema
+                schema = T.StructType.fromJson(__import__("json").load(f))
+            return spark.read.schema(schema).json(src_path)
         return read_dump_table(spark, dump_root, table)
 
     for t, entry in doc["tables"].items():

@@ -89,6 +89,23 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSONL sink — the interchange format of training-corpus tooling
+    (one JSON object per line). Same K5 rotation and K6 compression knobs
+    as the CSV writer; Spark's JSON source reads it back schema-typed."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
