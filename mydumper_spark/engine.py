@@ -46,8 +46,24 @@ class DumpConfig:
     masquerade_filenames: bool = False  # T13 --masquerade-filename
     #: write a per-table per-column profile (_profile.json) alongside the
     #: manifest — rows/nulls/distincts/bounds from one extra aggregate per
-    #: table (operators/profile.py; HLL distincts, scale-safe)
+    #: table (operators/profile.py; HLL distincts, scale-safe). Independent
+    #: of ``checksum`` — either flag alone triggers the written-data
+    #: read-back.
     profile: bool = False
+    #: driver threads submitting per-table write/checksum/profile jobs
+    #: concurrently — the reference's N worker threads across tables
+    #: (mydumper_working_thread.c). Spark job submission is thread-safe;
+    #: with 1000 small tables a sequential driver loop leaves the cluster
+    #: idle between jobs (each table's job can't saturate it), so the dump
+    #: wall time becomes Σ(per-table latency). Set 1 to force the
+    #: sequential path.
+    dump_threads: int = 4
+    #: capture each table's source DDL (PKs/indexes/constraints) as a
+    #: ``<table>-schema.sql`` artifact + manifest descriptor when the
+    #: source is a live JDBC database — the reference's schema-dump jobs
+    #: (mydumper_jobs.c:128-344). No-op for parquet sources (no DDL to
+    #: capture).
+    capture_ddl: bool = True
     # --- JDBC-source options (used when `source` is a jdbc: URL) ---
     jdbc_properties: dict[str, str] = field(default_factory=dict)  # user/pw/driver
     #: S11 fence connections: a zero-arg callable returning an object with
@@ -69,9 +85,10 @@ def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
     snapshot comes from sessionInitStatement), the table-wide guarantee is
     completed by ``fence.verify_after()`` at dump end — GTID unchanged
     across the window ⇒ all partition snapshots observed identical data
-    (/root/reference/src/mydumper/mydumper_start_dump.c:1389-1417)."""
+    (/root/reference/src/mydumper/mydumper_start_dump.c:1389-1417).
+    Returns (catalog, DumpFence|None, ServerDialect|None)."""
     if not source.startswith("jdbc:"):
-        return ParquetCatalog(spark, source), None
+        return ParquetCatalog(spark, source), None, None
     from mydumper_spark.catalog import JdbcCatalog
     from mydumper_spark.sources.jdbc_source import (
         JdbcSourceConfig,
@@ -94,7 +111,24 @@ def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
         dialect, cfg.connection_factory, num_workers=cfg.fence_workers
     )
     mysql_like = dialect.is_mysql_like and dialect.product is not ServerProduct.UNKNOWN
-    return JdbcCatalog(spark, source, props, mysql_like=mysql_like), snapshot
+    return JdbcCatalog(spark, source, props, mysql_like=mysql_like), snapshot, dialect
+
+
+def _read_written(spark: SparkSession, path: str, cfg: DumpConfig, schema):
+    """Typed read-back of a just-written table (checksum/profile input) —
+    dispatching on the dump format, with the dumped schema (never
+    inference: JSON/CSV are stringly-typed on disk)."""
+    if cfg.fmt == "jsonl":
+        return spark.read.schema(schema).json(path)
+    if cfg.fmt == "csv":
+        return spark.read.schema(schema).option(
+            "sep", cfg.csv_format.fields_terminated_by
+        ).option(
+            "quote", cfg.csv_format.fields_enclosed_by
+        ).option("escape", cfg.csv_format.fields_escaped_by).option(
+            "nullValue", cfg.csv_format.null_value
+        ).csv(path)
+    return spark.read.parquet(path)
 
 
 def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
@@ -102,15 +136,23 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     written, manifest-ed. Chunk plans are computed but the write itself uses
     Spark's native partitioning — the plan is recorded in the manifest for
     restore-side parallelism and for JDBC sources, where it becomes real
-    read partitions."""
+    read partitions.
+
+    Tables run concurrently from a driver thread pool (``dump_threads``) —
+    the reference's worker-thread-per-table model (mydumper_working_thread.c);
+    planning (discovery, name assignment, DDL capture) stays sequential so
+    output names and the manifest are deterministic regardless of thread
+    interleaving."""
+    from mydumper_spark.catalog import JdbcCatalog
     from mydumper_spark.sinks.exec_sink import (
         FilenameRegistry,
         exec_per_file,
         masquerade_table_name,
     )
+    from mydumper_spark.sinks.manifest import build_entry
 
-    cat, fence = _open_source(spark, source_dir, cfg)
-    manifest = Manifest()
+    cat, fence, dialect = _open_source(spark, source_dir, cfg)
+    manifest = Manifest(fmt=cfg.fmt)
     if fence is not None:
         # reference [source] section: the binlog/GTID position the dump is
         # consistent at (mydumper_start_dump.c:774-808)
@@ -118,6 +160,7 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             "executed_gtid_set": fence.gtid,
             "fence_attempts": str(fence.attempts),
         }
+    capture_conn = None
     try:
         fnames = FilenameRegistry()
         profiles: dict[str, list] = {}
@@ -127,10 +170,22 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         # key and the output filename, silently overwriting one table with
         # another
         multi_db = len({m.database for m in metas}) > 1
+
+        # --- phase 1 (sequential): plan work items + capture source DDL.
+        # Capture is driver-plane catalog metadata (a few tiny queries per
+        # table, optionally one shared SHOW CREATE TABLE connection) — kept
+        # out of the pool so the connection needs no locking.
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        if (cfg.capture_ddl and isinstance(cat, JdbcCatalog)
+                and cfg.connection_factory is not None):
+            try:
+                capture_conn = cfg.connection_factory()
+            except Exception:
+                capture_conn = None
+        work = []
         for meta in metas:
             key = meta.qualified_name if multi_db else meta.name
             db_rec = meta.database if multi_db else None
-            df = cat.read(meta, cfg.chunks_per_table)
             # per-table config: exact qualified key always wins; the
             # bare-name form is honored only in single-namespace dumps
             # (matching it across schemas would apply one schema's
@@ -138,15 +193,38 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             tt = cfg.per_table.get(key)
             if tt is None and not multi_db:
                 tt = cfg.per_table.get(meta.qualified_name)
-            if tt is not None and "DATA" not in tt.object_scope:  # P11
-                manifest.add_table(df.limit(0), key, path=None, database=db_rec)
-                continue
-            out = apply_transform(df, tt, global_where=cfg.global_where)
             out_name = (
                 masquerade_table_name(key)
                 if cfg.masquerade_filenames
                 else fnames.filename_for(key)  # weird-name safety (specific_16)
             )
+            artifact = None
+            if cfg.capture_ddl and isinstance(cat, JdbcCatalog):
+                from mydumper_spark.sources.ddl_capture import capture_table_ddl
+                from mydumper_spark.sources.server_detect import ServerProduct
+
+                product = dialect.product if dialect else ServerProduct.UNKNOWN
+                artifact = capture_table_ddl(
+                    lambda sql: cat._q(sql).collect(), product,
+                    meta.database, meta.name, conn=capture_conn,
+                )
+            work.append((key, db_rec, meta, tt, out_name, artifact))
+
+        # --- phase 2 (pooled): per-table read → transform → write →
+        # checksum/profile. Each item is an independent chain of Spark
+        # jobs; pool threads overlap them (FAIR pool "dump" so no one
+        # table's stage monopolizes slots under fair scheduling).
+        def run_table(item):
+            key, db_rec, meta, tt, out_name, artifact = item
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "dump")
+            spark.sparkContext.setLocalProperty(
+                "spark.job.description", f"dump {key}")
+            df = cat.read(meta, cfg.chunks_per_table)
+            if tt is not None and "DATA" not in tt.object_scope:  # P11
+                entry = build_entry(df.limit(0), key, manifest.algorithm,
+                                    path=None, database=db_rec)
+                return key, entry, None, artifact, out_name
+            out = apply_transform(df, tt, global_where=cfg.global_where)
             path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
             if cfg.fmt == "csv":
                 path = os.path.join(cfg.output_dir, f"{out_name}.dat")
@@ -165,29 +243,49 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 write_parquet(out, path, cfg.max_records_per_file)
             if cfg.exec_per_file:
                 exec_per_file(path, cfg.exec_per_file)
-            if cfg.checksum:
-                if cfg.fmt == "parquet":
-                    written = spark.read.parquet(path)
-                elif cfg.fmt == "jsonl":
-                    written = spark.read.schema(out.schema).json(path)
-                else:
-                    written = spark.read.schema(out.schema).option(
-                        "sep", cfg.csv_format.fields_terminated_by
-                    ).option(
-                        "quote", cfg.csv_format.fields_enclosed_by
-                    ).option("escape", cfg.csv_format.fields_escaped_by).option(
-                        "nullValue", cfg.csv_format.null_value
-                    ).csv(path)
-                manifest.add_table(written, key, path, database=db_rec)
-                if cfg.profile:
-                    from mydumper_spark.operators.profile import table_profile
+            # read-back of the written bytes: what checksums and profiles
+            # must describe (the files, not the pre-write plan). Runs for
+            # EITHER flag — profile without checksum is a valid dump.
+            written = _read_written(spark, path, cfg, out.schema)
+            entry = build_entry(written, key, manifest.algorithm, path=path,
+                                database=db_rec, checksum=cfg.checksum)
+            prof = None
+            if cfg.profile:
+                from mydumper_spark.operators.profile import table_profile
 
-                    profiles[key] = [
-                        r.asDict() for r in table_profile(written).collect()
-                    ]
+                prof = [r.asDict() for r in table_profile(written).collect()]
+            return key, entry, prof, artifact, out_name
+
+        n_threads = max(1, int(cfg.dump_threads))
+        if n_threads > 1 and len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_threads) as ex:
+                results = list(ex.map(run_table, work))
+        else:
+            results = [run_table(item) for item in work]
+
+        # --- phase 3 (sequential): merge in catalog order — manifest and
+        # profile content are byte-identical to a dump_threads=1 run.
+        import hashlib as _hashlib
+        import json as _json
+
+        for key, entry, prof, artifact, out_name in results:
+            if artifact is not None:
+                from mydumper_spark.plans.ddl import descriptor_is_empty
+
+                sp = os.path.join(cfg.output_dir, f"{out_name}-schema.sql")
+                with open(sp, "w") as f:
+                    f.write(artifact.raw_sql.rstrip("\n") + "\n")
+                entry.schema_sql_path = sp
+                entry.schema_sql_checksum = _hashlib.md5(
+                    artifact.raw_sql.encode()).hexdigest()
+                if not descriptor_is_empty(artifact.descriptor):
+                    entry.schema_def = artifact.descriptor
+            manifest.tables[key] = entry
+            if prof is not None:
+                profiles[key] = prof
         if cfg.profile and profiles:
-            import json as _json
-
             with open(os.path.join(cfg.output_dir, "_profile.json"), "w") as f:
                 _json.dump(profiles, f, indent=1)
         if fence is not None:
@@ -214,6 +312,11 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         # transaction (it pins the source's undo/history horizon)
         if fence is not None:
             fence.release()
+        if capture_conn is not None and hasattr(capture_conn, "close"):
+            try:
+                capture_conn.close()
+            except Exception:
+                pass
     manifest.finish()
     write_manifest(manifest, cfg.output_dir)
     return manifest
@@ -321,11 +424,13 @@ def restore(
             return spark.read.schema(schema).json(src_path)
         return read_dump_table(spark, dump_root, table)
 
+    skipped_ddl: dict[str, list[str]] = {}
     for t, entry in doc["tables"].items():
         src_path = entry.get("path")
         schema_only = entry.get("path") is None and entry["rows"] == 0
         if jdbc_target:
-            def make_schema_action(table=t, sp=src_path, skip=schema_only):
+            def make_schema_action(table=t, sp=src_path, skip=schema_only,
+                                   schema_def=entry.get("schema_def")):
                 def action():
                     from mydumper_spark.plans.ddl import create_table_ddl
 
@@ -340,6 +445,11 @@ def restore(
                         )
                     schema = source_df(table, sp).schema
                     db, bare = entry_db_and_name(table)
+                    # PK from the captured source DDL goes INLINE in the
+                    # CREATE (split_create_table's "PK stays" rule);
+                    # secondary indexes/constraints arrive in the INDEX/
+                    # CONSTRAINT phases after data (L6 --optimize-keys)
+                    pk = (schema_def or {}).get("primary_key") or None
                     if db:  # reproduce the source layout, not a flat name
                         ddl_executor(
                             f"CREATE SCHEMA IF NOT EXISTS "
@@ -349,17 +459,19 @@ def restore(
                     if purge == PurgeMode.DROP:
                         ddl_executor(f"DROP TABLE IF EXISTS {qt}")
                         ddl_executor(create_table_ddl(
-                            bare, schema, dialect, database=db))
+                            bare, schema, dialect, database=db,
+                            primary_key=pk))
                     elif purge in (PurgeMode.TRUNCATE, PurgeMode.DELETE):
                         # keep an existing table (grants/triggers survive,
                         # myloader_restore_job.c:120-160); data clearing
                         # happens in the data action
                         ddl_executor(create_table_ddl(
                             bare, schema, dialect, if_not_exists=True,
-                            database=db))
+                            database=db, primary_key=pk))
                     else:  # FAIL: bare CREATE — an existing table aborts
                         ddl_executor(create_table_ddl(
-                            bare, schema, dialect, database=db))
+                            bare, schema, dialect, database=db,
+                            primary_key=pk))
                 return action
 
             def make_data_action(table=t, sp=src_path):
@@ -394,8 +506,42 @@ def restore(
                 size_hint=entry["rows"],
             )
         )
+        # L6/L7: captured secondary indexes + constraints replay AFTER the
+        # data phase (the reference's --optimize-keys: bulk-load a bare
+        # table, index once — myloader_worker_index.c:107-171). Only under
+        # DROP purge: TRUNCATE/DELETE keep the existing table, whose own
+        # indexes survive — re-issuing CREATE INDEX would collide.
+        if jdbc_target and entry.get("schema_def") and purge == PurgeMode.DROP:
+            from mydumper_spark.plans.ddl import restore_statements
+
+            stmts = restore_statements(
+                target_table(t), entry["schema_def"], dialect)
+            if stmts["skipped"]:
+                skipped_ddl[t] = stmts["skipped"]
+
+            def make_ddl_action(statements):
+                def action():
+                    for s in statements:
+                        ddl_executor(s)
+                return action
+
+            if stmts["index"]:
+                dag.add(LoadJob(table=t, phase=Phase.INDEX,
+                                action=make_ddl_action(stmts["index"])))
+            if stmts["constraint"]:
+                dag.add(LoadJob(table=t, phase=Phase.CONSTRAINT,
+                                action=make_ddl_action(stmts["constraint"])))
     dag.run()
     results = {"load": {k[0]: v.ok for k, v in dag.results.items() if k[1] == Phase.DATA}}
+    ddl_phases = {
+        phase.name.lower(): {
+            k[0]: v.ok for k, v in dag.results.items() if k[1] == phase
+        }
+        for phase in (Phase.INDEX, Phase.CONSTRAINT)
+    }
+    if any(ddl_phases.values()) or skipped_ddl:
+        results["ddl"] = {**{k: v for k, v in ddl_phases.items() if v},
+                          **({"skipped": skipped_ddl} if skipped_ddl else {})}
     if verify:
         # L9: recompute checksums on the *target* and compare to the
         # manifest, with the algorithm the dump recorded
@@ -407,6 +553,11 @@ def restore(
         for t, entry in doc["tables"].items():
             if entry.get("path") is None and entry["rows"] == 0:
                 continue  # schema-only (same predicate as schema_only above)
+            if entry.get("data_checksum") is None:
+                # dump ran with checksum=False — verify row count only
+                cs = table_checksum(read_target(t), algorithm=algo)
+                checks[t] = cs["rows"] == entry["rows"]
+                continue
             cs = table_checksum(read_target(t), algorithm=algo)
             checks[t] = cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"]
         results["verify"] = checks

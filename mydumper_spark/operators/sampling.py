@@ -276,12 +276,18 @@ def shuffle_corpus(
     if n_shards:
         # RANGE buckets (not mod): each shard holds a contiguous key
         # interval, so reading shards 0..n-1 in order reproduces the
-        # exact global shuffled order without any global sort/merge
+        # exact global shuffled order without any global sort/merge.
+        # repartitionByRange (NOT hash repartition) lays partitions out in
+        # shard order, so the physical file order written by a consumer
+        # matches the permutation order too — a hash exchange would
+        # scatter shards across files and the file-sequence contract
+        # would only hold after an explicit ORDER BY __shard.
         width = (1 << 60) // int(n_shards) + 1
         shard = F.expr(f"shuffle_key div {width}")
         return (
             with_key.withColumn("__shard", shard)
-            .repartition(int(n_shards), "__shard")
+            .repartitionByRange(int(n_shards), "__shard", F.col("shuffle_key"),
+                                F.col(id_col))
             .sortWithinPartitions("__shard", "shuffle_key", id_col)
         )
     return with_key.orderBy("shuffle_key", id_col)

@@ -126,17 +126,25 @@ def create_table_ddl(
     dialect: str = "ansi",
     if_not_exists: bool = False,
     database: str | None = None,
+    primary_key: list[str] | None = None,
 ) -> str:
     """CREATE TABLE for a Spark schema against a JDBC target — identifier
     quoting via :func:`quote_ident` so pathological table names (``a.b``,
     ``t%``) restore under their original names; ``database`` qualifies the
-    name for multi-schema restores (schema.table, each part quoted)."""
-    cols = ",\n  ".join(
+    name for multi-schema restores (schema.table, each part quoted).
+    ``primary_key`` renders an inline PRIMARY KEY line — the PK belongs in
+    the bare CREATE, not a deferred phase (split_create_table's "PK stays"
+    rule: dedup/upsert semantics need it from the first insert)."""
+    body = [
         f"{quote_ident(f.name, dialect)}"
         f" {_sql_type(f.dataType.simpleString(), dialect)}"
         f"{'' if f.nullable else ' NOT NULL'}"
         for f in schema.fields
-    )
+    ]
+    if primary_key:
+        pk = ", ".join(quote_ident(c, dialect) for c in primary_key)
+        body.append(f"PRIMARY KEY ({pk})")
+    cols = ",\n  ".join(body)
     ine = "IF NOT EXISTS " if if_not_exists else ""
     name = quote_ident(table, dialect)
     if database:
@@ -193,3 +201,156 @@ def schema_from_create_table(ddl: str) -> str:
     if not fields:
         raise ValueError("no parsable columns in CREATE TABLE DDL")
     return ", ".join(fields)
+
+
+# --- key/constraint descriptor (dump-side capture ↔ restore-side replay) ---
+#
+# The descriptor is the machine-readable half of a dumped schema artifact:
+#   {"primary_key": [col, ...],
+#    "uniques":      [{"name": n, "columns": [...]}, ...],
+#    "indexes":      [{"name": n, "columns": [...], "unique": bool}, ...],
+#    "foreign_keys": [{"name": n, "columns": [...],
+#                      "ref_table": t, "ref_columns": [...]}, ...],
+#    "checks":       [{"name": n, "expr": sql}, ...]}
+# The dump side fills it from live catalog queries (sources/ddl_capture.py)
+# or, for genuine reference dump dirs, by parsing the db.table-schema.sql
+# text here; the restore side turns it back into phase-ordered DDL
+# (restore_statements) — the reference's --optimize-keys split
+# (/root/reference/src/common.c:1440-1509) as data, not text surgery.
+
+_IDENT = r"`(?P<q>[^`]+)`|(?P<b>[A-Za-z0-9_$]+)"
+
+
+def _cols_list(inner: str) -> list[str]:
+    """``"`a`, `b`(10), c DESC"`` → ``["a", "b", "c"]`` — strip backticks,
+    prefix lengths and direction qualifiers from a key column list."""
+    out = []
+    for part in inner.split(","):
+        part = part.strip()
+        m = re.match(r"`([^`]+)`|([A-Za-z0-9_$]+)", part)
+        if m:
+            out.append(m.group(1) or m.group(2))
+    return out
+
+
+_PK_RE = re.compile(r"^PRIMARY\s+KEY\s*\((?P<cols>.+)\)", re.IGNORECASE)
+_UNIQUE_RE = re.compile(
+    r"^UNIQUE\s+(?:KEY|INDEX)?\s*(?:`(?P<name>[^`]+)`|(?P<bname>[A-Za-z0-9_$]+))?\s*\((?P<cols>.+)\)",
+    re.IGNORECASE,
+)
+_KEY_RE = re.compile(
+    r"^(?:FULLTEXT\s+|SPATIAL\s+)?(?:KEY|INDEX)\s+(?:`(?P<name>[^`]+)`|(?P<bname>[A-Za-z0-9_$]+))\s*\((?P<cols>.+)\)",
+    re.IGNORECASE,
+)
+_FK_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(?:`(?P<name>[^`]+)`|(?P<bname>[A-Za-z0-9_$]+))\s+)?"
+    r"FOREIGN\s+KEY\s*\((?P<cols>[^)]+)\)\s*REFERENCES\s+"
+    r"(?P<ref>`[^`]+`(?:\.`[^`]+`)?|[A-Za-z0-9_$.]+)\s*\((?P<refcols>[^)]+)\)",
+    re.IGNORECASE,
+)
+_CHECK_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(?:`(?P<name>[^`]+)`|(?P<bname>[A-Za-z0-9_$]+))\s+)?"
+    r"CHECK\s*\((?P<expr>.+)\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def descriptor_from_create_table(ddl: str) -> dict:
+    """Key/constraint descriptor from a MySQL-style ``CREATE TABLE`` — the
+    parse-side twin of :func:`schema_from_create_table` (which extracts the
+    column types and skips these lines). What lets a genuine reference
+    ``db.table-schema.sql`` artifact drive the L6/L7 deferred index and
+    constraint phases of a JDBC restore."""
+    desc: dict = {"primary_key": [], "uniques": [], "indexes": [],
+                  "foreign_keys": [], "checks": []}
+    body = ddl[ddl.index("(") + 1:] if "(" in ddl else ddl
+    for rawline in body.splitlines():
+        line = rawline.strip().rstrip(",")
+        if not line:
+            continue
+        if m := _PK_RE.match(line):
+            desc["primary_key"] = _cols_list(m["cols"])
+        elif m := _UNIQUE_RE.match(line):
+            desc["uniques"].append({
+                "name": m["name"] or m["bname"] or "",
+                "columns": _cols_list(m["cols"]),
+            })
+        elif m := _FK_RE.match(line):
+            ref = m["ref"].replace("`", "")
+            desc["foreign_keys"].append({
+                "name": m["name"] or m["bname"] or "",
+                "columns": _cols_list(m["cols"]),
+                "ref_table": ref,
+                "ref_columns": _cols_list(m["refcols"]),
+            })
+        elif m := _KEY_RE.match(line):
+            desc["indexes"].append({
+                "name": m["name"] or m["bname"],
+                "columns": _cols_list(m["cols"]),
+                "unique": False,
+            })
+        elif (m := _CHECK_RE.match(line)) and not _COL_LINE.match(line):
+            desc["checks"].append({"name": m["name"] or m["bname"] or "",
+                                   "expr": m["expr"]})
+    return desc
+
+
+def restore_statements(qualified_table: str, descriptor: dict,
+                       dialect: str = "ansi") -> dict[str, list[str]]:
+    """Descriptor → phase-ordered restore DDL for a JDBC target:
+
+    - ``index``: ``CREATE [UNIQUE] INDEX`` statements — run AFTER the data
+      phase (the reference's ``--optimize-keys``: bulk-load into a bare
+      table, index once — /root/reference/src/myloader/
+      myloader_worker_index.c:107-171). UNIQUE keys restore as unique
+      indexes because ``ALTER TABLE ADD CONSTRAINT`` is not portable
+      (DuckDB's ALTER surface lacks it); the enforcement is identical.
+    - ``constraint``: FK / CHECK ``ALTER TABLE ADD`` — mysql-family targets
+      only (the one dialect whose ALTER surface accepts them all).
+    - ``skipped``: human-readable records of anything the target dialect
+      cannot replay — surfaced, never silently dropped.
+
+    ``qualified_table`` must already be quoted for the target dialect
+    (engine.restore's target_table)."""
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    out: dict[str, list[str]] = {"index": [], "constraint": [], "skipped": []}
+    for u in descriptor.get("uniques", []):
+        name = u["name"] or "uq_" + "_".join(u["columns"])
+        cols = ", ".join(q(c) for c in u["columns"])
+        out["index"].append(
+            f"CREATE UNIQUE INDEX {q(name)} ON {qualified_table} ({cols})")
+    for ix in descriptor.get("indexes", []):
+        kind = "UNIQUE INDEX" if ix.get("unique") else "INDEX"
+        cols = ", ".join(q(c) for c in ix["columns"])
+        out["index"].append(
+            f"CREATE {kind} {q(ix['name'])} ON {qualified_table} ({cols})")
+    for fk in descriptor.get("foreign_keys", []):
+        if dialect != "mysql":
+            out["skipped"].append(
+                f"foreign key {fk['name'] or fk['columns']}: target dialect "
+                f"{dialect!r} has no ALTER TABLE ADD CONSTRAINT")
+            continue
+        cols = ", ".join(q(c) for c in fk["columns"])
+        rcols = ", ".join(q(c) for c in fk["ref_columns"])
+        rtable = ".".join(q(p) for p in fk["ref_table"].split("."))
+        name = f" {q(fk['name'])}" if fk["name"] else ""
+        out["constraint"].append(
+            f"ALTER TABLE {qualified_table} ADD CONSTRAINT{name} "
+            f"FOREIGN KEY ({cols}) REFERENCES {rtable} ({rcols})")
+    for ck in descriptor.get("checks", []):
+        if dialect != "mysql":
+            out["skipped"].append(
+                f"check {ck['name'] or ck['expr']}: target dialect "
+                f"{dialect!r} has no ALTER TABLE ADD CONSTRAINT")
+            continue
+        name = f" {q(ck['name'])}" if ck["name"] else ""
+        out["constraint"].append(
+            f"ALTER TABLE {qualified_table} ADD CONSTRAINT{name} "
+            f"CHECK ({ck['expr']})")
+    return out
+
+
+def descriptor_is_empty(descriptor: dict | None) -> bool:
+    return not descriptor or not any(descriptor.get(k) for k in
+                                     ("primary_key", "uniques", "indexes",
+                                      "foreign_keys", "checks"))

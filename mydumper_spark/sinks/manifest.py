@@ -25,9 +25,22 @@ from mydumper_spark.functions.checksum import table_checksum
 class TableEntry:
     name: str
     rows: int
-    data_checksum: int
+    #: None when the dump ran with checksum=False — rows are still recorded
+    #: (restore ordering O4 needs them) but L9 verification is skipped
+    data_checksum: int | None
     schema_checksum: str
     path: str | None = None
+    #: raw source DDL artifact (`<name>-schema.sql`, the reference's
+    #: db.table-schema.sql, mydumper_jobs.c:274) — None when the source
+    #: exposes no DDL (parquet corpus)
+    schema_sql_path: str | None = None
+    #: A5 checksum of the DDL artifact text (reference schema_checksum is
+    #: over the column definitions; this covers the full artifact)
+    schema_sql_checksum: str | None = None
+    #: machine-readable key/constraint descriptor (plans/ddl.py contract)
+    #: captured from the source catalog — what engine.restore replays as
+    #: phase-ordered DDL on the target (L6/L7)
+    schema_def: dict | None = None
     #: source schema/database for multi-schema dumps (the manifest key is
     #: then "db.table"); None when the dump had a single namespace. What
     #: lets a jdbc-target restore tell "schema s1, table t" apart from a
@@ -47,27 +60,53 @@ class Manifest:
     #: replays. Recorded in the manifest so verification always recomputes
     #: with the same algorithm the dump used.
     algorithm: str = "xxhash64"
+    #: data format of the dump's table files (parquet | csv | jsonl) —
+    #: recorded so verify/restore dispatch the right reader instead of
+    #: guessing from path extensions alone
+    fmt: str = "parquet"
     #: reference [source] section: the GTID/binlog position the dump is
     #: consistent at, set by the S11 fence (engine._open_source)
     source_info: dict[str, str] = field(default_factory=dict)
+    #: lineage for incremental dumps: the parent manifest this dump is a
+    #: delta against (the reference daemon's "last good snapshot" chain,
+    #: mydumper_daemon_thread.c:33-146); None for full dumps
+    parent_manifest: str | None = None
     tables: dict[str, TableEntry] = field(default_factory=dict)
 
     def add_table(self, df: DataFrame, name: str, path: str | None = None,
                   database: str | None = None) -> TableEntry:
-        cs = table_checksum(df, algorithm=self.algorithm)
-        entry = TableEntry(
-            name=name,
-            rows=cs["rows"],
-            data_checksum=cs["checksum"],
-            schema_checksum=_schema_checksum(df),
-            path=path,
-            database=database,
-        )
+        entry = build_entry(df, name, self.algorithm, path=path,
+                            database=database)
         self.tables[name] = entry
         return entry
 
     def finish(self) -> None:
         self.finished_at = time.time()
+
+
+def build_entry(df: DataFrame, name: str, algorithm: str,
+                path: str | None = None, database: str | None = None,
+                checksum: bool = True) -> TableEntry:
+    """Compute one table's manifest entry. A standalone function (not a
+    ``Manifest`` method) so the parallel dump path can compute entries on
+    pool threads — each runs its own Spark checksum job — and merge them
+    into the manifest dict afterwards in deterministic catalog order,
+    without locking the manifest."""
+    if checksum:
+        cs = table_checksum(df, algorithm=algorithm)
+        rows, dcs = cs["rows"], cs["checksum"]
+    else:
+        # --no-checksum still records rows (O4 largest-first restore
+        # ordering needs them; parquet count is a footer-metadata read)
+        rows, dcs = df.count(), None
+    return TableEntry(
+        name=name,
+        rows=rows,
+        data_checksum=dcs,
+        schema_checksum=_schema_checksum(df),
+        path=path,
+        database=database,
+    )
 
 
 def _schema_checksum(df: DataFrame) -> str:
@@ -89,10 +128,13 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
         "config": {
             "quote_character": manifest.quote_character,
             "checksum_algorithm": manifest.algorithm,
+            "format": manifest.fmt,
         },
         "started_at": manifest.started_at,
         "finished_at": manifest.finished_at,
         "source": manifest.source_info,
+        **({"parent_manifest": manifest.parent_manifest}
+           if manifest.parent_manifest else {}),
         "tables": {
             t: {
                 "rows": e.rows,
@@ -100,6 +142,10 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
                 "schema_checksum": e.schema_checksum,
                 "path": e.path,
                 "database": e.database,
+                **({"schema_sql_path": e.schema_sql_path,
+                    "schema_sql_checksum": e.schema_sql_checksum}
+                   if e.schema_sql_path else {}),
+                **({"schema_def": e.schema_def} if e.schema_def else {}),
             }
             for t, e in sorted(manifest.tables.items())  # O5 metadata sorting
         },
@@ -131,7 +177,8 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
                 e.database or "default",
                 t[len(e.database) + 1:] if e.database else t,  # bare name
                 rows=e.rows,
-                data_checksum=str(e.data_checksum),
+                data_checksum=(str(e.data_checksum)
+                               if e.data_checksum is not None else None),
                 schema_checksum=str(e.schema_checksum),
             )
             for t, e in sorted(manifest.tables.items())
@@ -160,11 +207,39 @@ def manifest_algorithm(doc: dict) -> str:
     return doc.get("config", {}).get("checksum_algorithm", "md5")
 
 
+def read_dumped_table(spark, entry: dict) -> "DataFrame | None":
+    """Typed read of one manifest entry's dumped data, dispatching on the
+    recorded path's format: parquet directly; jsonl through its
+    ``.schema.json`` sidecar (JSON is stringly-typed — inference would not
+    round-trip the dumped types). Returns None for formats that cannot be
+    re-read faithfully without dump-time options (csv: the dialect knobs
+    and schema are not stored as a sidecar) — callers report
+    "unverifiable", they don't crash."""
+    path = entry.get("path")
+    if not path or not os.path.exists(path):
+        return None
+    if path.endswith(".parquet"):
+        return spark.read.parquet(path)
+    if path.endswith(".jsonl"):
+        from pyspark.sql import types as T
+
+        sidecar = path[: -len(".jsonl")] + ".schema.json"
+        if not os.path.exists(sidecar):
+            return None
+        with open(sidecar) as f:
+            schema = T.StructType.fromJson(json.load(f))
+        return spark.read.schema(schema).json(path)
+    return None
+
+
 def verify_manifest(spark, root: str) -> dict[str, dict]:
     """L9 checksum verification: recompute every table's checksum from its
     dumped files and compare (/root/reference/src/checksum.c:202-302),
-    honoring the algorithm recorded at dump time.
-    Returns {table: {"ok": bool, "expected": ..., "actual": ...}}."""
+    honoring the algorithm recorded at dump time. Format-aware: parquet
+    and jsonl dumps verify; formats whose files can't be re-read faithfully
+    (csv without a schema sidecar) return ok=None with a reason instead of
+    crashing on a wrong-format read.
+    Returns {table: {"ok": bool|None, "expected": ..., "actual": ...}}."""
     doc = read_manifest(root)
     algo = manifest_algorithm(doc)
     results = {}
@@ -172,7 +247,18 @@ def verify_manifest(spark, root: str) -> dict[str, dict]:
         if not entry.get("path"):
             results[t] = {"ok": None, "reason": "no data path recorded"}
             continue
-        df = spark.read.parquet(entry["path"])
+        if entry.get("data_checksum") is None:
+            results[t] = {"ok": None,
+                          "reason": "dump ran without checksums"}
+            continue
+        df = read_dumped_table(spark, entry)
+        if df is None:
+            results[t] = {
+                "ok": None,
+                "reason": f"format of {entry['path']!r} cannot be re-read "
+                          "for verification (csv needs restore-side verify)",
+            }
+            continue
         cs = table_checksum(df, algorithm=algo)
         results[t] = {
             "ok": cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"],

@@ -232,7 +232,12 @@ def test_dump_pathological_table_names_roundtrip(spark, tmp_path):
 
     files = set(os.listdir(out))
     assert not any("%" in f or "/" in f for f in files)
-    assert sum(f.startswith("mydumper_") for f in files) == 3
+    data_files = {f for f in files if not f.endswith("-schema.sql")}
+    assert sum(f.startswith("mydumper_") for f in data_files) == 3
+    # the captured DDL artifacts are safe-named through the same registry
+    schema_files = files - data_files
+    assert len(schema_files) == 3
+    assert all(f.startswith("mydumper_") for f in schema_files)
     target = str(tmp_path / "weird_restore")
     results = restore(spark, out, target)
     assert results["load"] == {"a.b": True, "t%": True, "a/b": True}
@@ -489,3 +494,93 @@ def test_dump_jdbc_fence_flags_writes_during_dump(spark, dump_db, tmp_path):
         manifest = dump(spark, dump_db, cfg)
     assert manifest.source_info["consistency"] == "writes-during-dump"
     assert any("advanced during the dump" in str(w.message) for w in caught)
+
+
+def test_ddl_capture_and_replay_roundtrip_live(spark, tmp_path):
+    """Round-7 parity gap closed, live: a DB→dump→DB round-trip preserves
+    KEYS, not just rows. The source table carries a PK, a UNIQUE and a
+    secondary index; dump captures them (`-schema.sql` artifact + manifest
+    descriptor, mydumper_jobs.c:128-344), restore re-creates the PK inline
+    in the CREATE and replays the secondary index + unique AFTER the data
+    phase (L6 --optimize-keys, myloader_worker_index.c:107-171)."""
+    import json
+    import os
+
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "keys_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute(
+        "CREATE TABLE invoices ("
+        "inv_id INTEGER PRIMARY KEY, "
+        "ext_ref VARCHAR UNIQUE, "
+        "cust INTEGER NOT NULL, "
+        "amount DOUBLE)"
+    )
+    con.execute("CREATE INDEX idx_cust ON invoices(cust)")
+    con.execute(
+        "INSERT INTO invoices SELECT range, 'r' || range, range % 7, "
+        "range * 1.5 FROM range(200)"
+    )
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "keys_dump")
+    manifest = dump(spark, f"jdbc:duckdb:{src}",
+                    DumpConfig(output_dir=out,
+                               jdbc_properties=dict(DRIVER_PROPS)))
+    entry = manifest.tables["invoices"]
+    # raw artifact: the server's own DDL text, checksummed in the manifest
+    assert entry.schema_sql_path and os.path.exists(entry.schema_sql_path)
+    raw = open(entry.schema_sql_path).read()
+    assert "PRIMARY KEY" in raw and "idx_cust" in raw
+    assert entry.schema_def["primary_key"] == ["inv_id"]
+    assert [u["columns"] for u in entry.schema_def["uniques"]] == [["ext_ref"]]
+    assert {ix["name"] for ix in entry.schema_def["indexes"]} == {"idx_cust"}
+    doc = json.load(open(os.path.join(out, "_manifest.json")))
+    assert doc["tables"]["invoices"]["schema_def"]["primary_key"] == ["inv_id"]
+
+    target = str(tmp_path / "keys_target.duckdb")
+    applied = []
+
+    def ddl_executor(sql):
+        applied.append(sql)
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}",
+        parallelism=1,
+        jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor,
+        jdbc_num_partitions=1,
+    )
+    assert results["load"] == {"invoices": True}
+    assert results["verify"] == {"invoices": True}
+    assert results["ddl"]["index"] == {"invoices": True}
+    # phase order: every CREATE INDEX was issued after the data DELETE
+    # (the data phase's first statement) — deferred, not inline
+    delete_pos = next(i for i, s in enumerate(applied)
+                      if s.startswith("DELETE FROM"))
+    index_pos = [i for i, s in enumerate(applied)
+                 if s.startswith(("CREATE INDEX", "CREATE UNIQUE INDEX"))]
+    assert index_pos and all(i > delete_pos for i in index_pos)
+
+    con = duckdb.connect(target)
+    ctypes = dict(con.execute(
+        "SELECT constraint_type, count(*) FROM duckdb_constraints() "
+        "WHERE table_name = 'invoices' GROUP BY 1").fetchall())
+    idx = con.execute(
+        "SELECT index_name, is_unique FROM duckdb_indexes() "
+        "WHERE table_name = 'invoices'").fetchall()
+    n = con.execute("SELECT count(*) FROM invoices").fetchone()[0]
+    con.close()
+    assert n == 200
+    assert ctypes.get("PRIMARY KEY") == 1
+    names = {name for name, _ in idx}
+    assert "idx_cust" in names
+    assert any(uq for _, uq in idx)  # the unique key survived as unique

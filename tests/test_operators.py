@@ -1206,3 +1206,23 @@ def test_semantic_dedup_batch_twin_identical(spark):
     b = sorted(r["vec_id"] for r in
                sim.semantic_dedup_batch(corpus, 0.9, 4, centroids=cents).collect())
     assert a == b and 0 < len(a) <= corpus.count()
+
+
+def test_shuffle_corpus_sharded_file_order_is_permutation(spark, tmp_path):
+    """ADVICE r6: physical layout must match the contract. Sharded output
+    written as-is (no consumer-side ORDER BY) and read back file-by-file in
+    filename order reproduces the exact global permutation — the range
+    exchange lays partitions out in shard order, unlike a hash
+    repartition which scatters shards across files."""
+    import glob as _glob
+
+    from mydumper_spark.operators.sampling import shuffle_corpus
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    total = [r["doc_id"] for r in shuffle_corpus(df, seed=3).collect()]
+    out = str(tmp_path / "shards")
+    shuffle_corpus(df, seed=3, n_shards=8).write.parquet(out)
+    got = []
+    for f in sorted(_glob.glob(f"{out}/part-*.parquet")):
+        got.extend(r["doc_id"] for r in spark.read.parquet(f).collect())
+    assert got == total
