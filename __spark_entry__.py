@@ -1331,6 +1331,126 @@ WHERE NOT EXISTS (
 """
 
 
+def x_embcurate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full embedding-curation composite as ONE pipeline (the
+    `embcurate` CLI shape, benched so the curation stack has a wall-time
+    guard like dedup/ANN do): semantic decontamination against the eval
+    slice (vec_id % 13) → SemDeDup within IVF cells (GEMM production path)
+    → survivors joined to their documents → DSIR importance selection of
+    the 100 most target-like docs — **oracle-backed**: DuckDB replays all
+    three stages from first principles in one CTE chain (decon cosine
+    NOT-EXISTS; cellmap + within-cell earlier-neighbor drop; sha256
+    bigram-bucket ratio scoring with TakeOrdered semantics)."""
+    from mydumper_spark.operators.similarity import (
+        embedding_decontaminate,
+        ivf_centroids_from_ids,
+        semantic_dedup_batch,
+    )
+    from mydumper_spark.operators.text import dsir_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    clean = embedding_decontaminate(emb, emb.where("vec_id % 13 = 0"),
+                                    threshold=0.4)
+    cents = ivf_centroids_from_ids(emb, n_cells=4)
+    kept = semantic_dedup_batch(clean, threshold=0.4, n_cells=4,
+                                centroids=cents)
+    cur = docs.join(kept.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    return dsir_select(cur, cur.where("doc_id % 17 = 0"), n=100,
+                       hash_fn="sha256")
+
+
+_EMBCURATE_SQL = """
+WITH clean AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM embeddings q
+    WHERE q.vec_id % 13 = 0
+      AND round(
+            list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+          >= 0.4
+  )
+),
+icents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 4
+),
+cellscore AS (
+  SELECT c.vec_id, ic.cell,
+         list_sum(list_transform(list_zip(c.embedding, ic.cvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         - list_sum(list_transform(ic.cvec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 2.0 AS d
+  FROM clean c, icents ic
+),
+cellmap AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rn
+    FROM cellscore
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM cellmap a
+  JOIN cellmap b ON a.cell = b.cell AND a.vec_id > b.vec_id
+  JOIN clean ea ON ea.vec_id = a.vec_id
+  JOIN clean eb ON eb.vec_id = b.vec_id
+  WHERE round(
+          list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ea.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(eb.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        >= 0.4
+),
+cur AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN clean c ON d.doc_id = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+),
+toksrc AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM cur
+),
+gramlists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks)),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+         END AS gs
+  FROM toksrc
+),
+g AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(unnest(gs)), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM gramlists
+),
+s AS (SELECT b, count(*) AS sc FROM g GROUP BY b),
+t AS (SELECT b, count(*) AS tc FROM g WHERE doc_id % 17 = 0 GROUP BY b),
+dist AS (
+  SELECT s.b,
+         CAST((COALESCE(t.tc, 0) + 1) * 1000000 // (s.sc + 1) AS BIGINT) AS ratio
+  FROM s LEFT JOIN t USING (b)
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(ratio) AS BIGINT) AS score,
+       CAST(CAST(sum(ratio) AS BIGINT) // count(*) AS BIGINT) AS score_avg
+FROM g JOIN dist USING (b)
+GROUP BY g.doc_id
+ORDER BY score_avg DESC, g.doc_id ASC
+LIMIT 100
+"""
+
+
 def x_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (seed 7), proven
     cross-engine by ranking the full order — both engines must produce the
@@ -4014,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_semantic_dedup": x_semantic_dedup,
         "x_embedding_decontaminate": x_embedding_decontaminate,
+        "x_embcurate_select": x_embcurate_select,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "a4_checksums_fast": a4_checksums_fast,
         "x_pq_trained_topk": x_pq_trained_topk,
@@ -4129,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
         "x_embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "x_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "x_embedding_decontaminate": _EMB_DECON_SQL,
+        "x_embcurate_select": _EMBCURATE_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "x_ivf_pq_topk",
     # production checksum path (xxhash64 row hash); md5 twin stays above
     "a4_checksums_fast",
+    # the embedding-curation composite (decontaminate → SemDeDup → DSIR
+    # select) — wall-time guard for the whole curation stack in one entry
+    "x_embcurate_select",
 ]
 
 

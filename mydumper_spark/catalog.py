@@ -100,7 +100,8 @@ class TableFilters:
         return True
 
 
-def pick_chunk_column(meta: TableMeta) -> str | None:
+def pick_chunk_column(meta: TableMeta,
+                      profile: list[dict] | None = None) -> str | None:
     """O6: choose the scan-partitioning column.
 
     Reference order: PK, else first UNIQUE, else highest-cardinality index
@@ -108,7 +109,15 @@ def pick_chunk_column(meta: TableMeta) -> str | None:
     chunking (mydumper_chunks.c:142-248). Without index stats we prefer the
     first integral PK column, then any integral ``*key``/``*id`` column, then
     the first string PK column (string chunking is the fallback there too).
-    """
+
+    ``profile`` — a ``_profile.json`` table section from a prior dump
+    (operators/profile.py rows: column_name / n_rows / n_distinct /
+    n_nulls) — plays the role of the reference's
+    ``information_schema.STATISTICS`` cardinality input: for PK-less
+    tables, the integral column with the highest distinct count (and no
+    null majority) wins over the name heuristic. A 3-value ``status_id``
+    column must never become the chunk key when a million-value sequence
+    column sits beside it — chunk count is bounded by key cardinality."""
     schema = meta.schema
     if schema is None:
         return meta.primary_key[0] if meta.primary_key else None
@@ -117,6 +126,22 @@ def pick_chunk_column(meta: TableMeta) -> str | None:
         f = by_name.get(c)
         if f is not None and isinstance(f.dataType, _INTEGRAL_TYPES):
             return c
+    if profile:
+        stats = {r["column_name"]: r for r in profile}
+        best, best_card = None, 1
+        for f in schema.fields:  # schema order breaks ties deterministically
+            if not isinstance(f.dataType, _INTEGRAL_TYPES):
+                continue
+            r = stats.get(f.name)
+            if r is None or not r.get("n_distinct"):
+                continue
+            n_rows = r.get("n_rows") or 0
+            if r.get("n_nulls", 0) * 2 > n_rows:  # null-majority: bad key
+                continue
+            if r["n_distinct"] > best_card:
+                best, best_card = f.name, r["n_distinct"]
+        if best is not None:
+            return best
     for f in schema.fields:
         if isinstance(f.dataType, _INTEGRAL_TYPES) and re.search(r"(key|id)$", f.name, re.I):
             return f.name
@@ -284,6 +309,21 @@ class JdbcCatalog:
         return self.spark.read.jdbc(
             url=self.url, table=table, properties=self.properties
         )
+
+
+def load_profiles(dump_dir: str) -> dict[str, list[dict]]:
+    """Per-table column-profile sections from a prior ``dump --profile``
+    run's ``_profile.json`` — the cardinality input :func:`pick_chunk_column`
+    uses in place of the reference's ``information_schema.STATISTICS``
+    (mydumper_table.c:181-239). Missing file → empty dict (profiles are an
+    optimization input, never a requirement)."""
+    import json
+
+    path = os.path.join(dump_dir, "_profile.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -94,12 +94,19 @@ def cmd_dump(args: argparse.Namespace) -> int:
         profile=args.profile,
     )
     spark = _session(args.threads)
-    manifest = dump(spark, args.source, cfg)
+    if getattr(args, "since", None):
+        from mydumper_spark.engine import dump_incremental
+
+        manifest = dump_incremental(spark, args.source, cfg, args.since)
+    else:
+        manifest = dump(spark, args.source, cfg)
     print(
         json.dumps(
             {
                 "dumped_tables": len(manifest.tables),
                 "rows": {t: e.rows for t, e in sorted(manifest.tables.items())},
+                **({"incremental_since": args.since}
+                   if getattr(args, "since", None) else {}),
                 "outputdir": args.outputdir,
             }
         )
@@ -407,6 +414,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--no-checksum", action="store_true")
     d.add_argument("-E", "--exec", dest="exec_cmd", help="run CMD per finished file (K9)")
     d.add_argument("--masquerade-filename", action="store_true", help="hash table names in output paths (T13)")
+    d.add_argument("--since", metavar="PARENT_DUMP_DIR",
+                   help="incremental dump: emit only rows added/changed "
+                        "since this parent dump (P10/K10 daemon analogue); "
+                        "deleted keys recorded per table")
     d.add_argument("--profile", action="store_true",
                    help="write per-table per-column stats to _profile.json")
     d.set_defaults(fn=cmd_dump)

@@ -323,8 +323,12 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
 
 
 def plan_for_table(spark: SparkSession, meta: TableMeta, df: DataFrame,
-                   num_chunks: int | None) -> ChunkPlan:
-    col = pick_chunk_column(meta)
+                   num_chunks: int | None,
+                   profile: list[dict] | None = None) -> ChunkPlan:
+    """Per-table chunk plan; ``profile`` (a prior dump's ``_profile.json``
+    section, catalog.load_profiles) upgrades the chunk-column pick to
+    cardinality-driven for PK-less tables (O6)."""
+    col = pick_chunk_column(meta, profile=profile)
     if col is None:
         return ChunkPlan(column=None, strategy="none")
     return plan_chunks(df, col, num_chunks)
@@ -411,6 +415,12 @@ def restore(
             return spark.read.parquet(target_paths[t])
 
     def source_df(table: str, src_path: str | None) -> DataFrame:
+        # incremental entries hold a DELTA; restores materialize the full
+        # state through the parent-manifest chain (K10/P10)
+        if doc["tables"][table].get("incremental"):
+            from mydumper_spark.sinks.manifest import materialized_table
+
+            return materialized_table(spark, dump_root, table)
         # manifest path wins: weird/masqueraded names don't match the
         # table-name-derived default (FilenameRegistry mapping)
         if src_path and src_path.endswith(".parquet") and os.path.exists(src_path):
@@ -562,3 +572,122 @@ def restore(
             checks[t] = cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"]
         results["verify"] = checks
     return results
+
+
+def dump_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: DumpConfig,
+    parent_dir: str,
+) -> Manifest:
+    """``dump --since <parent>``: emit only the rows added or changed since
+    the parent dump, plus each table's deleted-key set — the honest Spark
+    answer to the reference's ``--updated-since`` / daemon snapshot ring
+    (P10/K10, mydumper_daemon_thread.c:33-146), but row-accurate instead of
+    table-mtime-coarse.
+
+    Per table with a usable PK: the parent's state (chain-materialized) and
+    the live source reduce to (pk, digest) and full-outer join — change
+    traffic is keys + 8-byte digests (operators/diff.py), never unchanged
+    payloads. The delta file carries added+changed rows; ``-deletes``
+    carries vanished keys; the manifest entry records the FULL-state
+    checksum (what a restore must reproduce), lineage points at the parent
+    manifest. Tables without a PK (or new tables) fall back to a full
+    re-dump, recorded as mode=full. Incremental dumps are parquet-only."""
+    import hashlib as _hashlib
+
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.diff import snapshot_diff
+    from mydumper_spark.sinks.exec_sink import FilenameRegistry
+    from mydumper_spark.sinks.manifest import (
+        build_entry,
+        materialized_table,
+        read_manifest,
+    )
+
+    if cfg.fmt != "parquet":
+        raise ValueError("incremental dumps support fmt='parquet' only")
+    parent_doc = read_manifest(parent_dir)
+    cat, fence, _dialect = _open_source(spark, source_dir, cfg)
+    manifest = Manifest(fmt="parquet")
+    manifest.parent_manifest = os.path.abspath(parent_dir)
+    try:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        fnames = FilenameRegistry()
+        metas = cat.discover(cfg.filters)
+        multi_db = len({m.database for m in metas}) > 1
+        for meta in metas:
+            key = meta.qualified_name if multi_db else meta.name
+            db_rec = meta.database if multi_db else None
+            tt = cfg.per_table.get(key)
+            if tt is None and not multi_db:
+                tt = cfg.per_table.get(meta.qualified_name)
+            cur = apply_transform(cat.read(meta, cfg.chunks_per_table), tt,
+                                  global_where=cfg.global_where)
+            out_name = fnames.filename_for(key)
+            parent_entry = parent_doc["tables"].get(key)
+            pk = [c for c in meta.primary_key if c in cur.columns]
+            if parent_entry is None or not pk or parent_entry.get("path") is None:
+                # new table / no PK / schema-only parent: full re-dump
+                path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
+                write_parquet(cur, path, cfg.max_records_per_file)
+                entry = build_entry(spark.read.parquet(path), key,
+                                    manifest.algorithm, path=path,
+                                    database=db_rec, checksum=cfg.checksum)
+                manifest.tables[key] = entry
+                continue
+            old = materialized_table(spark, parent_dir, key)
+            d = snapshot_diff(old, cur, pk).localCheckpoint(eager=True)
+            adds = d.where(F.col("status").isin("added", "changed")).select(*pk)
+            dels = d.where(F.col("status") == "deleted").select(*pk)
+            path = os.path.join(cfg.output_dir, f"{out_name}.delta.parquet")
+            write_parquet(cur.join(F.broadcast(adds), pk, "left_semi"), path,
+                          cfg.max_records_per_file)
+            del_path = os.path.join(cfg.output_dir,
+                                    f"{out_name}.deletes.parquet")
+            write_parquet(dels, del_path)
+            counts = {
+                row["status"]: row["count"]
+                for row in d.groupBy("status").count().collect()
+            }
+            # the entry checksums the RECONSTRUCTED state (parent ⊎ written
+            # delta), not the source scan — a bad delta write fails verify
+            inc_rec = {
+                "pk": pk,
+                "delete_path": del_path,
+                "added": int(counts.get("added", 0)),
+                "changed": int(counts.get("changed", 0)),
+                "deleted": int(counts.get("deleted", 0)),
+                "parent_rows": parent_entry["rows"],
+            }
+            manifest.tables[key] = build_entry(
+                _materialize_from_parts(spark, parent_dir, key, path,
+                                        del_path, pk),
+                key, manifest.algorithm, path=path, database=db_rec,
+                checksum=cfg.checksum)
+            manifest.tables[key].incremental = inc_rec
+    finally:
+        if fence is not None:
+            fence.release()
+    with open(os.path.join(parent_dir, "_manifest.json"), "rb") as f:
+        manifest.source_info["parent_manifest_md5"] = _hashlib.md5(
+            f.read()).hexdigest()
+    manifest.finish()
+    write_manifest(manifest, cfg.output_dir)
+    return manifest
+
+
+def _materialize_from_parts(spark, parent_dir, table, delta_path, del_path, pk):
+    """Parent state ⊎ freshly WRITTEN delta/deletes — what a restore of
+    this incremental dump will reconstruct (read back from disk, so the
+    manifest checksum covers the written bytes)."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.sinks.manifest import materialized_table
+
+    base = materialized_table(spark, parent_dir, table)
+    delta = spark.read.parquet(delta_path)
+    gone = spark.read.parquet(del_path).select(*pk)
+    drop = gone.unionByName(delta.select(*pk)).distinct()
+    return base.join(F.broadcast(drop), pk, "left_anti").unionByName(delta)

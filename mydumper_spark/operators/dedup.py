@@ -102,11 +102,17 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as array<bigint>: min over shingles of xxhash64(s,
-    seed_i) per hash function — one array expression, no explode."""
-    sh = shingles(col, k)
+    """MinHash signature as array<bigint>: min over HASHED distinct
+    shingles of xxhash64(h, seed_i) per hash function — one array
+    expression, no explode. The two-level hashing (shingle string →
+    bigint, then per-function reseed over the bigint) is EXACTLY the batch
+    pipeline's formula (minhash_lsh_pairs below), so the streaming intake
+    and the batch join produce identical signatures and hence identical
+    bucket collisions — a corpus replayed as micro-batches proposes the
+    same candidates the batch self-join does."""
+    sh = F.array_distinct(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(sh, lambda h: F.xxhash64(h, F.lit(i)))) for i in range(num_hashes)]
     )
 
 

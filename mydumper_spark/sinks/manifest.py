@@ -41,6 +41,10 @@ class TableEntry:
     #: captured from the source catalog — what engine.restore replays as
     #: phase-ordered DDL on the target (L6/L7)
     schema_def: dict | None = None
+    #: incremental-dump record: {pk, delete_path, added, changed, deleted,
+    #: parent_rows} — set when ``path`` holds a delta, not a full table;
+    #: rows/data_checksum describe the reconstructed FULL state
+    incremental: dict | None = None
     #: source schema/database for multi-schema dumps (the manifest key is
     #: then "db.table"); None when the dump had a single namespace. What
     #: lets a jdbc-target restore tell "schema s1, table t" apart from a
@@ -146,6 +150,7 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
                     "schema_sql_checksum": e.schema_sql_checksum}
                    if e.schema_sql_path else {}),
                 **({"schema_def": e.schema_def} if e.schema_def else {}),
+                **({"incremental": e.incremental} if e.incremental else {}),
             }
             for t, e in sorted(manifest.tables.items())  # O5 metadata sorting
         },
@@ -232,6 +237,33 @@ def read_dumped_table(spark, entry: dict) -> "DataFrame | None":
     return None
 
 
+def materialized_table(spark, dump_root: str, table: str):
+    """Reconstruct one table's FULL current state from a dump that may be
+    incremental: walk the parent-manifest chain to the base full dump, then
+    replay each generation's delta (drop deleted/changed keys, union the
+    delta rows) — ``apply_diff`` semantics over the dumped artifacts.
+    Cost is proportional to chain length × change volume, the whole point
+    of incremental dumps (the reference daemon's snapshot ring K10 keeps
+    full dumps; we keep one full + deltas)."""
+    from pyspark.sql import functions as F
+
+    doc = read_manifest(dump_root)
+    entry = doc["tables"][table]
+    inc = entry.get("incremental")
+    if not inc:
+        return read_dumped_table(spark, entry)
+    base = materialized_table(spark, doc["parent_manifest"], table)
+    pk = inc["pk"]
+    delta = (spark.read.parquet(entry["path"]) if entry.get("path")
+             else base.limit(0))
+    gone = (spark.read.parquet(inc["delete_path"]).select(*pk)
+            if inc.get("delete_path") else delta.select(*pk).limit(0))
+    # changed keys appear in BOTH the delta (new version) and the drop set
+    drop = gone.unionByName(delta.select(*pk)).distinct()
+    kept = base.join(F.broadcast(drop), pk, "left_anti")
+    return kept.unionByName(delta)
+
+
 def verify_manifest(spark, root: str) -> dict[str, dict]:
     """L9 checksum verification: recompute every table's checksum from its
     dumped files and compare (/root/reference/src/checksum.c:202-302),
@@ -251,7 +283,11 @@ def verify_manifest(spark, root: str) -> dict[str, dict]:
             results[t] = {"ok": None,
                           "reason": "dump ran without checksums"}
             continue
-        df = read_dumped_table(spark, entry)
+        if entry.get("incremental"):
+            # delta entry: checksums cover the reconstructed full state
+            df = materialized_table(spark, root, t)
+        else:
+            df = read_dumped_table(spark, entry)
         if df is None:
             results[t] = {
                 "ok": None,

@@ -222,3 +222,102 @@ def streaming_minhash_buckets(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def exact_verify_candidates(
+    candidates: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """foreachBatch half of the streaming near-dup pipeline: LSH candidate
+    rows from :func:`streaming_minhash_buckets` (``doc_id`` + non-null
+    ``prior_doc``) → exactly-verified pairs ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b`` — the SAME shingle-set Jaccard the batch
+    ``minhash_lsh_pairs`` computes, so streaming and batch verdicts agree
+    by construction on shared candidates. ``store`` is the document corpus
+    accumulated so far (the landing zone read as a batch frame: candidate
+    ids always resolve because every candidate was, by definition, already
+    written there).
+
+    LSH never affects correctness here, only which pairs are PROPOSED:
+    per-bucket state keeps the earliest holder (8 bytes), so candidates
+    are (arriving doc → earliest bucket holder) — the anchor shape. A
+    later pair both colliding only *through* a shared earlier anchor is
+    the documented streaming trade vs the batch all-pairs bucket join."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.dedup import shingles
+
+    cand = (
+        candidates.where(F.col("prior_doc").isNotNull())
+        .select(
+            F.least("doc_id", "prior_doc").alias("id_a"),
+            F.greatest("doc_id", "prior_doc").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = store.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+    enriched = (
+        cand.join(sh.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("sh").alias("sh_b")), "id_b")
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return (
+        enriched.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def streaming_minhash_pairs(
+    stream: DataFrame,
+    store,
+    on_pairs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.6,
+):
+    """End-to-end streaming near-dup pipeline: stateful LSH intake →
+    per-batch exact verification → verified-pair sink. Returns a
+    ``DataStreamWriter`` (caller adds checkpoint/trigger and ``start()``).
+
+    - ``store``: zero-arg callable returning the corpus-so-far as a batch
+      DataFrame (typically ``lambda: spark.read.parquet(landing)``).
+    - ``on_pairs(pairs_df, batch_id)``: sink callback per micro-batch with
+      the verified ``(id_a, id_b, jaccard)`` rows.
+
+    This is the streaming twin of the batch ``minhash_lsh_pairs``: same
+    shingle hashing, same banding arithmetic, same exact-Jaccard verify —
+    only candidate generation differs (cross-batch bucket state instead of
+    a bucket self-join). On corpora whose collisions are anchored at the
+    earliest member of each dup group, the accumulated pairs equal the
+    batch pipeline's output exactly (pytest-pinned)."""
+    buckets = streaming_minhash_buckets(
+        stream, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, k=k,
+    )
+
+    def _fb(batch_df, batch_id):
+        pairs = exact_verify_candidates(
+            batch_df, store(), text_col=text_col, id_col=id_col, k=k,
+            jaccard_threshold=jaccard_threshold,
+        )
+        on_pairs(pairs, batch_id)
+
+    return buckets.writeStream.foreachBatch(_fb).outputMode("update")

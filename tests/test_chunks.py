@@ -292,3 +292,45 @@ def test_fence_for_dump_warns_without_factory():
         _warnings.simplefilter("always")
         assert snapshot_fence_for_dump(_dialect(ServerProduct.MYSQL), None) is None
     assert any("NOT fenced" in str(w.message) for w in caught)
+
+
+def test_pick_chunk_column_profile_beats_name_heuristic(spark, tmp_path):
+    """O6 with profile stats: a PK-less table whose name-matching integral
+    column is low-cardinality must chunk on the genuinely high-cardinality
+    column when a prior dump's _profile.json is supplied — the reference's
+    index-cardinality pick (mydumper_table.c:181-239) fed from our own
+    profiles instead of information_schema.STATISTICS."""
+    from pyspark.sql import types as T
+
+    from mydumper_spark.catalog import TableMeta, load_profiles, pick_chunk_column
+    from mydumper_spark.engine import DumpConfig, dump
+
+    schema = T.StructType([
+        T.StructField("status_id", T.LongType()),   # matches the id$ heuristic
+        T.StructField("seq", T.LongType()),         # the real key
+        T.StructField("payload", T.StringType()),
+    ])
+    meta = TableMeta(database="d", name="events_log", primary_key=[],
+                     schema=schema)
+    # without stats the name heuristic wins (all we can know)
+    assert pick_chunk_column(meta) == "status_id"
+
+    # a real profiled dump supplies the cardinality evidence
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("status_id"),
+        F.col("id").alias("seq"),
+        F.lit("x").alias("payload"),
+    )
+    src = str(tmp_path / "psrc")
+    df.write.parquet(f"{src}/events_log.parquet")
+    out = str(tmp_path / "pdump")
+    dump(spark, src, DumpConfig(output_dir=out, profile=True))
+    profiles = load_profiles(out)
+    assert pick_chunk_column(meta, profile=profiles["events_log"]) == "seq"
+    # a null-majority high-cardinality column is rejected as a chunk key
+    prof = [
+        {"column_name": "status_id", "n_rows": 1000, "n_distinct": 3, "n_nulls": 0},
+        {"column_name": "seq", "n_rows": 1000, "n_distinct": 900, "n_nulls": 800},
+    ]
+    assert pick_chunk_column(meta, profile=prof) == "status_id"
+    assert load_profiles(str(tmp_path / "nope")) == {}

@@ -931,3 +931,126 @@ def test_dump_profile_without_checksum(spark, sf_dir, tmp_path):
     assert m.tables["nation"].data_checksum is None
     res = verify_manifest(spark, out)
     assert res["nation"]["ok"] is None
+
+
+def test_streaming_minhash_pairs_matches_batch(spark, tmp_path):
+    """The composed streaming near-dup pipeline (stateful LSH intake →
+    foreachBatch exact verify) accumulated over micro-batches equals the
+    batch minhash_lsh_pairs verdicts on the same corpus with the same
+    parameters — same shingles, banding and exact Jaccard; only candidate
+    generation differs."""
+    from mydumper_spark.operators.dedup import minhash_lsh_pairs
+    from mydumper_spark.streaming.stateful import streaming_minhash_pairs
+
+    mk = lambda s: (s + " ") * 4  # noqa: E731
+    docs = [
+        (1, mk("the quick brown fox jumps over the lazy dog tonight")),
+        (2, mk("the quick brown fox jumps over the sleepy dog tonight")),
+        (3, mk("spark engines shuffle parquet row groups across many executors")),
+        (4, mk("spark engines shuffle parquet row groups across many executor")),
+        (5, mk("completely different text about cooking pasta with basil")),
+    ]
+    landing = str(tmp_path / "nd_landing")
+    ckpt = str(tmp_path / "nd_ckpt")
+    collected: list = []
+
+    def feed(rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.mode("append").parquet(landing)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .parquet(landing)
+        writer = streaming_minhash_pairs(
+            stream,
+            store=lambda: spark.read.parquet(landing),
+            on_pairs=lambda df, _id: collected.extend(df.collect()),
+            num_hashes=16, bands=8, jaccard_threshold=0.5,
+        )
+        q = writer.option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    feed(docs[:2])   # batch 1: first pair together (in-batch collision)
+    run_once()
+    feed([docs[2]])  # batch 2: anchor of the second pair
+    run_once()
+    feed(docs[3:])   # batch 3: its near-dup + an unrelated doc
+    run_once()
+
+    stream_pairs = {(r["id_a"], r["id_b"], r["jaccard"]) for r in collected}
+    batch_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            num_hashes=16, bands=8, jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert {(a, b) for a, b, _ in batch_pairs} == {(1, 2), (3, 4)}
+
+
+def test_incremental_dump_restore_roundtrip(spark, sf_dir, tmp_path):
+    """P10/K10 incremental mode: full dump → source mutates (adds, changes,
+    deletes) → `dump --since parent` emits only the delta + deleted keys →
+    restore of the incremental dump reproduces the MUTATED source exactly,
+    checksums green; a second-generation incremental chains through the
+    first."""
+    import json as _json
+
+    from mydumper_spark.engine import DumpConfig, dump, dump_incremental, restore
+    from mydumper_spark.sinks.manifest import materialized_table, verify_manifest
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    src1 = str(tmp_path / "src1")
+    nation.write.parquet(f"{src1}/nation.parquet")
+    base = str(tmp_path / "base_dump")
+    dump(spark, src1, DumpConfig(output_dir=base))
+
+    # mutate: delete keys 0-2, change 3's name, add 100-101
+    mutated = (
+        nation.where("n_nationkey >= 3")
+        .withColumn("n_name", F.when(F.col("n_nationkey") == 3,
+                                     F.lit("CHANGED")).otherwise(F.col("n_name")))
+        .unionByName(spark.createDataFrame(
+            [(100, "ATLANTIS", 0), (101, "ELBONIA", 1)],
+            nation.schema))
+    )
+    src2 = str(tmp_path / "src2")
+    mutated.write.parquet(f"{src2}/nation.parquet")
+    inc = str(tmp_path / "inc_dump")
+    m = dump_incremental(spark, src2, DumpConfig(output_dir=inc), base)
+
+    entry = m.tables["nation"]
+    assert entry.incremental["added"] == 2
+    assert entry.incremental["changed"] == 1
+    assert entry.incremental["deleted"] == 3
+    assert entry.rows == mutated.count()
+    # the delta file holds ONLY added+changed rows — the incremental point
+    assert spark.read.parquet(entry.path).count() == 3
+    doc = _json.load(open(f"{inc}/_manifest.json"))
+    assert doc["parent_manifest"] == base
+    # dump-dir verification reconstructs through the chain
+    assert verify_manifest(spark, inc)["nation"]["ok"] is True
+
+    target = str(tmp_path / "inc_restore")
+    results = restore(spark, inc, target)
+    assert results["load"] == {"nation": True}
+    assert results["verify"] == {"nation": True}
+    got = spark.read.parquet(f"{target}/nation.parquet")
+    assert got.count() == mutated.count()
+    assert got.where("n_nationkey = 3").first()["n_name"] == "CHANGED"
+    assert got.where("n_nationkey < 3").count() == 0
+    assert got.where("n_nationkey >= 100").count() == 2
+
+    # second generation: one more change chains through the first delta
+    mut2 = mutated.where("n_nationkey != 100")
+    src3 = str(tmp_path / "src3")
+    mut2.write.parquet(f"{src3}/nation.parquet")
+    inc2 = str(tmp_path / "inc2_dump")
+    m2 = dump_incremental(spark, src3, DumpConfig(output_dir=inc2), inc)
+    assert m2.tables["nation"].incremental["deleted"] == 1
+    assert verify_manifest(spark, inc2)["nation"]["ok"] is True
+    ids = {r["n_nationkey"]
+           for r in materialized_table(spark, inc2, "nation").collect()}
+    assert 100 not in ids and 101 in ids and len(ids) == mut2.count()
