@@ -210,6 +210,40 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 )
             work.append((key, db_rec, meta, tt, out_name, artifact))
 
+        # non-table schema objects (views/triggers/routines/events) —
+        # captured once per dump, filter-gated, replayed by restore in the
+        # POST phase (reference -schema-view.sql / -schema-triggers.sql /
+        # db-schema-post.sql artifacts, mydumper_jobs.c:392-620)
+        schema_objects = []
+        if cfg.capture_ddl and isinstance(cat, JdbcCatalog):
+            from mydumper_spark.sources.schema_objects import (
+                capture_schema_objects,
+            )
+            from mydumper_spark.sources.server_detect import ServerProduct
+
+            product = dialect.product if dialect else ServerProduct.UNKNOWN
+            admitted_tables = {item[0] for item in work}
+            for obj in capture_schema_objects(
+                lambda sql: cat._q(sql).collect(), product,
+                conn=capture_conn,
+            ):
+                okey = (f"{obj.database}.{obj.name}" if multi_db
+                        else obj.name)
+                if obj.kind == "view":
+                    # views pass the same P5-P8 name gates as tables
+                    if not cfg.filters.admits(
+                        TableMeta(database=obj.database, name=obj.name)
+                    ):
+                        continue
+                elif obj.kind == "trigger":
+                    # a trigger's fate follows its base table's (the
+                    # reference files triggers per-table)
+                    tkey = (f"{obj.database}.{obj.table}" if multi_db
+                            else obj.table)
+                    if tkey not in admitted_tables:
+                        continue
+                schema_objects.append((okey, obj))
+
         # --- phase 2 (pooled): per-table read → transform → write →
         # checksum/profile. Each item is an independent chain of Spark
         # jobs; pool threads overlap them (FAIR pool "dump" so no one
@@ -285,6 +319,28 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             manifest.tables[key] = entry
             if prof is not None:
                 profiles[key] = prof
+        # reference artifact naming (mydumper_jobs.c): views get
+        # -schema-view.sql, triggers -schema-triggers.sql; routines and
+        # events land in the post file (we keep one per object, with a
+        # distinct suffix for events so a routine/event name clash cannot
+        # overwrite — SQL puts them in separate namespaces)
+        _OBJ_SUFFIX = {"view": "-schema-view.sql",
+                       "trigger": "-schema-triggers.sql",
+                       "routine": "-schema-post.sql",
+                       "event": "-schema-ev-post.sql"}
+        for okey, obj in schema_objects:
+            safe = fnames.filename_for(okey)
+            op = os.path.join(cfg.output_dir, f"{safe}{_OBJ_SUFFIX[obj.kind]}")
+            with open(op, "w") as f:
+                f.write(obj.raw_sql.rstrip("\n") + "\n")
+            manifest.objects.append({
+                "kind": obj.kind,
+                "database": obj.database,
+                "name": obj.name,
+                "path": op,
+                "checksum": _hashlib.md5(obj.raw_sql.encode()).hexdigest(),
+                **({"table": obj.table} if obj.table else {}),
+            })
         if cfg.profile and profiles:
             with open(os.path.join(cfg.output_dir, "_profile.json"), "w") as f:
                 _json.dump(profiles, f, indent=1)
@@ -541,14 +597,55 @@ def restore(
             if stmts["constraint"]:
                 dag.add(LoadJob(table=t, phase=Phase.CONSTRAINT,
                                 action=make_ddl_action(stmts["constraint"])))
+    # non-table schema objects (views/triggers/routines/events) replay in
+    # the POST phase — after every table's data and indexes, the
+    # reference's post-worker routing (myloader_worker_post.c:1-129): a
+    # view may reference any table, a trigger must not fire mid-load.
+    skipped_objects: list[str] = []
+    multi_schema = any(e.get("database") for e in doc["tables"].values())
+    for obj in doc.get("objects", []):
+        okind, oname = obj["kind"], obj["name"]
+        if not jdbc_target:
+            # a parquet target tree has no view/trigger engine — recorded,
+            # never silently dropped
+            skipped_objects.append(f"{okind}:{oname}")
+            continue
+        if ddl_executor is None:
+            skipped_objects.append(f"{okind}:{oname}")
+            continue
+
+        def make_post_action(o=obj):
+            def action():
+                from mydumper_spark.plans.ddl import quote_ident, skip_definer
+
+                with open(o["path"]) as f:
+                    raw = skip_definer(f.read()).strip()
+                qn = quote_ident(o["name"], dialect)
+                if multi_schema and o.get("database"):
+                    qn = f"{quote_ident(o['database'], dialect)}.{qn}"
+                # idempotent replay (the DAG retries failed jobs): drop the
+                # prior incarnation, then the captured DDL verbatim
+                drop_kw = {"view": "VIEW", "trigger": "TRIGGER",
+                           "event": "EVENT"}.get(o["kind"])
+                if drop_kw is None:  # routine: PROCEDURE vs FUNCTION is
+                    drop_kw = ("FUNCTION" if raw.upper().startswith(
+                        "CREATE FUNCTION") else "PROCEDURE")
+                ddl_executor(f"DROP {drop_kw} IF EXISTS {qn}")
+                ddl_executor(raw)
+            return action
+
+        dag.add(LoadJob(table=f"{okind}:{oname}", phase=Phase.POST,
+                        action=make_post_action()))
     dag.run()
     results = {"load": {k[0]: v.ok for k, v in dag.results.items() if k[1] == Phase.DATA}}
     ddl_phases = {
         phase.name.lower(): {
             k[0]: v.ok for k, v in dag.results.items() if k[1] == phase
         }
-        for phase in (Phase.INDEX, Phase.CONSTRAINT)
+        for phase in (Phase.INDEX, Phase.CONSTRAINT, Phase.POST)
     }
+    if skipped_objects:
+        skipped_ddl["objects"] = skipped_objects
     if any(ddl_phases.values()) or skipped_ddl:
         results["ddl"] = {**{k: v for k, v in ddl_phases.items() if v},
                           **({"skipped": skipped_ddl} if skipped_ddl else {})}

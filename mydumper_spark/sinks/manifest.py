@@ -76,6 +76,12 @@ class Manifest:
     #: mydumper_daemon_thread.c:33-146); None for full dumps
     parent_manifest: str | None = None
     tables: dict[str, TableEntry] = field(default_factory=dict)
+    #: non-table schema objects (views/triggers/routines/events) captured
+    #: at dump time — [{kind, database, name, path, checksum, table?}] with
+    #: ``path`` the DDL artifact (reference -schema-view.sql /
+    #: -schema-triggers.sql / db-schema-post.sql files) and ``checksum``
+    #: its md5 (A5). engine.restore replays them in the POST phase.
+    objects: list[dict] = field(default_factory=list)
 
     def add_table(self, df: DataFrame, name: str, path: str | None = None,
                   database: str | None = None) -> TableEntry:
@@ -139,6 +145,12 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
         "source": manifest.source_info,
         **({"parent_manifest": manifest.parent_manifest}
            if manifest.parent_manifest else {}),
+        # O5 ordering: objects sort by (kind, db, name) — deterministic
+        # regardless of capture order
+        **({"objects": sorted(
+            manifest.objects,
+            key=lambda o: (o["kind"], o.get("database") or "", o["name"]))}
+           if manifest.objects else {}),
         "tables": {
             t: {
                 "rows": e.rows,

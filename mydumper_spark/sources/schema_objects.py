@@ -1,0 +1,198 @@
+"""Non-table schema-object capture: views, triggers, routines, events.
+
+The reference dumps these as their own DDL artifacts — views as
+``db.table-schema-view.sql`` (write_view_definition_into_file,
+/root/reference/src/mydumper/mydumper_jobs.c:392-520), triggers as
+``db.table-schema-triggers.sql`` (mydumper_jobs.c:522-574), routines and
+events into ``db-schema-post.sql`` (mydumper_jobs.c:576-620, the -R/-E
+flags) — and myloader routes every one of them into the POST worker queue
+AFTER data and indexes (myloader_process_file_type.c,
+myloader_worker_post.c:1-129): a view can reference any table, a trigger
+must not fire during the bulk load.
+
+Spark-first re-expression: capture is driver-plane catalog metadata (a few
+tiny queries per database through the same Spark JDBC reader the data scan
+uses, plus optional SHOW CREATE statements on a direct connection), routed
+by server product exactly like table-DDL capture (sources/ddl_capture.py).
+Every capture degrades to "absent" instead of failing the dump — data
+without views beats no dump, the reference's PERMISSION-error posture.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from mydumper_spark.sources.ddl_capture import _get, _lit
+from mydumper_spark.sources.server_detect import ServerProduct
+
+_MYSQL_FAMILY = (
+    ServerProduct.MYSQL, ServerProduct.PERCONA, ServerProduct.MARIADB,
+    ServerProduct.TIDB, ServerProduct.DOLT, ServerProduct.RDS,
+    ServerProduct.GOOGLE,
+)
+
+
+@dataclass
+class SchemaObject:
+    kind: str  # view | trigger | routine | event
+    database: str
+    name: str
+    #: server-native DDL text — the artifact body (reference file content)
+    raw_sql: str
+    #: for triggers: the base table they attach to (filter admission joins
+    #: the trigger's fate to its table's, like the reference's per-table
+    #: trigger files)
+    table: str | None = None
+
+
+def _show_one(conn, stmt: str, col: int):
+    """One SHOW CREATE … row → DDL text, or None (SHOW statements cannot
+    run as JDBC subqueries, so they need the direct connection)."""
+    if conn is None:
+        return None
+    try:
+        rows = conn.execute(stmt)
+        return rows[0][col] if rows else None
+    except Exception:
+        return None
+
+
+def _capture_views(query, product: ServerProduct, conn=None) -> list[SchemaObject]:
+    if product is ServerProduct.DUCKDB:
+        rows = query(
+            "SELECT schema_name AS db, view_name AS name, sql "
+            "FROM duckdb_views() WHERE NOT internal"
+        )
+        return [
+            SchemaObject("view", _get(r, "db"), _get(r, "name"),
+                         (_get(r, "sql") or "").strip())
+            for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name")))
+        ]
+    # MySQL family + ANSI: information_schema.views carries the SELECT body;
+    # SHOW CREATE VIEW (direct connection) upgrades it to the server's own
+    # full text (algorithm/definer clauses — skip_definer strips those on
+    # replay, the reference --skip-definer)
+    rows = query(
+        "SELECT table_schema AS db, table_name AS name, "
+        "view_definition AS body FROM information_schema.views"
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name"))):
+        db, name = _get(r, "db"), _get(r, "name")
+        raw = _show_one(conn, f"SHOW CREATE VIEW `{db}`.`{name}`", 1)
+        if raw is None:
+            raw = f"CREATE VIEW `{name}` AS {(_get(r, 'body') or '').strip()};"
+        out.append(SchemaObject("view", db, name, raw.strip()))
+    return out
+
+
+def _capture_triggers(query, conn=None) -> list[SchemaObject]:
+    """MySQL-family triggers from ``information_schema.triggers`` (the ANSI
+    shape MySQL implements; engines without triggers — DuckDB — simply have
+    no such catalog and degrade to absent)."""
+    rows = query(
+        "SELECT trigger_schema AS db, trigger_name AS name, "
+        "action_timing AS timing, event_manipulation AS ev, "
+        "event_object_table AS tbl, action_statement AS body "
+        "FROM information_schema.triggers"
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name"))):
+        db, name = _get(r, "db"), _get(r, "name")
+        raw = _show_one(conn, f"SHOW CREATE TRIGGER `{db}`.`{name}`", 2)
+        if raw is None:
+            raw = (
+                f"CREATE TRIGGER `{name}` {_get(r, 'timing')} {_get(r, 'ev')} "
+                f"ON `{_get(r, 'tbl')}` FOR EACH ROW {_get(r, 'body')};"
+            )
+        out.append(SchemaObject("trigger", db, name, raw.strip(),
+                                table=_get(r, "tbl")))
+    return out
+
+
+def _routine_params(query, db: str, name: str) -> str:
+    """Parameter list from ``information_schema.parameters`` (ordinal 0 is a
+    FUNCTION's return slot and is skipped) — information_schema.routines has
+    the body but not the signature, the reason mydumper uses SHOW CREATE."""
+    try:
+        rows = query(
+            "SELECT ordinal_position AS pos, parameter_mode AS mode, "
+            "parameter_name AS pname, data_type AS dt "
+            "FROM information_schema.parameters "
+            f"WHERE specific_schema = {_lit(db)} "
+            f"AND specific_name = {_lit(name)}"
+        )
+    except Exception:
+        return ""
+    parts = []
+    for r in sorted(rows, key=lambda r: int(_get(r, "pos"))):
+        if not int(_get(r, "pos")):  # position 0: function RETURNS slot
+            continue
+        mode = _get(r, "mode") or "IN"
+        parts.append(f"{mode} `{_get(r, 'pname')}` {_get(r, 'dt')}")
+    return ", ".join(parts)
+
+
+def _capture_routines(query, conn=None) -> list[SchemaObject]:
+    rows = query(
+        "SELECT routine_schema AS db, routine_name AS name, "
+        "routine_type AS rtype, routine_definition AS body, "
+        "data_type AS ret FROM information_schema.routines"
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name"))):
+        db, name, rtype = _get(r, "db"), _get(r, "name"), _get(r, "rtype")
+        raw = _show_one(conn, f"SHOW CREATE {rtype} `{db}`.`{name}`", 2)
+        if raw is None:
+            params = _routine_params(query, db, name)
+            returns = (f" RETURNS {_get(r, 'ret')}"
+                       if rtype == "FUNCTION" and _get(r, "ret") else "")
+            raw = (f"CREATE {rtype} `{name}`({params}){returns}\n"
+                   f"{(_get(r, 'body') or '').strip()};")
+        out.append(SchemaObject("routine", db, name, raw.strip()))
+    return out
+
+
+def _capture_events(query, conn=None) -> list[SchemaObject]:
+    rows = query(
+        "SELECT event_schema AS db, event_name AS name, "
+        "event_definition AS body, event_type AS etype, "
+        "interval_value AS iv, interval_field AS ifld, "
+        "execute_at AS at FROM information_schema.events"
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name"))):
+        db, name = _get(r, "db"), _get(r, "name")
+        raw = _show_one(conn, f"SHOW CREATE EVENT `{db}`.`{name}`", 3)
+        if raw is None:
+            if _get(r, "etype") == "RECURRING":
+                sched = f"EVERY {_get(r, 'iv')} {_get(r, 'ifld')}"
+            else:
+                sched = f"AT '{_get(r, 'at')}'"
+            raw = (f"CREATE EVENT `{name}` ON SCHEDULE {sched} DO "
+                   f"{(_get(r, 'body') or '').strip()};")
+        out.append(SchemaObject("event", db, name, raw.strip()))
+    return out
+
+
+def capture_schema_objects(query, product: ServerProduct,
+                           conn=None) -> list[SchemaObject]:
+    """All non-table schema objects the source exposes, product-routed.
+    Each object family degrades independently (an engine without the
+    catalog — or a user without the privilege — loses that family, never
+    the dump): views everywhere, triggers/routines/events only where an
+    information_schema for them exists (the MySQL family; DuckDB has
+    none)."""
+    out: list[SchemaObject] = []
+    for fn in (
+        lambda: _capture_views(query, product, conn),
+        *((lambda: _capture_triggers(query, conn),
+           lambda: _capture_routines(query, conn),
+           lambda: _capture_events(query, conn))
+          if product in _MYSQL_FAMILY else ()),
+    ):
+        try:
+            out.extend(fn())
+        except Exception:
+            continue
+    return out

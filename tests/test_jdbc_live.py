@@ -584,3 +584,100 @@ def test_ddl_capture_and_replay_roundtrip_live(spark, tmp_path):
     names = {name for name, _ in idx}
     assert "idx_cust" in names
     assert any(uq for _, uq in idx)  # the unique key survived as unique
+
+
+def test_view_dump_restore_roundtrip_live(spark, tmp_path):
+    """Views survive a DB→dump→DB round-trip: the dump captures the view's
+    server-native DDL as a `-schema-view.sql` artifact (mydumper_jobs.c:
+    392-520) recorded in the manifest `objects` section, and restore
+    replays it in the POST phase — after every table's data — so the view
+    resolves against loaded tables (myloader_worker_post.c:1-129)."""
+    import json
+    import os
+
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "view_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE sales (id INTEGER PRIMARY KEY, region VARCHAR, "
+                "amount DOUBLE)")
+    con.execute("INSERT INTO sales SELECT range, 'r' || (range % 3), "
+                "range * 2.5 FROM range(90)")
+    con.execute("CREATE VIEW region_totals AS SELECT region, "
+                "sum(amount) AS total, count(*) AS n FROM sales "
+                "GROUP BY region")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "view_dump")
+    manifest = dump(spark, f"jdbc:duckdb:{src}",
+                    DumpConfig(output_dir=out,
+                               jdbc_properties=dict(DRIVER_PROPS)))
+    # the view is NOT a data table — it must not appear in tables
+    assert set(manifest.tables) == {"sales"}
+    views = [o for o in manifest.objects if o["kind"] == "view"]
+    assert [v["name"] for v in views] == ["region_totals"]
+    art = open(views[0]["path"]).read()
+    assert art.startswith("CREATE VIEW") and "region_totals" in art
+    doc = json.load(open(os.path.join(out, "_manifest.json")))
+    assert doc["objects"][0]["name"] == "region_totals"
+    assert doc["objects"][0]["checksum"]
+
+    target = str(tmp_path / "view_target.duckdb")
+    applied = []
+
+    def ddl_executor(sql):
+        applied.append(sql)
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}",
+        parallelism=1,
+        jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor,
+        jdbc_num_partitions=1,
+    )
+    assert results["load"] == {"sales": True}
+    assert results["verify"] == {"sales": True}
+    assert results["ddl"]["post"] == {"view:region_totals": True}
+    # POST ordering: the CREATE VIEW was issued after the data phase
+    delete_pos = next(i for i, s in enumerate(applied)
+                      if s.startswith("DELETE FROM"))
+    view_pos = next(i for i, s in enumerate(applied)
+                    if s.startswith("CREATE VIEW"))
+    assert view_pos > delete_pos
+
+    con = duckdb.connect(target)
+    rows = dict(con.execute(
+        "SELECT region, n FROM region_totals ORDER BY region").fetchall())
+    con.close()
+    assert rows == {"r0": 30, "r1": 30, "r2": 30}
+
+
+def test_restore_records_objects_skipped_on_parquet_target(spark, tmp_path):
+    """A parquet target tree has no view engine: captured objects are
+    recorded as skipped in the restore result, never silently dropped."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "vskip_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE t1 (a INTEGER PRIMARY KEY)")
+    con.execute("INSERT INTO t1 SELECT range FROM range(10)")
+    con.execute("CREATE VIEW v1 AS SELECT a * 2 AS b FROM t1")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "vskip_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+    results = restore(spark, out, str(tmp_path / "vskip_target"),
+                      parallelism=1)
+    assert results["load"] == {"t1": True}
+    assert results["ddl"]["skipped"]["objects"] == ["view:v1"]

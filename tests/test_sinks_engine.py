@@ -1054,3 +1054,80 @@ def test_incremental_dump_restore_roundtrip(spark, sf_dir, tmp_path):
     ids = {r["n_nationkey"]
            for r in materialized_table(spark, inc2, "nation").collect()}
     assert 100 not in ids and 101 in ids and len(ids) == mut2.count()
+
+
+def test_capture_schema_objects_mysql_composed():
+    """MySQL-family capture without a direct connection composes replayable
+    DDL from the information_schema catalogs (views/triggers/routines/
+    events); with a connection, SHOW CREATE text wins verbatim. Fake query/
+    conn stand in for the absent live server (same pattern as the fence
+    tests) — the catalog SQL shapes are the ANSI/MySQL documented ones."""
+    from mydumper_spark.sources.schema_objects import capture_schema_objects
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    def query(sql):
+        if "information_schema.views" in sql:
+            return [{"db": "shop", "name": "v_orders",
+                     "body": "select `o`.`id` from `orders` `o`"}]
+        if "information_schema.triggers" in sql:
+            return [{"db": "shop", "name": "trg_audit", "timing": "AFTER",
+                     "ev": "INSERT", "tbl": "orders",
+                     "body": "INSERT INTO audit VALUES (NEW.id)"}]
+        if "information_schema.routines" in sql:
+            return [{"db": "shop", "name": "order_total", "rtype": "FUNCTION",
+                     "body": "RETURN (SELECT sum(amt) FROM orders)",
+                     "ret": "decimal"},
+                    {"db": "shop", "name": "purge_old", "rtype": "PROCEDURE",
+                     "body": "DELETE FROM orders WHERE ts < NOW()",
+                     "ret": None}]
+        if "information_schema.parameters" in sql:
+            if "'order_total'" in sql:
+                return [{"pos": 0, "mode": None, "pname": None,
+                         "dt": "decimal"}]
+            return [{"pos": 1, "mode": "IN", "pname": "days", "dt": "int"}]
+        if "information_schema.events" in sql:
+            return [{"db": "shop", "name": "nightly",
+                     "body": "CALL purge_old(30)", "etype": "RECURRING",
+                     "iv": "1", "ifld": "DAY", "at": None}]
+        raise AssertionError(f"unexpected catalog query: {sql}")
+
+    objs = capture_schema_objects(query, ServerProduct.MYSQL)
+    by_kind = {}
+    for o in objs:
+        by_kind.setdefault(o.kind, []).append(o)
+    assert [o.name for o in by_kind["view"]] == ["v_orders"]
+    assert by_kind["view"][0].raw_sql == (
+        "CREATE VIEW `v_orders` AS select `o`.`id` from `orders` `o`;")
+    trg = by_kind["trigger"][0]
+    assert trg.table == "orders"
+    assert trg.raw_sql == ("CREATE TRIGGER `trg_audit` AFTER INSERT ON "
+                           "`orders` FOR EACH ROW "
+                           "INSERT INTO audit VALUES (NEW.id);")
+    routines = {o.name: o.raw_sql for o in by_kind["routine"]}
+    assert routines["order_total"].startswith(
+        "CREATE FUNCTION `order_total`() RETURNS decimal")
+    assert "RETURN (SELECT sum(amt) FROM orders)" in routines["order_total"]
+    assert routines["purge_old"].startswith(
+        "CREATE PROCEDURE `purge_old`(IN `days` int)")
+    assert by_kind["event"][0].raw_sql == (
+        "CREATE EVENT `nightly` ON SCHEDULE EVERY 1 DAY DO "
+        "CALL purge_old(30);")
+
+    # a direct connection upgrades raw to the server's own SHOW CREATE text
+    class Conn:
+        def execute(self, stmt):
+            assert stmt.startswith("SHOW CREATE")
+            return [("x", "SHOW RAW 1", "SHOW RAW 2", "SHOW RAW 3")]
+
+    objs2 = capture_schema_objects(query, ServerProduct.MYSQL, conn=Conn())
+    raws = {(o.kind, o.name): o.raw_sql for o in objs2}
+    assert raws[("view", "v_orders")] == "SHOW RAW 1"
+    assert raws[("trigger", "trg_audit")] == "SHOW RAW 2"
+    assert raws[("event", "nightly")] == "SHOW RAW 3"
+
+    # non-mysql, non-duckdb products probe only the ANSI views catalog;
+    # a source without it degrades to no objects, never an error
+    def no_catalog(sql):
+        raise RuntimeError("no such catalog")
+
+    assert capture_schema_objects(no_catalog, ServerProduct.UNKNOWN) == []
