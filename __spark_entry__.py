@@ -1451,6 +1451,169 @@ LIMIT 100
 """
 
 
+def x_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by exact word-5-gram collision against the
+    eval slice (doc_id % 17 == 0) — the GPT-3 appendix-C protocol; the
+    surviving (uncontaminated) doc ids are the result. **Oracle-backed**:
+    DuckDB rebuilds the same grams as strings (the Spark side joins on
+    xxhash64 of the identical strings) and replays the NOT-EXISTS."""
+    from mydumper_spark.operators.dedup import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        docs, docs.where("doc_id % 17 = 0"), n=5
+    ).select("doc_id")
+
+
+_NGRAM_DECON_SQL = """
+WITH toksrc AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 3),
+                                  i -> array_to_string(toks[i:i+4], ' '))
+         END AS gs
+  FROM toksrc
+),
+g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM g JOIN eg USING (gram) WHERE g.doc_id = d.doc_id
+)
+"""
+
+
+def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals per document (duplicate
+    lines, duplicate-line characters, top-2-gram character coverage,
+    duplicated-5-gram character coverage — Rae et al. 2021 §A1.1), all
+    integer ppm — **oracle-backed**: DuckDB replays line splitting, gram
+    construction, the per-group counts and every integer ratio."""
+    from mydumper_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_REPETITION_STATS_SQL = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents
+),
+per_line AS (
+  SELECT doc_id, l, count(*) AS cnt, length(l) AS ln
+  FROM lines GROUP BY doc_id, l
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt) AS BIGINT)
+           AS dup_line_ppm,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END) * 1000000
+              // greatest(sum(cnt * ln), 1) AS BIGINT) AS dup_line_char_ppm
+  FROM per_line GROUP BY doc_id
+),
+toksrc AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, gram, count(*) AS cnt, length(gram) AS gl
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                       ELSE list_transform(range(1, len(toks)),
+                                           i -> array_to_string(toks[i:i+1], ' '))
+                  END) AS gram
+    FROM toksrc
+  ) GROUP BY doc_id, gram
+),
+top2 AS (
+  SELECT doc_id, cnt * gl AS top2_chars FROM (
+    SELECT doc_id, cnt, gl,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gl DESC) AS rn
+    FROM g2
+  ) WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id, gram, count(*) AS cnt, length(gram) AS gl
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                       ELSE list_transform(range(1, len(toks) - 3),
+                                           i -> array_to_string(toks[i:i+4], ' '))
+                  END) AS gram
+    FROM toksrc
+  ) GROUP BY doc_id, gram
+),
+dup5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt * gl ELSE 0 END) AS dup5_chars
+  FROM g5 GROUP BY doc_id
+)
+SELECT d.doc_id, ls.n_lines, ls.dup_line_ppm, ls.dup_line_char_ppm,
+       CAST(t2.top2_chars * 1000000 // greatest(length(d.text), 1) AS BIGINT)
+         AS top_2gram_char_ppm,
+       CAST(d5.dup5_chars * 1000000 // greatest(length(d.text), 1) AS BIGINT)
+         AS dup_5gram_char_ppm
+FROM documents d
+JOIN line_stats ls USING (doc_id)
+JOIN top2 t2 USING (doc_id)
+JOIN dup5 d5 USING (doc_id)
+"""
+
+
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for the query "hash join vector stream" over
+    the documents table — integer-exact fixed-point BM25 (k1=1.2, b=0.75,
+    log-free Robertson idf ratio) so the ranking is bit-identical across
+    engines — **oracle-backed**: DuckDB replays tokenization, df/tf/dl/
+    avgdl and the exact fixed-point arithmetic."""
+    from mydumper_spark.operators.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     "hash join vector stream", k=10)
+
+
+_BM25_SQL = """
+WITH toked AS (
+  SELECT doc_id, unnest(toks) AS word
+  FROM (SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+')
+               END AS toks
+        FROM documents)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toked GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toked
+  WHERE word IN ('hash', 'join', 'stream', 'vector')
+  GROUP BY doc_id, word
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+SELECT doc_id, CAST(sum(
+         (((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
+         * (22 * greatest(avgdl, 1) * tf * 1000000 //
+            (10 * greatest(avgdl, 1) * tf + 3 * greatest(avgdl, 1) + 9 * dl))
+       ) AS BIGINT) AS score
+FROM tf
+JOIN dfreq USING (word)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def x_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (seed 7), proven
     cross-engine by ranking the full order — both engines must produce the
@@ -4119,6 +4282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_pairs_sha": x_simhash_pairs_sha,
         "x_ngram_novelty": x_ngram_novelty,
         "x_dsir_weights": x_dsir_weights,
+        "x_ngram_decontaminate": x_ngram_decontaminate,
+        "x_repetition_stats": x_repetition_stats,
+        "x_bm25_topk": x_bm25_topk,
         "x_table_profile": x_table_profile,
         "x_shuffle_corpus": x_shuffle_corpus,
         "x_token_frequency_score": x_token_frequency_score,
@@ -4233,6 +4399,9 @@ def oracle_sql() -> dict[str, str]:
         "x_simhash_pairs_sha": _SIMHASH_SHA_SQL,
         "x_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "x_dsir_weights": _DSIR_SQL,
+        "x_ngram_decontaminate": _NGRAM_DECON_SQL,
+        "x_repetition_stats": _REPETITION_STATS_SQL,
+        "x_bm25_topk": _BM25_SQL,
         "x_table_profile": _table_profile_sql(),
         "x_shuffle_corpus": _SHUFFLE_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,

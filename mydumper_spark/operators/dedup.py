@@ -434,3 +434,52 @@ def ngram_jaccard_pairs(
         / F.size(F.array_union("sh_a", "sh_b")).cast("double")
     )
     return both.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by word-n-gram collision — the GPT-3
+    appendix-C / PaLM protocol (Brown et al. 2020): drop every training
+    document that shares ANY n-gram with the evaluation set. The
+    embedding-space sibling is ``similarity.embedding_decontaminate``;
+    this is the exact-overlap one every released-model card reports
+    (13-grams is the published default).
+
+    Scale shape: the eval side reduces to a DISTINCT 8-byte gram-hash set
+    — a benchmark suite is 1e5-1e7 grams, comfortably broadcastable — so
+    with ``broadcast_eval`` the corpus side never shuffles: grams explode
+    off the scan as xxhash64 keys (the engine-wide gram identity; strings
+    never leave the scan), a broadcast semi-join marks contaminated ids,
+    and a broadcast anti-join of THAT id set (smaller still) returns
+    survivors. Set ``broadcast_eval=False`` for an eval side too large to
+    broadcast (both joins become shuffled hash joins on 8-byte keys).
+    Documents shorter than ``n`` tokens contribute their whole text as one
+    gram (the ``shingles`` short-doc rule) — short exact copies of eval
+    items are still caught, partial overlap below ``n`` tokens is not
+    (the protocol's documented floor)."""
+    eval_grams = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    contaminated = (
+        corpus_grams.join(eval_grams, "gh", "left_semi").select(id_col).distinct()
+    )
+    # the contaminated id set is typically a sliver of the corpus but is
+    # BOUNDED by it, so no forced broadcast here — AQE converts this anti-
+    # join to broadcast at runtime when the set is actually small
+    return corpus.join(contaminated, id_col, "left_anti")

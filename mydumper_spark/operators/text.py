@@ -563,3 +563,166 @@ def dsir_select(
     TakeOrdered — per-partition top-n and a driver merge, no full sort."""
     w = importance_weights(df, target, k, n_buckets, text_col, id_col, hash_fn)
     return w.orderBy(F.col("score_avg").desc(), F.col(id_col).asc()).limit(n)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 —
+    the repetition family of their quality-filter table): per document,
+
+    - ``n_lines`` and ``dup_line_ppm`` — fraction of lines that are
+      duplicates of an earlier line (1 − distinct/total);
+    - ``dup_line_char_ppm`` — fraction of line characters living in lines
+      whose text occurs more than once (all occurrences count, the paper's
+      "characters in duplicated lines");
+    - ``top_2gram_char_ppm`` — characters covered by the most frequent
+      word 2-gram (count × gram length) over total text length;
+    - ``dup_5gram_char_ppm`` — characters covered by 5-grams occurring
+      more than once (count × gram length summed; overlapping grams
+      overcount by construction — a *signal*, not a measure).
+
+    All ratios are integer parts-per-million (the engine-wide tie-free
+    cross-engine rule). Shuffle shape: three explode→partial-agg passes
+    (lines, 2-grams, 5-grams) keyed on (id, 8-byte element hash) — grams
+    and lines leave the scan as (hash, length) pairs, never strings — then
+    three joins back on the id. Map-side combine does the heavy lifting;
+    per-key state is two bigints."""
+    from mydumper_spark.operators.dedup import shingles
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+
+    lines = base.select(
+        F.col(id_col), F.explode(F.split(F.col("__t"), "\n")).alias("l")
+    ).select(
+        id_col, F.xxhash64("l").alias("lh"), F.length("l").alias("ln")
+    )
+    per_line = lines.groupBy(id_col, "lh").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("ln").alias("ln")
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_lines"),
+        F.expr(
+            "CAST((sum(cnt) - count(1)) * 1000000 div sum(cnt) AS BIGINT)"
+        ).alias("dup_line_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END) * 1000000 "
+            "div greatest(sum(cnt * ln), 1) AS BIGINT)"
+        ).alias("dup_line_char_ppm"),
+    )
+
+    def gram_counts(k: int) -> DataFrame:
+        return (
+            base.select(
+                F.col(id_col),
+                F.explode(shingles(F.col("__t"), k)).alias("g"),
+            )
+            .select(id_col, F.xxhash64("g").alias("gh"),
+                    F.length("g").alias("gl"))
+            .groupBy(id_col, "gh")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.first("gl").alias("gl"))
+        )
+
+    # ties on count resolve by gram length; equal (count, length) grams
+    # cover the same character mass, so the returned ratio is unambiguous
+    top2 = gram_counts(2).groupBy(id_col).agg(
+        F.max(F.struct("cnt", "gl")).alias("top")
+    ).select(id_col, (F.col("top.cnt") * F.col("top.gl")).alias("top2_chars"))
+    dup5 = gram_counts(5).groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.col("gl")).otherwise(0)
+        ).alias("dup5_chars")
+    )
+
+    total = base.select(id_col, F.length("__t").alias("tchars"))
+    return (
+        total.join(line_stats, id_col)
+        .join(top2, id_col)
+        .join(dup5, id_col)
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_ppm",
+            "dup_line_char_ppm",
+            F.expr(
+                "CAST(top2_chars * 1000000 div greatest(tchars, 1) AS BIGINT)"
+            ).alias("top_2gram_char_ppm"),
+            F.expr(
+                "CAST(dup5_chars * 1000000 div greatest(tchars, 1) AS BIGINT)"
+            ).alias("dup_5gram_char_ppm"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k document retrieval (Robertson & Walker 1994; k1=1.2,
+    b=0.75), integer-exact: every factor is fixed-point BIGINT arithmetic
+    so the ranking is bit-identical across engines — no ln()/double ULP
+    divergence (the repo-wide cross-engine float rule).
+
+    - idf_x1e6 = ((N − df)·2 + 1)·1e6 DIV (df·2 + 1) — the Robertson idf
+      ratio (N−df+0.5)/(df+0.5) in fixed point, log-free: the log is a
+      per-term monotone damping, and dropping it is the documented trade
+      for exact integer ranking (rare terms weigh relatively more than in
+      textbook BM25).
+    - tf_part_ppm = 22·avgdl·tf·1e6 DIV (10·avgdl·tf + 3·avgdl + 9·dl) —
+      exactly tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) scaled by 10·avgdl,
+      with avgdl = total_tokens DIV N.
+    - score = Σ_terms idf_x1e6 · tf_part_ppm.
+
+    Headroom: idf ≲ 2N·1e6, tf_part ≤ 2.2e6 — products stay inside BIGINT
+    to ~1e11 docs; past that, cast the two DIV expressions to
+    DECIMAL(38,0) (both engines support it, arithmetic stays exact).
+
+    Scale shape: query terms are a driver-side literal; the corpus
+    explodes to (id, word) once, a filter on the term list prunes it
+    before any shuffle, per-(id, term) tf and per-term df are partial
+    aggregates, and N/avgdl/df are one tiny broadcast each. Final result
+    via TakeOrdered (sort pushed into the limit)."""
+    from mydumper_spark.operators.dedup import tokens
+
+    terms = sorted({t for t in query.strip().lower().split() if t})
+    if not terms:
+        return df.select(
+            F.col(id_col), F.lit(0).cast("bigint").alias("score")
+        ).limit(0)
+
+    toked = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    dl = toked.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(dl) div count(1)").alias("avgdl"),
+    )
+    qtok = toked.where(F.col("word").isin(terms))
+    tf = qtok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.expr("((n_docs - df) * 2 + 1) * 1000000 div (df * 2 + 1)")
+                * F.expr(
+                    "22 * greatest(avgdl, 1) * tf * 1000000 div "
+                    "(10 * greatest(avgdl, 1) * tf + 3 * greatest(avgdl, 1)"
+                    " + 9 * dl)"
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("part").cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

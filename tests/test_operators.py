@@ -1295,3 +1295,106 @@ def test_semantic_dedup_batch_chunked_gemm_exact(spark, monkeypatch):
                    sim.semantic_dedup_batch(corpus, 0.9, 4,
                                             centroids=cents).collect())
     assert spec == batch
+
+
+def test_ngram_decontaminate_drops_overlapping_docs(spark):
+    """GPT-3-style n-gram decontamination: exact eval copies, docs sharing
+    any single n-gram, and short-doc exact copies are dropped; docs with
+    no n-gram overlap survive."""
+    from mydumper_spark.operators.dedup import ngram_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "tiny doc")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact eval copy
+            (2, "intro words then alpha beta gamma delta epsilon and on"),
+            (3, "totally disjoint text with no overlap at all here"),
+            (4, "tiny doc"),                               # short exact copy
+            (5, "tiny document"),  # shares tokens but not the whole-doc gram
+            (6, "zeta epsilon delta gamma beta alpha"),    # reversed: no gram
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in ngram_decontaminate(corpus, eval_df, n=5).collect()
+    )
+    assert kept == [3, 5, 6]
+    # the non-broadcast path returns the identical verdicts
+    kept2 = sorted(
+        r["doc_id"]
+        for r in ngram_decontaminate(corpus, eval_df, n=5,
+                                     broadcast_eval=False).collect()
+    )
+    assert kept2 == kept
+
+
+def test_repetition_stats_planted_values(spark):
+    """Hand-computed Gopher repetition signals on a planted doc: 4 lines
+    with one duplicated pair, a dominant repeated 2-gram, and a repeated
+    5-gram block."""
+    from mydumper_spark.operators.text import repetition_stats
+
+    text = "ab ab ab ab\nunique line one\nab ab ab ab\nfinal bit"
+    # doc 3: a cyclic 6-token stream — 5-gram windows 1 and 7 (and 2 and 8)
+    # coincide, so exactly those two grams are duplicated (cnt=2 each)
+    cyc = "one two three four five six one two three four five six"
+    df = spark.createDataFrame([(1, text), (2, "clean text no repeats"),
+                                (3, cyc)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    # 4 lines, 3 distinct -> 1/4 duplicated
+    assert r1["dup_line_ppm"] == 250000
+    # chars in the duplicated line (11+11) over total line chars (11+15+11+9)
+    assert r1["dup_line_char_ppm"] == 22 * 1000000 // 46
+    # top 2-gram "ab ab" occurs 6 times (3 per ab-line), len 5 -> 30 chars
+    total = len(text)
+    assert r1["top_2gram_char_ppm"] == 30 * 1000000 // total
+    # tokens cross newlines (\s+ split), and every 5-token window of doc 1
+    # is distinct — a doc full of SHORT repeats has zero 5-gram repetition
+    assert r1["dup_5gram_char_ppm"] == 0
+    r2 = out[2]
+    assert (r2["dup_line_ppm"], r2["dup_line_char_ppm"],
+            r2["dup_5gram_char_ppm"]) == (0, 0, 0)
+    r3 = out[3]
+    # the two duplicated 5-grams each cover 2 × 23 chars
+    assert r3["dup_5gram_char_ppm"] == (2 * 23 + 2 * 23) * 1000000 // len(cyc)
+
+
+def test_bm25_topk_ranking_and_saturation(spark):
+    """BM25 integer ranking: a doc matching both query terms outranks a
+    doc spamming one term (idf weighting + tf saturation), and the length
+    normalization penalizes a padded doc vs an identical shorter one."""
+    from mydumper_spark.operators.text import bm25_topk
+
+    pad = " ".join(["filler"] * 40)
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle " + pad),            # both terms, padded
+            (2, "spark shuffle"),                    # both terms, short
+            (3, "spark spark spark spark spark"),    # one term spammed
+            (4, "unrelated words entirely"),
+            (5, "shuffle of cards"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "spark shuffle", k=5)
+    rows = out.collect()
+    assert out.columns == ["doc_id", "score"]
+    ranked = [r["doc_id"] for r in rows]
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert ranked[0] == 2            # both terms, shortest -> top
+    assert scores[2] > scores[1]     # length normalization
+    # at comparable length, two distinct terms beat one spammed term
+    # (tf saturates at k1+1; a second term adds a whole new idf·tf block)
+    assert scores[2] > scores[3]
+    assert 4 not in scores           # no query term -> absent
+    # empty query: empty result, stable schema
+    empty = bm25_topk(df, "   ")
+    assert empty.columns == ["doc_id", "score"] and empty.count() == 0

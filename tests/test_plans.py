@@ -230,6 +230,9 @@ _BNLJ_ALLOWED = {
     # broadcast 1×1 scalar: the nation-group inventory total (the Q11
     # threshold denominator)
     "q11_important_stock",
+    # broadcast 1×1 scalar: the corpus (N, avgdl) pair every BM25 term
+    # score multiplies by — same shape as x_token_frequency_score's total
+    "x_bm25_topk",
 }
 
 
