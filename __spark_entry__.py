@@ -1614,6 +1614,253 @@ LIMIT 10
 """
 
 
+def x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gates (Rae et al. 2021 §A1.1: word count,
+    mean word length, symbol-to-word ratio, bullet/ellipsis line ratios,
+    alphabetic-word ratio, stop-word presence) as integer-ppm signals plus
+    the conjunction verdict — **oracle-backed**: DuckDB replays every token
+    split, character count, and floor division."""
+    from mydumper_spark.operators.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+')
+         END AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+           AS lines
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(len(toks), 1) AS BIGINT) AS nw1,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS swc,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS naw,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              + (length(text) - length(replace(text, '…', '')))
+              AS BIGINT) AS nsy,
+         CAST(greatest(len(lines), 1) AS BIGINT) AS nl1,
+         CAST(len(list_filter(lines,
+                   l -> regexp_matches(ltrim(l), '^[•‣▪*-]')))
+              AS BIGINT) AS nbu,
+         CAST(len(list_filter(lines,
+                   l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+              AS BIGINT) AS nel,
+         CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+              AS BIGINT) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_words, stopword_hits,
+       swc * 1000000 // nw1 AS mean_word_len_ppm,
+       nsy * 1000000 // nw1 AS symbol_word_ppm,
+       nbu * 1000000 // nl1 AS bullet_line_ppm,
+       nel * 1000000 // nl1 AS ellipsis_line_ppm,
+       naw * 1000000 // nw1 AS alpha_word_ppm,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND swc * 1000000 // nw1 BETWEEN 3000000 AND 10000000
+                  AND nsy * 1000000 // nw1 <= 100000
+                  AND nbu * 1000000 // nl1 <= 900000
+                  AND nel * 1000000 // nl1 <= 300000
+                  AND naw * 1000000 // nw1 >= 800000
+                  AND stopword_hits >= 2
+             THEN 1 ELSE 0 END AS INT) AS gopher_pass
+FROM s
+"""
+
+
+def x_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level page cleaning (Raffel et al. 2020 §2.2: keep lines
+    ending in terminal punctuation with ≥5 words; page needs ≥3 kept lines
+    and no 'lorem ipsum'/'{'). The fixture corpus is single-line and
+    period-free, so BOTH engines first derive line structure the same way
+    (every ' merge' ends a sentence; every 97th doc gets a lorem-ipsum
+    header) — the filter itself then runs on identical inputs —
+    **oracle-backed**: DuckDB replays the derivation, the per-line
+    regex + word-count retention, and the page gate."""
+    from mydumper_spark.operators.corpus import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    lined = F.replace(F.col("text"), F.lit(" merge"), F.lit(" merge.\n"))
+    text2 = F.when(
+        F.col("doc_id") % 97 == 0, F.concat(F.lit("lorem ipsum {\n"), lined)
+    ).otherwise(lined)
+    return c4_line_filter(d.select("doc_id", text2.alias("text")))
+
+
+_C4_FILTER_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0
+              THEN 'lorem ipsum {' || chr(10) || lined
+              ELSE lined END AS text
+  FROM (SELECT doc_id,
+               replace(text, ' merge', ' merge.' || chr(10)) AS lined
+        FROM documents)
+),
+k AS (
+  SELECT doc_id, text,
+         list_filter(
+           string_split(text, chr(10)),
+           l -> regexp_matches(trim(l), '[.!?"]$')
+                AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                    w -> w <> '')) >= 5
+         ) AS kept
+  FROM src
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(CASE WHEN len(kept) >= 3
+                  AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{')
+             THEN 1 ELSE 0 END AS INT) AS page_ok
+FROM k
+"""
+
+
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus PII scrub: the RE2-compatible email/SSN/card/phone
+    regexp_replace chain (text.PII_PATTERNS) plus independent per-type
+    match counts. The fixture text is PII-free, so BOTH engines first
+    append the same deterministic doc_id-derived PII tail — the scrub then
+    exercises every pattern on every row — **oracle-backed**: DuckDB
+    replays the same patterns with regexp_replace(..., 'g') and
+    regexp_extract_all counts; leftmost-greedy non-overlap semantics agree
+    between Java regex and RE2 for these patterns (no backrefs, no
+    lookarounds)."""
+    from mydumper_spark.operators.text import PII_PATTERNS, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 ssn "),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-45-6789 card 4111 1111 1111 1111 end"),
+    )
+    return d.select(F.col("doc_id"), aug.alias("__aug")).select(
+        "doc_id",
+        redact_pii(F.col("__aug")).alias("clean_text"),
+        F.regexp_count(F.col("__aug"), F.lit(PII_PATTERNS[0][0]))
+        .cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("__aug"), F.lit(PII_PATTERNS[2][0]))
+        .cast("bigint").alias("n_ssns"),
+        F.regexp_count(F.col("__aug"), F.lit(PII_PATTERNS[3][0]))
+        .cast("bigint").alias("n_cards"),
+    )
+
+
+_PII_REDACT_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-1234 ssn '
+              || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+              || '-45-6789 card 4111 1111 1111 1111 end' AS a
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(a,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+           '(?:[0-9]{4}[- ]){3}[0-9]{4}', '<CARD>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(a,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(a, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+         AS BIGINT) AS n_ssns,
+       CAST(len(regexp_extract_all(a, '(?:[0-9]{4}[- ]){3}[0-9]{4}'))
+         AS BIGINT) AS n_cards
+FROM aug
+"""
+
+
+def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021 ExactSubstr): every token
+    8-gram occurring more than once in the corpus survives only at its
+    globally-first (doc_id, start); covered tokens are excised and
+    documents rebuilt — SLIDING spans, so shifted duplicates are caught
+    (the upgrade over the aligned-block x_dedup_blocks_global). The
+    fixture corpus has >1000 naturally duplicated 8-grams, so the oracle
+    genuinely exercises excision — **oracle-backed**: DuckDB replays gram
+    construction, the first-occurrence window, covered-token expansion,
+    and reconstruction."""
+    from mydumper_spark.operators.corpus import exact_substring_dedup
+
+    return exact_substring_dedup(_t(spark, sf_dir, "documents"), k=8)
+
+
+_SUBSTRING_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+')
+         END AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM base, unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+  WHERE len(toks) >= 8
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram
+                            ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM grams
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + off AS tok_idx
+  FROM marked, unnest(range(0, 8)) AS o(off)
+  WHERE rn > 1
+),
+tok_rows AS (
+  SELECT doc_id, i - 1 AS tok_idx, toks[i] AS tok
+  FROM base, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+surv AS (
+  SELECT t.doc_id, t.tok_idx, t.tok
+  FROM tok_rows t
+  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.tok_idx = c.tok_idx
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tok_idx ASC) AS clean_text,
+         count(*) AS n_tokens_kept
+  FROM surv GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(b.toks) - coalesce(r.n_tokens_kept, 0) AS BIGINT)
+         AS n_tokens_removed
+FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+
 def x_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (seed 7), proven
     cross-engine by ranking the full order — both engines must produce the
@@ -4285,6 +4532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ngram_decontaminate": x_ngram_decontaminate,
         "x_repetition_stats": x_repetition_stats,
         "x_bm25_topk": x_bm25_topk,
+        "x_gopher_quality": x_gopher_quality,
+        "x_c4_filter": x_c4_filter,
+        "x_pii_redact": x_pii_redact,
+        "x_substring_dedup": x_substring_dedup,
         "x_table_profile": x_table_profile,
         "x_shuffle_corpus": x_shuffle_corpus,
         "x_token_frequency_score": x_token_frequency_score,
@@ -4402,6 +4653,10 @@ def oracle_sql() -> dict[str, str]:
         "x_ngram_decontaminate": _NGRAM_DECON_SQL,
         "x_repetition_stats": _REPETITION_STATS_SQL,
         "x_bm25_topk": _BM25_SQL,
+        "x_gopher_quality": _GOPHER_QUALITY_SQL,
+        "x_c4_filter": _C4_FILTER_SQL,
+        "x_pii_redact": _PII_REDACT_SQL,
+        "x_substring_dedup": _SUBSTRING_DEDUP_SQL,
         "x_table_profile": _table_profile_sql(),
         "x_shuffle_corpus": _SHUFFLE_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,

@@ -323,3 +323,132 @@ def dedup_lines_global(
             F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020, §2.2): keep only lines that end
+    in a terminal punctuation mark (``. ! ? "``) AND contain at least
+    ``min_words_per_line`` words; a page survives (``page_ok = 1``) only if
+    it retains at least ``min_lines`` such lines and contains neither
+    ``lorem ipsum`` nor a ``{`` anywhere (the paper's code/placeholder
+    tells). Returns (id, clean_text, n_lines_kept, page_ok).
+
+    Line retention and the page gate are a single codegen projection over
+    the line array — zero shuffles, no Python; at 100 TB this runs inside
+    the scan stage. The blocklist word filter the paper also applies is a
+    broadcast-join concern, deliberately left to the caller's masquerade /
+    filter stage.
+    """
+    c = F.col(text_col)
+    kept = F.filter(
+        F.split(c, "\n"),
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (
+            F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                            lambda w: w != F.lit("")))
+            >= min_words_per_line
+        ),
+    )
+    n_kept = F.size(kept).cast("bigint")
+    page_ok = (
+        (n_kept >= min_lines)
+        & ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_kept.alias("n_lines_kept"),
+        page_ok.cast("int").alias("page_ok"),
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    arbiter: str = "agg",
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): any token
+    span of length ``k`` whose text occurs more than once in the corpus is
+    excised everywhere EXCEPT its globally-first occurrence (smallest
+    (doc_id, start)); documents are rebuilt from their surviving tokens.
+    Unlike :func:`dedup_token_blocks_global` (aligned windows), the k-gram
+    start positions here SLIDE, so a duplicated passage is caught at any
+    token offset — the suffix-array semantics, re-expressed relationally.
+    Returns (id, clean_text, n_tokens_kept, n_tokens_removed); documents
+    shorter than ``k`` tokens pass through unchanged.
+
+    Scale shape: grams shuffle once on the gram value (the only corpus-wide
+    exchange; production would shuffle 8-byte gram hashes + a verify pass —
+    the same recall/wire tradeoff documented on dedup_lines_global).
+    Duplicate-span → covered-token expansion is k× the DUPLICATED-span
+    count, not the corpus (duplication is the rare case by assumption —
+    Lee et al. measure ~3% of tokens); reconstruction is one groupBy on
+    doc_id. The first-occurrence arbiter is the ladder's skew-splittable
+    min(struct) aggregate, so a boilerplate passage repeated millions of
+    times costs a partial agg, not one hot window partition.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    base = df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"))
+    # sliding k-grams with start positions (0-based); docs with < k tokens
+    # contribute no grams and are never excised
+    grams = base.where(F.col("__n") >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - k),
+                lambda s: F.concat_ws(" ", F.slice(F.col("__toks"), s + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    marked = _mark_first_occurrence(grams, id_col, "gram", arbiter,
+                                    keep_blank=False)
+    # every non-first occurrence of a duplicated gram covers tokens
+    # [pos, pos+k-1]; expansion is bounded by k × (duplicated spans)
+    covered = (
+        marked.where(~F.col("keep"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + k - 1)
+            ).alias("tok_idx"),
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode(F.col("__toks")).alias("tok_idx", "tok")
+    )
+    survivors = tok_rows.join(
+        covered, [id_col, "tok_idx"], "left_anti"
+    )
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+    )
+    totals = base.select(F.col(id_col), F.col("__n").cast("bigint").alias("__total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            (F.col("__total") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .alias("n_tokens_removed"),
+        )
+    )

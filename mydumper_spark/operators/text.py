@@ -726,3 +726,96 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+#: Gopher's stop-word presence set (Rae et al. 2021, §A1.1): a document must
+#: contain at least two of these to pass the rule family.
+GOPHER_STOPWORDS: list[str] = ["the", "be", "to", "of", "and", "that",
+                               "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, §A1.1 — the
+    non-repetition half; the repetition half is :func:`repetition_stats`):
+    per document,
+
+    - ``n_words`` and the 50..100,000 word-count gate;
+    - ``mean_word_len_ppm`` with the 3..10-character gate;
+    - ``symbol_word_ppm`` — ('#' chars + '...'/'…' runs) per word, ≤ 10%;
+    - ``bullet_line_ppm`` / ``ellipsis_line_ppm`` — fraction of non-blank
+      lines starting with a bullet (< 90%) / ending in an ellipsis (< 30%);
+    - ``alpha_word_ppm`` — words containing ≥ 1 alphabetic char, ≥ 80%;
+    - ``stopword_hits`` — how many of :data:`GOPHER_STOPWORDS` appear, ≥ 2;
+    - ``gopher_pass`` — the conjunction.
+
+    Every ratio is integer parts-per-million (floor division), so the
+    verdicts are tie-free and bit-identical across engines. One codegen
+    projection, zero shuffles, zero Python — at 100 TB this is a pure
+    scan-side map that AQE never has to think about.
+    """
+    c = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+    lines = F.filter(
+        F.split(c, "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_words = F.size(toks).cast("bigint")
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_word_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("bigint")
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    # non-overlapping left-to-right '...' runs; both engines' replace scans
+    # the same way, so the count is identical
+    n_dots = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    n_uni_ellipsis = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    n_symbols = (n_hash + n_dots + n_uni_ellipsis).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    nl1 = F.greatest(n_lines, F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[•‣▪*-]"))
+    ).cast("bigint")
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
+    ).cast("bigint")
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, w).cast("bigint")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        (sum_word_chars * 1_000_000).cast("bigint").alias("__swc"),
+        (n_alpha_words * 1_000_000).alias("__naw"),
+        (n_symbols * 1_000_000).alias("__nsy"),
+        (n_bullet * 1_000_000).alias("__nbu"),
+        (n_ell_end * 1_000_000).alias("__nel"),
+        nw1.alias("__nw1"),
+        nl1.alias("__nl1"),
+        stop_hits.alias("stopword_hits"),
+    ).withColumns({
+        "mean_word_len_ppm": F.expr("__swc div __nw1"),
+        "symbol_word_ppm": F.expr("__nsy div __nw1"),
+        "bullet_line_ppm": F.expr("__nbu div __nl1"),
+        "ellipsis_line_ppm": F.expr("__nel div __nl1"),
+        "alpha_word_ppm": F.expr("__naw div __nw1"),
+    })
+    gate = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len_ppm") >= 3_000_000)
+        & (F.col("mean_word_len_ppm") <= 10_000_000)
+        & (F.col("symbol_word_ppm") <= 100_000)
+        & (F.col("bullet_line_ppm") <= 900_000)
+        & (F.col("ellipsis_line_ppm") <= 300_000)
+        & (F.col("alpha_word_ppm") >= 800_000)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return out.withColumn("gopher_pass", gate.cast("int")).drop(
+        "__swc", "__naw", "__nsy", "__nbu", "__nel", "__nw1", "__nl1"
+    )

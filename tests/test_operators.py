@@ -1398,3 +1398,109 @@ def test_bm25_topk_ranking_and_saturation(spark):
     # empty query: empty result, stable schema
     empty = bm25_topk(df, "   ")
     assert empty.columns == ["doc_id", "score"] and empty.count() == 0
+
+
+def test_gopher_quality_gates(spark):
+    """Each Gopher rule (Rae et al. 2021 §A1.1) trips on its planted doc."""
+    from mydumper_spark.operators.text import gopher_quality
+
+    good = ("the quick brown fox jumps over that lazy dog and runs to "
+            "town with a friend of mine ") * 4          # 72 words, all gates
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass the word count and that is all of it"),
+            (3, "### " + "the cat and " * 30),           # symbol-heavy
+            (4, ("- the bullet one of them\n" * 4) + "plain final line"),
+            (5, good.replace("the", "123").replace("and", "456")
+                    .replace("that", "789").replace("of", "000")
+                    .replace("to", "111").replace("with", "222")),  # no stopwords
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert out[1]["gopher_pass"] == 1
+    assert out[1]["n_words"] == 72
+    assert out[1]["stopword_hits"] >= 2
+    assert out[2]["gopher_pass"] == 0          # < 50 words
+    assert out[3]["symbol_word_ppm"] > 0
+    assert out[4]["bullet_line_ppm"] == 800000  # 4 of 5 lines bulleted
+    assert out[5]["stopword_hits"] < 2 and out[5]["gopher_pass"] == 0
+    assert out[6]["n_words"] == 0 and out[6]["gopher_pass"] == 0
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 §2.2: terminal-punct + ≥5-word line retention, ≥3-line page gate,
+    lorem-ipsum / curly-brace page kills."""
+    from mydumper_spark.operators.corpus import c4_line_filter
+
+    keep = "This line has five good words."
+    df = spark.createDataFrame(
+        [
+            (1, f"{keep}\nshort one.\n{keep}\nno terminal punct here\n{keep}"),
+            (2, f"Lorem Ipsum dolor sit amet here.\n{keep}\n{keep}\n{keep}"),
+            (3, f"code {{ brace }}\n{keep}\n{keep}\n{keep}"),
+            (4, f"{keep}\n{keep}"),                    # only 2 kept lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_line_filter(df).collect()}
+    assert out[1]["n_lines_kept"] == 3 and out[1]["page_ok"] == 1
+    assert out[1]["clean_text"] == "\n".join([keep] * 3)
+    assert out[2]["page_ok"] == 0                      # lorem ipsum
+    assert out[2]["n_lines_kept"] == 4                 # lines still counted
+    assert out[3]["page_ok"] == 0                      # curly brace
+    assert out[4]["n_lines_kept"] == 2 and out[4]["page_ok"] == 0
+
+
+def test_exact_substring_dedup_sliding_spans(spark):
+    """Lee et al. 2021 ExactSubstr semantics: a duplicated k-gram is excised
+    at every occurrence but the globally-first, at ANY token offset —
+    including a second occurrence inside the SAME document."""
+    from mydumper_spark.operators.corpus import exact_substring_dedup
+
+    span = "a b c d e f g h i j"                       # the 10-token span
+    df = spark.createDataFrame(
+        [
+            (1, f"{span} one1 two1"),                   # first occurrence
+            (2, f"lead2 {span} tail2"),                 # shifted copy
+            (3, f"{span} mid3 {span}"),                 # twice in one doc
+            (4, "totally different words with no overlap at all here"),
+            (5, "short doc"),                           # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in exact_substring_dedup(df, k=10).collect()}
+    assert out[1]["clean_text"] == f"{span} one1 two1"  # keeper untouched
+    assert out[2]["clean_text"] == "lead2 tail2"
+    assert out[2]["n_tokens_removed"] == 10
+    # doc 3: both its occurrences lose to doc 1's -> only 'mid3' survives
+    assert out[3]["clean_text"] == "mid3"
+    assert out[3]["n_tokens_removed"] == 20
+    assert out[4]["n_tokens_removed"] == 0
+    assert out[5]["clean_text"] == "short doc"          # passthrough
+
+    # window arbiter pins identical results (the ladder's twin contract)
+    alt = {r["doc_id"]: r.asDict()
+           for r in exact_substring_dedup(df, k=10,
+                                          arbiter="window").collect()}
+    assert alt == out
+
+
+def test_redact_pii_patterns(spark):
+    """Every PII pattern redacts; ordering keeps SSN/card out of the greedy
+    phone pattern's mouth."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.text import redact_pii
+
+    raw = ("mail me at jane.doe+x@example.co.uk or call +1 (555) 010-2345, "
+           "ssn 123-45-6789, card 4111 1111 1111 1111, done")
+    df = spark.createDataFrame([(1, raw)], "id long, t string")
+    got = df.select(redact_pii(F.col("t")).alias("c")).collect()[0]["c"]
+    assert "<EMAIL>" in got and "<PHONE>" in got
+    assert "<SSN>" in got and "<CARD>" in got
+    assert "example.co.uk" not in got and "123-45-6789" not in got
+    assert "4111" not in got and "555" not in got
