@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     # the embedding-curation composite (decontaminate → SemDeDup → DSIR
     # select) — wall-time guard for the whole curation stack in one entry
     "x_embcurate_select",
+    # sliding-window ExactSubstr dedup — the widest explode in the repo
+    # (every token k-gram), benched so a blowup in the gram/covered-token
+    # expansion is visible
+    "x_substring_dedup",
+    # the Gopher rule family — must stay a pure scan-side projection
+    "x_gopher_quality",
 ]
 
 

@@ -277,3 +277,49 @@ def test_dedup_lines_idempotent(spark):
     for doc_id, (text, n_removed) in got.items():
         assert n_removed == 0, (doc_id, got)
         assert text == base[doc_id]
+
+
+def test_quality_filters_run_in_streaming(spark, tmp_path, documents):
+    """gopher_quality and c4_line_filter are stateless per-row projections,
+    so they compose unchanged into a Structured Streaming intake (the ST7
+    batch-twin contract): stream the corpus through both, availableNow,
+    and the accumulated output must equal the batch run."""
+    from mydumper_spark.operators.corpus import c4_line_filter
+    from mydumper_spark.operators.text import gopher_quality
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    corpus = documents.limit(50)
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    # stateless maps: select the c4-cleaned line view AND the gopher gates
+    # in one streaming projection, exactly as a batch pipeline would
+    gated = gopher_quality(stream).withColumnRenamed("doc_id", "g_id")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {tuple(r) for r in gopher_quality(corpus)
+             .withColumnRenamed("doc_id", "g_id").collect()}
+    assert got == batch and len(got) == 50
+
+    out2 = str(tmp_path / "out2")
+    ck2 = str(tmp_path / "ck2")
+    q2 = (
+        c4_line_filter(stream)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {tuple(r) for r in spark.read.parquet(out2).collect()}
+    batch2 = {tuple(r) for r in c4_line_filter(corpus).collect()}
+    assert got2 == batch2 and len(got2) == 50

@@ -269,3 +269,23 @@ def test_round6_dedup_agg_arbiter_no_window(spark):
     plan = _plan(entry.queries()["x_dedup_lines_global"](spark, SF))
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_round7_quality_filters_zero_exchange(spark):
+    """gopher_quality and c4_line_filter are scan-side projections: one
+    parquet scan, no Exchange, no Window, no Join — the shape that fuses
+    into the reader's codegen stage at any scale."""
+    for name in ("x_gopher_quality", "x_c4_filter", "x_pii_redact"):
+        plan = _plan(entry.queries()[name](spark, SF))
+        assert "Exchange" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert plan.count("Scan parquet") == 1, (name, plan)
+
+
+def test_round7_substring_dedup_agg_arbiter_no_window(spark):
+    """exact_substring_dedup defaults to the skew-splittable min(struct)
+    arbiter: no Window node; the gram exchange and the doc_id rebuild are
+    aggregates + joins only."""
+    plan = _plan(entry.queries()["x_substring_dedup"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
