@@ -274,8 +274,36 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         df = _rewrite_text(
             df, dedup_token_blocks_global(df, block_tokens=args.block_dedup_tokens)
         )
+    if args.substring_dedup_tokens:
+        from mydumper_spark.operators.corpus import exact_substring_dedup
+
+        df = _rewrite_text(
+            df, exact_substring_dedup(df, k=args.substring_dedup_tokens)
+        )
     df = _stage(df, "after_dedup")
 
+    # C4 cleaning REWRITES text to the retained lines and DROPS pages that
+    # fail the page gate — it must run before the per-doc quality gates so
+    # they judge the cleaned text, not the lines C4 was about to remove
+    if args.c4:
+        from mydumper_spark.operators.corpus import c4_line_filter
+
+        c = c4_line_filter(df).where("page_ok = 1")
+        df = (
+            df.withColumnRenamed("text", "__orig_text")
+            .join(c.select("doc_id", "clean_text"), "doc_id")
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text", "__orig_text")
+        )
+        df = _stage(df, "after_c4")
+    if args.gopher_gate:
+        from mydumper_spark.operators.text import gopher_quality
+
+        sw = (args.gopher_stopwords.split(",")
+              if args.gopher_stopwords else None)
+        g = gopher_quality(df, stopwords=sw).where(
+            "gopher_pass = 1").select("doc_id")
+        df = df.join(g, "doc_id", "left_semi")
     if args.repetition_gate:
         gate = repetition_metrics(df).where("passes_repetition").select("doc_id")
         df = df.join(gate, "doc_id", "left_semi")
@@ -464,6 +492,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="corpus-wide duplicate-line removal (C4 rule) after doc dedup")
     pp.add_argument("--block-dedup-tokens", type=int, default=None,
                     help="corpus-wide aligned token-block dedup at this block size")
+    pp.add_argument("--substring-dedup-tokens", type=int, default=None,
+                    help="sliding-window exact substring dedup (ExactSubstr) "
+                         "at this k-gram size — catches shifted duplicates "
+                         "aligned blocks miss")
+    pp.add_argument("--c4", action="store_true",
+                    help="C4 line cleaning: keep terminal-punct ≥5-word "
+                         "lines, drop pages failing the ≥3-line / lorem-"
+                         "ipsum / brace gate")
+    pp.add_argument("--gopher-gate", action="store_true",
+                    help="drop docs failing the Gopher rule family (word "
+                         "count, word length, symbol/bullet ratios, "
+                         "stop-word presence)")
+    pp.add_argument("--gopher-stopwords", default=None,
+                    help="comma-separated stop-word set for the Gopher "
+                         "gate (default: the paper's English set; localize "
+                         "per language)")
     pp.add_argument("--repetition-gate", action="store_true",
                     help="drop docs failing the dup-3gram/dup-line gates")
     pp.add_argument("--min-quality", type=float, default=None,

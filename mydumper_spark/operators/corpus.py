@@ -375,6 +375,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     k: int = 50,
     arbiter: str = "agg",
+    hash_prejoin: bool = True,
 ) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better", ExactSubstr): any token
@@ -387,15 +388,19 @@ def exact_substring_dedup(
     Returns (id, clean_text, n_tokens_kept, n_tokens_removed); documents
     shorter than ``k`` tokens pass through unchanged.
 
-    Scale shape: grams shuffle once on the gram value (the only corpus-wide
-    exchange; production would shuffle 8-byte gram hashes + a verify pass —
-    the same recall/wire tradeoff documented on dedup_lines_global).
+    Scale shape: with ``hash_prejoin`` (the default, and EXACT — the hash
+    only prunes, the arbiter still groups on gram text) the corpus-wide
+    exchange carries 8-byte xxhash64 keys with map-side count partials;
+    only the duplicated sliver's gram TEXT ever shuffles (the candidate
+    semi-join is AQE-broadcast when duplication is rare — Lee et al.
+    measure ~3% of tokens). A hash collision merely creates a false
+    candidate that the exact text grouping then separates, so the result
+    is bit-identical to ``hash_prejoin=False`` (pinned in tests).
     Duplicate-span → covered-token expansion is k× the DUPLICATED-span
-    count, not the corpus (duplication is the rare case by assumption —
-    Lee et al. measure ~3% of tokens); reconstruction is one groupBy on
-    doc_id. The first-occurrence arbiter is the ladder's skew-splittable
-    min(struct) aggregate, so a boilerplate passage repeated millions of
-    times costs a partial agg, not one hot window partition.
+    count, not the corpus; reconstruction is one groupBy on doc_id. The
+    first-occurrence arbiter is the ladder's skew-splittable min(struct)
+    aggregate, so a boilerplate passage repeated millions of times costs
+    a partial agg, not one hot window partition.
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
@@ -411,25 +416,39 @@ def exact_substring_dedup(
             )
         ).alias("pos", "gram"),
     )
+    if hash_prejoin:
+        # 8-byte pre-shuffle: find hash-duplicated candidates first, then
+        # run the exact text arbiter on that sliver only
+        hashed = grams.withColumn("__h", F.xxhash64(F.col("gram")))
+        dup_hashes = (
+            hashed.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .select("__h")
+        )
+        grams = hashed.join(dup_hashes, "__h", "left_semi").drop("__h")
     marked = _mark_first_occurrence(grams, id_col, "gram", arbiter,
                                     keep_blank=False)
     # every non-first occurrence of a duplicated gram covers tokens
     # [pos, pos+k-1]; expansion is bounded by k × (duplicated spans)
-    covered = (
-        marked.where(~F.col("keep"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + k - 1)
-            ).alias("tok_idx"),
-        )
-        .distinct()
+    # overlapping spans produce duplicate (id, tok_idx) rows — deliberately
+    # NOT distinct()ed: left_anti tolerates right-side duplicates, and a
+    # distinct here would be a full extra exchange of the expanded set
+    covered = marked.where(~F.col("keep")).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + k - 1)
+        ).alias("tok_idx"),
     )
     tok_rows = base.select(
         F.col(id_col), F.posexplode(F.col("__toks")).alias("tok_idx", "tok")
     )
+    # merge-hinted: the size estimate under the explode is garbage, and at
+    # worst-case duplication Catalyst would otherwise try to BROADCAST the
+    # expanded set (observed OOM at 0.5 GB / 100% duplication); sort-merge
+    # is the spill-safe shape at any duplication rate
     survivors = tok_rows.join(
-        covered, [id_col, "tok_idx"], "left_anti"
+        covered.hint("merge"), [id_col, "tok_idx"], "left_anti"
     )
     rebuilt = survivors.groupBy(id_col).agg(
         F.concat_ws(

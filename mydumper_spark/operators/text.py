@@ -735,7 +735,8 @@ GOPHER_STOPWORDS: list[str] = ["the", "be", "to", "of", "and", "that",
 
 
 def gopher_quality(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    stopwords: list[str] | None = None, min_stopwords: int = 2,
 ) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021, §A1.1 — the
     non-repetition half; the repetition half is :func:`repetition_stats`):
@@ -747,7 +748,9 @@ def gopher_quality(
     - ``bullet_line_ppm`` / ``ellipsis_line_ppm`` — fraction of non-blank
       lines starting with a bullet (< 90%) / ending in an ellipsis (< 30%);
     - ``alpha_word_ppm`` — words containing ≥ 1 alphabetic char, ≥ 80%;
-    - ``stopword_hits`` — how many of :data:`GOPHER_STOPWORDS` appear, ≥ 2;
+    - ``stopword_hits`` — how many of ``stopwords`` (default
+      :data:`GOPHER_STOPWORDS` — the paper's English set; localize per
+      language) appear, ≥ ``min_stopwords``;
     - ``gopher_pass`` — the conjunction.
 
     Every ratio is integer parts-per-million (floor division), so the
@@ -785,7 +788,7 @@ def gopher_quality(
         F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
     ).cast("bigint")
     stop_hits = None
-    for w in GOPHER_STOPWORDS:
+    for w in (GOPHER_STOPWORDS if stopwords is None else stopwords):
         hit = F.array_contains(toks, w).cast("bigint")
         stop_hits = hit if stop_hits is None else stop_hits + hit
     out = df.select(
@@ -814,7 +817,7 @@ def gopher_quality(
         & (F.col("bullet_line_ppm") <= 900_000)
         & (F.col("ellipsis_line_ppm") <= 300_000)
         & (F.col("alpha_word_ppm") >= 800_000)
-        & (F.col("stopword_hits") >= 2)
+        & (F.col("stopword_hits") >= min_stopwords)
     )
     return out.withColumn("gopher_pass", gate.cast("int")).drop(
         "__swc", "__naw", "__nsy", "__nbu", "__nel", "__nw1", "__nl1"

@@ -500,3 +500,45 @@ def test_prepare_stage_counts_materialize_cache(spark):
     finally:
         for d in cached:
             d.unpersist()
+
+
+def test_cli_prepare_c4_gopher_substring(tmp_path):
+    """`prepare --c4 --gopher-gate --substring-dedup-tokens 8`: substring
+    dedup rewrites text in place (doc set unchanged), C4 rewrites AND drops
+    failing pages, the Gopher gate drops failing docs — stage counts are
+    monotone non-increasing and the output corpus is valid."""
+    out = str(tmp_path / "prepared")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--dedup", "none", "--substring-dedup-tokens", "8",
+         "--c4", "--gopher-gate", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    # substring dedup never changes the doc SET, only text
+    assert counts["after_dedup"] == counts["input"]
+    # the fixture corpus is period-free single-line prose: C4 keeps no
+    # lines, so every page fails the >=3-line gate — the honest outcome,
+    # and exactly what the gate is for
+    assert counts["after_c4"] == 0
+    assert counts["output_rows"] == 0
+
+    # without --c4 (fixture has no line structure), gopher + substring
+    # produce a real survivor set — with a localized stop-word set, since
+    # the synthetic vocabulary contains 'the'/'a' but none of the other
+    # English Gopher stop words (the default set would drop everything)
+    out2 = str(tmp_path / "prepared2")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out2, "--dedup", "none", "--substring-dedup-tokens", "8",
+         "--gopher-gate", "--gopher-stopwords", "the,a", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    c2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert 0 < c2["after_quality"] < c2["input"]
+    assert c2["output_rows"] == c2["after_decontamination"]

@@ -1488,6 +1488,14 @@ def test_exact_substring_dedup_sliding_spans(spark):
                                           arbiter="window").collect()}
     assert alt == out
 
+    # the production 8-byte hash prejoin is EXACT (hash only prunes
+    # candidates; text still arbitrates) — pinned identical to the
+    # no-prejoin spec path
+    spec = {r["doc_id"]: r.asDict()
+            for r in exact_substring_dedup(df, k=10,
+                                           hash_prejoin=False).collect()}
+    assert spec == out
+
 
 def test_redact_pii_patterns(spark):
     """Every PII pattern redacts; ordering keeps SSN/card out of the greedy

@@ -58,6 +58,7 @@ def measure(spark, path: str) -> dict:
         dedup_lines_global,
         dedup_paragraphs_global,
         dedup_token_blocks_global,
+        exact_substring_dedup,
     )
     from mydumper_spark.operators.dedup import exact_dedup
 
@@ -71,6 +72,11 @@ def measure(spark, path: str) -> dict:
         "paragraphs": lambda d: dedup_paragraphs_global(d).select("doc_id", "n_kept", "n_removed"),
         "blocks32": lambda d: dedup_token_blocks_global(d, block_tokens=32).select(
             "doc_id", "n_kept", "n_removed"),
+        # sliding ExactSubstr at the replica corpus's near-total duplication
+        # — the worst case for the covered-token expansion (k × nearly every
+        # position); measures the hash-prejoin production path
+        "substring8": lambda d: exact_substring_dedup(d, k=8).select(
+            "doc_id", "n_tokens_kept", "n_tokens_removed"),
     }
     for name, fn in ops.items():
         # materialize through the noop sink: count() on a groupBy lets
