@@ -345,7 +345,7 @@ def c4_line_filter(
     broadcast-join concern, deliberately left to the caller's masquerade /
     filter stage.
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty page
     kept = F.filter(
         F.split(c, "\n"),
         lambda l: F.trim(l).rlike('[.!?"]$')
@@ -402,7 +402,7 @@ def exact_substring_dedup(
     aggregate, so a boilerplate passage repeated millions of times costs
     a partial agg, not one hot window partition.
     """
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))  # NULL = empty
     n = F.size(toks)
     base = df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"))
     # sliding k-grams with start positions (0-based); docs with < k tokens

@@ -758,7 +758,7 @@ def gopher_quality(
     projection, zero shuffles, zero Python — at 100 TB this is a pure
     scan-side map that AQE never has to think about.
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
     toks = F.filter(
         F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")
     )

@@ -1512,3 +1512,23 @@ def test_redact_pii_patterns(spark):
     assert "<SSN>" in got and "<CARD>" in got
     assert "example.co.uk" not in got and "123-45-6789" not in got
     assert "4111" not in got and "555" not in got
+
+
+def test_round7_operators_null_text_is_empty_doc(spark):
+    """NULL text must behave as an empty document in the round-7 quality/
+    dedup family — a dump of a nullable TEXT column must not propagate
+    NULL verdicts into gates (a NULL gopher_pass would silently fall out
+    of both `pass=1` and `pass=0` filters)."""
+    from mydumper_spark.operators.corpus import (
+        c4_line_filter, exact_substring_dedup,
+    )
+    from mydumper_spark.operators.text import gopher_quality
+
+    df = spark.createDataFrame([(1, None), (2, "the fine text here")],
+                               "doc_id long, text string")
+    g = gopher_quality(df).where("doc_id = 1").collect()[0]
+    assert g["n_words"] == 0 and g["gopher_pass"] == 0
+    c = c4_line_filter(df).where("doc_id = 1").collect()[0]
+    assert c["clean_text"] == "" and c["page_ok"] == 0
+    s = {r["doc_id"]: r for r in exact_substring_dedup(df, k=3).collect()}
+    assert s[1]["clean_text"] == "" and s[1]["n_tokens_removed"] == 0
