@@ -435,7 +435,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-T", "--tables-list", help="explicit tables (P8)")
     d.add_argument("-i", "--ignore-engines", help="engine filter (P9)")
     d.add_argument("--defaults-file", help="INI config with per-table sections")
-    d.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
+    d.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "jsonl", "orc"])
     d.add_argument("-c", "--compress", default=None, choices=[None, "gzip", "zstd"])
     d.add_argument("-r", "--rows", type=int, help="max records per output file (K5)")
     d.add_argument("-t", "--threads", type=int)

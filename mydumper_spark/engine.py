@@ -38,7 +38,7 @@ class DumpConfig:
     global_where: str | None = None  # P1 --where
     per_table: dict[str, TableTransform] = field(default_factory=dict)  # P2-P5
     chunks_per_table: int | None = None  # --rows analogue
-    fmt: str = "parquet"  # parquet | csv | jsonl  (K2-K4 + corpus interchange)
+    fmt: str = "parquet"  # parquet | csv | jsonl | orc (K2-K4 + interchange)
     csv_format: CsvFormat = field(default_factory=CsvFormat)
     max_records_per_file: int | None = None  # K5 --chunk-filesize
     checksum: bool = True  # --checksum-all
@@ -120,6 +120,8 @@ def _read_written(spark: SparkSession, path: str, cfg: DumpConfig, schema):
     inference: JSON/CSV are stringly-typed on disk)."""
     if cfg.fmt == "jsonl":
         return spark.read.schema(schema).json(path)
+    if cfg.fmt == "orc":
+        return spark.read.orc(path)
     if cfg.fmt == "csv":
         return spark.read.schema(schema).option(
             "sep", cfg.csv_format.fields_terminated_by
@@ -273,6 +275,11 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 with open(os.path.join(cfg.output_dir,
                                        f"{out_name}.schema.json"), "w") as f:
                     f.write(out.schema.json())
+            elif cfg.fmt == "orc":
+                from mydumper_spark.sinks.writers import write_orc
+
+                path = os.path.join(cfg.output_dir, f"{out_name}.orc")
+                write_orc(out, path, cfg.max_records_per_file)
             else:
                 write_parquet(out, path, cfg.max_records_per_file)
             if cfg.exec_per_file:
@@ -481,6 +488,8 @@ def restore(
         # table-name-derived default (FilenameRegistry mapping)
         if src_path and src_path.endswith(".parquet") and os.path.exists(src_path):
             return spark.read.parquet(src_path)
+        if src_path and src_path.endswith(".orc") and os.path.exists(src_path):
+            return spark.read.orc(src_path)
         if src_path and src_path.endswith(".jsonl") and os.path.exists(src_path):
             from pyspark.sql import types as T
 

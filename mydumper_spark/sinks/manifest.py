@@ -237,6 +237,8 @@ def read_dumped_table(spark, entry: dict) -> "DataFrame | None":
         return None
     if path.endswith(".parquet"):
         return spark.read.parquet(path)
+    if path.endswith(".orc"):
+        return spark.read.orc(path)
     if path.endswith(".jsonl"):
         from pyspark.sql import types as T
 

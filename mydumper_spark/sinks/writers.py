@@ -106,6 +106,21 @@ def write_jsonl(
     w.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink — the columnar alternative for Hive/Trino-centric
+    consumers; self-describing types (no sidecar needed), same K5
+    rotation and K6 compression knobs as parquet."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.orc(path)
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
