@@ -99,6 +99,20 @@ class TableFilters:
             return False
         return True
 
+    def admits_database(self, database: str) -> bool:
+        """Database-level gate for schema-scoped objects (routines/events):
+        the reference dumps these per admitted DATABASE, not per table name
+        (they ride the db-schema-post file, mydumper_jobs.c:555-620), so
+        only the db-scoped rules apply — special-schema exclusion, -B, and
+        db-level skiplist entries."""
+        if not self.include_special and database in SPECIAL_SCHEMAS:
+            return False
+        if self.databases is not None and database not in self.databases:
+            return False
+        if database in self.skiplist:
+            return False
+        return True
+
 
 def pick_chunk_column(meta: TableMeta,
                       profile: list[dict] | None = None) -> str | None:

@@ -268,6 +268,23 @@ def cmd_prepare(args: argparse.Namespace) -> int:
             .drop("clean_text", "__orig_text")
         )
 
+    # C4 cleaning REWRITES text to the retained lines and DROPS pages that
+    # fail the page gate. It must run BEFORE the token-level dedup stages:
+    # block/substring dedup rebuild text with single spaces (tokens() splits
+    # on \s+ including \n), so running C4 after them would see one-line
+    # pages and drop the whole corpus. C4-paper order anyway: line cleaning
+    # first, dedup on the cleaned text.
+    if args.c4:
+        from mydumper_spark.operators.corpus import c4_line_filter
+
+        c = c4_line_filter(df).where("page_ok = 1")
+        df = (
+            df.withColumnRenamed("text", "__orig_text")
+            .join(c.select("doc_id", "clean_text"), "doc_id")
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text", "__orig_text")
+        )
+        df = _stage(df, "after_c4")
     if args.line_dedup:
         df = _rewrite_text(df, dedup_lines_global(df))
     if args.block_dedup_tokens:
@@ -282,20 +299,6 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         )
     df = _stage(df, "after_dedup")
 
-    # C4 cleaning REWRITES text to the retained lines and DROPS pages that
-    # fail the page gate — it must run before the per-doc quality gates so
-    # they judge the cleaned text, not the lines C4 was about to remove
-    if args.c4:
-        from mydumper_spark.operators.corpus import c4_line_filter
-
-        c = c4_line_filter(df).where("page_ok = 1")
-        df = (
-            df.withColumnRenamed("text", "__orig_text")
-            .join(c.select("doc_id", "clean_text"), "doc_id")
-            .withColumn("text", F.col("clean_text"))
-            .drop("clean_text", "__orig_text")
-        )
-        df = _stage(df, "after_c4")
     if args.gopher_gate:
         from mydumper_spark.operators.text import gopher_quality
 

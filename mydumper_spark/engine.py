@@ -244,6 +244,12 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                             else obj.table)
                     if tkey not in admitted_tables:
                         continue
+                else:
+                    # routines/events are database-scoped (db-schema-post):
+                    # without this gate an out-of-scope schema's procedures
+                    # would be dumped AND replayed on the restore target
+                    if not cfg.filters.admits_database(obj.database):
+                        continue
                 schema_objects.append((okey, obj))
 
         # --- phase 2 (pooled): per-table read → transform → write →
@@ -523,8 +529,13 @@ def restore(
                     # PK from the captured source DDL goes INLINE in the
                     # CREATE (split_create_table's "PK stays" rule);
                     # secondary indexes/constraints arrive in the INDEX/
-                    # CONSTRAINT phases after data (L6 --optimize-keys)
+                    # CONSTRAINT phases after data (L6 --optimize-keys).
+                    # Gated on the DUMPED columns: a dump transform may
+                    # have projected a PK column away, and a PK clause on
+                    # a missing column fails the whole CREATE
                     pk = (schema_def or {}).get("primary_key") or None
+                    if pk and not all(c in schema.fieldNames() for c in pk):
+                        pk = None
                     if db:  # reproduce the source layout, not a flat name
                         ddl_executor(
                             f"CREATE SCHEMA IF NOT EXISTS "
@@ -587,12 +598,18 @@ def restore(
         # DROP purge: TRUNCATE/DELETE keep the existing table, whose own
         # indexes survive — re-issuing CREATE INDEX would collide.
         if jdbc_target and entry.get("schema_def") and purge == PurgeMode.DROP:
-            from mydumper_spark.plans.ddl import restore_statements
+            from mydumper_spark.plans.ddl import (
+                prune_descriptor, restore_statements,
+            )
 
-            stmts = restore_statements(
-                target_table(t), entry["schema_def"], dialect)
-            if stmts["skipped"]:
-                skipped_ddl[t] = stmts["skipped"]
+            # prune against the DUMPED columns: indexes/constraints on
+            # transform-dropped columns become skip notes, not target errors
+            avail = (set(source_df(t, src_path).schema.names)
+                     if not schema_only else set())
+            pruned, prune_notes = prune_descriptor(entry["schema_def"], avail)
+            stmts = restore_statements(target_table(t), pruned, dialect)
+            if prune_notes or stmts["skipped"]:
+                skipped_ddl[t] = prune_notes + stmts["skipped"]
 
             def make_ddl_action(statements):
                 def action():
@@ -670,9 +687,10 @@ def restore(
             if entry.get("path") is None and entry["rows"] == 0:
                 continue  # schema-only (same predicate as schema_only above)
             if entry.get("data_checksum") is None:
-                # dump ran with checksum=False — verify row count only
-                cs = table_checksum(read_target(t), algorithm=algo)
-                checks[t] = cs["rows"] == entry["rows"]
+                # dump ran with checksum=False — verify row count only (a
+                # plain count, NOT table_checksum: hashing every row of the
+                # target to then read only .rows would double verify cost)
+                checks[t] = read_target(t).count() == entry["rows"]
                 continue
             cs = table_checksum(read_target(t), algorithm=algo)
             checks[t] = cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"]
@@ -732,8 +750,19 @@ def dump_incremental(
             cur = apply_transform(cat.read(meta, cfg.chunks_per_table), tt,
                                   global_where=cfg.global_where)
             out_name = fnames.filename_for(key)
+            if tt is not None and "DATA" not in tt.object_scope:  # P11
+                entry = build_entry(cur.limit(0), key, manifest.algorithm,
+                                    path=None, database=db_rec)
+                manifest.tables[key] = entry
+                continue
             parent_entry = parent_doc["tables"].get(key)
-            pk = [c for c in meta.primary_key if c in cur.columns]
+            # a PARTIAL composite PK is not a key: diffing on the surviving
+            # subset would explode the full-outer join and corrupt the
+            # reconstruction — only an intact PK qualifies for delta mode
+            pk = (list(meta.primary_key)
+                  if meta.primary_key
+                  and all(c in cur.columns for c in meta.primary_key)
+                  else [])
             if parent_entry is None or not pk or parent_entry.get("path") is None:
                 # new table / no PK / schema-only parent: full re-dump
                 path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
@@ -747,8 +776,11 @@ def dump_incremental(
             d = snapshot_diff(old, cur, pk).localCheckpoint(eager=True)
             adds = d.where(F.col("status").isin("added", "changed")).select(*pk)
             dels = d.where(F.col("status") == "deleted").select(*pk)
+            # no forced broadcast: the changed-key set is unbounded (a bulk
+            # UPDATE touches the whole table) — AQE picks broadcast when the
+            # delta really is a sliver and a shuffled join when it is not
             path = os.path.join(cfg.output_dir, f"{out_name}.delta.parquet")
-            write_parquet(cur.join(F.broadcast(adds), pk, "left_semi"), path,
+            write_parquet(cur.join(adds, pk, "left_semi"), path,
                           cfg.max_records_per_file)
             del_path = os.path.join(cfg.output_dir,
                                     f"{out_name}.deletes.parquet")
@@ -788,12 +820,12 @@ def _materialize_from_parts(spark, parent_dir, table, delta_path, del_path, pk):
     """Parent state ⊎ freshly WRITTEN delta/deletes — what a restore of
     this incremental dump will reconstruct (read back from disk, so the
     manifest checksum covers the written bytes)."""
-    from pyspark.sql import functions as F
-
     from mydumper_spark.sinks.manifest import materialized_table
 
     base = materialized_table(spark, parent_dir, table)
     delta = spark.read.parquet(delta_path)
     gone = spark.read.parquet(del_path).select(*pk)
     drop = gone.unionByName(delta.select(*pk)).distinct()
-    return base.join(F.broadcast(drop), pk, "left_anti").unionByName(delta)
+    # AQE decides the join strategy — the drop set is change volume,
+    # which nothing bounds
+    return base.join(drop, pk, "left_anti").unionByName(delta)

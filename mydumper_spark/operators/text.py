@@ -590,7 +590,12 @@ def repetition_stats(
     per-key state is two bigints."""
     from mydumper_spark.operators.dedup import shingles
 
-    base = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    # NULL text = empty doc: split('') still yields one (empty) line and
+    # shingles('') one empty gram, so every document emits a row and the
+    # inner joins below cannot silently drop NULL-text docs
+    base = df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+    )
 
     lines = base.select(
         F.col(id_col), F.explode(F.split(F.col("__t"), "\n")).alias("l")

@@ -239,9 +239,24 @@ _UNIQUE_RE = re.compile(
     re.IGNORECASE,
 )
 _KEY_RE = re.compile(
-    r"^(?:FULLTEXT\s+|SPATIAL\s+)?(?:KEY|INDEX)\s+(?:`(?P<name>[^`]+)`|(?P<bname>[A-Za-z0-9_$]+))\s*\((?P<cols>.+)\)",
+    r"^(?P<itype>FULLTEXT\s+|SPATIAL\s+)?(?:KEY|INDEX)\s+(?:`(?P<name>[^`]+)`|(?P<bname>[A-Za-z0-9_$]+))\s*\((?P<cols>.+)\)",
     re.IGNORECASE,
 )
+_FK_ACTION_RE = re.compile(
+    r"ON\s+(?P<evt>DELETE|UPDATE)\s+"
+    r"(?P<act>CASCADE|SET\s+NULL|SET\s+DEFAULT|RESTRICT|NO\s+ACTION)",
+    re.IGNORECASE,
+)
+
+
+def _sub_parts(inner: str) -> list[int | None] | None:
+    """``"`a`, `b`(10)"`` → ``[None, 10]`` (None when no column carries a
+    prefix length) — the capture-side twin of statistics.SUB_PART."""
+    subs = []
+    for part in inner.split(","):
+        m = re.search(r"\((\d+)\)", part)
+        subs.append(int(m.group(1)) if m else None)
+    return subs if any(s is not None for s in subs) else None
 _FK_RE = re.compile(
     r"^(?:CONSTRAINT\s+(?:`(?P<name>[^`]+)`|(?P<bname>[A-Za-z0-9_$]+))\s+)?"
     r"FOREIGN\s+KEY\s*\((?P<cols>[^)]+)\)\s*REFERENCES\s+"
@@ -277,18 +292,28 @@ def descriptor_from_create_table(ddl: str) -> dict:
             })
         elif m := _FK_RE.match(line):
             ref = m["ref"].replace("`", "")
-            desc["foreign_keys"].append({
+            fk = {
                 "name": m["name"] or m["bname"] or "",
                 "columns": _cols_list(m["cols"]),
                 "ref_table": ref,
                 "ref_columns": _cols_list(m["refcols"]),
-            })
+            }
+            for am in _FK_ACTION_RE.finditer(line):
+                act = re.sub(r"\s+", " ", am["act"].upper())
+                if act not in ("RESTRICT", "NO ACTION"):  # defaults omitted
+                    fk[f"on_{am['evt'].lower()}"] = act
+            desc["foreign_keys"].append(fk)
         elif m := _KEY_RE.match(line):
-            desc["indexes"].append({
+            ix = {
                 "name": m["name"] or m["bname"],
                 "columns": _cols_list(m["cols"]),
                 "unique": False,
-            })
+            }
+            if m["itype"]:
+                ix["type"] = m["itype"].strip().upper()
+            if subs := _sub_parts(m["cols"]):
+                ix["sub_parts"] = subs
+            desc["indexes"].append(ix)
         elif (m := _CHECK_RE.match(line)) and not _COL_LINE.match(line):
             desc["checks"].append({"name": m["name"] or m["bname"] or "",
                                    "expr": m["expr"]})
@@ -320,8 +345,29 @@ def restore_statements(qualified_table: str, descriptor: dict,
         out["index"].append(
             f"CREATE UNIQUE INDEX {q(name)} ON {qualified_table} ({cols})")
     for ix in descriptor.get("indexes", []):
-        kind = "UNIQUE INDEX" if ix.get("unique") else "INDEX"
-        cols = ", ".join(q(c) for c in ix["columns"])
+        itype = (ix.get("type") or "").upper()
+        if itype in ("FULLTEXT", "SPATIAL"):
+            if dialect != "mysql":
+                out["skipped"].append(
+                    f"{itype.lower()} index {ix['name']}: target dialect "
+                    f"{dialect!r} has no {itype} indexes")
+                continue
+            kind = f"{itype} INDEX"
+        else:
+            kind = "UNIQUE INDEX" if ix.get("unique") else "INDEX"
+        subs = ix.get("sub_parts") or [None] * len(ix["columns"])
+        if dialect == "mysql":
+            # prefix lengths survive (KEY (`txt`(32)) — without them MySQL
+            # rejects TEXT/BLOB keys, error 1170)
+            cols = ", ".join(
+                f"{q(c)}({sp})" if sp is not None else q(c)
+                for c, sp in zip(ix["columns"], subs))
+        else:
+            cols = ", ".join(q(c) for c in ix["columns"])
+            if any(sp is not None for sp in subs):
+                out["skipped"].append(
+                    f"index {ix['name']}: prefix length(s) dropped — "
+                    f"dialect {dialect!r} indexes whole columns")
         out["index"].append(
             f"CREATE {kind} {q(ix['name'])} ON {qualified_table} ({cols})")
     for fk in descriptor.get("foreign_keys", []):
@@ -334,9 +380,15 @@ def restore_statements(qualified_table: str, descriptor: dict,
         rcols = ", ".join(q(c) for c in fk["ref_columns"])
         rtable = ".".join(q(p) for p in fk["ref_table"].split("."))
         name = f" {q(fk['name'])}" if fk["name"] else ""
-        out["constraint"].append(
-            f"ALTER TABLE {qualified_table} ADD CONSTRAINT{name} "
-            f"FOREIGN KEY ({cols}) REFERENCES {rtable} ({rcols})")
+        stmt = (f"ALTER TABLE {qualified_table} ADD CONSTRAINT{name} "
+                f"FOREIGN KEY ({cols}) REFERENCES {rtable} ({rcols})")
+        # referential actions round-trip (ON DELETE CASCADE degrading to
+        # the RESTRICT default is a silent semantics change)
+        if fk.get("on_delete"):
+            stmt += f" ON DELETE {fk['on_delete']}"
+        if fk.get("on_update"):
+            stmt += f" ON UPDATE {fk['on_update']}"
+        out["constraint"].append(stmt)
     for ck in descriptor.get("checks", []):
         if dialect != "mysql":
             out["skipped"].append(
@@ -354,3 +406,50 @@ def descriptor_is_empty(descriptor: dict | None) -> bool:
     return not descriptor or not any(descriptor.get(k) for k in
                                      ("primary_key", "uniques", "indexes",
                                       "foreign_keys", "checks"))
+
+
+def prune_descriptor(descriptor: dict,
+                     available: set[str]) -> tuple[dict, list[str]]:
+    """Drop key/constraint entries that reference columns absent from the
+    dumped data. A dump transform may project columns away (P4/P5's
+    select_columns); replaying a PRIMARY KEY or INDEX on a dropped column
+    would fail the whole CREATE TABLE / INDEX phase on the target. Each
+    dropped entry is returned as a human-readable skip note — surfaced in
+    the restore report, never silently lost. CHECK expressions are scanned
+    for backtick-quoted identifiers (the SHOW CREATE TABLE form); an
+    unquoted reference to a dropped column is undetectable without a SQL
+    parser and will surface as a target-side error instead."""
+    notes: list[str] = []
+    out = dict(descriptor)
+    pk = descriptor.get("primary_key") or []
+    if pk and not all(c in available for c in pk):
+        out["primary_key"] = []
+        notes.append(
+            f"primary key ({', '.join(pk)}): column(s) not in dumped data")
+    for field, label in (("uniques", "unique"), ("indexes", "index")):
+        kept = []
+        for e in descriptor.get(field) or []:
+            if all(c in available for c in e["columns"]):
+                kept.append(e)
+            else:
+                notes.append(f"{label} {e.get('name') or e['columns']}: "
+                             "column(s) not in dumped data")
+        out[field] = kept
+    kept_fk = []
+    for fk in descriptor.get("foreign_keys") or []:
+        if all(c in available for c in fk["columns"]):
+            kept_fk.append(fk)
+        else:
+            notes.append(f"foreign key {fk.get('name') or fk['columns']}: "
+                         "column(s) not in dumped data")
+    out["foreign_keys"] = kept_fk
+    kept_ck = []
+    for ck in descriptor.get("checks") or []:
+        refs = set(re.findall(r"`([^`]+)`", ck.get("expr") or ""))
+        if refs and not refs <= available:
+            notes.append(f"check {ck.get('name') or ck.get('expr')}: "
+                         "references column(s) not in dumped data")
+        else:
+            kept_ck.append(ck)
+    out["checks"] = kept_ck
+    return out, notes

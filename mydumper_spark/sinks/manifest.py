@@ -272,9 +272,11 @@ def materialized_table(spark, dump_root: str, table: str):
              else base.limit(0))
     gone = (spark.read.parquet(inc["delete_path"]).select(*pk)
             if inc.get("delete_path") else delta.select(*pk).limit(0))
-    # changed keys appear in BOTH the delta (new version) and the drop set
+    # changed keys appear in BOTH the delta (new version) and the drop set.
+    # No forced broadcast: change volume is unbounded (a bulk UPDATE makes
+    # the drop set table-sized) — AQE broadcasts real slivers by itself
     drop = gone.unionByName(delta.select(*pk)).distinct()
-    kept = base.join(F.broadcast(drop), pk, "left_anti")
+    kept = base.join(drop, pk, "left_anti")
     return kept.unionByName(delta)
 
 

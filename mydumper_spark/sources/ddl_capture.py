@@ -98,7 +98,10 @@ def _information_schema_keys(query, db: str, table: str) -> dict:
 
 def _mysql_foreign_keys(query, db: str, table: str) -> list[dict]:
     """FKs from MySQL's key_column_usage referenced_* columns (these are a
-    MySQL extension — absent from the ANSI shape, probed only there)."""
+    MySQL extension — absent from the ANSI shape, probed only there), plus
+    the referential actions from ``referential_constraints`` — ON DELETE
+    CASCADE silently degrading to RESTRICT on a round-trip is a data-loss
+    semantics change, not a cosmetic one."""
     rows = query(
         "SELECT constraint_name AS cname, column_name AS col, "
         "ordinal_position AS pos, referenced_table_name AS rtable, "
@@ -107,6 +110,18 @@ def _mysql_foreign_keys(query, db: str, table: str) -> list[dict]:
         f"WHERE table_schema = {_lit(db)} AND table_name = {_lit(table)} "
         "AND referenced_table_name IS NOT NULL"
     )
+    rules: dict[str, dict] = {}
+    try:
+        for r in query(
+            "SELECT constraint_name AS cname, update_rule AS ur, "
+            "delete_rule AS dr FROM information_schema.referential_constraints "
+            f"WHERE constraint_schema = {_lit(db)} "
+            f"AND table_name = {_lit(table)}"
+        ):
+            rules[_get(r, "cname")] = {"on_update": _get(r, "ur"),
+                                       "on_delete": _get(r, "dr")}
+    except Exception:
+        rules = {}  # engines without the view: actions default server-side
     fks: dict[str, dict] = {}
     for r in rows:
         fk = fks.setdefault(_get(r, "cname"), {
@@ -119,6 +134,13 @@ def _mysql_foreign_keys(query, db: str, table: str) -> list[dict]:
     for fk in sorted(fks.values(), key=lambda f: f["name"]):
         fk["columns"] = [c for _, c in sorted(fk["columns"])]
         fk["ref_columns"] = [c for _, c in sorted(fk["ref_columns"])]
+        rule = rules.get(fk["name"], {})
+        # record only non-default actions (RESTRICT/NO ACTION are the
+        # server defaults — rendering them adds noise, omitting is exact)
+        for k in ("on_delete", "on_update"):
+            v = (rule.get(k) or "").upper()
+            if v and v not in ("RESTRICT", "NO ACTION"):
+                fk[k] = v
         out.append(fk)
     return out
 
@@ -131,7 +153,8 @@ def _mysql_secondary_indexes(query, db: str, table: str,
     excluded (they arrive via table_constraints)."""
     rows = query(
         "SELECT index_name AS iname, non_unique AS nu, "
-        "seq_in_index AS pos, column_name AS col "
+        "seq_in_index AS pos, column_name AS col, "
+        "sub_part AS subp, index_type AS itype "
         "FROM information_schema.statistics "
         f"WHERE table_schema = {_lit(db)} AND table_name = {_lit(table)}"
     )
@@ -140,12 +163,26 @@ def _mysql_secondary_indexes(query, db: str, table: str,
         name = _get(r, "iname")
         if name == "PRIMARY" or name in skip_names:
             continue
+        itype = (_get(r, "itype") or "").upper()
         ix = by_name.setdefault(name, {"name": name, "columns": [],
                                        "unique": not int(_get(r, "nu"))})
-        ix["columns"].append((int(_get(r, "pos")), _get(r, "col")))
+        # BTREE is the default; FULLTEXT/SPATIAL/HASH change semantics and
+        # must survive the round-trip (a FULLTEXT re-created as BTREE is a
+        # silent behavior change, error 1170 territory on TEXT columns)
+        if itype and itype != "BTREE":
+            ix["type"] = itype
+        subp = _get(r, "subp")
+        ix["columns"].append(
+            (int(_get(r, "pos")), _get(r, "col"),
+             int(subp) if subp is not None else None))
     out = []
     for ix in sorted(by_name.values(), key=lambda i: i["name"]):
-        ix["columns"] = [c for _, c in sorted(ix["columns"])]
+        triples = sorted(ix["columns"])
+        ix["columns"] = [c for _, c, _sp in triples]
+        if any(sp is not None for _, _, sp in triples):
+            # prefix index (KEY `k` (`txt`(32))): without the length the
+            # restore emits an un-creatable index on BLOB/TEXT
+            ix["sub_parts"] = [sp for _, _, sp in triples]
         out.append(ix)
     return out
 
@@ -194,15 +231,24 @@ def _compose_raw(db: str, table: str, descriptor: dict,
         cols = ",".join(f"`{c}`" for c in u["columns"])
         lines.append(f"UNIQUE KEY `{u['name']}` ({cols})")
     for ix in descriptor.get("indexes", []):
-        cols = ",".join(f"`{c}`" for c in ix["columns"])
-        kind = "UNIQUE KEY" if ix.get("unique") else "KEY"
+        subs = ix.get("sub_parts") or [None] * len(ix["columns"])
+        cols = ",".join(
+            f"`{c}`({sp})" if sp is not None else f"`{c}`"
+            for c, sp in zip(ix["columns"], subs))
+        kind = ("UNIQUE KEY" if ix.get("unique")
+                else f"{ix['type']} KEY" if ix.get("type")
+                else "KEY")
         lines.append(f"{kind} `{ix['name']}` ({cols})")
     for fk in descriptor.get("foreign_keys", []):
         cols = ",".join(f"`{c}`" for c in fk["columns"])
         rcols = ",".join(f"`{c}`" for c in fk["ref_columns"])
-        lines.append(
-            f"CONSTRAINT `{fk['name']}` FOREIGN KEY ({cols}) "
-            f"REFERENCES `{fk['ref_table']}` ({rcols})")
+        fkl = (f"CONSTRAINT `{fk['name']}` FOREIGN KEY ({cols}) "
+               f"REFERENCES `{fk['ref_table']}` ({rcols})")
+        if fk.get("on_delete"):
+            fkl += f" ON DELETE {fk['on_delete']}"
+        if fk.get("on_update"):
+            fkl += f" ON UPDATE {fk['on_update']}"
+        lines.append(fkl)
     body = ",\n  ".join(lines)
     return f"CREATE TABLE `{table}` (\n  {body}\n);"
 

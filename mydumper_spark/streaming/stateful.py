@@ -238,9 +238,13 @@ def exact_verify_candidates(
     ``id_a < id_b`` — the SAME shingle-set Jaccard the batch
     ``minhash_lsh_pairs`` computes, so streaming and batch verdicts agree
     by construction on shared candidates. ``store`` is the document corpus
-    accumulated so far (the landing zone read as a batch frame: candidate
-    ids always resolve because every candidate was, by definition, already
-    written there).
+    accumulated so far. CONTRACT: the store must already contain every
+    candidate id — guaranteed when the stream SOURCE is the landing zone
+    itself (files are committed before a batch fires), NOT guaranteed when
+    streaming from elsewhere and landing via a separate sink (that sink
+    may commit after this verify). A violated contract raises rather than
+    silently losing pairs: an unresolved id here is a real near-duplicate
+    candidate that would otherwise vanish forever.
 
     LSH never affects correctness here, only which pairs are PROPOSED:
     per-bucket state keeps the earliest holder (8 bytes), so candidates
@@ -267,10 +271,20 @@ def exact_verify_candidates(
     )
     enriched = (
         cand.join(sh.select(F.col("id").alias("id_a"),
-                            F.col("sh").alias("sh_a")), "id_a")
+                            F.col("sh").alias("sh_a")), "id_a", "left")
         .join(sh.select(F.col("id").alias("id_b"),
-                        F.col("sh").alias("sh_b")), "id_b")
+                        F.col("sh").alias("sh_b")), "id_b", "left")
     )
+    unresolved = enriched.where(
+        F.col("sh_a").isNull() | F.col("sh_b").isNull())
+    missing = [r.asDict() for r in unresolved.limit(5).collect()]
+    if missing:
+        raise ValueError(
+            "exact_verify_candidates: candidate doc ids missing from the "
+            f"store (first: {missing}) — the stream must be fed FROM the "
+            "landing zone (or the landing write must commit before verify); "
+            "proceeding would silently drop real near-duplicate pairs"
+        )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")).cast("double")

@@ -518,12 +518,12 @@ def test_cli_prepare_c4_gopher_substring(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     counts = json.loads(r.stdout.strip().splitlines()[-1])
-    # substring dedup never changes the doc SET, only text
-    assert counts["after_dedup"] == counts["input"]
-    # the fixture corpus is period-free single-line prose: C4 keeps no
-    # lines, so every page fails the >=3-line gate — the honest outcome,
-    # and exactly what the gate is for
+    # C4 runs FIRST (token-level dedup rebuilds text with single spaces, so
+    # the reverse order would feed C4 one-line pages); the fixture corpus
+    # is period-free single-line prose: C4 keeps no lines, every page fails
+    # the >=3-line gate — the honest outcome, exactly what the gate is for
     assert counts["after_c4"] == 0
+    assert counts["after_dedup"] == 0
     assert counts["output_rows"] == 0
 
     # without --c4 (fixture has no line structure), gopher + substring
@@ -540,5 +540,7 @@ def test_cli_prepare_c4_gopher_substring(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     c2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    # substring dedup never changes the doc SET, only text
+    assert c2["after_dedup"] == c2["input"]
     assert 0 < c2["after_quality"] < c2["input"]
     assert c2["output_rows"] == c2["after_decontamination"]

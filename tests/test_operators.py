@@ -1532,3 +1532,9 @@ def test_round7_operators_null_text_is_empty_doc(spark):
     assert c["clean_text"] == "" and c["page_ok"] == 0
     s = {r["doc_id"]: r for r in exact_substring_dedup(df, k=3).collect()}
     assert s[1]["clean_text"] == "" and s[1]["n_tokens_removed"] == 0
+
+    from mydumper_spark.operators.text import repetition_stats
+
+    r = {row["doc_id"]: row for row in repetition_stats(df).collect()}
+    assert 1 in r, "NULL-text doc must not vanish from repetition_stats"
+    assert r[1]["dup_line_ppm"] == 0 and r[1]["dup_5gram_char_ppm"] == 0
