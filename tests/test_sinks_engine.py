@@ -1156,3 +1156,115 @@ def test_dump_orc_roundtrip(spark, sf_dir, tmp_path):
     results = restore(spark, out, str(tmp_path / "restored"))
     assert all(results["load"].values())
     assert all(results["verify"].values())
+
+
+def test_prune_descriptor_drops_entries_on_missing_columns():
+    """Keys/indexes/constraints referencing transform-dropped columns are
+    pruned into skip notes instead of failing the target-side DDL."""
+    from mydumper_spark.plans.ddl import prune_descriptor
+
+    desc = {
+        "primary_key": ["id"],
+        "uniques": [{"name": "uq", "columns": ["a", "gone"]}],
+        "indexes": [{"name": "ix_ok", "columns": ["a"], "unique": False},
+                    {"name": "ix_bad", "columns": ["gone"], "unique": False}],
+        "foreign_keys": [{"name": "fk", "columns": ["gone"],
+                          "ref_table": "r", "ref_columns": ["x"]}],
+        "checks": [{"name": "ck_ok", "expr": "(`a` > 0)"},
+                   {"name": "ck_bad", "expr": "(`gone` > 0)"}],
+    }
+    pruned, notes = prune_descriptor(desc, {"a", "b"})
+    assert pruned["primary_key"] == []
+    assert pruned["uniques"] == []
+    assert [ix["name"] for ix in pruned["indexes"]] == ["ix_ok"]
+    assert pruned["foreign_keys"] == []
+    assert [c["name"] for c in pruned["checks"]] == ["ck_ok"]
+    assert len(notes) == 5
+    # untouched descriptor passes through identically
+    same, no_notes = prune_descriptor(desc, {"id", "a", "gone"})
+    assert no_notes == [] and same["primary_key"] == ["id"]
+
+
+def test_descriptor_round_trips_subparts_types_and_fk_actions():
+    """SUB_PART prefix lengths, FULLTEXT type, and FK referential actions
+    survive parse → compose → restore-statement rendering (the silent-
+    degradation trio from the round-7 review)."""
+    from mydumper_spark.plans.ddl import (
+        descriptor_from_create_table, restore_statements,
+    )
+
+    ddl = """CREATE TABLE `t` (
+  `id` int NOT NULL,
+  `txt` text,
+  `body` text,
+  PRIMARY KEY (`id`),
+  KEY `ix_prefix` (`txt`(32)),
+  FULLTEXT KEY `ft_body` (`body`),
+  CONSTRAINT `fk1` FOREIGN KEY (`id`) REFERENCES `p` (`id`) ON DELETE CASCADE ON UPDATE SET NULL
+) ENGINE=InnoDB;"""
+    d = descriptor_from_create_table(ddl)
+    ixs = {ix["name"]: ix for ix in d["indexes"]}
+    assert ixs["ix_prefix"]["sub_parts"] == [32]
+    assert ixs["ft_body"]["type"] == "FULLTEXT"
+    fk = d["foreign_keys"][0]
+    assert fk["on_delete"] == "CASCADE" and fk["on_update"] == "SET NULL"
+
+    my = restore_statements("`t`", d, dialect="mysql")
+    assert any("(`txt`(32))" in s for s in my["index"])
+    assert any(s.startswith("CREATE FULLTEXT INDEX") for s in my["index"])
+    assert any("ON DELETE CASCADE ON UPDATE SET NULL" in s
+               for s in my["constraint"])
+
+    ansi = restore_statements('"t"', d, dialect="ansi")
+    # FULLTEXT skipped, prefix dropped-with-note, FK skipped (no ALTER ADD)
+    assert not any("FULLTEXT" in s for s in ansi["index"])
+    assert any("prefix length" in s for s in ansi["skipped"])
+    assert any("fulltext" in s for s in ansi["skipped"])
+
+
+def test_admits_database_gates_schema_scoped_objects():
+    """Routines/events ride the db-level gate: special schemas are out
+    unless included, -B restricts, db-level skiplist entries apply."""
+    from mydumper_spark.catalog import TableFilters
+
+    f = TableFilters(databases={"app"})
+    assert f.admits_database("app")
+    assert not f.admits_database("other")
+    assert not f.admits_database("sys")
+    g = TableFilters(skiplist={"legacy"})
+    assert g.admits_database("app") and not g.admits_database("legacy")
+    assert not TableFilters().admits_database("information_schema")
+
+
+def test_incremental_partial_pk_falls_back_to_full_dump(spark, sf_dir, tmp_path):
+    """A transform that drops part of a composite PK must NOT delta-diff on
+    the surviving subset (non-unique key = corrupted reconstruction) — the
+    table full-dumps instead, and P11 schema-only scope is honored."""
+    from mydumper_spark.config import TableTransform
+    from mydumper_spark.engine import dump_incremental
+
+    parent = str(tmp_path / "parent")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=parent,
+        filters=TableFilters(tables_list={"default.lineitem",
+                                          "default.region"}),
+    ))
+    inc = str(tmp_path / "inc")
+    cfg = DumpConfig(
+        output_dir=inc,
+        filters=TableFilters(tables_list={"default.lineitem",
+                                          "default.region"}),
+        per_table={
+            # lineitem PK is (l_orderkey, l_linenumber): drop one half
+            "lineitem": TableTransform(select_columns=[
+                "l_orderkey", "l_quantity"]),
+            "region": TableTransform(object_scope={"SCHEMA"}),
+        },
+    )
+    m = dump_incremental(spark, sf_dir, cfg, parent)
+    li = m.tables["lineitem"]
+    assert not li.incremental, "partial PK must force a full dump"
+    assert li.path and li.path.endswith(".parquet")
+    assert "delta" not in os.path.basename(li.path)
+    rg = m.tables["region"]
+    assert rg.path is None and rg.rows == 0  # P11: no data leaked
