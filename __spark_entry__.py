@@ -1861,6 +1861,25 @@ FROM base b LEFT JOIN reb r USING (doc_id)
 """
 
 
+def x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained BPE tokenization over the documents corpus: merges learned
+    driver-side from the bounded word-frequency aggregate (the trained-PQ
+    pattern), encoding distributed via Arrow-batched mapInPandas with a
+    per-batch word memo. Deterministic (frequency ties break
+    lexicographically) — **rows-only by necessity**: the BPE merge loop is
+    inherently iterative and has no SQL twin; correctness is pytest-pinned
+    (lossless re-join, determinism across partitionings, planted-merge
+    checks in test_bpe_train_and_encode)."""
+    from mydumper_spark.operators.tokenizer import bpe_encode, fit_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = fit_bpe(d, num_merges=64, vocab_top=10_000)
+    return bpe_encode(d, merges).select(
+        "doc_id", "n_bpe",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("first_tokens"),
+    )
+
+
 def x_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (seed 7), proven
     cross-engine by ranking the full order — both engines must produce the
@@ -4536,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_c4_filter": x_c4_filter,
         "x_pii_redact": x_pii_redact,
         "x_substring_dedup": x_substring_dedup,
+        "x_bpe_tokens": x_bpe_tokens,
         "x_table_profile": x_table_profile,
         "x_shuffle_corpus": x_shuffle_corpus,
         "x_token_frequency_score": x_token_frequency_score,

@@ -1538,3 +1538,37 @@ def test_round7_operators_null_text_is_empty_doc(spark):
     r = {row["doc_id"]: row for row in repetition_stats(df).collect()}
     assert 1 in r, "NULL-text doc must not vanish from repetition_stats"
     assert r[1]["dup_line_ppm"] == 0 and r[1]["dup_5gram_char_ppm"] == 0
+
+
+def test_bpe_train_and_encode(spark):
+    """Trained BPE: the merge loop learns the planted corpus's dominant
+    subwords, encoding is lossless (tokens re-join to the source words),
+    and compression beats character-level on repeated vocabulary."""
+    from mydumper_spark.operators.tokenizer import (
+        EOW, bpe_encode, fit_bpe, train_bpe_merges,
+    )
+
+    # hand-checkable classic example: 'low'/'lower'/'lowest' share 'low'
+    wf = [("low", 50), ("lower", 30), ("lowest", 20), ("big", 5)]
+    merges = train_bpe_merges(wf, num_merges=10)
+    # 'low' is learned as a single unit (tie-break picks the merge path —
+    # ('o','w')+('l','ow') here — but the learned unit is what matters)
+    assert ("l", "ow") in merges or ("lo", "w") in merges
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low big"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    # lossless: strip EOW, re-join → original lowered words
+    words = "".join(got[1]["bpe_tokens"]).replace(EOW, " ").split()
+    assert words == ["low", "lower", "lowest"]
+    assert got[1]["n_bpe"] < sum(len(w) + 1 for w in words)  # compresses
+    # 'low' is a single learned token
+    assert got[2]["bpe_tokens"][0] in ("low" + EOW, "low")
+    assert got[3]["n_bpe"] == 0 and got[3]["bpe_tokens"] == []
+
+    # end-to-end fit on a distributed frame is deterministic
+    m1 = fit_bpe(df, num_merges=8)
+    m2 = fit_bpe(df.repartition(7), num_merges=8)
+    assert m1 == m2
