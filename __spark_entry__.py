@@ -1861,6 +1861,52 @@ FROM base b LEFT JOIN reb r USING (doc_id)
 """
 
 
+def x_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hash document embeddings (Weinberger et al. 2009,
+    dim=32) over the documents corpus, emitted in exploded (doc_id, pos,
+    value) form — the model-free text→vector bridge into the similarity
+    stack — **oracle-backed**: DuckDB replays the portable sha256-derived
+    bucket hash, the sign nibble, the signed bucket sums, and the dense
+    zero-fill bit-exactly."""
+    from mydumper_spark.operators.similarity import feature_hash_embedding
+
+    emb = feature_hash_embedding(
+        _t(spark, sf_dir, "documents"), dim=32, hash_fn="sha256")
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "value")
+    )
+
+
+_DOC_EMBEDDING_SQL = """
+WITH toked AS (
+  SELECT doc_id, unnest(toks) AS w
+  FROM (SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+')
+               END AS toks
+        FROM documents)
+  WHERE len(toks) > 0
+),
+entries AS (
+  SELECT doc_id,
+         ((CAST(('0x' || substr(sha256(w), 1, 15)) AS BIGINT) % 32) + 32)
+           % 32 AS bucket,
+         CASE WHEN CAST(('0x' || substr(sha256(w), 16, 1)) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toked WHERE w <> ''
+),
+sums AS (
+  SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS v
+  FROM entries GROUP BY doc_id, bucket
+)
+SELECT d.doc_id, CAST(p.pos AS INT) AS pos,
+       CAST(coalesce(s.v, 0) AS BIGINT) AS value
+FROM (SELECT DISTINCT doc_id FROM documents) d
+CROSS JOIN (SELECT unnest(range(0, 32)) AS pos) p
+LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = p.pos
+"""
+
+
 def x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE tokenization over the documents corpus: merges learned
     driver-side from the bounded word-frequency aggregate (the trained-PQ
@@ -4556,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pii_redact": x_pii_redact,
         "x_substring_dedup": x_substring_dedup,
         "x_bpe_tokens": x_bpe_tokens,
+        "x_doc_embedding": x_doc_embedding,
         "x_table_profile": x_table_profile,
         "x_shuffle_corpus": x_shuffle_corpus,
         "x_token_frequency_score": x_token_frequency_score,
@@ -4677,6 +4724,7 @@ def oracle_sql() -> dict[str, str]:
         "x_c4_filter": _C4_FILTER_SQL,
         "x_pii_redact": _PII_REDACT_SQL,
         "x_substring_dedup": _SUBSTRING_DEDUP_SQL,
+        "x_doc_embedding": _DOC_EMBEDDING_SQL,
         "x_table_profile": _table_profile_sql(),
         "x_shuffle_corpus": _SHUFFLE_SQL,
         "x_token_frequency_score": _TOKEN_FREQ_SQL,

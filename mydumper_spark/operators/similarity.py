@@ -49,7 +49,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm-safe: a zero vector has no direction — similarity 0.0,
+    never a DIVIDE_BY_ZERO under ANSI mode (the guard the batch-GEMM
+    variants got in round 5; this expression twin needs it for the same
+    degenerate inputs, e.g. feature-hashed empty documents)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -1171,3 +1176,76 @@ def embedding_near_dup_pairs(
         )
     )
     return scored.where(F.col("cosine_sim") >= threshold)
+
+
+def feature_hash_embedding(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    hash_fn: str = "xxhash64",
+):
+    """Signed feature hashing (Weinberger et al. 2009): each token lands in
+    bucket ``hash(w) mod dim`` with sign ``±1`` from an independent hash
+    bit; the per-doc bucket sums form a ``dim``-wide integer embedding —
+    the model-free bridge from raw text into this module's similarity
+    stack (cosine top-k, SemDeDup cells, decontamination all accept it
+    after a float cast). Inner products are unbiased kernel estimates, so
+    near-duplicate text gets near-parallel vectors.
+
+    Returns (id, embedding array<bigint>). All-integer and deterministic —
+    ``hash_fn="sha256"`` uses the engine-portable 60-bit hash the DuckDB
+    oracle replays bit-exactly.
+
+    Scale: one explode → (id, bucket) groupBy with map-side partials (the
+    wire carries 16-byte pairs, never text) → one id groupBy to assemble
+    the array. Two exchanges, both on compact keys; at 100 TB this is the
+    cheapest embedding there is.
+    """
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.dedup import tokens
+    from mydumper_spark.operators.text import portable_hash64
+
+    base = df.select(
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    )
+    w = F.col("w")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(w)
+        sign_bit = F.pmod(F.xxhash64(w, F.lit(1)), F.lit(2))
+    elif hash_fn == "sha256":
+        h = portable_hash64(w)
+        # an independent nibble of the same digest (position 16, past the
+        # 15 the bucket hash consumes)
+        sign_bit = F.pmod(
+            F.conv(F.substring(F.sha2(w, 256), 16, 1), 16, 10).cast("bigint"),
+            F.lit(2))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    entries = base.select(
+        F.col(id_col), F.explode("__toks").alias("w")
+    ).where(w != "")
+    sums = entries.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(dim)).alias("bucket"),
+        F.when(sign_bit == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+    ).groupBy(id_col, "bucket").agg(F.sum("s").alias("v"))
+    assembled = sums.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))).alias("__m")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i.cast("bigint")), F.lit(0)),
+        ).alias("embedding"),
+    )
+    # empty/NULL-text docs have no entries — they still get a row (zeros)
+    return base.select(id_col).join(assembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(
+            "embedding",
+            F.array_repeat(F.lit(0).cast("bigint"), dim)).alias("embedding"),
+    )

@@ -1572,3 +1572,47 @@ def test_bpe_train_and_encode(spark):
     m1 = fit_bpe(df, num_merges=8)
     m2 = fit_bpe(df.repartition(7), num_merges=8)
     assert m1 == m2
+
+
+def test_feature_hash_embedding_similarity_bridge(spark):
+    """Feature-hashed embeddings behave like embeddings: identical texts →
+    identical vectors, near-duplicate texts → high cosine, unrelated →
+    low; the vectors compose with the similarity stack after a float
+    cast. Both hash variants agree structurally."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.similarity import feature_hash_embedding
+
+    near = ("the quick brown fox jumps over the lazy dog and then naps "
+            "in the warm afternoon sun near the old barn door")
+    df = spark.createDataFrame(
+        [(1, near), (2, near + " extra tail words here"),
+         (3, "completely unrelated vocabulary about databases and shuffles"
+             " with zero overlap whatsoever in any token"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"]
+           for r in feature_hash_embedding(df, dim=64).collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    assert cos(out[1], out[2]) > 0.8          # near-dup → near-parallel
+    assert cos(out[1], out[3]) < 0.5          # unrelated → far
+    assert all(v == 0 for v in out[4])        # NULL → zero vector
+    # composes with the similarity stack (float arrays)
+    emb = feature_hash_embedding(df, dim=64).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("embedding",
+                    lambda v: v.cast("float")).alias("embedding"),
+    )
+    from mydumper_spark.operators.similarity import cosine_topk
+
+    top = cosine_topk(emb, [float(x) for x in out[1]], k=2).collect()
+    assert {r["vec_id"] for r in top} == {1, 2}
