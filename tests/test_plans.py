@@ -289,3 +289,13 @@ def test_round7_substring_dedup_agg_arbiter_no_window(spark):
     plan = _plan(entry.queries()["x_substring_dedup"](spark, SF))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_round7_doc_embedding_two_compact_exchanges(spark):
+    """feature_hash_embedding's wire bill: exchanges carry (id, bucket,
+    sign) and (id, map) — never text — and there are at most three
+    (two aggs + the zero-fill join), no window, no cartesian."""
+    plan = _plan(entry.queries()["x_doc_embedding"](spark, SF))
+    assert plan.count("Exchange") <= 4, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -278,3 +278,69 @@ def test_create_table_ddl_roundtrips_through_schema_parser(cols):
         name, typ = part.split("` ", 1)
         got[name.lstrip("`")] = typ
     assert got == dict(cols), (ddl, parsed)
+
+
+# --- round 7: driver-side BPE merge-loop properties (no Spark needed) ---
+
+_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=8),
+    min_size=1, max_size=30,
+)
+
+
+@given(_words)
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_is_lossless_and_deterministic(words):
+    """For ANY corpus: encoding then stripping the end-of-word marker
+    reconstructs the words exactly (BPE merges only ever concatenate
+    adjacent units), and training is a pure function of the frequency
+    dict."""
+    from collections import Counter
+
+    from mydumper_spark.operators.tokenizer import (
+        EOW, _encode_word, train_bpe_merges,
+    )
+
+    freqs = sorted(Counter(words).items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = train_bpe_merges(freqs, num_merges=20)
+    assert merges == train_bpe_merges(list(freqs), num_merges=20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in set(words):
+        toks = _encode_word(w, ranks)
+        assert "".join(toks) == w + EOW      # lossless
+        assert all(t for t in toks)          # no empty units
+
+
+@st.composite
+def _corpus(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    docs = draw(st.lists(
+        st.lists(st.sampled_from(vocab), min_size=0, max_size=25),
+        min_size=1, max_size=12))
+    return [" ".join(d) for d in docs]
+
+
+@given(_corpus())
+@settings(max_examples=15, deadline=None)
+def test_substring_dedup_conservation_properties(texts):
+    """For ANY corpus: per doc, kept + removed == total tokens; surviving
+    tokens are a subsequence of the original; the globally-first
+    occurrence of every duplicated k-gram is never excised (some doc
+    retains each gram's text); and token mass never grows."""
+    from mydumper_spark.operators.corpus import exact_substring_dedup
+    from mydumper_spark.session import get_session
+
+    spark = get_session("tests", master="local[*]", shuffle_partitions=32)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in exact_substring_dedup(df, k=3).collect()}
+    assert set(out) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        orig = t.split()
+        kept = out[i]["clean_text"].split()
+        assert out[i]["n_tokens_kept"] + out[i]["n_tokens_removed"] == len(orig)
+        assert len(kept) == out[i]["n_tokens_kept"]
+        # subsequence check
+        it = iter(orig)
+        assert all(any(o == k for o in it) for k in kept)
