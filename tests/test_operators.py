@@ -1616,3 +1616,36 @@ def test_feature_hash_embedding_similarity_bridge(spark):
 
     top = cosine_topk(emb, [float(x) for x in out[1]], k=2).collect()
     assert {r["vec_id"] for r in top} == {1, 2}
+
+
+def test_text_semantic_dedup_composition(spark):
+    """The model-free curation path end-to-end: raw text → feature-hashed
+    embeddings → SemDeDup — near-duplicate documents collapse to the
+    earliest id, distinct topics all survive, with no external model."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.similarity import (
+        feature_hash_embedding, semantic_dedup_batch,
+    )
+
+    a = ("the quick brown fox jumps over the lazy dog near the old barn "
+         "while the farmer watches from the porch in the evening light")
+    b = ("spark executors shuffle partitioned data across the cluster "
+         "network while the driver coordinates stages and task retries")
+    docs = spark.createDataFrame(
+        [(1, a), (2, a + " tail"), (3, a.replace("fox", "fox quickly")),
+         (4, b), (5, b + " with adaptive query execution enabled")],
+        "doc_id long, text string",
+    )
+    emb = feature_hash_embedding(docs, dim=128).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("embedding", lambda v: v.cast("float")).alias("embedding"),
+    )
+    # n_cells=1: within-cell dedup is exact; cell assignment splitting a
+    # near-dup pair across cells is the documented SemDeDup approximation
+    # and not what this composition test is about
+    kept = {r["vec_id"] for r in semantic_dedup_batch(
+        emb, threshold=0.9, n_cells=1).collect()}
+    assert 1 in kept and 4 in kept          # earliest of each topic kept
+    assert kept.isdisjoint({2, 3})          # paraphrases of doc 1 collapse
+    assert len(kept) <= 3
