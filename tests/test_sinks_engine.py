@@ -1268,3 +1268,46 @@ def test_incremental_partial_pk_falls_back_to_full_dump(spark, sf_dir, tmp_path)
     assert "delta" not in os.path.basename(li.path)
     rg = m.tables["region"]
     assert rg.path is None and rg.rows == 0  # P11: no data leaked
+
+
+def test_capture_mysql_subparts_types_and_fk_actions():
+    """The MySQL information_schema capture records SUB_PART prefix
+    lengths, non-BTREE index types, and FK referential actions — driven
+    through a fake query function shaped like the JDBC rows."""
+    from mydumper_spark.sources.ddl_capture import _capture_mysql
+
+    def fake_query(sql: str):
+        s = " ".join(sql.lower().split())
+        if "table_constraints" in s:
+            return [{"cname": "PRIMARY", "ctype": "PRIMARY KEY",
+                     "col": "id", "pos": 1}]
+        if "referential_constraints" in s:
+            return [{"cname": "fk_lang", "ur": "CASCADE", "dr": "SET NULL"}]
+        if "key_column_usage" in s:
+            return [{"cname": "fk_lang", "col": "lang_id", "pos": 1,
+                     "rtable": "language", "rcol": "language_id"}]
+        if "information_schema.statistics" in s:
+            return [
+                {"iname": "PRIMARY", "nu": 0, "pos": 1, "col": "id",
+                 "subp": None, "itype": "BTREE"},
+                {"iname": "ix_prefix", "nu": 1, "pos": 1, "col": "txt",
+                 "subp": 32, "itype": "BTREE"},
+                {"iname": "ft_body", "nu": 1, "pos": 1, "col": "body",
+                 "subp": None, "itype": "FULLTEXT"},
+            ]
+        raise AssertionError(f"unexpected query: {sql}")
+
+    art = _capture_mysql(fake_query, "app", "t")
+    d = art.descriptor
+    assert d["primary_key"] == ["id"]
+    ixs = {ix["name"]: ix for ix in d["indexes"]}
+    assert ixs["ix_prefix"]["sub_parts"] == [32]
+    assert "sub_parts" not in ixs["ft_body"]
+    assert ixs["ft_body"]["type"] == "FULLTEXT"
+    assert "type" not in ixs["ix_prefix"]          # BTREE is the default
+    fk = d["foreign_keys"][0]
+    assert fk["on_update"] == "CASCADE" and fk["on_delete"] == "SET NULL"
+    # the composed -schema.sql artifact renders all three faithfully
+    assert "`txt`(32)" in art.raw_sql
+    assert "FULLTEXT KEY `ft_body`" in art.raw_sql
+    assert "ON DELETE SET NULL ON UPDATE CASCADE" in art.raw_sql
