@@ -1683,6 +1683,36 @@ FROM s
 """
 
 
+def x_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher quality rollup — pass rate, mean word count, mean
+    alpha ratio (all integer ppm / floor means): the keep-or-drop-a-source
+    view a curator reads after the per-doc gates — **oracle-backed**:
+    DuckDB replays the full gopher CTE and the grouped integer math."""
+    from mydumper_spark.operators.text import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    g = gopher_quality(d).join(d.select("doc_id", "source"), "doc_id")
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("gopher_pass").cast("bigint").alias("n_pass"),
+        F.expr("sum(gopher_pass) * 1000000 div count(1)").alias("pass_ppm"),
+        F.expr("sum(n_words) div count(1)").alias("mean_words"),
+        F.expr("sum(alpha_word_ppm) div count(1)").alias("mean_alpha_ppm"),
+    )
+
+
+_GOPHER_REPORT_SQL = ("WITH gq AS (" + _GOPHER_QUALITY_SQL + """)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(gq.gopher_pass) AS BIGINT) AS n_pass,
+       CAST(sum(gq.gopher_pass) AS BIGINT) * 1000000 // count(*) AS pass_ppm,
+       CAST(sum(gq.n_words) AS BIGINT) // count(*) AS mean_words,
+       CAST(sum(gq.alpha_word_ppm) AS BIGINT) // count(*) AS mean_alpha_ppm
+FROM gq JOIN documents d USING (doc_id)
+GROUP BY d.source
+""")
+
+
 def x_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level page cleaning (Raffel et al. 2020 §2.2: keep lines
     ending in terminal punctuation with ≥5 words; page needs ≥3 kept lines
@@ -4598,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_repetition_stats": x_repetition_stats,
         "x_bm25_topk": x_bm25_topk,
         "x_gopher_quality": x_gopher_quality,
+        "x_gopher_report": x_gopher_report,
         "x_c4_filter": x_c4_filter,
         "x_pii_redact": x_pii_redact,
         "x_substring_dedup": x_substring_dedup,
@@ -4721,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
         "x_repetition_stats": _REPETITION_STATS_SQL,
         "x_bm25_topk": _BM25_SQL,
         "x_gopher_quality": _GOPHER_QUALITY_SQL,
+        "x_gopher_report": _GOPHER_REPORT_SQL,
         "x_c4_filter": _C4_FILTER_SQL,
         "x_pii_redact": _PII_REDACT_SQL,
         "x_substring_dedup": _SUBSTRING_DEDUP_SQL,
