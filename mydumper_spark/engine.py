@@ -231,8 +231,10 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             ):
                 okey = (f"{obj.database}.{obj.name}" if multi_db
                         else obj.name)
-                if obj.kind == "view":
-                    # views pass the same P5-P8 name gates as tables
+                if obj.kind in ("view", "sequence"):
+                    # views and sequences pass the same P5-P8 name gates as
+                    # tables (the reference discovers both FROM the table
+                    # list — TABLE_TYPE VIEW/SEQUENCE)
                     if not cfg.filters.admits(
                         TableMeta(database=obj.database, name=obj.name)
                     ):
@@ -340,7 +342,8 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         _OBJ_SUFFIX = {"view": "-schema-view.sql",
                        "trigger": "-schema-triggers.sql",
                        "routine": "-schema-post.sql",
-                       "event": "-schema-ev-post.sql"}
+                       "event": "-schema-ev-post.sql",
+                       "sequence": "-schema-sequence.sql"}
         for okey, obj in schema_objects:
             safe = fnames.filename_for(okey)
             op = os.path.join(cfg.output_dir, f"{safe}{_OBJ_SUFFIX[obj.kind]}")
@@ -652,12 +655,21 @@ def restore(
                 # idempotent replay (the DAG retries failed jobs): drop the
                 # prior incarnation, then the captured DDL verbatim
                 drop_kw = {"view": "VIEW", "trigger": "TRIGGER",
-                           "event": "EVENT"}.get(o["kind"])
+                           "event": "EVENT",
+                           "sequence": "SEQUENCE"}.get(o["kind"])
                 if drop_kw is None:  # routine: PROCEDURE vs FUNCTION is
                     drop_kw = ("FUNCTION" if raw.upper().startswith(
                         "CREATE FUNCTION") else "PROCEDURE")
                 ddl_executor(f"DROP {drop_kw} IF EXISTS {qn}")
-                ddl_executor(raw)
+                if o["kind"] == "sequence":
+                    # CREATE SEQUENCE + the SETVAL position statement ride
+                    # in one artifact, ';\n'-separated (never split other
+                    # kinds: routine bodies legitimately contain ';')
+                    for stmt in raw.split(";\n"):
+                        if stmt.strip():
+                            ddl_executor(stmt.strip())
+                else:
+                    ddl_executor(raw)
             return action
 
         dag.add(LoadJob(table=f"{okind}:{oname}", phase=Phase.POST,

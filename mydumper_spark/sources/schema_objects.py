@@ -34,7 +34,7 @@ _MYSQL_FAMILY = (
 
 @dataclass
 class SchemaObject:
-    kind: str  # view | trigger | routine | event
+    kind: str  # view | trigger | routine | event | sequence
     database: str
     name: str
     #: server-native DDL text — the artifact body (reference file content)
@@ -190,9 +190,68 @@ def capture_schema_objects(query, product: ServerProduct,
            lambda: _capture_routines(query, conn),
            lambda: _capture_events(query, conn))
           if product in _MYSQL_FAMILY else ()),
+        # sequences are a MariaDB feature (discovered as TABLE_TYPE=
+        # 'SEQUENCE'; harmless empty result elsewhere in the family)
+        *((lambda: _capture_sequences(query, conn),)
+          if product is ServerProduct.MARIADB else ()),
     ):
         try:
             out.extend(fn())
         except Exception:
             continue
+    return out
+
+
+def _bt(name: str) -> str:
+    """Backtick-quoted identifier for MySQL-family catalog statements."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _capture_sequences(query, conn=None) -> list[SchemaObject]:
+    """MariaDB sequences (the reference dumps SHOW CREATE SEQUENCE plus a
+    ``DO SETVAL(seq, next_not_cached_value, 0)`` so the restored sequence
+    RESUMES, not restarts — mydumper_jobs.c:640-690, do_JOB_SEQUENCE:965):
+    discovery via information_schema.tables TABLE_TYPE='SEQUENCE' (how the
+    reference's working thread classifies them, mydumper_working_thread.c:
+    334-363); DDL verbatim via SHOW CREATE SEQUENCE on a direct
+    connection, composed from the sequence's own state row otherwise (a
+    MariaDB sequence is SELECTable and exposes start/min/max/increment/
+    cache/cycle — reachable through the plain JDBC reader). The position
+    statement rides in the same artifact after ``;\\n``."""
+    rows = query(
+        "SELECT table_schema AS db, table_name AS name "
+        "FROM information_schema.tables WHERE table_type = 'SEQUENCE'"
+    )
+    out: list[SchemaObject] = []
+    for r in rows:
+        db, name = _get(r, "db"), _get(r, "name")
+        raw = _show_one(
+            conn, f"SHOW CREATE SEQUENCE {_bt(db)}.{_bt(name)}", 1)
+        state = None
+        try:
+            srows = query(
+                "SELECT next_not_cached_value AS nv, minimum_value AS minv, "
+                "maximum_value AS maxv, start_value AS sv, increment AS inc, "
+                "cache_size AS cs, cycle_option AS cyc "
+                f"FROM {_bt(db)}.{_bt(name)}"
+            )
+            state = srows[0] if srows else None
+        except Exception:
+            state = None
+        if raw is None and state is not None:
+            raw = (
+                f"CREATE SEQUENCE {_bt(name)} "
+                f"START WITH {_get(state, 'sv')} "
+                f"MINVALUE {_get(state, 'minv')} "
+                f"MAXVALUE {_get(state, 'maxv')} "
+                f"INCREMENT BY {_get(state, 'inc')} "
+                f"CACHE {_get(state, 'cs')} "
+                + ("CYCLE" if int(_get(state, "cyc")) else "NOCYCLE")
+            )
+        if raw is None:
+            continue
+        stmts = raw.rstrip().rstrip(";")
+        if state is not None:
+            stmts += f";\nSELECT SETVAL({_bt(name)}, {_get(state, 'nv')}, 0)"
+        out.append(SchemaObject("sequence", db, name, stmts))
     return out

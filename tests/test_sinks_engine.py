@@ -1311,3 +1311,53 @@ def test_capture_mysql_subparts_types_and_fk_actions():
     assert "`txt`(32)" in art.raw_sql
     assert "FULLTEXT KEY `ft_body`" in art.raw_sql
     assert "ON DELETE SET NULL ON UPDATE CASCADE" in art.raw_sql
+
+
+def test_capture_sequences_mariadb_composed_and_verbatim():
+    """MariaDB sequence capture (reference SHOW CREATE SEQUENCE + SETVAL,
+    mydumper_jobs.c:640-690): without a connection the DDL composes from
+    the sequence's own state row and the position statement rides along;
+    with a connection SHOW CREATE wins verbatim. Only MariaDB probes the
+    catalog; sequences pass the table name gates."""
+    from mydumper_spark.sources.schema_objects import capture_schema_objects
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    def query(sql):
+        s = sql.lower()
+        if "information_schema.views" in s:
+            return []
+        if "table_type = 'sequence'" in s:
+            return [{"db": "shop", "name": "order_seq"}]
+        if "next_not_cached_value" in s:
+            return [{"nv": 1042, "minv": 1, "maxv": 9223372036854775806,
+                     "sv": 1, "inc": 1, "cs": 1000, "cyc": 0}]
+        if ("information_schema.triggers" in s
+                or "information_schema.routines" in s
+                or "information_schema.events" in s):
+            return []
+        raise AssertionError(f"unexpected catalog query: {sql}")
+
+    objs = capture_schema_objects(query, ServerProduct.MARIADB)
+    seqs = [o for o in objs if o.kind == "sequence"]
+    assert len(seqs) == 1
+    raw = seqs[0].raw_sql
+    assert raw.startswith("CREATE SEQUENCE `order_seq` START WITH 1")
+    assert "NOCYCLE" in raw and "CACHE 1000" in raw
+    assert raw.endswith("SELECT SETVAL(`order_seq`, 1042, 0)")
+
+    class Conn:
+        def execute(self, stmt):
+            assert stmt.startswith("SHOW CREATE SEQUENCE")
+            return [("order_seq",
+                     "CREATE SEQUENCE `order_seq` start with 1 increment by 1")]
+
+    objs2 = capture_schema_objects(query, ServerProduct.MARIADB, conn=Conn())
+    raw2 = [o for o in objs2 if o.kind == "sequence"][0].raw_sql
+    assert raw2.startswith("CREATE SEQUENCE `order_seq` start with 1")
+    assert "SETVAL(`order_seq`, 1042, 0)" in raw2
+
+    # non-MariaDB family members never probe the sequence catalog
+    def strict_query(sql):
+        assert "sequence" not in sql.lower(), sql
+        return []
+    capture_schema_objects(strict_query, ServerProduct.MYSQL)
