@@ -1937,6 +1937,40 @@ LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = p.pos
 """
 
 
+def x_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-curation stack as ONE composite (the `prepare` CLI shape,
+    and the text-side twin of x_embcurate_select): exact doc dedup →
+    sliding exact-substring dedup (k=8, hash-prejoin) → Gopher gate
+    (fixture-localized stop words) → repetition gate — benched so the
+    whole chain has a wall-time guard. **Rows-only by necessity**: each
+    stage is individually oracle-backed (x_dedup_exact,
+    x_substring_dedup, x_gopher_quality, x_repetition_stats); the
+    composite's value is the wall-time pin, not a second correctness
+    proof."""
+    from mydumper_spark.operators.contamination import repetition_metrics
+    from mydumper_spark.operators.corpus import exact_substring_dedup
+    from mydumper_spark.operators.dedup import exact_dedup
+    from mydumper_spark.operators.text import gopher_quality
+
+    docs = exact_dedup(_t(spark, sf_dir, "documents"))
+    cleaned = exact_substring_dedup(docs, k=8)
+    rewritten = (
+        docs.drop("text")
+        .join(cleaned.select("doc_id",
+                             F.col("clean_text").alias("text"),
+                             "n_tokens_kept"), "doc_id")
+    )
+    g = gopher_quality(rewritten, stopwords=["the", "a"]).where(
+        "gopher_pass = 1").select("doc_id")
+    gated = rewritten.join(g, "doc_id", "left_semi")
+    rep = repetition_metrics(gated).where("passes_repetition").select("doc_id")
+    return (
+        gated.join(rep, "doc_id", "left_semi")
+        .select("doc_id", "n_tokens_kept")
+        .orderBy("doc_id")
+    )
+
+
 def x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE tokenization over the documents corpus: merges learned
     driver-side from the bounded word-frequency aggregate (the trained-PQ
@@ -4634,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_substring_dedup": x_substring_dedup,
         "x_bpe_tokens": x_bpe_tokens,
         "x_doc_embedding": x_doc_embedding,
+        "x_text_curate": x_text_curate,
         "x_table_profile": x_table_profile,
         "x_shuffle_corpus": x_shuffle_corpus,
         "x_token_frequency_score": x_token_frequency_score,

@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "x_substring_dedup",
     # the Gopher rule family — must stay a pure scan-side projection
     "x_gopher_quality",
+    # the text-curation composite (doc dedup → substring dedup → Gopher →
+    # repetition gates) — wall-time guard for the whole text stack,
+    # the prepare-CLI twin of x_embcurate_select
+    "x_text_curate",
 ]
 
 
