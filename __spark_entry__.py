@@ -4666,9 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_c4_filter": x_c4_filter,
         "x_pii_redact": x_pii_redact,
         "x_substring_dedup": x_substring_dedup,
-        "x_bpe_tokens": x_bpe_tokens,
         "x_doc_embedding": x_doc_embedding,
-        "x_text_curate": x_text_curate,
         "x_table_profile": x_table_profile,
         "x_shuffle_corpus": x_shuffle_corpus,
         "x_token_frequency_score": x_token_frequency_score,
@@ -4692,6 +4690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_masquerade_random": x_masquerade_random,
         "x_ivf_topk": x_ivf_topk,
         "x_winnow_overlap": x_winnow_overlap,
+        "x_bpe_tokens": x_bpe_tokens,
+        "x_text_curate": x_text_curate,
     }
 
 
