@@ -1971,6 +1971,29 @@ def x_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-Edu-pattern quality distillation: the Gopher rule gate
+    (fixture-localized stop words) labels the corpus, logistic regression
+    over feature-hashed text learns the gate, and every document is scored
+    by the PURE-EXPRESSION inference path (coefficients constant-folded
+    into codegen — no MLlib, no Python at scoring time). **Rows-only by
+    necessity**: LBFGS has no SQL twin; separation quality and
+    expression==MLlib agreement are pytest-pinned
+    (test_quality_classifier_distills_rule_gate)."""
+    from mydumper_spark.operators.classifier import (
+        score_quality, train_quality_classifier,
+    )
+    from mydumper_spark.operators.text import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.join(
+        gopher_quality(d, stopwords=["the", "a"])
+        .select("doc_id", F.col("gopher_pass").alias("label")), "doc_id")
+    model = train_quality_classifier(labeled, dim=32, max_iter=25)
+    return score_quality(d, model).select(
+        "doc_id", F.round("quality_prob", 3).alias("quality_prob"))
+
+
 def x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE tokenization over the documents corpus: merges learned
     driver-side from the bounded word-frequency aggregate (the trained-PQ
@@ -4692,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_winnow_overlap": x_winnow_overlap,
         "x_bpe_tokens": x_bpe_tokens,
         "x_text_curate": x_text_curate,
+        "x_quality_classifier": x_quality_classifier,
     }
 
 

@@ -1649,3 +1649,57 @@ def test_text_semantic_dedup_composition(spark):
     assert 1 in kept and 4 in kept          # earliest of each topic kept
     assert kept.isdisjoint({2, 3})          # paraphrases of doc 1 collapse
     assert len(kept) <= 3
+
+
+def test_quality_classifier_distills_rule_gate(spark):
+    """FineWeb-Edu-pattern distillation: train logistic regression on
+    rule-gate labels over feature-hashed text, then score with the PURE
+    EXPRESSION inference path — the classifier must separate the planted
+    good/bad populations, and expression scoring must agree with MLlib's
+    own predictions on the training frame."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.classifier import (
+        score_quality, train_quality_classifier,
+    )
+
+    good = ("the project report covers the budget and that plan we have "
+            "agreed to deliver with the partner teams this quarter ")
+    bad = "$$$ ### !!! 000 111 ### $$$ !!! ### 000 "
+    rows = [(i, good + f"extra{i} tokens here") for i in range(40)]
+    rows += [(100 + i, bad * (i % 3 + 2) + f"x{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labeled = df.withColumn(
+        "label", F.when(F.col("doc_id") < 100, 1).otherwise(0))
+
+    model = train_quality_classifier(labeled, dim=32, max_iter=30)
+    assert len(model.coefficients) == 32
+
+    scored = {r["doc_id"]: r["quality_prob"]
+              for r in score_quality(df, model, threshold=0.5).collect()}
+    good_scores = [scored[i] for i in range(40)]
+    bad_scores = [scored[100 + i] for i in range(40)]
+    assert min(good_scores) > max(bad_scores)   # clean separation
+    assert sum(s > 0.5 for s in good_scores) >= 38
+    assert sum(s < 0.5 for s in bad_scores) >= 38
+
+    # expression inference == MLlib transform probabilities
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from mydumper_spark.operators.similarity import feature_hash_embedding
+
+    feats = feature_hash_embedding(labeled, dim=32).join(
+        labeled.select("doc_id", "label"), "doc_id")
+    train = feats.select(
+        F.col("doc_id"),
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("features"),
+    )
+    m = LogisticRegression(maxIter=30, regParam=0.01).fit(train)
+    probs = {r["doc_id"]: float(r["probability"][1])
+             for r in m.transform(train).collect()}
+    for i in list(probs)[:10]:
+        assert abs(probs[i] - scored[i]) < 1e-6
