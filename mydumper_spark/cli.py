@@ -307,6 +307,25 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         g = gopher_quality(df, stopwords=sw).where(
             "gopher_pass = 1").select("doc_id")
         df = df.join(g, "doc_id", "left_semi")
+    if args.ml_quality_gate is not None:
+        # FineWeb-Edu distillation: the rule gate labels, a linear model
+        # learns, and the whole corpus is scored by the pure-expression
+        # path — soft scores where the rule gate is binary
+        from mydumper_spark.operators.classifier import (
+            score_quality, train_quality_classifier,
+        )
+        from mydumper_spark.operators.text import gopher_quality
+
+        sw = (args.gopher_stopwords.split(",")
+              if args.gopher_stopwords else None)
+        labeled = df.join(
+            gopher_quality(df, stopwords=sw)
+            .selectExpr("doc_id", "gopher_pass AS label"), "doc_id")
+        model = train_quality_classifier(labeled)
+        keep = score_quality(
+            df, model, threshold=args.ml_quality_gate
+        ).where("quality_pass = 1").select("doc_id")
+        df = df.join(keep, "doc_id", "left_semi")
     if args.repetition_gate:
         gate = repetition_metrics(df).where("passes_repetition").select("doc_id")
         df = df.join(gate, "doc_id", "left_semi")
@@ -512,6 +531,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated stop-word set for the Gopher "
                          "gate (default: the paper's English set; localize "
                          "per language)")
+    pp.add_argument("--ml-quality-gate", type=float, default=None,
+                    metavar="PROB",
+                    help="train a linear classifier on the Gopher-gate "
+                         "labels (feature-hashed text) and drop docs "
+                         "scoring below PROB — soft ML scores where the "
+                         "rule gate is binary")
     pp.add_argument("--repetition-gate", action="store_true",
                     help="drop docs failing the dup-3gram/dup-line gates")
     pp.add_argument("--min-quality", type=float, default=None,

@@ -544,3 +544,23 @@ def test_cli_prepare_c4_gopher_substring(tmp_path):
     assert c2["after_dedup"] == c2["input"]
     assert 0 < c2["after_quality"] < c2["input"]
     assert c2["output_rows"] == c2["after_decontamination"]
+
+
+def test_cli_prepare_ml_quality_gate(tmp_path):
+    """`prepare --ml-quality-gate`: the distilled classifier gates the
+    corpus; with localized stop words the fixture yields a real survivor
+    split (neither empty nor everything)."""
+    out = str(tmp_path / "prepared")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--dedup", "none",
+         "--gopher-stopwords", "the,a", "--ml-quality-gate", "0.5",
+         "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < counts["after_quality"] < counts["input"]
+    assert counts["output_rows"] == counts["after_decontamination"]
