@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -392,6 +393,78 @@ def cmd_prepare(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prepare_stream(args: argparse.Namespace) -> int:
+    """Streaming twin of `prepare` for rolling corpus intake: Structured
+    Streaming over a growing parquet directory, per-micro-batch hygiene
+    gates (stateless maps — semantically exact per batch) plus
+    cross-batch exact dedup via the fingerprint store (the
+    exact_dedup_incremental composition the streaming tests pin). Runs
+    with availableNow: each invocation drains what has landed since the
+    checkpoint and exits — re-running resumes incrementally, so cron-style
+    ingest needs no resident process."""
+    import glob as _glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    spark = _session(args.threads)
+    first = sorted(_glob.glob(os.path.join(args.source, "*.parquet")))
+    if not first:
+        build_parser().error(f"no parquet files under {args.source}")
+    schema = spark.read.parquet(args.source).schema
+    stream = spark.readStream.schema(schema)
+    if args.max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger",
+                               args.max_files_per_trigger)
+    stream = stream.parquet(args.source)
+    fp_dir = os.path.join(args.checkpoint, "_fps")
+
+    def _batch(df, batch_id):
+        from mydumper_spark.operators.contamination import repetition_metrics
+        from mydumper_spark.operators.dedup import exact_dedup_incremental
+        from mydumper_spark.operators.text import gopher_quality
+
+        if args.gopher_gate:
+            sw = (args.gopher_stopwords.split(",")
+                  if args.gopher_stopwords else None)
+            keep = gopher_quality(df, stopwords=sw).where(
+                "gopher_pass = 1").select("doc_id")
+            df = df.join(keep, "doc_id", "left_semi")
+        if args.repetition_gate:
+            keep = repetition_metrics(df).where(
+                "passes_repetition").select("doc_id")
+            df = df.join(keep, "doc_id", "left_semi")
+        if args.exact_dedup:
+            try:
+                known = spark.read.parquet(fp_dir)
+            except Exception:
+                known = spark.createDataFrame([], "fp string")
+            survivors, fps = exact_dedup_incremental(df, known)
+            # state first: a crash between the two writes re-processes the
+            # batch (checkpoint replays it) and the anti-join absorbs it
+            fps.write.mode("overwrite").parquet(fp_dir + ".next")
+            df = survivors
+        df.write.mode("append").parquet(args.outputdir)
+        if args.exact_dedup:
+            # atomic-enough promote (single driver, sequential batches)
+            import shutil
+
+            if os.path.exists(fp_dir):
+                shutil.rmtree(fp_dir)
+            os.rename(fp_dir + ".next", fp_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(args.checkpoint, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out_rows = spark.read.parquet(args.outputdir).count()
+    print(_json.dumps({"output_rows": int(out_rows)}))
+    return 0
+
+
 def cmd_embcurate(args: argparse.Namespace) -> int:
     """Embedding-corpus curation: SemDeDup semantic dedup (GEMM path) →
     semantic decontamination against an eval embedding set → optional
@@ -568,6 +641,26 @@ def build_parser() -> argparse.ArgumentParser:
                          "global order); omit for a total sort")
     pp.add_argument("-t", "--threads", type=int)
     pp.set_defaults(fn=cmd_prepare)
+
+    ps = sub.add_parser(
+        "prepare-stream",
+        help="streaming prepare: drain a growing corpus dir through gates "
+             "+ cross-batch dedup (availableNow; re-run to resume)",
+    )
+    ps.add_argument("--source", required=True,
+                    help="parquet directory being appended to")
+    ps.add_argument("-o", "--outputdir", required=True)
+    ps.add_argument("--checkpoint", required=True,
+                    help="checkpoint root (stream offsets + dedup state)")
+    ps.add_argument("--gopher-gate", action="store_true")
+    ps.add_argument("--gopher-stopwords", default=None)
+    ps.add_argument("--repetition-gate", action="store_true")
+    ps.add_argument("--exact-dedup", action="store_true",
+                    help="cross-batch first-occurrence doc dedup via the "
+                         "fingerprint store")
+    ps.add_argument("--max-files-per-trigger", type=int, default=None)
+    ps.add_argument("-t", "--threads", type=int)
+    ps.set_defaults(fn=cmd_prepare_stream)
 
     ec = sub.add_parser(
         "embcurate",

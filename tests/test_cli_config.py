@@ -564,3 +564,48 @@ def test_cli_prepare_ml_quality_gate(tmp_path):
     counts = json.loads(r.stdout.strip().splitlines()[-1])
     assert 0 < counts["after_quality"] < counts["input"]
     assert counts["output_rows"] == counts["after_decontamination"]
+
+
+def test_cli_prepare_stream_incremental_resume(tmp_path):
+    """`prepare-stream`: two invocations over a growing source dir — the
+    second drains ONLY the newly-landed files (checkpoint resume) and the
+    cross-batch fingerprint store drops documents already ingested by the
+    first run."""
+    import duckdb
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    ck = str(tmp_path / "ck")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id < 40) TO '{src}/a.parquet' (FORMAT PARQUET)")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "prepare-stream",
+             "--source", str(src), "-o", out, "--checkpoint", ck,
+             "--exact-dedup", "--threads", "4"],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    n1 = json.loads(r1.stdout.strip().splitlines()[-1])["output_rows"]
+    assert 0 < n1 <= 40
+
+    # second landing: 20 genuinely new docs + 40 exact re-sends
+    con.execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id < 60) TO '{src}/b.parquet' (FORMAT PARQUET)")
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    n2 = json.loads(r2.stdout.strip().splitlines()[-1])["output_rows"]
+    # the 40 re-sent docs are swallowed by the fingerprint store
+    new_docs = n2 - n1
+    assert 0 < new_docs <= 20, (n1, n2)
+    ids = {r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out}/*.parquet')").fetchall()}
+    assert len(ids) == n2          # no duplicate doc ever lands twice
