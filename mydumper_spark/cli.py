@@ -300,14 +300,11 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         )
     df = _stage(df, "after_dedup")
 
-    if args.gopher_gate:
-        from mydumper_spark.operators.text import gopher_quality
-
-        sw = (args.gopher_stopwords.split(",")
-              if args.gopher_stopwords else None)
-        g = gopher_quality(df, stopwords=sw).where(
-            "gopher_pass = 1").select("doc_id")
-        df = df.join(g, "doc_id", "left_semi")
+    # labels for the ML gate come from the PRE-gate frame: after the
+    # gopher gate every surviving doc has gopher_pass=1, and a
+    # single-class fit degenerates to "accept everything"
+    ml_label_src = df
+    df = _apply_hygiene_gates(df, args)
     if args.ml_quality_gate is not None:
         # FineWeb-Edu distillation: the rule gate labels, a linear model
         # learns, and the whole corpus is scored by the pure-expression
@@ -319,17 +316,14 @@ def cmd_prepare(args: argparse.Namespace) -> int:
 
         sw = (args.gopher_stopwords.split(",")
               if args.gopher_stopwords else None)
-        labeled = df.join(
-            gopher_quality(df, stopwords=sw)
+        labeled = ml_label_src.join(
+            gopher_quality(ml_label_src, stopwords=sw)
             .selectExpr("doc_id", "gopher_pass AS label"), "doc_id")
         model = train_quality_classifier(labeled)
         keep = score_quality(
             df, model, threshold=args.ml_quality_gate
         ).where("quality_pass = 1").select("doc_id")
         df = df.join(keep, "doc_id", "left_semi")
-    if args.repetition_gate:
-        gate = repetition_metrics(df).where("passes_repetition").select("doc_id")
-        df = df.join(gate, "doc_id", "left_semi")
     if args.min_quality is not None:
         q = quality_score(df).where(
             F.col("quality") >= args.min_quality
@@ -393,6 +387,25 @@ def cmd_prepare(args: argparse.Namespace) -> int:
     return 0
 
 
+def _apply_hygiene_gates(df, args):
+    """The gopher/repetition gate wiring shared by `prepare` and
+    `prepare-stream` — one place to fix a gate, both commands get it."""
+    from mydumper_spark.operators.contamination import repetition_metrics
+    from mydumper_spark.operators.text import gopher_quality
+
+    if getattr(args, "gopher_gate", False):
+        sw = (args.gopher_stopwords.split(",")
+              if args.gopher_stopwords else None)
+        keep = gopher_quality(df, stopwords=sw).where(
+            "gopher_pass = 1").select("doc_id")
+        df = df.join(keep, "doc_id", "left_semi")
+    if getattr(args, "repetition_gate", False):
+        keep = repetition_metrics(df).where(
+            "passes_repetition").select("doc_id")
+        df = df.join(keep, "doc_id", "left_semi")
+    return df
+
+
 def cmd_prepare_stream(args: argparse.Namespace) -> int:
     """Streaming twin of `prepare` for rolling corpus intake: Structured
     Streaming over a growing parquet directory, per-micro-batch hygiene
@@ -401,16 +414,16 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
     exact_dedup_incremental composition the streaming tests pin). Runs
     with availableNow: each invocation drains what has landed since the
     checkpoint and exits — re-running resumes incrementally, so cron-style
-    ingest needs no resident process."""
-    import glob as _glob
+    ingest needs no resident process.
+
+    Crash-safety by idempotence, not ordering: each batch OVERWRITES its
+    own `batch=<id>` output partition, and the fingerprint store is an
+    append-only log (duplicate fp rows are harmless to the anti-join), so
+    a checkpoint replay after a crash at ANY point reproduces — never
+    duplicates — the batch."""
     import json as _json
 
-    from pyspark.sql import functions as F
-
     spark = _session(args.threads)
-    first = sorted(_glob.glob(os.path.join(args.source, "*.parquet")))
-    if not first:
-        build_parser().error(f"no parquet files under {args.source}")
     schema = spark.read.parquet(args.source).schema
     stream = spark.readStream.schema(schema)
     if args.max_files_per_trigger:
@@ -420,38 +433,28 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
     fp_dir = os.path.join(args.checkpoint, "_fps")
 
     def _batch(df, batch_id):
-        from mydumper_spark.operators.contamination import repetition_metrics
         from mydumper_spark.operators.dedup import exact_dedup_incremental
-        from mydumper_spark.operators.text import gopher_quality
 
-        if args.gopher_gate:
-            sw = (args.gopher_stopwords.split(",")
-                  if args.gopher_stopwords else None)
-            keep = gopher_quality(df, stopwords=sw).where(
-                "gopher_pass = 1").select("doc_id")
-            df = df.join(keep, "doc_id", "left_semi")
-        if args.repetition_gate:
-            keep = repetition_metrics(df).where(
-                "passes_repetition").select("doc_id")
-            df = df.join(keep, "doc_id", "left_semi")
+        df = _apply_hygiene_gates(df, args)
         if args.exact_dedup:
-            try:
+            if os.path.isdir(fp_dir):
                 known = spark.read.parquet(fp_dir)
-            except Exception:
+            else:  # genuinely the first batch; a corrupt store still raises
                 known = spark.createDataFrame([], "fp string")
-            survivors, fps = exact_dedup_incremental(df, known)
-            # state first: a crash between the two writes re-processes the
-            # batch (checkpoint replays it) and the anti-join absorbs it
-            fps.write.mode("overwrite").parquet(fp_dir + ".next")
-            df = survivors
-        df.write.mode("append").parquet(args.outputdir)
+            survivors, _all_fps = exact_dedup_incremental(df, known)
+            df = survivors.persist()  # two writes below share one compute
+        df.write.mode("overwrite").parquet(
+            os.path.join(args.outputdir, f"batch={int(batch_id)}"))
         if args.exact_dedup:
-            # atomic-enough promote (single driver, sequential batches)
-            import shutil
+            # append ONLY this batch's fingerprints to the log; a replayed
+            # batch appends them again, which the anti-join doesn't mind
+            from mydumper_spark.operators.text import fingerprint
+            from pyspark.sql import functions as F
 
-            if os.path.exists(fp_dir):
-                shutil.rmtree(fp_dir)
-            os.rename(fp_dir + ".next", fp_dir)
+            df.select(
+                fingerprint(F.col("text")).alias("fp")
+            ).write.mode("append").parquet(fp_dir)
+            df.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_batch)

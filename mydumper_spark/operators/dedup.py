@@ -72,9 +72,12 @@ def exact_dedup_incremental(
     own exact_dedup."""
     from mydumper_spark.operators.text import fingerprint as _fp
 
+    # eqNullSafe: fingerprint(NULL text) is NULL, and a plain == would
+    # evaluate NULL == NULL to NULL — the anti-join would re-admit a
+    # NULL-text document on every batch forever
     fresh = new_docs.join(
         known_fps.select(F.col(fp_col).alias("__known")),
-        _fp(F.col(text_col)) == F.col("__known"),
+        _fp(F.col(text_col)).eqNullSafe(F.col("__known")),
         "left_anti",
     )
     survivors = exact_dedup(fresh, text_col, id_col)

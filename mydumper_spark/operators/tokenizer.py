@@ -63,8 +63,10 @@ def train_bpe_merges(
     """Classic BPE merge training over a word-frequency dict: start from
     characters (+ EOW), repeatedly merge the most frequent adjacent pair.
     Ties break lexicographically for cross-run determinism. Pure driver
-    CPU on ≤vocab_top entries — O(num_merges × vocab) with incremental
-    pair-count maintenance."""
+    CPU on ≤vocab_top entries — each merge round rescans the sequences, so
+    cost is O(num_merges × total_word_chars); at the vocab_top=50k cap
+    that is ≲10⁸ dict ops, a few driver seconds, and independent of corpus
+    size (the frequency dict absorbed it)."""
     seqs: list[list[str]] = [list(w) + [EOW] for w, _ in word_freqs]
     counts = [c for _, c in word_freqs]
     merges: list[tuple[str, str]] = []
@@ -127,13 +129,25 @@ def bpe_encode(
     src = df.select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
 
     def encode(batches: Iterator) -> Iterator:
+        import re as _re
+
         import pandas as pd
+
+        # EXACTLY the training-side tokenization (dedup.tokens: lower →
+        # trim → Java \s+, which is ASCII-only whitespace): a Unicode-aware
+        # str.split() would segment U+00A0-joined words the merge table
+        # never saw, silently diverging from the trained statistics
+        ascii_ws = _re.compile(r"\s+", _re.ASCII)
 
         memo: dict[str, list[str]] = {}
 
         def enc_text(t: str) -> list[str]:
             out: list[str] = []
-            for w in t.lower().split():
+            # strip(" "): Spark's trim removes 0x20 only — Python's bare
+            # strip() would also eat exotic Unicode whitespace
+            for w in ascii_ws.split(t.lower().strip(" ")):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = _encode_word(w, ranks)

@@ -252,6 +252,6 @@ def _capture_sequences(query, conn=None) -> list[SchemaObject]:
             continue
         stmts = raw.rstrip().rstrip(";")
         if state is not None:
-            stmts += f";\nSELECT SETVAL({_bt(name)}, {_get(state, 'nv')}, 0)"
+            stmts += f";\nDO SETVAL({_bt(name)}, {_get(state, 'nv')}, 0)"
         out.append(SchemaObject("sequence", db, name, stmts))
     return out

@@ -607,5 +607,5 @@ def test_cli_prepare_stream_incremental_resume(tmp_path):
     new_docs = n2 - n1
     assert 0 < new_docs <= 20, (n1, n2)
     ids = {r[0] for r in duckdb.sql(
-        f"SELECT doc_id FROM read_parquet('{out}/*.parquet')").fetchall()}
+        f"SELECT doc_id FROM read_parquet('{out}/*/*.parquet')").fetchall()}
     assert len(ids) == n2          # no duplicate doc ever lands twice

@@ -1683,10 +1683,13 @@ def test_quality_classifier_distills_rule_gate(spark):
     assert sum(s > 0.5 for s in good_scores) >= 38
     assert sum(s < 0.5 for s in bad_scores) >= 38
 
-    # expression inference == MLlib transform probabilities
+    # expression inference == MLlib transform probabilities for the SAME
+    # fitted model (two separate LBFGS fits may differ past 1e-6 depending
+    # on warm-up/partitioning, so the agreement check must share one fit)
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
+    from mydumper_spark.operators.classifier import LinearQualityModel
     from mydumper_spark.operators.similarity import feature_hash_embedding
 
     feats = feature_hash_embedding(labeled, dim=32).join(
@@ -1699,7 +1702,11 @@ def test_quality_classifier_distills_rule_gate(spark):
         ).alias("features"),
     )
     m = LogisticRegression(maxIter=30, regParam=0.01).fit(train)
+    same = LinearQualityModel(dim=32, intercept=float(m.intercept),
+                              coefficients=[float(c) for c in m.coefficients])
+    expr_probs = {r["doc_id"]: r["quality_prob"]
+                  for r in score_quality(df, same).collect()}
     probs = {r["doc_id"]: float(r["probability"][1])
              for r in m.transform(train).collect()}
     for i in list(probs)[:10]:
-        assert abs(probs[i] - scored[i]) < 1e-6
+        assert abs(probs[i] - expr_probs[i]) < 1e-6

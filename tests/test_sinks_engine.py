@@ -1343,7 +1343,7 @@ def test_capture_sequences_mariadb_composed_and_verbatim():
     raw = seqs[0].raw_sql
     assert raw.startswith("CREATE SEQUENCE `order_seq` START WITH 1")
     assert "NOCYCLE" in raw and "CACHE 1000" in raw
-    assert raw.endswith("SELECT SETVAL(`order_seq`, 1042, 0)")
+    assert raw.endswith("DO SETVAL(`order_seq`, 1042, 0)")
 
     class Conn:
         def execute(self, stmt):
@@ -1354,7 +1354,7 @@ def test_capture_sequences_mariadb_composed_and_verbatim():
     objs2 = capture_schema_objects(query, ServerProduct.MARIADB, conn=Conn())
     raw2 = [o for o in objs2 if o.kind == "sequence"][0].raw_sql
     assert raw2.startswith("CREATE SEQUENCE `order_seq` start with 1")
-    assert "SETVAL(`order_seq`, 1042, 0)" in raw2
+    assert "DO SETVAL(`order_seq`, 1042, 0)" in raw2
 
     # non-MariaDB family members never probe the sequence catalog
     def strict_query(sql):
