@@ -595,6 +595,28 @@ FROM (
 """
 
 
+def x_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: the (claimed lang × detected lang) confusion
+    counts over the corpus — the table a curator reads to decide whether a
+    source's language labels can be trusted at all. One extra groupBy over
+    the x_lang_id projection — **oracle-backed**: DuckDB replays the
+    stopword scoring and the grouped counts."""
+    from mydumper_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    inner = _lang_sql().strip()
+    return (f"SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs "
+            f"FROM ({inner}) GROUP BY lang, lang_pred")
+
+
 def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring components + composite."""
     from mydumper_spark.operators.text import quality_score
@@ -4621,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_exact": x_dedup_exact,
         "x_text_stats": x_text_stats,
         "x_lang_id": x_lang_id,
+        "x_lang_confusion": x_lang_confusion,
         "x_quality_score": x_quality_score,
         "x_cosine_topk": x_cosine_topk,
         "x_events_sessionize": x_events_sessionize,
@@ -4754,6 +4777,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_exact": _DEDUP_SQL,
         "x_text_stats": _TEXT_STATS_SQL,
         "x_lang_id": _lang_sql(),
+        "x_lang_confusion": _lang_confusion_sql(),
         "x_quality_score": _QUALITY_SQL,
         "x_cosine_topk": _COSINE_SQL,
         "x_events_sessionize": _SESSION_SQL,
