@@ -1986,11 +1986,10 @@ def x_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gopher_pass = 1").select("doc_id")
     gated = rewritten.join(g, "doc_id", "left_semi")
     rep = repetition_metrics(gated).where("passes_repetition").select("doc_id")
-    return (
-        gated.join(rep, "doc_id", "left_semi")
-        .select("doc_id", "n_tokens_kept")
-        .orderBy("doc_id")
-    )
+    # no final orderBy: a rows-only entry needs no order, and a global
+    # sort would be a pure-overhead exchange in the bench path
+    return gated.join(rep, "doc_id", "left_semi").select(
+        "doc_id", "n_tokens_kept")
 
 
 def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
