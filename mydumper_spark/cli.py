@@ -93,6 +93,7 @@ def cmd_dump(args: argparse.Namespace) -> int:
         masquerade_filenames=args.masquerade_filename,
         jdbc_properties=jdbc_props,
         profile=args.profile,
+        tidb_snapshot=getattr(args, "tidb_snapshot", None),
     )
     spark = _session(args.threads)
     if getattr(args, "since", None):
@@ -527,6 +528,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "repeatable; only used with a jdbc: --source")
     d.add_argument("--chunks", type=int, default=None,
                    help="JDBC read partitions per table (S2; one SELECT per chunk)")
+    d.add_argument("--tidb-snapshot", default=None, metavar="TS",
+                   help="pin every partition to one TiDB MVCC timestamp/"
+                        "TSO (SET SESSION tidb_snapshot per connection — "
+                        "the S11 mechanism on TiDB)")
     d.add_argument("--where", help="global row predicate (P1)")
     d.add_argument("-x", "--regex", help="table regex filter (P6)")
     d.add_argument("-O", "--omit-from-file", help="skiplist file (P7)")

@@ -73,6 +73,10 @@ class DumpConfig:
     connection_factory: object | None = None
     fence_workers: int = 4  # worker connections the fence opens
     dialect: object | None = None  # ServerDialect override (else probed live)
+    #: --tidb-snapshot: pin every partition to one TiDB MVCC timestamp/TSO
+    #: (reference mydumper_common.c:436) — on TiDB this replaces the
+    #: binlog fence as the S11 consistency mechanism
+    tidb_snapshot: str | None = None
 
 
 def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
@@ -103,6 +107,7 @@ def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
     jcfg = JdbcSourceConfig(
         url=source,
         consistent_snapshot=scheme in ("mysql", "mariadb"),
+        tidb_snapshot=cfg.tidb_snapshot,
         extra=dict(cfg.jdbc_properties),
     )
     props = jcfg.properties()
@@ -162,6 +167,10 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             "executed_gtid_set": fence.gtid,
             "fence_attempts": str(fence.attempts),
         }
+    elif cfg.tidb_snapshot is not None:
+        # TiDB: the pinned MVCC timestamp IS the consistency record — a
+        # consumer must see WHICH snapshot the dump reads as-of
+        manifest.source_info = {"tidb_snapshot": cfg.tidb_snapshot}
     capture_conn = None
     try:
         fnames = FilenameRegistry()

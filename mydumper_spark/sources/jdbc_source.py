@@ -51,6 +51,11 @@ class JdbcSourceConfig:
     password: str = ""
     fetchsize: int = 10_000
     consistent_snapshot: bool = True
+    #: TiDB --tidb-snapshot: pin every partition's read to one historical
+    #: timestamp/TSO (`SET SESSION tidb_snapshot = ...` per connection —
+    #: the reference's set_tidb_snapshot, mydumper_common.c:436). On TiDB
+    #: this IS the S11 story: MVCC-as-of replaces the binlog fence.
+    tidb_snapshot: str | None = None
     extra: dict[str, str] = field(default_factory=dict)
 
     def properties(self) -> dict[str, str]:
@@ -66,7 +71,12 @@ class JdbcSourceConfig:
         scheme = self.url.split(":")[1].lower() if self.url.count(":") >= 2 else ""
         if scheme in ("mysql", "mariadb"):
             props["useCursorFetch"] = "true"
-        if self.consistent_snapshot:
+        if self.tidb_snapshot is not None:
+            ts = self.tidb_snapshot.replace("'", "''")
+            props["sessionInitStatement"] = (
+                f"SET SESSION tidb_snapshot = '{ts}'"
+            )
+        elif self.consistent_snapshot:
             props["sessionInitStatement"] = CONSISTENT_SNAPSHOT_INIT
         props.update(self.extra)
         return props

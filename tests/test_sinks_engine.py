@@ -1361,3 +1361,26 @@ def test_capture_sequences_mariadb_composed_and_verbatim():
         assert "sequence" not in sql.lower(), sql
         return []
     capture_schema_objects(strict_query, ServerProduct.MYSQL)
+
+
+def test_tidb_snapshot_pins_every_partition():
+    """--tidb-snapshot: every Spark JDBC partition's sessionInitStatement
+    becomes SET SESSION tidb_snapshot (the reference set_tidb_snapshot,
+    mydumper_common.c:436) — replacing the REPEATABLE-READ init, quoted
+    safely; without the flag the default init stands."""
+    from mydumper_spark.sources.jdbc_source import (
+        CONSISTENT_SNAPSHOT_INIT, JdbcSourceConfig,
+    )
+
+    base = JdbcSourceConfig(url="jdbc:mysql://h/db", consistent_snapshot=True)
+    assert base.properties()["sessionInitStatement"] == CONSISTENT_SNAPSHOT_INIT
+
+    pinned = JdbcSourceConfig(
+        url="jdbc:mysql://h/db", consistent_snapshot=True,
+        tidb_snapshot="2026-08-14 12:00:00")
+    init = pinned.properties()["sessionInitStatement"]
+    assert init == "SET SESSION tidb_snapshot = '2026-08-14 12:00:00'"
+
+    quoted = JdbcSourceConfig(url="jdbc:mysql://h/db",
+                              tidb_snapshot="o'clock")
+    assert "''" in quoted.properties()["sessionInitStatement"]
