@@ -1712,7 +1712,13 @@ def test_quality_classifier_distills_rule_gate(spark):
                               coefficients=[float(c) for c in m.coefficients])
     expr_probs = {r["doc_id"]: r["quality_prob"]
                   for r in score_quality(df, same).collect()}
-    probs = {r["doc_id"]: float(r["probability"][1])
-             for r in m.transform(train).collect()}
+    # driver-side predictProbability, NOT m.transform: a prior test's
+    # df.observe() leaves an ObservationManager in the shared session and
+    # Spark 4.1's ML transform closure then fails serialization (observed
+    # only in full-suite order) — and the driver call is the cleaner
+    # same-model comparison anyway
+    feats_local = train.select("doc_id", "features").collect()
+    probs = {r["doc_id"]: float(m.predictProbability(r["features"])[1])
+             for r in feats_local}
     for i in list(probs)[:10]:
         assert abs(probs[i] - expr_probs[i]) < 1e-6
