@@ -1981,6 +1981,11 @@ def x_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cleaned.select("doc_id",
                              F.col("clean_text").alias("text"),
                              "n_tokens_kept"), "doc_id")
+        # checkpoint between stages, exactly as the prepare CLI persists:
+        # gopher + the repetition gate's three passes + the final join all
+        # read `rewritten`, and Spark does not dedupe common subplans
+        # within one action — without this the whole dedup chain runs ~5×
+        .localCheckpoint(eager=True)
     )
     g = gopher_quality(rewritten, stopwords=["the", "a"]).where(
         "gopher_pass = 1").select("doc_id")

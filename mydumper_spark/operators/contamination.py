@@ -98,12 +98,20 @@ def repetition_metrics(
     """Per-document repetition gates: (id, dup_3gram_ppm, dup_line_ppm,
     passes_repetition). ``passes`` = both duplicate fractions ≤ 30%
     (Gopher-style repetition thresholds), as integer ppm comparisons."""
-    grams = shingles(F.col(text_col), 3)
-    lines = F.split(F.col(text_col), "\n")
-    out = df.select(
+    # two projections on purpose (the winnowing pattern): _dup_frac_ppm
+    # reads its array twice (size + array_distinct) and Catalyst does NOT
+    # common-subexpression-eliminate array expressions — inlining the
+    # shingle construction here evaluated it twice per row (measured 3×
+    # the materialized form on the sf0.1 corpus)
+    arrs = df.select(
         F.col(id_col),
-        _dup_frac_ppm(grams).alias("dup_3gram_ppm"),
-        _dup_frac_ppm(lines).alias("dup_line_ppm"),
+        shingles(F.col(text_col), 3).alias("__g"),
+        F.split(F.col(text_col), "\n").alias("__l"),
+    )
+    out = arrs.select(
+        F.col(id_col),
+        _dup_frac_ppm(F.col("__g")).alias("dup_3gram_ppm"),
+        _dup_frac_ppm(F.col("__l")).alias("dup_line_ppm"),
     )
     return out.withColumn(
         "passes_repetition",
