@@ -126,9 +126,18 @@ def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
     bucket collisions — a corpus replayed as micro-batches proposes the
     same candidates the batch self-join does."""
     sh = F.array_distinct(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda h: F.xxhash64(h, F.lit(i)))) for i in range(num_hashes)]
+    # let-binding via a 1-element array: Catalyst does not CSE array
+    # expressions, so referencing `sh` in all num_hashes min-computations
+    # would rebuild shingles+hash num_hashes times per row (measured 16×
+    # cost); the outer transform evaluates it ONCE and the lambda binds it
+    packed = F.transform(
+        F.array(sh),
+        lambda arr: F.array(
+            *[F.array_min(F.transform(arr, lambda h: F.xxhash64(h, F.lit(i))))
+              for i in range(num_hashes)]
+        ),
     )
+    return F.element_at(packed, 1)
 
 
 def minhash_lsh_pairs(
