@@ -345,23 +345,32 @@ def c4_line_filter(
     broadcast-join concern, deliberately left to the caller's masquerade /
     filter stage.
     """
-    c = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty page
-    kept = F.filter(
-        F.split(c, "\n"),
-        lambda l: F.trim(l).rlike('[.!?"]$')
-        & (
-            F.size(F.filter(F.split(F.trim(l), r"\s+"),
-                            lambda w: w != F.lit("")))
-            >= min_words_per_line
-        ),
+    c0 = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty page
+    # materialize the kept-line array once (no CSE for array expressions;
+    # it feeds array_join AND two size() reads — 3× the line filtering on
+    # KB-sized real documents otherwise)
+    staged = df.select(
+        F.col(id_col),
+        c0.alias("__c"),
+        F.filter(
+            F.split(c0, "\n"),
+            lambda l: F.trim(l).rlike('[.!?"]$')
+            & (
+                F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                lambda w: w != F.lit("")))
+                >= min_words_per_line
+            ),
+        ).alias("__kept"),
     )
+    kept = F.col("__kept")
+    c = F.col("__c")
     n_kept = F.size(kept).cast("bigint")
     page_ok = (
         (n_kept >= min_lines)
         & ~F.lower(c).contains("lorem ipsum")
         & ~c.contains("{")
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),
         n_kept.alias("n_lines_kept"),

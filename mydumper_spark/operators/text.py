@@ -763,13 +763,23 @@ def gopher_quality(
     projection, zero shuffles, zero Python — at 100 TB this is a pure
     scan-side map that AQE never has to think about.
     """
-    c = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
-    toks = F.filter(
-        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")
+    c0 = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
+    # materialize the arrays ONCE (Catalyst does not CSE array
+    # expressions — the repetition_metrics/minhash lesson): toks feeds
+    # ~12 downstream expressions, lines 3
+    df = df.select(
+        F.col(id_col),
+        c0.alias("__c"),
+        F.filter(
+            F.split(F.trim(F.lower(c0)), r"\s+"), lambda t: t != F.lit("")
+        ).alias("__toks"),
+        F.filter(
+            F.split(c0, "\n"), lambda l: F.trim(l) != F.lit("")
+        ).alias("__lines"),
     )
-    lines = F.filter(
-        F.split(c, "\n"), lambda l: F.trim(l) != F.lit("")
-    )
+    c = F.col("__c")
+    toks = F.col("__toks")
+    lines = F.col("__lines")
     n_words = F.size(toks).cast("bigint")
     nw1 = F.greatest(n_words, F.lit(1))
     sum_word_chars = F.aggregate(
@@ -825,5 +835,6 @@ def gopher_quality(
         & (F.col("stopword_hits") >= min_stopwords)
     )
     return out.withColumn("gopher_pass", gate.cast("int")).drop(
-        "__swc", "__naw", "__nsy", "__nbu", "__nel", "__nw1", "__nl1"
+        "__swc", "__naw", "__nsy", "__nbu", "__nel", "__nw1", "__nl1",
+        "__c", "__toks", "__lines",
     )
