@@ -50,7 +50,13 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = tokens(F.col(text_col))
+    # materialize the token array once (no CSE for array expressions —
+    # unbound, the slice inside the transform would re-split the text per
+    # chunk window)
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1 - overlap, F.lit(0)), F.lit(stride))
     chunks = F.transform(
@@ -60,7 +66,7 @@ def chunk_documents(
             F.least(n - s, F.lit(max_tokens)).alias("n_tokens"),
         ),
     )
-    exploded = df.where(n > 0).select(
+    exploded = staged.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
     )
     return exploded.select(

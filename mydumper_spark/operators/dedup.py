@@ -100,20 +100,25 @@ def shingles(col: Column, k: int = 3) -> Column:
     O(k·n) slices each COPYING k elements (effectively O(k²·n) with
     per-element array allocation): measured 3× slower on the sf0.1
     corpus before any of the duplicated-expression costs on top."""
-    toks = tokens(col)
-    n = F.size(toks)
-    acc = toks
-    for j in range(1, k):
-        # zip_with pads the shorter (shifted) side with NULL; concat_ws
-        # skips NULLs, so tail entries hold short grams — sliced off below
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        acc = t
+        for j in range(1, k):
+            # zip_with pads the shorter (shifted) side with NULL;
+            # concat_ws skips NULLs, so tail entries hold short grams —
+            # sliced off below
+            acc = F.zip_with(
+                acc,
+                F.slice(t, j + 1, F.greatest(n - j, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.when(n < k, F.array(F.concat_ws(" ", t))).otherwise(
+            F.slice(acc, 1, n - (k - 1))
         )
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.slice(acc, 1, n - (k - 1))
-    )
+
+    # let-bind the token array (no CSE for array expressions): the fold
+    # references it k+1 times — unbound, that is k+1 splits per row
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
