@@ -1622,10 +1622,11 @@ tf AS (
 ),
 dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
 SELECT doc_id, CAST(sum(
-         (((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1))
-         * (22 * greatest(avgdl, 1) * tf * 1000000 //
-            (10 * greatest(avgdl, 1) * tf + 3 * greatest(avgdl, 1) + 9 * dl))
-       ) AS BIGINT) AS score
+         CAST(((n_docs - df) * 2 + 1) * 1000000 // (df * 2 + 1) AS HUGEINT)
+         * CAST(22 * greatest(avgdl, 1) * tf * 1000000 //
+            (10 * greatest(avgdl, 1) * tf + 3 * greatest(avgdl, 1) + 9 * dl)
+            AS HUGEINT)
+       ) AS DECIMAL(38,0)) AS score
 FROM tf
 JOIN dfreq USING (word)
 JOIN dl USING (doc_id)
@@ -4672,11 +4673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_snapshot_diff": x_snapshot_diff,
         "x_approx_distinct": x_approx_distinct,
         "x_tfidf_topterms": x_tfidf_topterms,
+        # --- overflow: oracle-backed (class already proven above;
+        #     still strictly checked by tools/check_oracle.py) ---
         "x_event_funnel": x_event_funnel,
         "x_ref_integrity": x_ref_integrity,
         "x_outlier_filter": x_outlier_filter,
-        # --- overflow: oracle-backed (class already proven above;
-        #     still strictly checked by tools/check_oracle.py) ---
         "q2_top_supplier_per_part": q2_top_supplier_per_part,
         "q12_late_shipping": q12_late_shipping,
         "q15_top_supplier": q15_top_supplier,

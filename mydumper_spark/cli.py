@@ -418,10 +418,13 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
     ingest needs no resident process.
 
     Crash-safety by idempotence, not ordering: each batch OVERWRITES its
-    own `batch=<id>` output partition, and the fingerprint store is an
-    append-only log (duplicate fp rows are harmless to the anti-join), so
-    a checkpoint replay after a crash at ANY point reproduces — never
-    duplicates — the batch."""
+    own `batch=<id>` output partition, AND its own `_fps/batch=<id>`
+    fingerprint partition; when building the `known` set the current
+    batch's own partition is excluded. A checkpoint replay after a crash
+    at ANY point therefore reproduces — never duplicates and never
+    empties — the batch: even if the crashed attempt already landed its
+    fingerprints, the replay doesn't see them as prior state, so the
+    anti-join can't erase the batch against itself."""
     import json as _json
 
     spark = _session(args.threads)
@@ -436,10 +439,17 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
     def _batch(df, batch_id):
         from mydumper_spark.operators.dedup import exact_dedup_incremental
 
+        from pyspark.sql import functions as F
+
         df = _apply_hygiene_gates(df, args)
         if args.exact_dedup:
             if os.path.isdir(fp_dir):
-                known = spark.read.parquet(fp_dir)
+                # partition discovery yields a `batch` column; exclude this
+                # batch's own partition so a replayed batch never anti-joins
+                # against fingerprints its crashed attempt already landed
+                known = (spark.read.parquet(fp_dir)
+                         .where(F.col("batch") != int(batch_id))
+                         .select("fp"))
             else:  # genuinely the first batch; a corrupt store still raises
                 known = spark.createDataFrame([], "fp string")
             survivors, _all_fps = exact_dedup_incremental(df, known)
@@ -447,14 +457,14 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
         df.write.mode("overwrite").parquet(
             os.path.join(args.outputdir, f"batch={int(batch_id)}"))
         if args.exact_dedup:
-            # append ONLY this batch's fingerprints to the log; a replayed
-            # batch appends them again, which the anti-join doesn't mind
+            # OVERWRITE this batch's own fingerprint partition (replay-safe:
+            # the partition content is a pure function of the batch input)
             from mydumper_spark.operators.text import fingerprint
-            from pyspark.sql import functions as F
 
             df.select(
                 fingerprint(F.col("text")).alias("fp")
-            ).write.mode("append").parquet(fp_dir)
+            ).write.mode("overwrite").parquet(
+                os.path.join(fp_dir, f"batch={int(batch_id)}"))
             df.unpersist()
 
     q = (

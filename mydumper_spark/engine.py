@@ -138,6 +138,115 @@ def _read_written(spark: SparkSession, path: str, cfg: DumpConfig, schema):
     return spark.read.parquet(path)
 
 
+def _attach_schema_artifact(entry, artifact, out_name: str,
+                            output_dir: str) -> None:
+    """Write a captured table-DDL artifact next to the data file and point
+    the manifest entry at it — the phase-3 merge step shared by ``dump``
+    and ``dump_incremental`` (an incremental restore needs the same
+    L6/L7 inputs a full restore gets)."""
+    if artifact is None:
+        return
+    import hashlib as _hashlib
+
+    from mydumper_spark.plans.ddl import descriptor_is_empty
+
+    sp = os.path.join(output_dir, f"{out_name}-schema.sql")
+    with open(sp, "w") as f:
+        f.write(artifact.raw_sql.rstrip("\n") + "\n")
+    entry.schema_sql_path = sp
+    entry.schema_sql_checksum = _hashlib.md5(
+        artifact.raw_sql.encode()).hexdigest()
+    if not descriptor_is_empty(artifact.descriptor):
+        entry.schema_def = artifact.descriptor
+
+
+def _capture_objects(cat, dialect, cfg: DumpConfig,
+                     admitted_tables: set[str], multi_db: bool,
+                     capture_conn) -> list:
+    """Non-table schema objects (views/triggers/routines/events/sequences),
+    captured once per dump and filter-gated — shared by ``dump`` and
+    ``dump_incremental`` (reference -schema-view.sql / -schema-triggers.sql
+    / db-schema-post.sql artifacts, mydumper_jobs.c:392-620). Returns
+    ``[(key, obj), ...]``; empty for non-JDBC sources."""
+    from mydumper_spark.catalog import JdbcCatalog
+
+    if not (cfg.capture_ddl and isinstance(cat, JdbcCatalog)):
+        return []
+    from mydumper_spark.sources.schema_objects import capture_schema_objects
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    product = dialect.product if dialect else ServerProduct.UNKNOWN
+    out = []
+    for obj in capture_schema_objects(
+        lambda sql: cat._q(sql).collect(), product, conn=capture_conn,
+        dialect=dialect,
+    ):
+        okey = (f"{obj.database}.{obj.name}" if multi_db and obj.database
+                else obj.name)
+        if obj.kind == "tablespace":
+            # server-global (no database, no table): always admitted —
+            # the reference gates only on server support
+            pass
+        elif obj.kind in ("view", "sequence"):
+            # views and sequences pass the same P5-P8 name gates as
+            # tables (the reference discovers both FROM the table
+            # list — TABLE_TYPE VIEW/SEQUENCE)
+            if not cfg.filters.admits(
+                TableMeta(database=obj.database, name=obj.name)
+            ):
+                continue
+        elif obj.kind == "trigger":
+            # a trigger's fate follows its base table's (the
+            # reference files triggers per-table)
+            tkey = (f"{obj.database}.{obj.table}" if multi_db
+                    else obj.table)
+            if tkey not in admitted_tables:
+                continue
+        else:
+            # routines/events are database-scoped (db-schema-post):
+            # without this gate an out-of-scope schema's procedures
+            # would be dumped AND replayed on the restore target
+            if not cfg.filters.admits_database(obj.database):
+                continue
+        out.append((okey, obj))
+    return out
+
+
+#: reference artifact naming (mydumper_jobs.c): views get -schema-view.sql,
+#: triggers -schema-triggers.sql; routines and events land in the post file
+#: (we keep one per object, with a distinct suffix for events so a
+#: routine/event name clash cannot overwrite — SQL puts them in separate
+#: namespaces)
+_OBJ_SUFFIX = {"view": "-schema-view.sql",
+               "trigger": "-schema-triggers.sql",
+               "routine": "-schema-post.sql",
+               "event": "-schema-ev-post.sql",
+               "sequence": "-schema-sequence.sql",
+               "tablespace": "-schema-create-tablespace.sql"}
+
+
+def _write_object_artifacts(manifest: Manifest, schema_objects: list,
+                            fnames, output_dir: str) -> None:
+    """Write each captured schema object's DDL artifact and record it in
+    ``manifest.objects`` (phase-3 merge step, shared by ``dump`` and
+    ``dump_incremental``)."""
+    import hashlib as _hashlib
+
+    for okey, obj in schema_objects:
+        safe = fnames.filename_for(okey)
+        op = os.path.join(output_dir, f"{safe}{_OBJ_SUFFIX[obj.kind]}")
+        with open(op, "w") as f:
+            f.write(obj.raw_sql.rstrip("\n") + "\n")
+        manifest.objects.append({
+            "kind": obj.kind,
+            "database": obj.database,
+            "name": obj.name,
+            "path": op,
+            "checksum": _hashlib.md5(obj.raw_sql.encode()).hexdigest(),
+            **({"table": obj.table} if obj.table else {}),
+        })
+
+
 def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     """Full export: every admitted table, transformed, chunk-planned,
     written, manifest-ed. Chunk plans are computed but the write itself uses
@@ -160,6 +269,12 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
 
     cat, fence, dialect = _open_source(spark, source_dir, cfg)
     manifest = Manifest(fmt=cfg.fmt)
+    if cfg.fmt == "csv":
+        from dataclasses import asdict as _asdict
+
+        # record the write dialect so verify/restore can re-read the files
+        # exactly as written (CsvFormat round-trips through this dict)
+        manifest.csv_dialect = _asdict(cfg.csv_format)
     if fence is not None:
         # reference [source] section: the binlog/GTID position the dump is
         # consistent at (mydumper_start_dump.c:774-808)
@@ -167,10 +282,17 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             "executed_gtid_set": fence.gtid,
             "fence_attempts": str(fence.attempts),
         }
-    elif cfg.tidb_snapshot is not None:
+    if cfg.tidb_snapshot is not None:
         # TiDB: the pinned MVCC timestamp IS the consistency record — a
-        # consumer must see WHICH snapshot the dump reads as-of
-        manifest.source_info = {"tidb_snapshot": cfg.tidb_snapshot}
+        # consumer must see WHICH snapshot the dump reads as-of. Recorded
+        # unconditionally (merged with any fence record, not an either/or:
+        # a mysql-scheme URL with a connection_factory builds a fence AND
+        # may pin a snapshot — dropping the TSO the partitions actually
+        # read as-of would orphan the consistency claim)
+        manifest.source_info = {
+            **(manifest.source_info or {}),
+            "tidb_snapshot": cfg.tidb_snapshot,
+        }
     capture_conn = None
     try:
         fnames = FilenameRegistry()
@@ -223,45 +345,10 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
 
         # non-table schema objects (views/triggers/routines/events) —
         # captured once per dump, filter-gated, replayed by restore in the
-        # POST phase (reference -schema-view.sql / -schema-triggers.sql /
-        # db-schema-post.sql artifacts, mydumper_jobs.c:392-620)
-        schema_objects = []
-        if cfg.capture_ddl and isinstance(cat, JdbcCatalog):
-            from mydumper_spark.sources.schema_objects import (
-                capture_schema_objects,
-            )
-            from mydumper_spark.sources.server_detect import ServerProduct
-
-            product = dialect.product if dialect else ServerProduct.UNKNOWN
-            admitted_tables = {item[0] for item in work}
-            for obj in capture_schema_objects(
-                lambda sql: cat._q(sql).collect(), product,
-                conn=capture_conn,
-            ):
-                okey = (f"{obj.database}.{obj.name}" if multi_db
-                        else obj.name)
-                if obj.kind in ("view", "sequence"):
-                    # views and sequences pass the same P5-P8 name gates as
-                    # tables (the reference discovers both FROM the table
-                    # list — TABLE_TYPE VIEW/SEQUENCE)
-                    if not cfg.filters.admits(
-                        TableMeta(database=obj.database, name=obj.name)
-                    ):
-                        continue
-                elif obj.kind == "trigger":
-                    # a trigger's fate follows its base table's (the
-                    # reference files triggers per-table)
-                    tkey = (f"{obj.database}.{obj.table}" if multi_db
-                            else obj.table)
-                    if tkey not in admitted_tables:
-                        continue
-                else:
-                    # routines/events are database-scoped (db-schema-post):
-                    # without this gate an out-of-scope schema's procedures
-                    # would be dumped AND replayed on the restore target
-                    if not cfg.filters.admits_database(obj.database):
-                        continue
-                schema_objects.append((okey, obj))
+        # POST phase
+        schema_objects = _capture_objects(
+            cat, dialect, cfg, {item[0] for item in work}, multi_db,
+            capture_conn)
 
         # --- phase 2 (pooled): per-table read → transform → write →
         # checksum/profile. Each item is an independent chain of Spark
@@ -282,6 +369,12 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             if cfg.fmt == "csv":
                 path = os.path.join(cfg.output_dir, f"{out_name}.dat")
                 write_csv(out, path, cfg.csv_format, cfg.max_records_per_file)
+                # schema sidecar: csv is stringly-typed on disk, so L9
+                # verification and a typed restore need the dumped schema
+                # (the dialect itself rides in the manifest config section)
+                with open(os.path.join(cfg.output_dir,
+                                       f"{out_name}.schema.json"), "w") as f:
+                    f.write(out.schema.json())
             elif cfg.fmt == "jsonl":
                 path = os.path.join(cfg.output_dir, f"{out_name}.jsonl")
                 write_jsonl(out, path, cfg.max_records_per_file,
@@ -325,47 +418,16 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
 
         # --- phase 3 (sequential): merge in catalog order — manifest and
         # profile content are byte-identical to a dump_threads=1 run.
-        import hashlib as _hashlib
         import json as _json
 
         for key, entry, prof, artifact, out_name in results:
-            if artifact is not None:
-                from mydumper_spark.plans.ddl import descriptor_is_empty
-
-                sp = os.path.join(cfg.output_dir, f"{out_name}-schema.sql")
-                with open(sp, "w") as f:
-                    f.write(artifact.raw_sql.rstrip("\n") + "\n")
-                entry.schema_sql_path = sp
-                entry.schema_sql_checksum = _hashlib.md5(
-                    artifact.raw_sql.encode()).hexdigest()
-                if not descriptor_is_empty(artifact.descriptor):
-                    entry.schema_def = artifact.descriptor
+            _attach_schema_artifact(entry, artifact, out_name,
+                                    cfg.output_dir)
             manifest.tables[key] = entry
             if prof is not None:
                 profiles[key] = prof
-        # reference artifact naming (mydumper_jobs.c): views get
-        # -schema-view.sql, triggers -schema-triggers.sql; routines and
-        # events land in the post file (we keep one per object, with a
-        # distinct suffix for events so a routine/event name clash cannot
-        # overwrite — SQL puts them in separate namespaces)
-        _OBJ_SUFFIX = {"view": "-schema-view.sql",
-                       "trigger": "-schema-triggers.sql",
-                       "routine": "-schema-post.sql",
-                       "event": "-schema-ev-post.sql",
-                       "sequence": "-schema-sequence.sql"}
-        for okey, obj in schema_objects:
-            safe = fnames.filename_for(okey)
-            op = os.path.join(cfg.output_dir, f"{safe}{_OBJ_SUFFIX[obj.kind]}")
-            with open(op, "w") as f:
-                f.write(obj.raw_sql.rstrip("\n") + "\n")
-            manifest.objects.append({
-                "kind": obj.kind,
-                "database": obj.database,
-                "name": obj.name,
-                "path": op,
-                "checksum": _hashlib.md5(obj.raw_sql.encode()).hexdigest(),
-                **({"table": obj.table} if obj.table else {}),
-            })
+        _write_object_artifacts(manifest, schema_objects, fnames,
+                                cfg.output_dir)
         if cfg.profile and profiles:
             with open(os.path.join(cfg.output_dir, "_profile.json"), "w") as f:
                 _json.dump(profiles, f, indent=1)
@@ -515,6 +577,16 @@ def restore(
             with open(sidecar) as f:  # typed read via the dumped schema
                 schema = T.StructType.fromJson(__import__("json").load(f))
             return spark.read.schema(schema).json(src_path)
+        if src_path and src_path.endswith(".dat") and os.path.exists(src_path):
+            from mydumper_spark.sinks.manifest import read_dumped_table
+
+            # typed csv read: schema sidecar + the dialect the manifest
+            # recorded at dump time (falls through for pre-sidecar dumps)
+            df = read_dumped_table(
+                spark, doc["tables"][table],
+                csv_dialect=doc.get("config", {}).get("csv_dialect"))
+            if df is not None:
+                return df
         return read_dump_table(spark, dump_root, table)
 
     skipped_ddl: dict[str, list[str]] = {}
@@ -616,8 +688,8 @@ def restore(
 
             # prune against the DUMPED columns: indexes/constraints on
             # transform-dropped columns become skip notes, not target errors
-            avail = (set(source_df(t, src_path).schema.names)
-                     if not schema_only else set())
+            # (schema-only entries never reach here — the `continue` above)
+            avail = set(source_df(t, src_path).schema.names)
             pruned, prune_notes = prune_descriptor(entry["schema_def"], avail)
             stmts = restore_statements(target_table(t), pruned, dialect)
             if prune_notes or stmts["skipped"]:
@@ -643,6 +715,14 @@ def restore(
     multi_schema = any(e.get("database") for e in doc["tables"].values())
     for obj in doc.get("objects", []):
         okind, oname = obj["kind"], obj["name"]
+        if okind == "tablespace":
+            # reference parity: myloader ignores the tablespace artifact
+            # with an import-manually warning (myloader_process_file_type.c:
+            # 139-140) — its DATAFILE paths belong to the SOURCE server's
+            # filesystem. Recorded, never replayed.
+            skipped_objects.append(
+                f"tablespace:{oname} (import manually before restore)")
+            continue
         if not jdbc_target:
             # a parquet target tree has no view/trigger engine — recorded,
             # never silently dropped
@@ -691,11 +771,16 @@ def restore(
         }
         for phase in (Phase.INDEX, Phase.CONSTRAINT, Phase.POST)
     }
-    if skipped_objects:
-        skipped_ddl["objects"] = skipped_objects
-    if any(ddl_phases.values()) or skipped_ddl:
-        results["ddl"] = {**{k: v for k, v in ddl_phases.items() if v},
-                          **({"skipped": skipped_ddl} if skipped_ddl else {})}
+    if any(ddl_phases.values()) or skipped_ddl or skipped_objects:
+        # per-table skip notes and schema-OBJECT skips live in separate
+        # fields: skipped_ddl is keyed by table name, so a table literally
+        # named "objects" must not collide with the object list
+        results["ddl"] = {
+            **{k: v for k, v in ddl_phases.items() if v},
+            **({"skipped": skipped_ddl} if skipped_ddl else {}),
+            **({"skipped_objects": skipped_objects}
+               if skipped_objects else {}),
+        }
     if verify:
         # L9: recompute checksums on the *target* and compare to the
         # manifest, with the algorithm the dump recorded
@@ -738,11 +823,21 @@ def dump_incremental(
     carries vanished keys; the manifest entry records the FULL-state
     checksum (what a restore must reproduce), lineage points at the parent
     manifest. Tables without a PK (or new tables) fall back to a full
-    re-dump, recorded as mode=full. Incremental dumps are parquet-only."""
+    re-dump, recorded as mode=full. Incremental dumps are parquet-only.
+
+    Same three-phase split as ``dump``: planning + DDL capture sequential
+    (deterministic names/manifest), per-table diff/write/checksum jobs
+    pooled across ``dump_threads`` (at 1000 tables a sequential driver
+    loop pays Σ(latency) with the cluster idle — each table is 3 small
+    jobs), merge in catalog order (manifest byte-identical to threads=1).
+    Source DDL and schema objects are captured exactly as in ``dump`` so
+    an incremental restore replays the same SCHEMA/INDEX/CONSTRAINT/POST
+    phases a full restore gets."""
     import hashlib as _hashlib
 
     from pyspark.sql import functions as F
 
+    from mydumper_spark.catalog import JdbcCatalog
     from mydumper_spark.operators.diff import snapshot_diff
     from mydumper_spark.sinks.exec_sink import FilenameRegistry
     from mydumper_spark.sinks.manifest import (
@@ -754,28 +849,61 @@ def dump_incremental(
     if cfg.fmt != "parquet":
         raise ValueError("incremental dumps support fmt='parquet' only")
     parent_doc = read_manifest(parent_dir)
-    cat, fence, _dialect = _open_source(spark, source_dir, cfg)
+    cat, fence, dialect = _open_source(spark, source_dir, cfg)
     manifest = Manifest(fmt="parquet")
     manifest.parent_manifest = os.path.abspath(parent_dir)
+    capture_conn = None
     try:
         os.makedirs(cfg.output_dir, exist_ok=True)
         fnames = FilenameRegistry()
         metas = cat.discover(cfg.filters)
         multi_db = len({m.database for m in metas}) > 1
+
+        # --- phase 1 (sequential): plan work items + capture source DDL
+        if (cfg.capture_ddl and isinstance(cat, JdbcCatalog)
+                and cfg.connection_factory is not None):
+            try:
+                capture_conn = cfg.connection_factory()
+            except Exception:
+                capture_conn = None
+        work = []
         for meta in metas:
             key = meta.qualified_name if multi_db else meta.name
             db_rec = meta.database if multi_db else None
             tt = cfg.per_table.get(key)
             if tt is None and not multi_db:
                 tt = cfg.per_table.get(meta.qualified_name)
+            out_name = fnames.filename_for(key)
+            artifact = None
+            if cfg.capture_ddl and isinstance(cat, JdbcCatalog):
+                from mydumper_spark.sources.ddl_capture import capture_table_ddl
+                from mydumper_spark.sources.server_detect import ServerProduct
+
+                product = dialect.product if dialect else ServerProduct.UNKNOWN
+                artifact = capture_table_ddl(
+                    lambda sql: cat._q(sql).collect(), product,
+                    meta.database, meta.name, conn=capture_conn,
+                )
+            work.append((key, db_rec, meta, tt, out_name, artifact))
+        schema_objects = _capture_objects(
+            cat, dialect, cfg, {item[0] for item in work}, multi_db,
+            capture_conn)
+
+        # --- phase 2 (pooled): per-table diff → delta/deletes write →
+        # reconstruction checksum. Three Spark jobs per table, each far
+        # too small to saturate the cluster alone.
+        def run_table(item):
+            key, db_rec, meta, tt, out_name, artifact = item
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "dump")
+            spark.sparkContext.setLocalProperty(
+                "spark.job.description", f"dump-incremental {key}")
             cur = apply_transform(cat.read(meta, cfg.chunks_per_table), tt,
                                   global_where=cfg.global_where)
-            out_name = fnames.filename_for(key)
             if tt is not None and "DATA" not in tt.object_scope:  # P11
                 entry = build_entry(cur.limit(0), key, manifest.algorithm,
                                     path=None, database=db_rec)
-                manifest.tables[key] = entry
-                continue
+                return key, entry, artifact, out_name
             parent_entry = parent_doc["tables"].get(key)
             # a PARTIAL composite PK is not a key: diffing on the surviving
             # subset would explode the full-outer join and corrupt the
@@ -791,11 +919,11 @@ def dump_incremental(
                 entry = build_entry(spark.read.parquet(path), key,
                                     manifest.algorithm, path=path,
                                     database=db_rec, checksum=cfg.checksum)
-                manifest.tables[key] = entry
-                continue
+                return key, entry, artifact, out_name
             old = materialized_table(spark, parent_dir, key)
             d = snapshot_diff(old, cur, pk).localCheckpoint(eager=True)
-            adds = d.where(F.col("status").isin("added", "changed")).select(*pk)
+            adds = d.where(
+                F.col("status").isin("added", "changed")).select(*pk)
             dels = d.where(F.col("status") == "deleted").select(*pk)
             # no forced broadcast: the changed-key set is unbounded (a bulk
             # UPDATE touches the whole table) — AQE picks broadcast when the
@@ -812,7 +940,12 @@ def dump_incremental(
             }
             # the entry checksums the RECONSTRUCTED state (parent ⊎ written
             # delta), not the source scan — a bad delta write fails verify
-            inc_rec = {
+            entry = build_entry(
+                _materialize_from_parts(spark, parent_dir, key, path,
+                                        del_path, pk),
+                key, manifest.algorithm, path=path, database=db_rec,
+                checksum=cfg.checksum)
+            entry.incremental = {
                 "pk": pk,
                 "delete_path": del_path,
                 "added": int(counts.get("added", 0)),
@@ -820,15 +953,32 @@ def dump_incremental(
                 "deleted": int(counts.get("deleted", 0)),
                 "parent_rows": parent_entry["rows"],
             }
-            manifest.tables[key] = build_entry(
-                _materialize_from_parts(spark, parent_dir, key, path,
-                                        del_path, pk),
-                key, manifest.algorithm, path=path, database=db_rec,
-                checksum=cfg.checksum)
-            manifest.tables[key].incremental = inc_rec
+            return key, entry, artifact, out_name
+
+        n_threads = max(1, int(cfg.dump_threads))
+        if n_threads > 1 and len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_threads) as ex:
+                results = list(ex.map(run_table, work))
+        else:
+            results = [run_table(item) for item in work]
+
+        # --- phase 3 (sequential): merge in catalog order
+        for key, entry, artifact, out_name in results:
+            _attach_schema_artifact(entry, artifact, out_name,
+                                    cfg.output_dir)
+            manifest.tables[key] = entry
+        _write_object_artifacts(manifest, schema_objects, fnames,
+                                cfg.output_dir)
     finally:
         if fence is not None:
             fence.release()
+        if capture_conn is not None and hasattr(capture_conn, "close"):
+            try:
+                capture_conn.close()
+            except Exception:
+                pass
     with open(os.path.join(parent_dir, "_manifest.json"), "rb") as f:
         manifest.source_info["parent_manifest_md5"] = _hashlib.md5(
             f.read()).hexdigest()

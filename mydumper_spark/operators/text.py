@@ -679,11 +679,17 @@ def bm25_topk(
     - tf_part_ppm = 22·avgdl·tf·1e6 DIV (10·avgdl·tf + 3·avgdl + 9·dl) —
       exactly tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) scaled by 10·avgdl,
       with avgdl = total_tokens DIV N.
-    - score = Σ_terms idf_x1e6 · tf_part_ppm.
+    - score = Σ_terms idf_x1e6 · tf_part_ppm, with the two DIV factors
+      cast to DECIMAL(38,0) before the multiply.
 
-    Headroom: idf ≲ 2N·1e6, tf_part ≤ 2.2e6 — products stay inside BIGINT
-    to ~1e11 docs; past that, cast the two DIV expressions to
-    DECIMAL(38,0) (both engines support it, arithmetic stays exact).
+    Headroom: idf ≲ 2N·1e6 and tf_part ≤ 2.2e6 each fit BIGINT to
+    N ≈ 4e12 docs, but their PRODUCT (~4.4e12·N) would leave BIGINT
+    around N ≈ 2e6 — under ANSI mode that's a hard error, silently a
+    wrapped-negative ranking otherwise. The product and the final sum
+    therefore run in DECIMAL(38,0) (exact 128-bit integer arithmetic on
+    both engines; DuckDB's natural spelling is HUGEINT, which Arrow
+    surfaces as the same decimal128(38,0)), pushing overflow past
+    N ≈ 1e25 docs.
 
     Scale shape: query terms are a driver-side literal; the corpus
     explodes to (id, word) once, a filter on the term list prunes it
@@ -695,7 +701,7 @@ def bm25_topk(
     terms = sorted({t for t in query.strip().lower().split() if t})
     if not terms:
         return df.select(
-            F.col(id_col), F.lit(0).cast("bigint").alias("score")
+            F.col(id_col), F.lit(0).cast("decimal(38,0)").alias("score")
         ).limit(0)
 
     toked = df.select(
@@ -717,17 +723,18 @@ def bm25_topk(
             F.col(id_col),
             (
                 F.expr("((n_docs - df) * 2 + 1) * 1000000 div (df * 2 + 1)")
+                .cast("decimal(38,0)")
                 * F.expr(
                     "22 * greatest(avgdl, 1) * tf * 1000000 div "
                     "(10 * greatest(avgdl, 1) * tf + 3 * greatest(avgdl, 1)"
                     " + 9 * dl)"
-                )
+                ).cast("decimal(38,0)")
             ).alias("part"),
         )
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.sum("part").cast("bigint").alias("score"))
+        .agg(F.sum("part").cast("decimal(38,0)").alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )

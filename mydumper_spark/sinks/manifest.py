@@ -68,6 +68,12 @@ class Manifest:
     #: recorded so verify/restore dispatch the right reader instead of
     #: guessing from path extensions alone
     fmt: str = "parquet"
+    #: the CSV dialect the dump was written with (CsvFormat fields) — what
+    #: makes a csv dump re-readable for L9 verification: the reference
+    #: verifies EVERY format via post-load CHECKSUM TABLE (checksum.c:
+    #: 202-302), so its native csv format must not be the one we can't
+    #: check. None for non-csv dumps.
+    csv_dialect: dict | None = None
     #: reference [source] section: the GTID/binlog position the dump is
     #: consistent at, set by the S11 fence (engine._open_source)
     source_info: dict[str, str] = field(default_factory=dict)
@@ -139,6 +145,8 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
             "quote_character": manifest.quote_character,
             "checksum_algorithm": manifest.algorithm,
             "format": manifest.fmt,
+            **({"csv_dialect": manifest.csv_dialect}
+               if manifest.csv_dialect else {}),
         },
         "started_at": manifest.started_at,
         "finished_at": manifest.finished_at,
@@ -224,14 +232,15 @@ def manifest_algorithm(doc: dict) -> str:
     return doc.get("config", {}).get("checksum_algorithm", "md5")
 
 
-def read_dumped_table(spark, entry: dict) -> "DataFrame | None":
+def read_dumped_table(spark, entry: dict,
+                      csv_dialect: dict | None = None) -> "DataFrame | None":
     """Typed read of one manifest entry's dumped data, dispatching on the
-    recorded path's format: parquet directly; jsonl through its
-    ``.schema.json`` sidecar (JSON is stringly-typed — inference would not
-    round-trip the dumped types). Returns None for formats that cannot be
-    re-read faithfully without dump-time options (csv: the dialect knobs
-    and schema are not stored as a sidecar) — callers report
-    "unverifiable", they don't crash."""
+    recorded path's format: parquet directly; jsonl and csv through their
+    ``.schema.json`` sidecar (both are stringly-typed on disk — inference
+    would not round-trip the dumped types), csv additionally through the
+    dialect the manifest recorded at dump time (``csv_dialect``). Returns
+    None only for dumps that genuinely lack the sidecar (written before it
+    existed) — callers report "unverifiable", they don't crash."""
     path = entry.get("path")
     if not path or not os.path.exists(path):
         return None
@@ -240,15 +249,40 @@ def read_dumped_table(spark, entry: dict) -> "DataFrame | None":
     if path.endswith(".orc"):
         return spark.read.orc(path)
     if path.endswith(".jsonl"):
-        from pyspark.sql import types as T
-
-        sidecar = path[: -len(".jsonl")] + ".schema.json"
-        if not os.path.exists(sidecar):
+        schema = _sidecar_schema(path, ".jsonl")
+        if schema is None:
             return None
-        with open(sidecar) as f:
-            schema = T.StructType.fromJson(json.load(f))
         return spark.read.schema(schema).json(path)
+    if path.endswith(".dat"):
+        schema = _sidecar_schema(path, ".dat")
+        if schema is None:
+            return None
+        from mydumper_spark.sinks.writers import CsvFormat
+
+        fmt = CsvFormat(**(csv_dialect or {}))
+        return (
+            spark.read.schema(schema)
+            .option("sep", fmt.fields_terminated_by)
+            .option("quote", fmt.fields_enclosed_by)
+            .option("escape", fmt.fields_escaped_by)
+            .option("lineSep", fmt.lines_terminated_by)
+            .option("header", str(fmt.header).lower())
+            .option("nullValue", fmt.null_value)
+            .csv(path)
+        )
     return None
+
+
+def _sidecar_schema(path: str, suffix: str):
+    """The dumped StructType from a ``.schema.json`` sidecar, or None when
+    the dump predates sidecars for this format."""
+    from pyspark.sql import types as T
+
+    sidecar = path[: -len(suffix)] + ".schema.json"
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        return T.StructType.fromJson(json.load(f))
 
 
 def materialized_table(spark, dump_root: str, table: str):
@@ -283,13 +317,15 @@ def materialized_table(spark, dump_root: str, table: str):
 def verify_manifest(spark, root: str) -> dict[str, dict]:
     """L9 checksum verification: recompute every table's checksum from its
     dumped files and compare (/root/reference/src/checksum.c:202-302),
-    honoring the algorithm recorded at dump time. Format-aware: parquet
-    and jsonl dumps verify; formats whose files can't be re-read faithfully
-    (csv without a schema sidecar) return ok=None with a reason instead of
-    crashing on a wrong-format read.
+    honoring the algorithm recorded at dump time. Format-aware: parquet,
+    orc, jsonl AND csv dumps verify (csv through the schema sidecar + the
+    manifest-recorded dialect — the reference verifies its native csv
+    format too); only dumps predating the sidecar return ok=None with a
+    reason instead of crashing on a wrong-format read.
     Returns {table: {"ok": bool|None, "expected": ..., "actual": ...}}."""
     doc = read_manifest(root)
     algo = manifest_algorithm(doc)
+    csv_dialect = doc.get("config", {}).get("csv_dialect")
     results = {}
     for t, entry in doc["tables"].items():
         if not entry.get("path"):
@@ -303,12 +339,12 @@ def verify_manifest(spark, root: str) -> dict[str, dict]:
             # delta entry: checksums cover the reconstructed full state
             df = materialized_table(spark, root, t)
         else:
-            df = read_dumped_table(spark, entry)
+            df = read_dumped_table(spark, entry, csv_dialect=csv_dialect)
         if df is None:
             results[t] = {
                 "ok": None,
                 "reason": f"format of {entry['path']!r} cannot be re-read "
-                          "for verification (csv needs restore-side verify)",
+                          "for verification (dump predates schema sidecar)",
             }
             continue
         cs = table_checksum(df, algorithm=algo)

@@ -62,8 +62,22 @@ def read_dump_table(
     dat = os.path.join(root, f"{table}.dat")
     if os.path.exists(dat):
         fmt = fmt or CsvFormat()
+        if schema is None:
+            # engine dumps write a schema sidecar next to the .dat — a
+            # typed read beats inference (csv is stringly-typed on disk)
+            sidecar = os.path.join(root, f"{table}.schema.json")
+            if os.path.exists(sidecar):
+                import json
+
+                from pyspark.sql import types as T
+
+                with open(sidecar) as f:
+                    schema = T.StructType.fromJson(json.load(f))
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
         return (
-            spark.read.option("sep", fmt.fields_terminated_by)
+            r.option("sep", fmt.fields_terminated_by)
             .option("quote", fmt.fields_enclosed_by)
             .option("escape", fmt.fields_escaped_by)
             .option("lineSep", fmt.lines_terminated_by)

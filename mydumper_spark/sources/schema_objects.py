@@ -176,13 +176,14 @@ def _capture_events(query, conn=None) -> list[SchemaObject]:
 
 
 def capture_schema_objects(query, product: ServerProduct,
-                           conn=None) -> list[SchemaObject]:
+                           conn=None, dialect=None) -> list[SchemaObject]:
     """All non-table schema objects the source exposes, product-routed.
     Each object family degrades independently (an engine without the
     catalog — or a user without the privilege — loses that family, never
     the dump): views everywhere, triggers/routines/events only where an
     information_schema for them exists (the MySQL family; DuckDB has
-    none)."""
+    none); general InnoDB tablespaces only where ``dialect`` says the
+    server version supports them."""
     out: list[SchemaObject] = []
     for fn in (
         lambda: _capture_views(query, product, conn),
@@ -194,11 +195,51 @@ def capture_schema_objects(query, product: ServerProduct,
         # 'SEQUENCE'; harmless empty result elsewhere in the family)
         *((lambda: _capture_sequences(query, conn),)
           if product is ServerProduct.MARIADB else ()),
+        *((lambda: _capture_tablespaces(query, dialect),)
+          if dialect is not None and dialect.supports_tablespaces else ()),
     ):
         try:
             out.extend(fn())
         except Exception:
             continue
+    return out
+
+
+def _capture_tablespaces(query, dialect) -> list[SchemaObject]:
+    """General InnoDB tablespaces (the reference's all-schema-create-
+    tablespace.sql, mydumper_jobs.c:127-182): catalog names differ by
+    version — 5.7 uses INNODB_SYS_TABLESPACES/INNODB_SYS_DATAFILES, 8.x
+    INNODB_TABLESPACES/INNODB_DATAFILES — and the artifact is the composed
+    ``CREATE TABLESPACE … ADD DATAFILE … FILE_BLOCK_SIZE = … ENGINE=INNODB``
+    statement, one per General tablespace. myloader-parity on restore:
+    the reference IGNORES this file with an import-manually warning
+    (myloader_process_file_type.c:139-140), so ours lands in the restore
+    report's skipped_objects, never silently dropped and never replayed
+    against a foreign server's filesystem paths."""
+    if dialect.major == 5 and dialect.secondary == 7:
+        rows = query(
+            "SELECT NAME AS name, PATH AS path, FS_BLOCK_SIZE AS bs "
+            "FROM information_schema.INNODB_SYS_TABLESPACES "
+            "JOIN information_schema.INNODB_SYS_DATAFILES USING (space) "
+            "WHERE SPACE_TYPE='General' AND NAME != 'mysql'"
+        )
+    elif dialect.major >= 8:
+        rows = query(
+            "SELECT NAME AS name, PATH AS path, FS_BLOCK_SIZE AS bs "
+            "FROM information_schema.INNODB_TABLESPACES "
+            "JOIN information_schema.INNODB_DATAFILES USING (space) "
+            "WHERE SPACE_TYPE='General' AND NAME != 'mysql'"
+        )
+    else:
+        return []
+    out = []
+    for r in sorted(rows, key=lambda r: _get(r, "name")):
+        name = _get(r, "name")
+        out.append(SchemaObject(
+            "tablespace", "", name,
+            f"CREATE TABLESPACE {_bt(name)} "
+            f"ADD DATAFILE '{_get(r, 'path')}' "
+            f"FILE_BLOCK_SIZE = {_get(r, 'bs')} ENGINE=INNODB;"))
     return out
 
 

@@ -609,3 +609,48 @@ def test_cli_prepare_stream_incremental_resume(tmp_path):
     ids = {r[0] for r in duckdb.sql(
         f"SELECT doc_id FROM read_parquet('{out}/*/*.parquet')").fetchall()}
     assert len(ids) == n2          # no duplicate doc ever lands twice
+
+
+def test_cli_prepare_stream_replay_is_idempotent(tmp_path):
+    """Crash-replay safety: a batch whose fingerprints already landed but
+    whose checkpoint commit was lost must reproduce its output on replay,
+    not anti-join itself to EMPTY against its own fps. Simulated by
+    deleting the stream checkpoint (not the fp store) after a successful
+    run — the replayed batch 0 then sees the store exactly as a crashed
+    attempt would have left it."""
+    import shutil
+
+    import duckdb
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    ck = str(tmp_path / "ck")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id < 40) TO '{src}/a.parquet' (FORMAT PARQUET)")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "prepare-stream",
+             "--source", str(src), "-o", out, "--checkpoint", ck,
+             "--exact-dedup", "--threads", "4"],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    n1 = json.loads(r1.stdout.strip().splitlines()[-1])["output_rows"]
+    assert n1 > 0
+
+    # lose the checkpoint commit, keep the fp store: the replay window
+    shutil.rmtree(os.path.join(ck, "ck"))
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    n2 = json.loads(r2.stdout.strip().splitlines()[-1])["output_rows"]
+    assert n2 == n1                # reproduced, not emptied
+    ids = {r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out}/*/*.parquet')").fetchall()}
+    assert len(ids) == n1

@@ -45,10 +45,15 @@ def test_oracle_outputs_have_no_hugeint_columns():
     decimal128(38,0)); the driver's value hash is type-sensitive, so such a
     column fails the grade even when values are bit-identical to Spark's
     BIGINT — the exact bug that cost one grading row in each of rounds 2-4.
-    No Spark query here returns DecimalType, so any decimal on the oracle
-    side is an uncast aggregate, structurally."""
+    The one DELIBERATE decimal is bm25's score: its per-term product
+    overflows BIGINT near 2e6 docs, so BOTH engines compute it in 128-bit
+    (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT→DECIMAL(38,0)) — allowed here
+    because the Spark twin returns the same decimal type. Any OTHER
+    decimal on the oracle side is an uncast aggregate, structurally."""
     import duckdb
     import pyarrow as pa
+
+    allowed = {"x_bm25_topk.score"}
 
     con = duckdb.connect()
     for t in [
@@ -63,7 +68,8 @@ def test_oracle_outputs_have_no_hugeint_columns():
     for name, sql in entry.oracle_sql().items():
         schema = con.sql(sql).arrow().schema
         for f in schema:
-            if pa.types.is_decimal(f.type):
+            if (pa.types.is_decimal(f.type)
+                    and f"{name}.{f.name}" not in allowed):
                 offenders.append(f"{name}.{f.name}: {f.type}")
     assert not offenders, (
         "uncast integer aggregates (add CAST(... AS BIGINT)): " + "; ".join(offenders)

@@ -586,6 +586,87 @@ def test_ddl_capture_and_replay_roundtrip_live(spark, tmp_path):
     assert any(uq for _, uq in idx)  # the unique key survived as unique
 
 
+def test_incremental_dump_carries_ddl_live(spark, tmp_path):
+    """An incremental dump captures source DDL exactly as a full dump
+    does: entries carry schema_def + a `-schema.sql` artifact, schema
+    objects (views) are captured, and a restore OF THE INCREMENTAL replays
+    the secondary index after data and the view in POST — a JDBC restore
+    of an incremental dump must not silently produce bare key-less tables
+    a full-dump restore of the same source would have keyed."""
+    import json
+    import os
+
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, dump_incremental, restore
+
+    src = str(tmp_path / "inc_ddl_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute(
+        "CREATE TABLE ledger (ledger_id INTEGER PRIMARY KEY, acct INTEGER, "
+        "amt DOUBLE)")
+    con.execute("CREATE INDEX idx_acct ON ledger(acct)")
+    con.execute(
+        "INSERT INTO ledger SELECT range, range % 5, range * 2.0 "
+        "FROM range(100)")
+    con.execute("CREATE VIEW acct_totals AS "
+                "SELECT acct, sum(amt) AS total FROM ledger GROUP BY acct")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    base = str(tmp_path / "inc_ddl_base")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=base, jdbc_properties=dict(DRIVER_PROPS)))
+
+    con = duckdb.connect(src)
+    con.execute("INSERT INTO ledger VALUES (100, 1, 7.0), (101, 2, 9.0)")
+    con.execute("DELETE FROM ledger WHERE ledger_id = 0")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    inc = str(tmp_path / "inc_ddl_delta")
+    m = dump_incremental(
+        spark, f"jdbc:duckdb:{src}",
+        DumpConfig(output_dir=inc, jdbc_properties=dict(DRIVER_PROPS)),
+        base)
+    entry = m.tables["ledger"]
+    assert entry.incremental and entry.incremental["added"] == 2
+    # the DDL rode along: descriptor, raw artifact, and the view object
+    assert entry.schema_def["primary_key"] == ["ledger_id"]
+    assert {ix["name"] for ix in entry.schema_def["indexes"]} == {"idx_acct"}
+    assert entry.schema_sql_path and os.path.exists(entry.schema_sql_path)
+    doc = json.load(open(os.path.join(inc, "_manifest.json")))
+    assert doc["tables"]["ledger"]["schema_def"]["primary_key"] == ["ledger_id"]
+    assert [o["kind"] for o in doc.get("objects", [])] == ["view"]
+
+    target = str(tmp_path / "inc_ddl_target.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, inc, f"jdbc:duckdb:{target}",
+        parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor, jdbc_num_partitions=1,
+    )
+    assert results["load"] == {"ledger": True}
+    assert results["ddl"]["index"] == {"ledger": True}
+    assert results["ddl"]["post"] == {"view:acct_totals": True}
+
+    con = duckdb.connect(target)
+    n = con.execute("SELECT count(*) FROM ledger").fetchone()[0]
+    idx = {name for name, _ in con.execute(
+        "SELECT index_name, is_unique FROM duckdb_indexes() "
+        "WHERE table_name = 'ledger'").fetchall()}
+    vtot = con.execute(
+        "SELECT count(*) FROM acct_totals").fetchone()[0]
+    con.close()
+    assert n == 101 and "idx_acct" in idx and vtot == 5
+
+
 def test_view_dump_restore_roundtrip_live(spark, tmp_path):
     """Views survive a DB→dump→DB round-trip: the dump captures the view's
     server-native DDL as a `-schema-view.sql` artifact (mydumper_jobs.c:
@@ -680,4 +761,7 @@ def test_restore_records_objects_skipped_on_parquet_target(spark, tmp_path):
     results = restore(spark, out, str(tmp_path / "vskip_target"),
                       parallelism=1)
     assert results["load"] == {"t1": True}
-    assert results["ddl"]["skipped"]["objects"] == ["view:v1"]
+    # objects ride a reserved field, not the table-keyed skip map — a
+    # dumped table literally named "objects" must not collide with them
+    assert results["ddl"]["skipped_objects"] == ["view:v1"]
+    assert "skipped" not in results["ddl"]

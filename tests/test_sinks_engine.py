@@ -892,10 +892,15 @@ def test_verify_manifest_jsonl_dump(spark, sf_dir, tmp_path):
     assert res2["nation"]["ok"] is False
 
 
-def test_verify_manifest_csv_reports_unverifiable(spark, sf_dir, tmp_path):
-    """CSV dumps record no schema sidecar, so dump-dir verification is
-    honestly impossible: ok=None with a reason (restore-side verify covers
-    csv), never a wrong-format crash."""
+def test_verify_manifest_csv_verifies(spark, sf_dir, tmp_path):
+    """CSV dumps verify end-to-end: the dump writes a schema sidecar and
+    records its dialect in the manifest config, so L9 recomputes the
+    checksum from the typed read-back — the reference verifies its native
+    csv format too (checksum.c:202-302). A corrupted data file must FAIL
+    verification, and a pre-sidecar dump still reports ok=None honestly."""
+    import glob
+    import os
+
     from mydumper_spark.catalog import TableFilters
     from mydumper_spark.engine import DumpConfig, dump
     from mydumper_spark.sinks.manifest import verify_manifest
@@ -904,9 +909,29 @@ def test_verify_manifest_csv_reports_unverifiable(spark, sf_dir, tmp_path):
     dump(spark, sf_dir, DumpConfig(
         output_dir=out, fmt="csv",
         filters=TableFilters(tables_list={"default.nation"})))
+    assert os.path.exists(os.path.join(out, "nation.schema.json"))
     res = verify_manifest(spark, out)
-    assert res["nation"]["ok"] is None
-    assert "re-read" in res["nation"]["reason"]
+    assert res["nation"]["ok"] is True
+
+    # tamper with one data file: the checksum must catch it (drop the
+    # hadoop-local .crc sidecar too, so it's OUR checksum that fails —
+    # a real HDFS/S3 dump has no such local-FS safety net)
+    part = sorted(glob.glob(os.path.join(out, "nation.dat", "part-*")))[0]
+    crc = os.path.join(os.path.dirname(part),
+                       "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    lines = open(part).read().splitlines(keepends=True)
+    with open(part, "w") as f:
+        f.writelines(lines[1:])  # drop a row
+    res2 = verify_manifest(spark, out)
+    assert res2["nation"]["ok"] is False
+
+    # pre-sidecar dump (sidecar missing): honest ok=None, not a crash
+    os.remove(os.path.join(out, "nation.schema.json"))
+    res3 = verify_manifest(spark, out)
+    assert res3["nation"]["ok"] is None
+    assert "re-read" in res3["nation"]["reason"]
 
 
 def test_dump_profile_without_checksum(spark, sf_dir, tmp_path):
@@ -1131,6 +1156,83 @@ def test_capture_schema_objects_mysql_composed():
         raise RuntimeError("no such catalog")
 
     assert capture_schema_objects(no_catalog, ServerProduct.UNKNOWN) == []
+
+
+def test_capture_tablespaces_version_routed():
+    """General InnoDB tablespaces (mydumper_jobs.c:127-182): the catalog
+    pair is version-routed (5.7 INNODB_SYS_*, 8.x INNODB_*), the artifact
+    is the composed CREATE TABLESPACE, and unsupported products/versions
+    capture nothing. Fake query stands in for the absent live MySQL."""
+    from mydumper_spark.sources.schema_objects import capture_schema_objects
+    from mydumper_spark.sources.server_detect import (
+        ServerDialect, ServerProduct,
+    )
+
+    def query(sql):
+        if "INNODB_TABLESPACES" in sql:
+            assert "INNODB_DATAFILES" in sql and "SPACE_TYPE='General'" in sql
+            return [{"name": "ts1", "path": "./ts1.ibd", "bs": 8192}]
+        if "INNODB_SYS_TABLESPACES" in sql:
+            return [{"name": "old_ts", "path": "./old.ibd", "bs": 4096}]
+        raise RuntimeError("no such catalog")  # views etc. degrade
+
+    v8 = ServerDialect(ServerProduct.MYSQL, major=8, secondary=0)
+    objs = capture_schema_objects(query, ServerProduct.MYSQL, dialect=v8)
+    ts = [o for o in objs if o.kind == "tablespace"]
+    assert [o.name for o in ts] == ["ts1"]
+    assert ts[0].raw_sql == ("CREATE TABLESPACE `ts1` ADD DATAFILE "
+                             "'./ts1.ibd' FILE_BLOCK_SIZE = 8192 "
+                             "ENGINE=INNODB;")
+
+    v57 = ServerDialect(ServerProduct.MYSQL, major=5, secondary=7)
+    old = [o for o in capture_schema_objects(
+        query, ServerProduct.MYSQL, dialect=v57) if o.kind == "tablespace"]
+    assert [o.name for o in old] == ["old_ts"]
+
+    # MariaDB doesn't support general tablespaces (server_detect.c:74);
+    # neither does a 5.6 server — the catalog is never even probed
+    maria = ServerDialect(ServerProduct.MARIADB, major=10, secondary=6)
+    assert [o for o in capture_schema_objects(
+        query, ServerProduct.MARIADB, dialect=maria)
+        if o.kind == "tablespace"] == []
+    v56 = ServerDialect(ServerProduct.MYSQL, major=5, secondary=6)
+    assert [o for o in capture_schema_objects(
+        query, ServerProduct.MYSQL, dialect=v56)
+        if o.kind == "tablespace"] == []
+
+
+def test_restore_skips_tablespace_objects(spark, sf_dir, tmp_path):
+    """myloader parity (myloader_process_file_type.c:139-140): a dump
+    carrying a tablespace artifact restores its tables normally, but the
+    tablespace itself is recorded as import-manually — its DATAFILE paths
+    belong to the source server's filesystem — never replayed, never
+    silently dropped."""
+    import json as _json
+    import os as _os
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    out = str(tmp_path / "tsdump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, filters=TableFilters(tables_list={"default.nation"})))
+    # splice a tablespace object into the manifest (no live MySQL to
+    # capture one from; the artifact shape is what capture produces)
+    art = _os.path.join(out, "ts1-schema-create-tablespace.sql")
+    with open(art, "w") as f:
+        f.write("CREATE TABLESPACE `ts1` ADD DATAFILE './ts1.ibd' "
+                "FILE_BLOCK_SIZE = 8192 ENGINE=INNODB;\n")
+    mpath = _os.path.join(out, "_manifest.json")
+    doc = _json.load(open(mpath))
+    doc["objects"] = [{"kind": "tablespace", "database": "", "name": "ts1",
+                       "path": art, "checksum": "x"}]
+    with open(mpath, "w") as f:
+        _json.dump(doc, f)
+
+    results = restore(spark, out, str(tmp_path / "ts_target"), parallelism=1)
+    assert results["load"] == {"nation": True}
+    assert results["ddl"]["skipped_objects"] == [
+        "tablespace:ts1 (import manually before restore)"]
 
 
 def test_dump_orc_roundtrip(spark, sf_dir, tmp_path):
