@@ -1637,6 +1637,118 @@ LIMIT 10
 """
 
 
+def x_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2019 bucket
+    CommonCrawl by the perplexity of a Wikipedia-trained KenLM): train an
+    integer-exact bigram stupid-backoff LM (Brants et al. 2007) on the
+    'src0' slice of the corpus, score EVERY document's mean in-domain
+    transition probability (ppm). vocab_top=500 deliberately engages the
+    deterministic frequency cap at sf0.01 so the cross-engine tie-break
+    (count desc, gram asc) is exercised, not just trusted —
+    **oracle-backed**: DuckDB replays tokenization, training counts, the
+    cap, both backoff branches and the fixed-point division."""
+    from mydumper_spark.operators.text import ngram_lm_score, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.where(F.col("source") == "src0"),
+                         vocab_top=500)
+    return ngram_lm_score(docs, lm)
+
+
+_NGRAM_LM_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+')
+         END AS toks
+  FROM documents
+),
+ref AS (SELECT toks FROM tok WHERE source = 'src0'),
+uni_all AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni_all),
+uni AS (SELECT w, c FROM uni_all ORDER BY c DESC, w ASC LIMIT 500),
+bi_all AS (
+  SELECT w1, w2, count(*) AS c FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM ref)
+  ) GROUP BY w1, w2
+),
+bi AS (SELECT w1, w2, c FROM bi_all
+       ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 500),
+trans AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+),
+scored AS (
+  SELECT tr.doc_id,
+         CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+              THEN 1000000 * b.c // u1.c
+              WHEN u2.c IS NOT NULL THEN 400000 * u2.c // total
+              ELSE 0 END AS s
+  FROM trans tr
+  LEFT JOIN bi b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+  LEFT JOIN uni u1 ON tr.w1 = u1.w
+  LEFT JOIN uni u2 ON tr.w2 = u2.w
+  CROSS JOIN tot
+),
+sums AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS ssum FROM scored
+         GROUP BY doc_id)
+SELECT k.doc_id,
+       k.n_transitions,
+       CAST(CASE WHEN k.n_transitions > 0 THEN ssum // k.n_transitions
+                 ELSE 0 END AS BIGINT) AS lm_score_ppm
+FROM (SELECT doc_id,
+             CAST(greatest(len(toks) - 1, 0) AS INTEGER) AS n_transitions
+      FROM tok) k
+LEFT JOIN sums USING (doc_id)
+"""
+
+
+def x_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (symmetric int8) ANN top-10 against the vec_id=0
+    embedding (the SQ8 index family — FAISS ScalarQuantizer / ScaNN
+    int8): one corpus-wide |max| scale, every vector quantizes to
+    −127..127 codes, ranking is the INTEGER dot product — bit-identical
+    across engines (the quantization is a fixed IEEE op sequence, the
+    ranking never touches floats) — **oracle-backed**: DuckDB replays the
+    scale, quantization and the integer dot from the same parquet."""
+    from mydumper_spark.operators.similarity import sq8_topk, train_sq8_scale
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = train_sq8_scale(emb)
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    return sq8_topk(emb.where("vec_id <> 0"), [float(v) for v in qvec],
+                    k=10, scale=scale)
+
+
+_SQ8_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS j
+  FROM embeddings
+),
+sc AS (SELECT max(abs(v)) AS s FROM ex),
+codes AS (
+  SELECT vec_id, j,
+         CASE WHEN s > 0 THEN
+           greatest(-127, least(127,
+             CAST(floor(v * 127 / s + 0.5) AS BIGINT)))
+         ELSE 0 END AS code
+  FROM ex CROSS JOIN sc
+),
+q AS (SELECT j, code AS qcode FROM codes WHERE vec_id = 0)
+SELECT c.vec_id, CAST(sum(c.code * q.qcode) AS BIGINT) AS sq8_score
+FROM codes c JOIN q USING (j)
+WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+ORDER BY sq8_score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality gates (Rae et al. 2021 §A1.1: word count,
     mean word length, symbol-to-word ratio, bullet/ellipsis line ratios,
@@ -4712,6 +4824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ngram_decontaminate": x_ngram_decontaminate,
         "x_repetition_stats": x_repetition_stats,
         "x_bm25_topk": x_bm25_topk,
+        "x_ngram_lm_score": x_ngram_lm_score,
+        "x_sq8_topk": x_sq8_topk,
         "x_gopher_quality": x_gopher_quality,
         "x_gopher_report": x_gopher_report,
         "x_c4_filter": x_c4_filter,
@@ -4839,6 +4953,8 @@ def oracle_sql() -> dict[str, str]:
         "x_ngram_decontaminate": _NGRAM_DECON_SQL,
         "x_repetition_stats": _REPETITION_STATS_SQL,
         "x_bm25_topk": _BM25_SQL,
+        "x_ngram_lm_score": _NGRAM_LM_SQL,
+        "x_sq8_topk": _SQ8_SQL,
         "x_gopher_quality": _GOPHER_QUALITY_SQL,
         "x_gopher_report": _GOPHER_REPORT_SQL,
         "x_c4_filter": _C4_FILTER_SQL,

@@ -1249,3 +1249,110 @@ def feature_hash_embedding(
             "embedding",
             F.array_repeat(F.lit(0).cast("bigint"), dim)).alias("embedding"),
     )
+
+
+# --- SQ8 scalar quantization (symmetric int8, the ScaNN/FAISS-SQ practice) --
+
+
+def train_sq8_scale(df: DataFrame, vec_col: str = "embedding") -> float:
+    """The SQ8 codebook is ONE number: the corpus-wide max |component|.
+    Symmetric quantization (code = round(127·x/scale), no per-dimension
+    offset) is what keeps the INTEGER dot product a faithful ranking:
+    Σ c_j·qc_j = (127/scale)²·Σ x_j·q_j + bounded noise — a positive
+    rescale of the true dot. An offset (min/max affine) form would add
+    per-dimension constants to every product and destroy the ranking;
+    FAISS only uses affine codes by DEQUANTIZING before distances.
+    One aggregate job, one double to the driver."""
+    row = df.agg(F.max(F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )).alias("s")).first()
+    return float(row["s"] or 0.0)
+
+
+def _sq8_code_expr(e: Column, scale: float) -> Column:
+    """One dimension\'s signed 8-bit code: floor(x·127/scale + 0.5) clamped
+    to [−127, 127]. Every step is deterministic IEEE double arithmetic in
+    a fixed association order — the DuckDB oracle and the Python
+    query-side twin (:func:`sq8_quantize`) reproduce it bit-exactly, so
+    the integer dot-product ranking is cross-engine exact (the repo-wide
+    float rule: floats may only appear where both engines run the
+    identical op sequence; ranking then happens on integers)."""
+    if not scale > 0.0:  # degenerate corpus (all-zero / empty) → 0
+        return F.lit(0).cast("bigint")
+    scaled = e * F.lit(127.0) / F.lit(scale)
+    return F.greatest(
+        F.lit(-127).cast("bigint"),
+        F.least(F.lit(127).cast("bigint"), F.floor(scaled + F.lit(0.5))),
+    )
+
+
+def sq8_quantize(vec, scale: float) -> list[int]:
+    """Python twin of :func:`_sq8_code_expr` for the driver-side query
+    vector — same IEEE ops in the same order, so the query\'s codes equal
+    what the corpus-side expression produces for the same vector."""
+    import math
+
+    if not scale > 0.0:
+        return [0] * len(vec)
+    return [max(-127, min(127, int(math.floor(float(v) * 127.0 / scale
+                                              + 0.5))))
+            for v in vec]
+
+
+def sq8_encode(
+    df: DataFrame,
+    scale: float,
+    vec_col: str = "embedding",
+    code_col: str = "sq8_code",
+) -> DataFrame:
+    """Materialize the SQ8 codes as ``array<smallint>`` — 4× smaller than
+    float32 on disk/in memory (the reason SQ8 exists): encode once, then
+    every query scans codes instead of floats. Pure scan-side codegen."""
+    e = F.col(vec_col)
+    codes = F.transform(
+        e, lambda x: _sq8_code_expr(x.cast("double"), scale).cast("smallint")
+    )
+    return df.withColumn(code_col, codes)
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    scale: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by INTEGER dot product of symmetric int8
+    quantized vectors (the SQ8 index family: FAISS ScalarQuantizer /
+    ScaNN int8): rank by Σ_j qcode_j·code_j. The ranking is exact integer
+    arithmetic — bit-identical across engines with no round() tie hazard
+    (what the cosine baseline needs round(…,6) to dodge) — and the
+    approximation error is the quantization itself: ±½ bucket of
+    scale/127 per component.
+
+    Scale shape: zero joins, zero shuffles — quantization + dot product
+    are one codegen projection over the scan (query codes constant-folded
+    like IVF centroids/PQ LUTs), topped by TakeOrdered. On an encoded
+    corpus (:func:`sq8_encode`) the scan reads 1 byte/dim instead of 4.
+
+    Overflow: |code| ≤ 127 → per-term ≤ 16129 → BIGINT-safe past 5e14
+    dimensions."""
+    scale = scale if scale is not None else train_sq8_scale(df, vec_col)
+    qc = sq8_quantize(query_vec, scale)
+    e = F.col(vec_col)
+    terms = [
+        F.lit(int(qc[j]))
+        * _sq8_code_expr(F.element_at(e, j + 1).cast("double"), scale)
+        for j in range(len(qc))
+        if qc[j] != 0  # zero query terms contribute exactly 0 — dropped
+    ]
+    total = terms[0] if terms else F.lit(0).cast("bigint")
+    for t in terms[1:]:
+        total = total + t
+    scored = df.select(
+        F.col(id_col), total.cast("bigint").alias("sq8_score"))
+    return scored.orderBy(
+        F.col("sq8_score").desc(), F.col(id_col).asc()).limit(k)

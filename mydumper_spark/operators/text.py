@@ -845,3 +845,138 @@ def gopher_quality(
         "__swc", "__naw", "__nsy", "__nbu", "__nel", "__nw1", "__nl1",
         "__c", "__toks", "__lines",
     )
+
+
+def train_bigram_lm(
+    ref: DataFrame,
+    text_col: str = "text",
+    vocab_top: int = 100_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the CCNet-style in-domain language model (Wenzek et al. 2019
+    train KenLM on Wikipedia and bucket CommonCrawl by perplexity; the
+    reference mechanism is "score text by an LM trained on a trusted
+    corpus"): bigram + unigram counts over ``ref``'s tokens, capped to the
+    ``vocab_top`` most frequent entries of each (deterministic tie-break
+    on the gram text). Returns ``(unigrams[w, c], bigrams[w1, w2, c],
+    total[total])`` — after the cap all three are broadcast-sized, which
+    is the whole scale story of scoring: the 100-TB corpus never shuffles,
+    it joins the tiny LM scan-side.
+
+    The cap is the honest memory bound (the head of a Zipf distribution
+    carries the transition mass); capped-away grams score through the
+    backoff path, never as errors."""
+    from mydumper_spark.operators.dedup import tokens
+
+    toks = ref.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni_all = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = uni_all.agg(F.sum("c").cast("bigint").alias("total"))
+    uni = uni_all.orderBy(F.col("c").desc(), F.col("w").asc()).limit(vocab_top)
+    bi_all = (
+        ref.select(F.explode(_transitions_col(F.col(text_col))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = bi_all.orderBy(
+        F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(vocab_top)
+    return uni, bi, total
+
+
+def _transitions_col(col: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs, built scan-side as a
+    zip of the token array with its own 1-shifted view (the shingles
+    zip-fold specialized to k=2) — no explode-with-position, no per-doc
+    window sort. Let-bound once per row (the no-CSE rule)."""
+    from mydumper_spark.operators.dedup import tokens
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        # zip_with pads the shorter (shifted) side with NULL; the last
+        # element then has w2 NULL — sliced off below
+        pairs = F.zip_with(
+            t,
+            F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return F.when(
+            n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+        ).otherwise(F.slice(pairs, 1, n - 1))
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_ppm: int = 400_000,
+) -> DataFrame:
+    """Score documents against a trained bigram LM (train_bigram_lm) —
+    the CCNet perplexity-bucketing mechanism (Wenzek et al. 2019), made
+    integer-exact: per adjacent token pair (w1, w2),
+
+    - known bigram:  s = 1e6 · c(w1,w2) DIV c(w1)   (conditional prob, ppm)
+    - else known w2: s = alpha_ppm · c(w2) DIV total (stupid backoff,
+      Brants et al. 2007, α = alpha_ppm/1e6)
+    - else 0,
+
+    and ``lm_score_ppm = Σs DIV n_transitions`` — the mean in-domain
+    transition probability. Log-free like bm25_topk's idf: summing p
+    instead of log p is the documented trade for a bit-identical
+    cross-engine ranking (no ln() ULP divergence); it orders "looks like
+    the reference corpus" the same direction perplexity does (higher =
+    more in-domain) without being a calibrated perplexity. Headroom:
+    every s ≤ 1e6, so Σs ≤ 1e6·n_tokens — BIGINT-safe to ~9e12 tokens
+    per DOCUMENT.
+
+    Scale shape: transitions are built scan-side (no window), the corpus
+    explodes to (id, w1, w2) pairs that join THREE BROADCAST inputs (the
+    capped LM) and partial-aggregate back to one row per doc — the only
+    exchange is the final 16-byte (id, sum) groupBy. Docs with <2 tokens
+    survive via explode_outer with score 0."""
+    uni, bi, total = lm
+    # project the transitions array ONCE (no-CSE rule): size() and the
+    # explode both reference the bound column, not two rebuilds per row
+    ex = df.select(
+        F.col(id_col), _transitions_col(F.col(text_col)).alias("__tr")
+    ).select(
+        F.col(id_col),
+        F.size("__tr").alias("n_transitions"),
+        F.explode_outer("__tr").alias("p"),
+    )
+    scored = (
+        ex
+        .join(F.broadcast(bi.withColumnRenamed("c", "cb")),
+              (F.col("p.w1") == F.col("w1")) & (F.col("p.w2") == F.col("w2")),
+              "left")
+        .join(F.broadcast(uni.select(F.col("w").alias("u1"),
+                                     F.col("c").alias("cu1"))),
+              F.col("p.w1") == F.col("u1"), "left")
+        .join(F.broadcast(uni.select(F.col("w").alias("u2"),
+                                     F.col("c").alias("cu2"))),
+              F.col("p.w2") == F.col("u2"), "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n_transitions"),
+            F.when(
+                F.col("cb").isNotNull() & F.col("cu1").isNotNull(),
+                F.expr("1000000 * cb div cu1"),
+            ).when(
+                F.col("cu2").isNotNull(),
+                F.expr(f"{int(alpha_ppm)} * cu2 div total"),
+            ).otherwise(F.lit(0)).cast("bigint").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col, "n_transitions")
+        .agg(F.sum("s").alias("__sum"))
+        .select(
+            F.col(id_col),
+            F.col("n_transitions"),
+            F.when(F.col("n_transitions") > 0,
+                   F.expr("__sum div n_transitions"))
+            .otherwise(F.lit(0)).cast("bigint").alias("lm_score_ppm"),
+        )
+    )

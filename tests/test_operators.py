@@ -1722,3 +1722,99 @@ def test_quality_classifier_distills_rule_gate(spark):
              for r in feats_local}
     for i in list(probs)[:10]:
         assert abs(probs[i] - expr_probs[i]) < 1e-6
+
+
+def test_ngram_lm_score_planted(spark):
+    """Bigram stupid-backoff scoring, hand-checked: ref "a b a b a c" gives
+    c(a)=3 c(b)=2 c(c)=1 total=6; bigrams (a,b)=2 (b,a)=2 (a,c)=1.
+    - "a b": known bigram -> 1e6*2 div 3 = 666666
+    - "z a": unknown bigram, known w2 -> 400000*3 div 6 = 200000
+    - "q q": fully OOV -> 0
+    - "a": no transitions -> n_transitions 0, score 0
+    - vocab_top=1 keeps ONLY (a,b) (count tie with (b,a), w1 tie-break):
+      "b a" then scores through backoff, not the bigram branch."""
+    from mydumper_spark.operators.text import ngram_lm_score, train_bigram_lm
+
+    ref = spark.createDataFrame([(0, "a b a b a c")], "doc_id long, text string")
+    lm = train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z a"), (3, "q q"), (4, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_lm_score(docs, lm).collect()}
+    assert out[1]["lm_score_ppm"] == 666_666 and out[1]["n_transitions"] == 1
+    assert out[2]["lm_score_ppm"] == 200_000
+    assert out[3]["lm_score_ppm"] == 0
+    assert out[4]["lm_score_ppm"] == 0 and out[4]["n_transitions"] == 0
+
+    uni1, bi1, _ = train_bigram_lm(ref, vocab_top=1)
+    kept = bi1.collect()
+    assert [(r["w1"], r["w2"]) for r in kept] == [("a", "b")]
+    lm1 = (uni1, bi1, _)
+    # "b a": bigram capped away; backoff on w2='a' needs uni('a') — but
+    # vocab_top=1 also capped unigrams to just 'a' (count 3 beats b/c)
+    out1 = {r["doc_id"]: r["lm_score_ppm"] for r in ngram_lm_score(
+        spark.createDataFrame([(9, "b a")], "doc_id long, text string"),
+        lm1).collect()}
+    assert out1[9] == 200_000  # backoff path: 400000*3 div 6
+
+
+def test_sq8_topk_recall_and_encode(spark, embeddings):
+    """SQ8 integer ranking: (a) top-10 by quantized dot has high overlap
+    with the EXACT dot-product top-10 (the thing SQ8 approximates — a
+    positive rescale plus bounded quantization noise), (b) encode
+    materializes smallint codes in [-127,127], (c) the Python query-side
+    quantizer agrees with the Spark expression on the same vector (the
+    cross-engine exactness hinge)."""
+    import numpy as np
+
+    from mydumper_spark.operators.similarity import (
+        sq8_encode, sq8_quantize, sq8_topk, train_sq8_scale,
+    )
+
+    scale = train_sq8_scale(embeddings)
+    rows = embeddings.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    q = vecs[0]
+    exact = {vid for vid, _ in sorted(
+        ((vid, float(v @ q)) for vid, v in vecs.items() if vid != 0),
+        key=lambda t: (-t[1], t[0]))[:10]}
+
+    rest = embeddings.where("vec_id <> 0")
+    sq = {r["vec_id"] for r in sq8_topk(
+        rest, [float(v) for v in q], k=10, scale=scale).collect()}
+    assert len(sq & exact) >= 8, (sq, exact)
+
+    enc = sq8_encode(embeddings.limit(20), scale)
+    out = enc.select("vec_id", "sq8_code", "embedding").collect()
+    assert dict(enc.dtypes)["sq8_code"] == "array<smallint>"
+    for r in out:
+        codes = list(r["sq8_code"])
+        assert all(-127 <= c <= 127 for c in codes)
+        # the Python twin reproduces the Spark expression bit-exactly
+        assert codes == sq8_quantize(
+            [float(v) for v in r["embedding"]], scale)
+
+
+def test_sq8_degenerate_scale(spark):
+    """An all-zero corpus (scale 0) codes to 0 everywhere instead of
+    dividing by zero; negative components clamp at -127."""
+    from mydumper_spark.operators.similarity import (
+        sq8_quantize, sq8_topk, train_sq8_scale,
+    )
+
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    assert train_sq8_scale(zeros) == 0.0
+    assert sq8_quantize([1.0, -1.0], 0.0) == [0, 0]
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, -1.0]), (3, [0.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    s = train_sq8_scale(df)
+    assert s == 1.0
+    assert sq8_quantize([1.0, -1.0], s) == [127, -127]
+    top = sq8_topk(df, [1.0, 1.0], k=3, scale=s).collect()
+    assert [r["vec_id"] for r in top] == [1, 3, 2]

@@ -233,6 +233,9 @@ _BNLJ_ALLOWED = {
     # broadcast 1×1 scalar: the corpus (N, avgdl) pair every BM25 term
     # score multiplies by — same shape as x_token_frequency_score's total
     "x_bm25_topk",
+    # broadcast 1×1 scalar: the trained LM's total-token count every
+    # backoff division divides by
+    "x_ngram_lm_score",
 }
 
 
