@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     # repetition gates) — wall-time guard for the whole text stack,
     # the prepare-CLI twin of x_embcurate_select
     "x_text_curate",
+    # CCNet-style bigram-LM scoring: train (capped, broadcast) + score —
+    # benched so an accidental shuffle of the corpus side is visible
+    "x_ngram_lm_score",
+    # symmetric int8 ANN: must stay a single codegen projection +
+    # TakeOrdered (zero joins, zero exchanges)
+    "x_sq8_topk",
 ]
 
 

@@ -325,6 +325,26 @@ def cmd_prepare(args: argparse.Namespace) -> int:
             df, model, threshold=args.ml_quality_gate
         ).where("quality_pass = 1").select("doc_id")
         df = df.join(keep, "doc_id", "left_semi")
+    if args.lm_gate_ppm is not None:
+        # CCNet-style LM gate: train the bigram LM on the trusted slice
+        # (--lm-ref-source, or an external --lm-ref parquet) and keep docs
+        # whose mean in-domain transition probability clears the bar
+        from mydumper_spark.operators.text import (
+            ngram_lm_score, train_bigram_lm,
+        )
+
+        if args.lm_ref:
+            ref = spark.read.parquet(args.lm_ref)
+        elif args.lm_ref_source:
+            ref = df.where(F.col("source") == args.lm_ref_source)
+        else:
+            raise SystemExit(
+                "--lm-gate-ppm needs --lm-ref (parquet) or "
+                "--lm-ref-source (in-corpus slice) as the trusted corpus")
+        lm = train_bigram_lm(ref)
+        keep = ngram_lm_score(df, lm).where(
+            F.col("lm_score_ppm") >= args.lm_gate_ppm).select("doc_id")
+        df = df.join(keep, "doc_id", "left_semi")
     if args.min_quality is not None:
         q = quality_score(df).where(
             F.col("quality") >= args.min_quality
@@ -630,6 +650,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "rule gate is binary")
     pp.add_argument("--repetition-gate", action="store_true",
                     help="drop docs failing the dup-3gram/dup-line gates")
+    pp.add_argument("--lm-gate-ppm", type=int, default=None, metavar="PPM",
+                    help="CCNet-style LM gate: drop docs whose bigram-LM "
+                         "score (mean in-domain transition probability, "
+                         "ppm) is below PPM; the LM trains on --lm-ref / "
+                         "--lm-ref-source")
+    pp.add_argument("--lm-ref", default=None,
+                    help="parquet of trusted reference docs the LM gate "
+                         "trains on (the CCNet Wikipedia role)")
+    pp.add_argument("--lm-ref-source", default=None, metavar="SOURCE",
+                    help="train the LM gate on this in-corpus source "
+                         "slice instead of an external parquet")
     pp.add_argument("--min-quality", type=float, default=None,
                     help="drop docs below this quality_score")
     pp.add_argument("--min-novelty", type=int, default=None,

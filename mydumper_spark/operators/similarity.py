@@ -1342,17 +1342,78 @@ def sq8_topk(
     dimensions."""
     scale = scale if scale is not None else train_sq8_scale(df, vec_col)
     qc = sq8_quantize(query_vec, scale)
-    e = F.col(vec_col)
-    terms = [
-        F.lit(int(qc[j]))
-        * _sq8_code_expr(F.element_at(e, j + 1).cast("double"), scale)
-        for j in range(len(qc))
-        if qc[j] != 0  # zero query terms contribute exactly 0 — dropped
-    ]
-    total = terms[0] if terms else F.lit(0).cast("bigint")
-    for t in terms[1:]:
-        total = total + t
+    # one array fold, NOT a per-dimension unrolled sum: 64 unrolled
+    # element_at+floor terms blow the generated method past the JIT's
+    # 64 KB limit and the whole projection falls back to interpreted
+    # evaluation (observed 13s vs 1s at sf0.1 — the round-5 PQ lesson)
+    qlit = F.array(*[F.lit(int(c)).cast("bigint") for c in qc])
+    total = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col),
+                        lambda x: _sq8_code_expr(x.cast("double"), scale)),
+            qlit,
+            lambda c, q: c * q,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     scored = df.select(
         F.col(id_col), total.cast("bigint").alias("sq8_score"))
+    return scored.orderBy(
+        F.col("sq8_score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def write_sq8_index(
+    embeddings: DataFrame,
+    path: str,
+    scale: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Persist the SQ8 index: codes-only parquet (1 byte/dim vs 4 — the
+    scan a query pays shrinks 4×) plus the training scale in a sidecar.
+    Returns the scale (pass it to :func:`sq8_topk_indexed`, or let that
+    read the sidecar)."""
+    import json
+    import os
+
+    scale = scale if scale is not None else train_sq8_scale(
+        embeddings, vec_col)
+    sq8_encode(embeddings, scale, vec_col).select(
+        id_col, "sq8_code"
+    ).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_sq8_meta.json"), "w") as f:
+        json.dump({"scale": scale}, f)
+    return scale
+
+
+def sq8_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    scale: float | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the persisted SQ8 index: identical ranking to the inline
+    :func:`sq8_topk` (pytest-pinned) but the scan reads ONLY (id, codes)
+    — no float vectors move at all. The dot product folds the query codes
+    into a codegen fold over the smallint array."""
+    import json
+    import os
+
+    if scale is None:
+        with open(os.path.join(path, "_sq8_meta.json")) as f:
+            scale = float(json.load(f)["scale"])
+    qc = sq8_quantize(query_vec, scale)
+    qlit = F.array(*[F.lit(int(c)).cast("bigint") for c in qc])
+    df = spark.read.parquet(path)
+    total = F.aggregate(
+        F.zip_with(F.col("sq8_code"), qlit,
+                   lambda c, q: c.cast("bigint") * q),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = df.select(F.col(id_col), total.alias("sq8_score"))
     return scored.orderBy(
         F.col("sq8_score").desc(), F.col(id_col).asc()).limit(k)

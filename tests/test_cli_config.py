@@ -566,6 +566,31 @@ def test_cli_prepare_ml_quality_gate(tmp_path):
     assert counts["output_rows"] == counts["after_decontamination"]
 
 
+def test_cli_prepare_lm_gate(tmp_path):
+    """`prepare --lm-gate-ppm`: the bigram LM trains on the --lm-ref-source
+    slice and gates the corpus; a permissive threshold keeps a real split,
+    and the flag without a reference fails loudly."""
+    out = str(tmp_path / "prepared")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "prepare",
+             "--source", "/root/testdata/sf0.001/documents.parquet",
+             "-o", out, "--dedup", "none", "--threads", "4", *extra],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+
+    r = run("--lm-gate-ppm", "1000", "--lm-ref-source", "src0")
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < counts["after_quality"] <= counts["input"]
+
+    r2 = run("--lm-gate-ppm", "1000")   # no reference corpus given
+    assert r2.returncode != 0
+    assert "--lm-ref" in (r2.stderr + r2.stdout)
+
+
 def test_cli_prepare_stream_incremental_resume(tmp_path):
     """`prepare-stream`: two invocations over a growing source dir — the
     second drains ONLY the newly-landed files (checkpoint resume) and the

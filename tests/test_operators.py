@@ -1818,3 +1818,29 @@ def test_sq8_degenerate_scale(spark):
     assert sq8_quantize([1.0, -1.0], s) == [127, -127]
     top = sq8_topk(df, [1.0, 1.0], k=3, scale=s).collect()
     assert [r["vec_id"] for r in top] == [1, 3, 2]
+
+
+def test_sq8_indexed_equals_inline(spark, embeddings, tmp_path):
+    """The persisted SQ8 index returns the identical ranking to the inline
+    operator, its scan carries only (vec_id, sq8_code) — float vectors
+    never load — and the sidecar round-trips the scale."""
+    from mydumper_spark.operators.similarity import (
+        sq8_topk, sq8_topk_indexed, train_sq8_scale, write_sq8_index,
+    )
+
+    scale = train_sq8_scale(embeddings)
+    qvec = [float(v) for v in embeddings.where("vec_id = 0")
+            .first()["embedding"]]
+    idx = str(tmp_path / "sq8idx")
+    returned = write_sq8_index(embeddings.where("vec_id <> 0"), idx)
+    assert returned == scale  # scale trains on what was written
+
+    inline = sq8_topk(embeddings.where("vec_id <> 0"), qvec,
+                      k=10, scale=scale).collect()
+    indexed = sq8_topk_indexed(spark, idx, qvec, k=10).collect()
+    assert [(r["vec_id"], r["sq8_score"]) for r in inline] == \
+           [(r["vec_id"], r["sq8_score"]) for r in indexed]
+
+    plan = sq8_topk_indexed(spark, idx, qvec, k=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "embedding" not in plan  # codes-only scan
