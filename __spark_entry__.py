@@ -1749,6 +1749,42 @@ LIMIT 10
 """
 
 
+def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 blocklist gate (Raffel et al. 2020 §2.2: drop pages containing
+    any listed word — their list is ~2.4k entries; here a planted 3-entry
+    policy with a word pair AND a two-word phrase, exercising both match
+    modes) — **oracle-backed**: DuckDB replays tokenization, the distinct-
+    token intersect and the padded phrase contains."""
+    from mydumper_spark.operators.corpus import blocklist_filter
+
+    return blocklist_filter(
+        _t(spark, sf_dir, "documents"), ["slow", "merge", "hash join"])
+
+
+_BLOCKLIST_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(coalesce(text, ''))),
+                                      '\\s+')
+         END AS toks,
+         ' ' || regexp_replace(lower(trim(coalesce(text, ''))),
+                               '\\s+', ' ', 'g') || ' ' AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_intersect(list_distinct(toks), ['merge', 'slow']))
+            + CASE WHEN contains(norm, ' hash join ')
+                   THEN 1 ELSE 0 END AS INTEGER) AS blocklist_hits,
+       CAST(CASE WHEN len(list_intersect(list_distinct(toks),
+                                         ['merge', 'slow'])) +
+                      CASE WHEN contains(norm, ' hash join ')
+                           THEN 1 ELSE 0 END > 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS blocked
+FROM t
+"""
+
+
 def x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality gates (Rae et al. 2021 §A1.1: word count,
     mean word length, symbol-to-word ratio, bullet/ellipsis line ratios,
@@ -4826,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bm25_topk": x_bm25_topk,
         "x_ngram_lm_score": x_ngram_lm_score,
         "x_sq8_topk": x_sq8_topk,
+        "x_blocklist_filter": x_blocklist_filter,
         "x_gopher_quality": x_gopher_quality,
         "x_gopher_report": x_gopher_report,
         "x_c4_filter": x_c4_filter,
@@ -4955,6 +4992,7 @@ def oracle_sql() -> dict[str, str]:
         "x_bm25_topk": _BM25_SQL,
         "x_ngram_lm_score": _NGRAM_LM_SQL,
         "x_sq8_topk": _SQ8_SQL,
+        "x_blocklist_filter": _BLOCKLIST_SQL,
         "x_gopher_quality": _GOPHER_QUALITY_SQL,
         "x_gopher_report": _GOPHER_REPORT_SQL,
         "x_c4_filter": _C4_FILTER_SQL,

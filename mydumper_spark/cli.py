@@ -409,11 +409,19 @@ def cmd_prepare(args: argparse.Namespace) -> int:
 
 
 def _apply_hygiene_gates(df, args):
-    """The gopher/repetition gate wiring shared by `prepare` and
+    """The gopher/repetition/blocklist gate wiring shared by `prepare` and
     `prepare-stream` — one place to fix a gate, both commands get it."""
     from mydumper_spark.operators.contamination import repetition_metrics
     from mydumper_spark.operators.text import gopher_quality
 
+    if getattr(args, "blocklist", None):
+        from mydumper_spark.operators.corpus import blocklist_filter
+
+        with open(args.blocklist) as f:
+            entries = [ln.strip() for ln in f if ln.strip()]
+        keep = blocklist_filter(df, entries).where(
+            "blocked = 0").select("doc_id")
+        df = df.join(keep, "doc_id", "left_semi")
     if getattr(args, "gopher_gate", False):
         sw = (args.gopher_stopwords.split(",")
               if args.gopher_stopwords else None)
@@ -456,12 +464,32 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
     stream = stream.parquet(args.source)
     fp_dir = os.path.join(args.checkpoint, "_fps")
 
+    lm = None
+    if args.lm_gate_ppm is not None:
+        if not args.lm_ref:
+            raise SystemExit(
+                "--lm-gate-ppm on a stream needs --lm-ref (an external "
+                "trusted parquet; an in-corpus slice is undefined on a "
+                "growing stream)")
+        from mydumper_spark.operators.text import train_bigram_lm
+
+        # train ONCE, localCheckpoint the three LM tables: foreachBatch
+        # would otherwise recompute the training aggregates every batch
+        lm = tuple(d.localCheckpoint(eager=True)
+                   for d in train_bigram_lm(spark.read.parquet(args.lm_ref)))
+
     def _batch(df, batch_id):
         from mydumper_spark.operators.dedup import exact_dedup_incremental
 
         from pyspark.sql import functions as F
 
         df = _apply_hygiene_gates(df, args)
+        if lm is not None:
+            from mydumper_spark.operators.text import ngram_lm_score
+
+            keep = ngram_lm_score(df, lm).where(
+                F.col("lm_score_ppm") >= args.lm_gate_ppm).select("doc_id")
+            df = df.join(keep, "doc_id", "left_semi")
         if args.exact_dedup:
             if os.path.isdir(fp_dir):
                 # partition discovery yields a `batch` column; exclude this
@@ -661,6 +689,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--lm-ref-source", default=None, metavar="SOURCE",
                     help="train the LM gate on this in-corpus source "
                          "slice instead of an external parquet")
+    pp.add_argument("--blocklist", default=None,
+                    help="file of blocklist entries (one per line; "
+                         "whitespace in an entry makes it a phrase) — "
+                         "the C4 badwords gate, applied with the other "
+                         "hygiene gates")
     pp.add_argument("--min-quality", type=float, default=None,
                     help="drop docs below this quality_score")
     pp.add_argument("--min-novelty", type=int, default=None,
@@ -704,6 +737,17 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--gopher-gate", action="store_true")
     ps.add_argument("--gopher-stopwords", default=None)
     ps.add_argument("--repetition-gate", action="store_true")
+    ps.add_argument("--blocklist", default=None,
+                    help="file of blocklist entries (one per line; "
+                         "whitespace in an entry makes it a phrase) — "
+                         "the C4 badwords gate")
+    ps.add_argument("--lm-gate-ppm", type=int, default=None, metavar="PPM",
+                    help="CCNet-style LM gate per micro-batch; the LM "
+                         "trains ONCE on --lm-ref before the stream starts")
+    ps.add_argument("--lm-ref", default=None,
+                    help="parquet of trusted reference docs for the LM "
+                         "gate (required with --lm-gate-ppm: an in-corpus "
+                         "slice is undefined on a growing stream)")
     ps.add_argument("--exact-dedup", action="store_true",
                     help="cross-batch first-occurrence doc dedup via the "
                          "fingerprint store")

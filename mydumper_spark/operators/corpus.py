@@ -347,9 +347,9 @@ def c4_line_filter(
 
     Line retention and the page gate are a single codegen projection over
     the line array — zero shuffles, no Python; at 100 TB this runs inside
-    the scan stage. The blocklist word filter the paper also applies is a
-    broadcast-join concern, deliberately left to the caller's masquerade /
-    filter stage.
+    the scan stage. The blocklist word filter the paper also applies is
+    :func:`blocklist_filter` (a separate stage on purpose: the list is a
+    policy input, the line grammar is not).
     """
     c0 = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty page
     # materialize the kept-line array once (no CSE for array expressions;
@@ -485,4 +485,56 @@ def exact_substring_dedup(
             (F.col("__total") - F.coalesce("n_tokens_kept", F.lit(0)))
             .alias("n_tokens_removed"),
         )
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 blocklist gate (Raffel et al. 2020 §2.2 drop any page with a
+    word from the "Dirty, Naughty, Obscene" list — the piece
+    :func:`c4_line_filter` deliberately leaves to a separate stage):
+    per document, ``blocklist_hits`` = how many DISTINCT blocklist entries
+    appear, ``blocked`` = hits > 0. Single-word entries match on token
+    identity (lowercased, like :func:`~mydumper_spark.operators.dedup.
+    tokens`); entries containing whitespace are PHRASES and match on the
+    whitespace-normalized lowercased text with word-boundary padding.
+
+    Scale shape: the list is a constant-folded literal (C4's list is
+    ~2.4k entries — KBs in the plan, the broadcast-dict masquerade
+    budget), so the gate is a pure scan-side projection: token-set
+    intersect for words + a bounded OR of contains() for phrases. Zero
+    joins, zero shuffles, composes with every other gate in `prepare`."""
+    from mydumper_spark.operators.dedup import tokens
+
+    words = sorted({w.lower() for w in blocklist if w and " " not in w})
+    phrases = sorted({" ".join(p.lower().split())
+                      for p in blocklist if p and " " in p})
+    c = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty page
+    word_hits = (
+        F.size(F.array_intersect(
+            F.array_distinct(tokens(c)),
+            F.array(*[F.lit(w) for w in words]),
+        )) if words else F.lit(0)
+    )
+    if phrases:
+        norm = F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "),
+            F.lit(" "),
+        )
+        phrase_hits = sum(
+            (F.contains(norm, F.lit(f" {p} ")).cast("int") for p in phrases),
+            start=F.lit(0),
+        )
+    else:
+        phrase_hits = F.lit(0)
+    hits = (word_hits + phrase_hits).cast("int")
+    return df.select(
+        F.col(id_col),
+        hits.alias("blocklist_hits"),
+        (hits > 0).cast("int").alias("blocked"),
     )

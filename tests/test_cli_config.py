@@ -679,3 +679,56 @@ def test_cli_prepare_stream_replay_is_idempotent(tmp_path):
     ids = {r[0] for r in duckdb.sql(
         f"SELECT doc_id FROM read_parquet('{out}/*/*.parquet')").fetchall()}
     assert len(ids) == n1
+
+
+def test_cli_prepare_stream_blocklist_and_lm_gate(tmp_path):
+    """prepare-stream applies the shared blocklist gate per batch and the
+    LM gate (trained once on --lm-ref) per batch; blocked docs never land."""
+    import duckdb
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    ck = str(tmp_path / "ck")
+    bl = tmp_path / "badwords.txt"
+    bl.write_text("slow\n")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id < 60) TO '{src}/a.parquet' (FORMAT PARQUET)")
+    ref = str(tmp_path / "ref.parquet")
+    con.execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE source = 'src0') TO '{ref}' (FORMAT PARQUET)")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare-stream",
+         "--source", str(src), "-o", out, "--checkpoint", ck,
+         "--blocklist", str(bl), "--lm-gate-ppm", "1000",
+         "--lm-ref", ref, "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    n = json.loads(r.stdout.strip().splitlines()[-1])["output_rows"]
+    blocked = con.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/"
+        "documents.parquet') WHERE doc_id < 60 AND "
+        "list_contains(string_split_regex(trim(lower(text)), '\\s+'), "
+        "'slow')").fetchone()[0]
+    assert 0 < n <= 60 - blocked
+    landed = con.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet') "
+        "WHERE list_contains(string_split_regex(trim(lower(text)), "
+        "'\\s+'), 'slow')").fetchone()[0]
+    assert landed == 0
+
+    # the flag without a reference fails loudly before the stream starts
+    r2 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare-stream",
+         "--source", str(src), "-o", str(tmp_path / "c2"),
+         "--checkpoint", str(tmp_path / "ck2"),
+         "--lm-gate-ppm", "1000", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r2.returncode != 0 and "--lm-ref" in (r2.stderr + r2.stdout)

@@ -323,3 +323,33 @@ def test_quality_filters_run_in_streaming(spark, tmp_path, documents):
     got2 = {tuple(r) for r in spark.read.parquet(out2).collect()}
     batch2 = {tuple(r) for r in c4_line_filter(corpus).collect()}
     assert got2 == batch2 and len(got2) == 50
+
+
+def test_blocklist_filter_words_and_phrases(spark):
+    """Word entries match on token identity (case-folded), phrase entries
+    on whitespace-normalized padded text; NULL text is an empty page;
+    repeated hits of the SAME entry count once (distinct tokens), distinct
+    entries add up."""
+    from mydumper_spark.operators.corpus import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "The QUICK fox"),              # 'quick' as a token
+            (2, "quickest fox"),               # substring only -> no hit
+            (3, "a hot  dog\nstand"),          # phrase across whitespace/nl
+            (4, "hotdog stand"),               # fused -> no phrase hit
+            (5, "quick quick quick"),          # same word thrice -> 1 hit
+            (6, "quick hot dog"),              # word + phrase -> 2 hits
+            (7, None),                         # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_filter(
+        df, ["QUICK", "hot dog"]).collect()}
+    assert (out[1]["blocklist_hits"], out[1]["blocked"]) == (1, 1)
+    assert out[2]["blocked"] == 0
+    assert out[3]["blocked"] == 1
+    assert out[4]["blocked"] == 0
+    assert out[5]["blocklist_hits"] == 1
+    assert out[6]["blocklist_hits"] == 2
+    assert (out[7]["blocklist_hits"], out[7]["blocked"]) == (0, 0)
