@@ -53,48 +53,56 @@ def persist_and_count(df, counts: dict, key: str, cached: list):
     return df
 
 
-def cmd_dump(args: argparse.Namespace) -> int:
+def _build_dump_config(args: argparse.Namespace, output_dir: str):
+    """Assemble a DumpConfig from CLI args — shared by `dump` and `daemon`
+    (the daemon's parser defines only a subset; missing knobs default)."""
     from mydumper_spark.catalog import TableFilters
     from mydumper_spark.config import parse_defaults_file, parse_skiplist_file
-    from mydumper_spark.engine import DumpConfig, dump
+    from mydumper_spark.engine import DumpConfig
     from mydumper_spark.sinks.writers import CsvFormat
 
     filters = TableFilters()
     per_table = {}
-    global_where = args.where
-    if args.defaults_file:
+    global_where = getattr(args, "where", None)
+    if getattr(args, "defaults_file", None):
         parsed = parse_defaults_file(args.defaults_file)
         filters = parsed["filters"]
         per_table = parsed["per_table"]
         global_where = global_where or parsed["global_where"]
-    if args.regex:
+    if getattr(args, "regex", None):
         filters.regex = args.regex
-    if args.omit_from_file:
+    if getattr(args, "omit_from_file", None):
         filters.skiplist = parse_skiplist_file(args.omit_from_file)
-    if args.tables_list:
+    if getattr(args, "tables_list", None):
         # bare names match any schema (admits() checks name OR db.name), so
         # -T customer works for both parquet ("default") and JDBC sources
         filters.tables_list = set(args.tables_list.split(","))
-    if args.ignore_engines:
+    if getattr(args, "ignore_engines", None):
         filters.ignore_engines = set(args.ignore_engines.split(","))
 
-    jdbc_props = _parse_props(args.jdbc_property)
-    cfg = DumpConfig(
-        output_dir=args.outputdir,
+    jdbc_props = _parse_props(getattr(args, "jdbc_property", None))
+    return DumpConfig(
+        output_dir=output_dir,
         filters=filters,
         global_where=global_where,
         per_table=per_table,
-        chunks_per_table=args.chunks,
-        fmt=args.format,
-        csv_format=CsvFormat(compression=args.compress),
-        max_records_per_file=args.rows,
-        checksum=not args.no_checksum,
-        exec_per_file=args.exec_cmd,
-        masquerade_filenames=args.masquerade_filename,
+        chunks_per_table=getattr(args, "chunks", None),
+        fmt=getattr(args, "format", "parquet"),
+        csv_format=CsvFormat(compression=getattr(args, "compress", None)),
+        max_records_per_file=getattr(args, "rows", None),
+        checksum=not getattr(args, "no_checksum", False),
+        exec_per_file=getattr(args, "exec_cmd", None),
+        masquerade_filenames=getattr(args, "masquerade_filename", False),
         jdbc_properties=jdbc_props,
-        profile=args.profile,
+        profile=getattr(args, "profile", False),
         tidb_snapshot=getattr(args, "tidb_snapshot", None),
     )
+
+
+def cmd_dump(args: argparse.Namespace) -> int:
+    from mydumper_spark.engine import dump
+
+    cfg = _build_dump_config(args, args.outputdir)
     spark = _session(args.threads)
     if getattr(args, "since", None):
         from mydumper_spark.engine import dump_incremental
@@ -113,6 +121,84 @@ def cmd_dump(args: argparse.Namespace) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_daemon(args: argparse.Namespace) -> int:
+    """Reference daemon mode (``--daemon --snapshot-interval
+    --snapshot-count``, mydumper_daemon_thread.c:33-146): periodic dumps
+    into a ring of ``snapshot_count`` slot directories under the output
+    root, round-robin, with ``LAST_DUMP`` repointed at the newest complete
+    snapshot — a consumer always reads a finished dump, never a partial.
+
+    ``--incremental`` makes every non-first snapshot a delta against
+    LAST_DUMP (P10), with the chain-safety rule the ring layout forces:
+    when the slot being overwritten is still an ANCESTOR of the live
+    chain, the snapshot runs as a FULL dump instead — recycling an
+    ancestor would leave LAST_DUMP unrestorable. (With count=2 that means
+    alternating full/incremental; deeper rings amortize better.)
+
+    ``--iterations`` bounds the loop — the testable/cron-able form of the
+    reference's run-forever daemon (run the bounded form from cron/systemd
+    for forever; checkpointless by design, the ring state file is the only
+    cursor)."""
+    import shutil as _shutil
+    import time as _time
+
+    from mydumper_spark.engine import dump, dump_incremental
+    from mydumper_spark.sinks.manifest import read_manifest
+
+    if args.snapshot_count < 2:
+        build_parser().error(
+            "--snapshot-count must be >= 2: a 1-slot ring overwrites the "
+            "snapshot LAST_DUMP points at while consumers may be reading it")
+    spark = _session(args.threads)
+    ring = os.path.abspath(args.outputdir)
+    os.makedirs(ring, exist_ok=True)
+    state_file = os.path.join(ring, ".ring_state")
+    link = os.path.join(ring, "LAST_DUMP")
+    snapshots = []
+    for it in range(args.iterations):
+        idx = 0
+        if os.path.exists(state_file):
+            with open(state_file) as f:
+                idx = (int(f.read().strip() or 0) + 1) % args.snapshot_count
+        slot = os.path.join(ring, str(idx))
+        last = os.path.realpath(link) if os.path.islink(link) else None
+        # walk the live chain from LAST_DUMP: overwriting an ancestor
+        # slot would orphan every later delta
+        chain = set()
+        cur = last
+        while cur and os.path.exists(os.path.join(cur, "_manifest.json")):
+            chain.add(os.path.realpath(cur))
+            cur = read_manifest(cur).get("parent_manifest")
+            cur = os.path.realpath(cur) if cur else None
+        mode = "full"
+        # clear the recycled slot: stale artifacts from its previous
+        # incarnation (old deltas, removed tables) must not coexist with
+        # the new manifest. Never the LAST_DUMP slot — count>=2 + the
+        # chain rule guarantee slot != last here.
+        _shutil.rmtree(slot, ignore_errors=True)
+        cfg = _build_dump_config(args, slot)
+        if (args.incremental and last and last != os.path.realpath(slot)
+                and os.path.realpath(slot) not in chain):
+            dump_incremental(spark, args.source, cfg, last)
+            mode = "incremental"
+        else:
+            dump(spark, args.source, cfg)
+        with open(state_file, "w") as f:
+            f.write(str(idx))
+        # repoint ONLY after the dump completed — crash mid-dump leaves
+        # LAST_DUMP at the previous good snapshot (the reference contract)
+        if os.path.islink(link) or os.path.exists(link):
+            os.remove(link)
+        os.symlink(slot, link)
+        snapshots.append({"slot": slot, "mode": mode})
+        if it + 1 < args.iterations and args.snapshot_interval > 0:
+            _time.sleep(args.snapshot_interval)
+    print(json.dumps({"iterations": args.iterations,
+                      "snapshots": snapshots,
+                      "last_dump": os.path.realpath(link)}))
     return 0
 
 
@@ -723,6 +809,33 @@ def build_parser() -> argparse.ArgumentParser:
                          "global order); omit for a total sort")
     pp.add_argument("-t", "--threads", type=int)
     pp.set_defaults(fn=cmd_prepare)
+
+    dd = sub.add_parser(
+        "daemon",
+        help="periodic snapshot dumps into a ring of slot dirs with "
+             "LAST_DUMP repointing (reference --daemon mode)",
+    )
+    dd.add_argument("--source", required=True, help="source dir (or JDBC url)")
+    dd.add_argument("-o", "--outputdir", required=True,
+                    help="ring root: slots 0..count-1 + LAST_DUMP live here")
+    dd.add_argument("--snapshot-interval", type=float, default=60.0,
+                    metavar="SECONDS",
+                    help="sleep between snapshots (reference "
+                         "--snapshot-interval is minutes; seconds here)")
+    dd.add_argument("--snapshot-count", type=int, default=2,
+                    help="ring size (reference --snapshot-count, default 2)")
+    dd.add_argument("--iterations", type=int, required=True,
+                    help="bounded run: take this many snapshots and exit "
+                         "(run from cron/systemd for forever)")
+    dd.add_argument("--incremental", action="store_true",
+                    help="non-first snapshots dump only rows added/changed "
+                         "since LAST_DUMP; a snapshot recycling a chain "
+                         "ancestor slot runs full automatically")
+    dd.add_argument("--jdbc-property", action="append", metavar="K=V")
+    dd.add_argument("-T", "--tables-list", default=None)
+    dd.add_argument("-x", "--regex", default=None)
+    dd.add_argument("-t", "--threads", type=int)
+    dd.set_defaults(fn=cmd_daemon)
 
     ps = sub.add_parser(
         "prepare-stream",

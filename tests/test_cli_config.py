@@ -732,3 +732,61 @@ def test_cli_prepare_stream_blocklist_and_lm_gate(tmp_path):
         capture_output=True, text=True, env=env, timeout=600,
     )
     assert r2.returncode != 0 and "--lm-ref" in (r2.stderr + r2.stdout)
+
+
+def test_cli_daemon_ring_full_and_incremental(tmp_path):
+    """`daemon`: snapshots land round-robin in ring slots with LAST_DUMP
+    repointed; --incremental makes the second snapshot a delta against the
+    first, and the wrap onto a live-chain ancestor runs FULL automatically
+    (the chain-safety rule). A recycled slot is cleared of stale artifacts.
+    LAST_DUMP always restores to the current source state."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/nation.parquet",
+                src / "nation.parquet")
+    ring = str(tmp_path / "ring")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+
+    def run(iters):
+        r = subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "daemon",
+             "--source", str(src), "-o", ring,
+             "--snapshot-interval", "0", "--snapshot-count", "2",
+             "--iterations", str(iters), "--incremental", "--threads", "4"],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out1 = run(2)
+    assert [s["mode"] for s in out1["snapshots"]] == ["full", "incremental"]
+    assert out1["last_dump"].endswith("/1")
+    assert os.path.realpath(os.path.join(ring, "LAST_DUMP")).endswith("/1")
+    inc_doc = json.load(open(os.path.join(ring, "1", "_manifest.json")))
+    assert os.path.realpath(
+        inc_doc["parent_manifest"]) == os.path.realpath(
+        os.path.join(ring, "0"))
+
+    # third snapshot wraps onto slot 0 — an ancestor of the live chain ->
+    # forced FULL, ring state resumes across invocations
+    out2 = run(1)
+    assert [s["mode"] for s in out2["snapshots"]] == ["full"]
+    assert out2["last_dump"].endswith("/0")
+    # the recycled slot holds a FULL manifest (no lineage), no stale delta
+    doc0 = json.load(open(os.path.join(ring, "0", "_manifest.json")))
+    assert "parent_manifest" not in doc0
+    assert not [f for f in os.listdir(os.path.join(ring, "0"))
+                if "delta" in f or "deletes" in f]
+
+    # LAST_DUMP restores to the source state
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "restore",
+         "-d", os.path.join(ring, "LAST_DUMP"),
+         "--target", str(tmp_path / "tgt"), "--drop-table", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert all(json.loads(
+        r.stdout.strip().splitlines()[-1])["verify"].values())
