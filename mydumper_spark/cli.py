@@ -263,6 +263,19 @@ def cmd_verify(args: argparse.Namespace) -> int:
     from mydumper_spark.sinks.manifest import verify_manifest
 
     spark = _session(args.threads)
+    if getattr(args, "source", None):
+        # drift detection: manifest checksums vs the LIVE source right now
+        from mydumper_spark.engine import DumpConfig, source_drift
+
+        cfg = DumpConfig(
+            output_dir=args.directory,
+            global_where=getattr(args, "where", None),
+            jdbc_properties=_parse_props(getattr(args, "jdbc_property",
+                                                 None)),
+        )
+        results = source_drift(spark, args.directory, args.source, cfg)
+        print(json.dumps(results))
+        return 0 if all(r.get("in_sync") for r in results.values()) else 1
     results = verify_manifest(spark, args.directory)
     print(json.dumps(results))
     return 0 if all(r.get("ok") for r in results.values()) else 1
@@ -716,6 +729,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser("verify", help="recompute checksums vs manifest (L9)")
     v.add_argument("-d", "--directory", required=True)
+    v.add_argument("--source", default=None,
+                   help="drift detection: compare the manifest's checksums "
+                        "against this LIVE source (dir or jdbc: url) "
+                        "instead of the dumped files — 'has the source "
+                        "changed since this dump?' (full source scan; "
+                        "exit 1 on any drift)")
+    v.add_argument("--where", default=None,
+                   help="with --source: the same global --where the dump "
+                        "ran with (the manifest checksums its OUTPUT)")
+    v.add_argument("--jdbc-property", action="append", metavar="K=V")
     v.add_argument("-t", "--threads", type=int)
     v.set_defaults(fn=cmd_verify)
 

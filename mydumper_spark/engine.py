@@ -1000,3 +1000,63 @@ def _materialize_from_parts(spark, parent_dir, table, delta_path, del_path, pk):
     # AQE decides the join strategy — the drop set is change volume,
     # which nothing bounds
     return base.join(drop, pk, "left_anti").unionByName(delta)
+
+
+def source_drift(spark: SparkSession, dump_root: str, source: str,
+                 cfg: DumpConfig | None = None) -> dict[str, dict]:
+    """Drift detection — "has the source changed since this dump?": for
+    every table the manifest checksummed, recompute the checksum over the
+    LIVE source with the manifest's recorded algorithm and compare. The
+    daemon's natural companion (take a snapshot only when something
+    drifted) and the exact answer the reference's mtime-coarse
+    ``--updated-since`` approximates (mydumper_working_thread.c freshness
+    gate): a checksum IS a full source scan, so this costs one read of the
+    source — use ``TableFilters.updated_since_days`` for the cheap
+    heuristic and this for the proof.
+
+    ``cfg`` must carry the same global_where/per_table transforms the dump
+    ran with (the manifest records their OUTPUT's checksum, not the raw
+    table's) — same contract as re-running the dump CLI with the same
+    flags. Returns {table: {"in_sync": bool|None, ...}}; tables now absent
+    from the source report in_sync=None with a reason, as do entries
+    dumped without checksums."""
+    from mydumper_spark.functions.checksum import table_checksum
+    from mydumper_spark.sinks.manifest import manifest_algorithm, read_manifest
+
+    cfg = cfg or DumpConfig(output_dir=dump_root)
+    doc = read_manifest(dump_root)
+    algo = manifest_algorithm(doc)
+    cat, fence, _dialect = _open_source(spark, source, cfg)
+    out: dict[str, dict] = {}
+    try:
+        metas = cat.discover(cfg.filters)
+        multi_db = len({m.database for m in metas}) > 1
+        by_key = {(m.qualified_name if multi_db else m.name): m
+                  for m in metas}
+        for t, entry in doc["tables"].items():
+            if entry.get("data_checksum") is None:
+                out[t] = {"in_sync": None,
+                          "reason": "dump ran without checksums"}
+                continue
+            meta = by_key.get(t)
+            if meta is None:
+                out[t] = {"in_sync": None,
+                          "reason": "table absent from source"}
+                continue
+            tt = cfg.per_table.get(t)
+            if tt is None and not multi_db:
+                tt = cfg.per_table.get(meta.qualified_name)
+            df = apply_transform(cat.read(meta, cfg.chunks_per_table), tt,
+                                 global_where=cfg.global_where)
+            cs = table_checksum(df, algorithm=algo)
+            out[t] = {
+                "in_sync": (cs["checksum"] == entry["data_checksum"]
+                            and cs["rows"] == entry["rows"]),
+                "dump": {"rows": entry["rows"],
+                         "checksum": entry["data_checksum"]},
+                "source": {"rows": cs["rows"], "checksum": cs["checksum"]},
+            }
+    finally:
+        if fence is not None:
+            fence.release()
+    return out

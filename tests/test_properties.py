@@ -344,3 +344,36 @@ def test_substring_dedup_conservation_properties(texts):
         # subsequence check
         it = iter(orig)
         assert all(any(o == k for o in it) for k in kept)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=32),
+             min_size=1, max_size=64),
+    st.floats(1e-6, 1e6, allow_nan=False),
+)
+def test_sq8_quantize_properties(vec, scale):
+    """The SQ8 quantizer (the Python query-side twin the cross-engine
+    exactness hinges on): codes stay in [-127,127]; quantization is
+    monotone per component; signs are preserved; inside the clamp region
+    the reconstruction error is at most half a bucket; near-odd symmetry
+    holds (round-half-up differs from odd symmetry by at most one code)."""
+    from mydumper_spark.operators.similarity import sq8_quantize
+
+    codes = sq8_quantize(vec, scale)
+    assert all(-127 <= c <= 127 for c in codes)
+    for v, c in zip(vec, codes):
+        if v > 0:
+            assert c >= 0
+        if v < 0:
+            assert c <= 0
+        if abs(v) <= scale:  # un-clamped region: half-bucket error bound
+            assert abs(c - v * 127.0 / scale) <= 0.5 + 1e-9
+    neg = sq8_quantize([-v for v in vec], scale)
+    assert all(abs(c + n) <= 1 for c, n in zip(codes, neg))
+    # monotone: sorting the inputs sorts the codes
+    s = sorted(vec)
+    cs = sq8_quantize(s, scale)
+    assert cs == sorted(cs)
+    # degenerate scale: all zeros
+    assert sq8_quantize(vec, 0.0) == [0] * len(vec)

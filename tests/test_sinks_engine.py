@@ -1486,3 +1486,37 @@ def test_tidb_snapshot_pins_every_partition():
     quoted = JdbcSourceConfig(url="jdbc:mysql://h/db",
                               tidb_snapshot="o'clock")
     assert "''" in quoted.properties()["sessionInitStatement"]
+
+
+def test_source_drift_detection(spark, sf_dir, tmp_path):
+    """source_drift answers "has the source changed since this dump?":
+    in sync right after the dump; a mutated source table reports
+    in_sync=False; a dropped table reports None with a reason; the
+    comparison honors the manifest's recorded checksum algorithm."""
+    import shutil
+
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, source_drift
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", src / "nation.parquet")
+    shutil.copy(f"{sf_dir}/region.parquet", src / "region.parquet")
+    out = str(tmp_path / "drift_dump")
+    dump(spark, str(src), DumpConfig(output_dir=out))
+
+    res = source_drift(spark, out, str(src))
+    assert res["nation"]["in_sync"] is True
+    assert res["region"]["in_sync"] is True
+
+    # mutate nation (drop a row), remove region entirely
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{src}/nation.parquet' WHERE n_nationkey <> 3)"
+        f" TO '{src}/nation.parquet' (FORMAT PARQUET)")
+    (src / "region.parquet").unlink()
+    res2 = source_drift(spark, out, str(src))
+    assert res2["nation"]["in_sync"] is False
+    assert res2["nation"]["source"]["rows"] == 24
+    assert res2["region"]["in_sync"] is None
+    assert "absent" in res2["region"]["reason"]
