@@ -1749,6 +1749,37 @@ LIMIT 10
 """
 
 
+def x_lm_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LM-quality rollup (the gopher_report sibling for the
+    CCNet gate): train the bigram LM on the src0 slice, score every doc,
+    then per source report doc count, floor-mean score, and the share
+    clearing a fixed 10% bar — the keep-or-drop-a-source view a curator
+    reads when mixing corpora by domain fit — **oracle-backed**: DuckDB
+    replays training, scoring, and the grouped integer math."""
+    from mydumper_spark.operators.text import ngram_lm_score, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(d.where(F.col("source") == "src0"), vocab_top=500)
+    s = ngram_lm_score(d, lm).join(d.select("doc_id", "source"), "doc_id")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(lm_score_ppm) div count(1)").alias("mean_score_ppm"),
+        F.expr("sum(CASE WHEN lm_score_ppm >= 100000 THEN 1 ELSE 0 END) "
+               "* 1000000 div count(1)").alias("pass_ppm"),
+    )
+
+
+_LM_SOURCE_REPORT_SQL = ("WITH lms AS (" + _NGRAM_LM_SQL + """)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(lms.lm_score_ppm) AS BIGINT) // count(*) AS mean_score_ppm,
+       CAST(sum(CASE WHEN lms.lm_score_ppm >= 100000 THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // count(*) AS pass_ppm
+FROM lms JOIN documents d USING (doc_id)
+GROUP BY d.source
+""")
+
+
 def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 blocklist gate (Raffel et al. 2020 §2.2: drop pages containing
     any listed word — their list is ~2.4k entries; here a planted 3-entry
@@ -4863,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ngram_lm_score": x_ngram_lm_score,
         "x_sq8_topk": x_sq8_topk,
         "x_blocklist_filter": x_blocklist_filter,
+        "x_lm_source_report": x_lm_source_report,
         "x_gopher_quality": x_gopher_quality,
         "x_gopher_report": x_gopher_report,
         "x_c4_filter": x_c4_filter,
@@ -4993,6 +5025,7 @@ def oracle_sql() -> dict[str, str]:
         "x_ngram_lm_score": _NGRAM_LM_SQL,
         "x_sq8_topk": _SQ8_SQL,
         "x_blocklist_filter": _BLOCKLIST_SQL,
+        "x_lm_source_report": _LM_SOURCE_REPORT_SQL,
         "x_gopher_quality": _GOPHER_QUALITY_SQL,
         "x_gopher_report": _GOPHER_REPORT_SQL,
         "x_c4_filter": _C4_FILTER_SQL,
