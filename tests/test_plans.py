@@ -234,8 +234,9 @@ _BNLJ_ALLOWED = {
     # score multiplies by — same shape as x_token_frequency_score's total
     "x_bm25_topk",
     # broadcast 1×1 scalar: the trained LM's total-token count every
-    # backoff division divides by
+    # backoff division divides by (the rollup composes the same score)
     "x_ngram_lm_score",
+    "x_lm_source_report",
 }
 
 
@@ -302,3 +303,29 @@ def test_round7_doc_embedding_two_compact_exchanges(spark):
     assert plan.count("Exchange") <= 4, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_round8_plan_shapes(spark):
+    """Round-8 operators keep their promised shapes:
+    - blocklist: pure scan-side projection — zero exchanges, zero joins
+      (the list constant-folds);
+    - sq8: zero joins/exchanges beyond TakeOrdered's single reduction
+      (query codes fold into the projection);
+    - lm scoring: the CORPUS side never hash-shuffles before the final
+      per-doc aggregate — the three LM joins are all broadcast."""
+    plan = _plan(entry.queries()["x_blocklist_filter"](spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+    plan = _plan(entry.queries()["x_sq8_topk"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    plan = _plan(entry.queries()["x_ngram_lm_score"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    # all four LM inputs broadcast: uni/bi/uni-again hash-joined, the
+    # 1-row total via the allowed scalar cross join — the corpus side's
+    # only hash exchange is the final (doc, sum) aggregate
+    assert plan.count("BroadcastExchange") == 4, plan
