@@ -165,6 +165,13 @@ def cmd_daemon(args: argparse.Namespace) -> int:
                 idx = (int(f.read().strip() or 0) + 1) % args.snapshot_count
         slot = os.path.join(ring, str(idx))
         last = os.path.realpath(link) if os.path.islink(link) else None
+        if last and os.path.realpath(slot) == last:
+            # crash window: a prior run wrote the state file but died
+            # before repointing LAST_DUMP, so the naive next slot IS the
+            # one consumers read. Never recycle that — advance once more
+            # and overwrite the orphaned (completed-but-unlinked) slot.
+            idx = (idx + 1) % args.snapshot_count
+            slot = os.path.join(ring, str(idx))
         # walk the live chain from LAST_DUMP: overwriting an ancestor
         # slot would orphan every later delta
         chain = set()
@@ -594,9 +601,11 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
                 # partition discovery yields a `batch` column; exclude this
                 # batch's own partition so a replayed batch never anti-joins
                 # against fingerprints its crashed attempt already landed
-                known = (spark.read.parquet(fp_dir)
-                         .where(F.col("batch") != int(batch_id))
-                         .select("fp"))
+                known = spark.read.parquet(fp_dir)
+                if "batch" in known.columns:
+                    known = known.where(F.col("batch") != int(batch_id))
+                known = known.select("fp")  # a pre-partitioned (legacy
+                # flat-append) store degrades to the old semantics
             else:  # genuinely the first batch; a corrupt store still raises
                 known = spark.createDataFrame([], "fp string")
             survivors, _all_fps = exact_dedup_incremental(df, known)

@@ -902,7 +902,11 @@ def _transitions_col(col: Column) -> Column:
             n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
         ).otherwise(F.slice(pairs, 1, n - 1))
 
-    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+    # NULL text = empty page (the repo-wide rule): without the coalesce a
+    # NULL propagates to n_transitions and the score, diverging from the
+    # oracle's 0
+    return F.element_at(
+        F.transform(F.array(tokens(F.coalesce(col, F.lit("")))), build), 1)
 
 
 def ngram_lm_score(

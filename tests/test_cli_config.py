@@ -790,3 +790,45 @@ def test_cli_daemon_ring_full_and_incremental(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert all(json.loads(
         r.stdout.strip().splitlines()[-1])["verify"].values())
+
+
+def test_cli_daemon_crash_window_never_recycles_last_dump(tmp_path):
+    """Crash window: ring state advanced but LAST_DUMP was not repointed
+    (died between the state write and the symlink). The next snapshot must
+    NOT recycle the slot LAST_DUMP targets — it overwrites the orphaned
+    slot instead."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/region.parquet",
+                src / "region.parquet")
+    ring = tmp_path / "ring"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+
+    def run(iters):
+        r = subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "daemon",
+             "--source", str(src), "-o", str(ring),
+             "--snapshot-interval", "0", "--snapshot-count", "2",
+             "--iterations", str(iters), "--threads", "4"],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run(2)                                  # slots 0,1; LAST_DUMP -> 1
+    # simulate the crash: state says 1 was taken, but LAST_DUMP points
+    # at slot 0 (the repoint never happened)
+    (ring / ".ring_state").write_text("1")
+    link = ring / "LAST_DUMP"
+    link.unlink()
+    os.symlink(str(ring / "0"), str(link))
+    before = (ring / "0" / "_manifest.json").read_bytes()
+
+    out = run(1)
+    # the naive next slot would be 0 (the LAST_DUMP target) — the guard
+    # must land on 1 instead, leaving slot 0 untouched until the repoint
+    assert out["snapshots"][0]["slot"].endswith("/1")
+    assert out["last_dump"].endswith("/1")
+    assert (ring / "0" / "_manifest.json").read_bytes() == before
