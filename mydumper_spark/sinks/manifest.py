@@ -299,7 +299,11 @@ def materialized_table(spark, dump_root: str, table: str):
     entry = doc["tables"][table]
     inc = entry.get("incremental")
     if not inc:
-        return read_dumped_table(spark, entry)
+        # honor the generation's OWN recorded dialect: an incremental
+        # chain may bottom out in a csv-format full dump
+        return read_dumped_table(
+            spark, entry,
+            csv_dialect=doc.get("config", {}).get("csv_dialect"))
     base = materialized_table(spark, doc["parent_manifest"], table)
     pk = inc["pk"]
     delta = (spark.read.parquet(entry["path"]) if entry.get("path")

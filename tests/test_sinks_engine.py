@@ -1520,3 +1520,40 @@ def test_source_drift_detection(spark, sf_dir, tmp_path):
     assert res2["nation"]["source"]["rows"] == 24
     assert res2["region"]["in_sync"] is None
     assert "absent" in res2["region"]["reason"]
+
+
+def test_incremental_over_csv_parent(spark, sf_dir, tmp_path):
+    """An incremental chain may bottom out in a csv-format full dump: the
+    chain materialization must read the parent through its schema sidecar
+    + recorded dialect (typed), so the delta diff and the reconstruction
+    checksum stay exact."""
+    import shutil
+
+    import duckdb
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, dump_incremental
+    from mydumper_spark.sinks.manifest import materialized_table, verify_manifest
+
+    src = tmp_path / "csvinc_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", src / "nation.parquet")
+    base = str(tmp_path / "csvinc_base")
+    dump(spark, str(src), DumpConfig(
+        output_dir=base, fmt="csv",
+        filters=TableFilters(tables_list={"default.nation"})))
+
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{src}/nation.parquet' WHERE n_nationkey <> 7"
+        " UNION ALL SELECT 99, 'NEWLAND', 1)"
+        f" TO '{src}/nation.parquet' (FORMAT PARQUET)")
+    inc = str(tmp_path / "csvinc_delta")
+    m = dump_incremental(spark, str(src), DumpConfig(
+        output_dir=inc,
+        filters=TableFilters(tables_list={"default.nation"})), base)
+    rec = m.tables["nation"].incremental
+    assert rec and rec["added"] == 1 and rec["deleted"] == 1
+    assert all(r["ok"] for r in verify_manifest(spark, inc).values())
+    full = materialized_table(spark, inc, "nation")
+    keys = {r["n_nationkey"] for r in full.select("n_nationkey").collect()}
+    assert 99 in keys and 7 not in keys and full.count() == 25
