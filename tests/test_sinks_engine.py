@@ -1557,3 +1557,62 @@ def test_incremental_over_csv_parent(spark, sf_dir, tmp_path):
     full = materialized_table(spark, inc, "nation")
     keys = {r["n_nationkey"] for r in full.select("n_nationkey").collect()}
     assert 99 in keys and 7 not in keys and full.count() == 25
+
+
+def test_parallel_incremental_manifest_identical(spark, sf_dir, tmp_path):
+    """dump_incremental got dump()'s pooled phase-2 in round 8: the
+    incremental manifest (entries, delta stats, lineage) must be
+    byte-identical between dump_threads=4 and the sequential run —
+    parallelism changes wall time, never content."""
+    import json as _json
+    import shutil
+
+    import duckdb
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, dump_incremental
+
+    src = tmp_path / "pinc_src"
+    src.mkdir()
+    for t in ("nation", "region", "supplier", "customer"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", src / f"{t}.parquet")
+    filt = TableFilters(tables_list={
+        "default.nation", "default.region", "default.supplier",
+        "default.customer"})
+    base = str(tmp_path / "pinc_base")
+    dump(spark, str(src), DumpConfig(output_dir=base, filters=filt))
+
+    duckdb.sql(f"COPY (SELECT * FROM '{src}/nation.parquet' "
+               "WHERE n_nationkey <> 5) TO "
+               f"'{src}/nation.parquet' (FORMAT PARQUET)")
+    duckdb.sql(f"COPY (SELECT * FROM '{src}/customer.parquet' "
+               "UNION ALL SELECT * FROM "
+               f"'{src}/customer.parquet' LIMIT 1 OFFSET 0) TO "
+               f"'{src}/tmp.parquet' (FORMAT PARQUET)")
+
+    par = str(tmp_path / "pinc_par")
+    dump_incremental(spark, str(src),
+                     DumpConfig(output_dir=par, filters=filt,
+                                dump_threads=4), base)
+    seq = str(tmp_path / "pinc_seq")
+    dump_incremental(spark, str(src),
+                     DumpConfig(output_dir=seq, filters=filt,
+                                dump_threads=1), base)
+    dp = _json.load(open(f"{par}/_manifest.json"))
+    ds = _json.load(open(f"{seq}/_manifest.json"))
+
+    def canon(doc, root):
+        tables = {
+            t: {**e,
+                "path": (e["path"] or "").replace(root, "<out>") or None,
+                **({"incremental": {**e["incremental"],
+                                    "delete_path": e["incremental"]
+                                    ["delete_path"].replace(root, "<out>")}}
+                   if e.get("incremental") else {})}
+            for t, e in doc["tables"].items()
+        }
+        return _json.dumps(tables, sort_keys=True)
+
+    assert canon(dp, par) == canon(ds, seq)
+    assert list(dp["tables"]) == list(ds["tables"])
+    assert dp["tables"]["nation"]["incremental"]["deleted"] == 1
