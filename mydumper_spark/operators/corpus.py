@@ -501,38 +501,41 @@ def blocklist_filter(
     appear, ``blocked`` = hits > 0. Single-word entries match on token
     identity (lowercased, like :func:`~mydumper_spark.operators.dedup.
     tokens`); entries containing whitespace are PHRASES and match on the
-    whitespace-normalized lowercased text with word-boundary padding.
+    document's word L-grams — whitespace-normalized word-boundary
+    matching, same semantics as padded substring search.
 
-    Scale shape: the list is a constant-folded literal (C4's list is
+    Scale shape: the list is a constant-folded literal (C4's real list is
     ~2.4k entries — KBs in the plan, the broadcast-dict masquerade
-    budget), so the gate is a pure scan-side projection: token-set
-    intersect for words + a bounded OR of contains() for phrases. Zero
-    joins, zero shuffles, composes with every other gate in `prepare`."""
-    from mydumper_spark.operators.dedup import tokens
+    budget) and every match family is ONE ``array_intersect`` against one
+    literal array: the words against the token set, and per DISTINCT
+    phrase length L the L-word phrases against the document's L-gram
+    shingles. NOT a per-entry contains() chain — 2.4k unrolled contains
+    would blow whole-stage codegen past the JIT method limit into
+    interpreted fallback (the measured SQ8 lesson). Zero joins, zero
+    shuffles; grams build once per needed L (real lists use 2-3 lengths)."""
+    from mydumper_spark.operators.dedup import shingles, tokens
 
     words = sorted({w.lower() for w in blocklist if w and " " not in w})
-    phrases = sorted({" ".join(p.lower().split())
-                      for p in blocklist if p and " " in p})
+    by_len: dict[int, list[str]] = {}
+    for p in blocklist:
+        norm = " ".join(p.lower().split())
+        if p and " " in norm:
+            by_len.setdefault(len(norm.split()), []).append(norm)
     c = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty page
-    word_hits = (
+    hits = (
         F.size(F.array_intersect(
             F.array_distinct(tokens(c)),
             F.array(*[F.lit(w) for w in words]),
         )) if words else F.lit(0)
     )
-    if phrases:
-        norm = F.concat(
-            F.lit(" "),
-            F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "),
-            F.lit(" "),
-        )
-        phrase_hits = sum(
-            (F.contains(norm, F.lit(f" {p} ")).cast("int") for p in phrases),
-            start=F.lit(0),
-        )
-    else:
-        phrase_hits = F.lit(0)
-    hits = (word_hits + phrase_hits).cast("int")
+    for length, plist in sorted(by_len.items()):
+        # shingles(col, L) returns the full text as one short gram for
+        # docs with < L tokens — it can't equal an L-word phrase, harmless
+        hits = hits + F.size(F.array_intersect(
+            F.array_distinct(shingles(c, length)),
+            F.array(*[F.lit(p) for p in sorted(set(plist))]),
+        ))
+    hits = hits.cast("int")
     return df.select(
         F.col(id_col),
         hits.alias("blocklist_hits"),
