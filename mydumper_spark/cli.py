@@ -96,6 +96,7 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
         jdbc_properties=jdbc_props,
         profile=getattr(args, "profile", False),
         tidb_snapshot=getattr(args, "tidb_snapshot", None),
+        all_tablespaces=getattr(args, "all_tablespaces", False),
     )
 
 
@@ -712,6 +713,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--no-checksum", action="store_true")
     d.add_argument("-E", "--exec", dest="exec_cmd", help="run CMD per finished file (K9)")
     d.add_argument("--masquerade-filename", action="store_true", help="hash table names in output paths (T13)")
+    d.add_argument("-Y", "--all-tablespaces", action="store_true",
+                   help="dump general InnoDB tablespace DDL (reference -Y; "
+                        "off by default — server-level objects)")
     d.add_argument("--since", metavar="PARENT_DUMP_DIR",
                    help="incremental dump: emit only rows added/changed "
                         "since this parent dump (P10/K10 daemon analogue); "

@@ -77,6 +77,11 @@ class DumpConfig:
     #: (reference mydumper_common.c:436) — on TiDB this replaces the
     #: binlog fence as the S11 consistency mechanism
     tidb_snapshot: str | None = None
+    #: --all-tablespaces (-Y): dump general InnoDB tablespace DDL
+    #: (all-schema-create-tablespace.sql). Reference default is OFF —
+    #: tablespaces are server-level objects most dumps shouldn't carry
+    #: (mydumper_arguments.c:341)
+    all_tablespaces: bool = False
 
 
 def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
@@ -179,7 +184,9 @@ def _capture_objects(cat, dialect, cfg: DumpConfig,
     out = []
     for obj in capture_schema_objects(
         lambda sql: cat._q(sql).collect(), product, conn=capture_conn,
-        dialect=dialect,
+        # reference --all-tablespaces defaults OFF: passing no dialect
+        # suppresses exactly the tablespace family
+        dialect=dialect if cfg.all_tablespaces else None,
     ):
         okey = (f"{obj.database}.{obj.name}" if multi_db and obj.database
                 else obj.name)

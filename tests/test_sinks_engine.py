@@ -1200,6 +1200,12 @@ def test_capture_tablespaces_version_routed():
         query, ServerProduct.MYSQL, dialect=v56)
         if o.kind == "tablespace"] == []
 
+    # engine default mirrors the reference: --all-tablespaces OFF ⇒ the
+    # engine passes dialect=None and the catalog is never probed
+    assert [o for o in capture_schema_objects(
+        query, ServerProduct.MYSQL, dialect=None)
+        if o.kind == "tablespace"] == []
+
 
 def test_restore_skips_tablespace_objects(spark, sf_dir, tmp_path):
     """myloader parity (myloader_process_file_type.c:139-140): a dump
