@@ -60,6 +60,11 @@ class TableMeta:
     primary_key: list[str] = field(default_factory=list)
     schema: T.StructType | None = None
     row_estimate: int | None = None
+    #: True when discovery admitted a VIEW as a data table
+    #: (--views-as-tables): its rows dump, but table-DDL capture must
+    #: skip it (SHOW CREATE on a view yields view DDL, wrong to replay
+    #: as a table definition)
+    is_view: bool = False
 
     @property
     def qualified_name(self) -> str:
@@ -232,11 +237,6 @@ class JdbcCatalog:
     column (P9 input) only exists on mysql-family servers and is probed
     only there."""
 
-    DISCOVER_SQL = (
-        "SELECT table_schema, table_name FROM information_schema.tables "
-        "WHERE table_type = 'BASE TABLE'"
-    )
-
     def __init__(self, spark: SparkSession, url: str,
                  properties: dict[str, str] | None = None,
                  mysql_like: bool = False):
@@ -262,22 +262,31 @@ class JdbcCatalog:
     def _qtable(self, meta: TableMeta) -> str:
         return f"{self._qident(meta.database)}.{self._qident(meta.name)}"
 
-    def discover(self, filters: TableFilters | None = None) -> list[TableMeta]:
+    def discover(self, filters: TableFilters | None = None,
+                 include_views: bool = False) -> list[TableMeta]:
+        """``include_views`` admits VIEWs as DATA tables (the reference's
+        --views-as-tables: a view is SELECTable, so its rows dump like any
+        table); the metas carry ``is_view`` so DDL capture can skip them."""
         filters = filters or TableFilters()
+        type_pred = ("table_type IN ('BASE TABLE', 'VIEW')"
+                     if include_views else "table_type = 'BASE TABLE'")
         rows = None
         if self.mysql_like:  # ENGINE feeds the P9 --ignore-engines gate
             try:
                 rows = self._q(
-                    "SELECT table_schema, table_name, engine "
+                    "SELECT table_schema, table_name, table_type, engine "
                     "FROM information_schema.tables "
-                    "WHERE table_type = 'BASE TABLE'"
+                    f"WHERE {type_pred}"
                 ).collect()
             except Exception:
                 # dialect guess was wrong about the ENGINE column — degrade
                 # to the ANSI shape rather than failing discovery
                 self.mysql_like = False
         if rows is None:
-            rows = self._q(self.DISCOVER_SQL).collect()
+            rows = self._q(
+                "SELECT table_schema, table_name, table_type "
+                f"FROM information_schema.tables WHERE {type_pred}"
+            ).collect()
         out: list[TableMeta] = []
         for row in sorted(rows,
                           key=lambda r: (r["table_schema"], r["table_name"])):
@@ -285,9 +294,10 @@ class JdbcCatalog:
                 database=row["table_schema"],
                 name=row["table_name"],
                 path=None,
-                engine=(row["engine"] if self.mysql_like and row["engine"]
-                        else "jdbc"),
+                engine=(row["engine"] if self.mysql_like
+                        and "engine" in row and row["engine"] else "jdbc"),
                 primary_key=KNOWN_PRIMARY_KEYS.get(row["table_name"], []),
+                is_view=(row["table_type"] == "VIEW"),
             )
             if not filters.admits(meta):
                 continue

@@ -97,6 +97,8 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
         profile=getattr(args, "profile", False),
         tidb_snapshot=getattr(args, "tidb_snapshot", None),
         all_tablespaces=getattr(args, "all_tablespaces", False),
+        no_views=getattr(args, "no_views", False),
+        views_as_tables=getattr(args, "views_as_tables", False),
     )
 
 
@@ -716,6 +718,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-Y", "--all-tablespaces", action="store_true",
                    help="dump general InnoDB tablespace DDL (reference -Y; "
                         "off by default — server-level objects)")
+    d.add_argument("-W", "--no-views", action="store_true",
+                   help="skip view DDL capture (reference -W)")
+    d.add_argument("--views-as-tables", action="store_true",
+                   help="dump each view's ROWS as a table instead of its "
+                        "DDL (reference --views-as-tables)")
     d.add_argument("--since", metavar="PARENT_DUMP_DIR",
                    help="incremental dump: emit only rows added/changed "
                         "since this parent dump (P10/K10 daemon analogue); "

@@ -82,6 +82,12 @@ class DumpConfig:
     #: tablespaces are server-level objects most dumps shouldn't carry
     #: (mydumper_arguments.c:341)
     all_tablespaces: bool = False
+    #: --no-views (-W): skip view DDL capture entirely
+    no_views: bool = False
+    #: --views-as-tables: dump each view's ROWS as a table (a view is
+    #: SELECTable) instead of its DDL — the reference flag of the same
+    #: name; view entries restore as plain tables
+    views_as_tables: bool = False
 
 
 def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
@@ -190,6 +196,10 @@ def _capture_objects(cat, dialect, cfg: DumpConfig,
     ):
         okey = (f"{obj.database}.{obj.name}" if multi_db and obj.database
                 else obj.name)
+        if obj.kind == "view" and (cfg.no_views or cfg.views_as_tables):
+            # --no-views drops them; --views-as-tables dumps their ROWS
+            # instead (they entered the table list at discovery)
+            continue
         if obj.kind == "tablespace":
             # server-global (no database, no table): always admitted —
             # the reference gates only on server support
@@ -304,7 +314,10 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     try:
         fnames = FilenameRegistry()
         profiles: dict[str, list] = {}
-        metas = cat.discover(cfg.filters)
+        metas = cat.discover(cfg.filters, **(
+            {"include_views": True}
+            if cfg.views_as_tables and isinstance(cat, JdbcCatalog)
+            else {}))
         # a multi-database JDBC server can hold same-named tables in
         # different schemas — bare names would collide on both the manifest
         # key and the output filename, silently overwriting one table with
@@ -339,7 +352,10 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 else fnames.filename_for(key)  # weird-name safety (specific_16)
             )
             artifact = None
-            if cfg.capture_ddl and isinstance(cat, JdbcCatalog):
+            # a view-as-table restores from the dumped column schema; SHOW
+            # CREATE would yield view DDL, wrong to replay as a table
+            if (cfg.capture_ddl and isinstance(cat, JdbcCatalog)
+                    and not meta.is_view):
                 from mydumper_spark.sources.ddl_capture import capture_table_ddl
                 from mydumper_spark.sources.server_detect import ServerProduct
 
@@ -863,7 +879,10 @@ def dump_incremental(
     try:
         os.makedirs(cfg.output_dir, exist_ok=True)
         fnames = FilenameRegistry()
-        metas = cat.discover(cfg.filters)
+        metas = cat.discover(cfg.filters, **(
+            {"include_views": True}
+            if cfg.views_as_tables and isinstance(cat, JdbcCatalog)
+            else {}))
         multi_db = len({m.database for m in metas}) > 1
 
         # --- phase 1 (sequential): plan work items + capture source DDL
@@ -882,7 +901,10 @@ def dump_incremental(
                 tt = cfg.per_table.get(meta.qualified_name)
             out_name = fnames.filename_for(key)
             artifact = None
-            if cfg.capture_ddl and isinstance(cat, JdbcCatalog):
+            # a view-as-table restores from the dumped column schema; SHOW
+            # CREATE would yield view DDL, wrong to replay as a table
+            if (cfg.capture_ddl and isinstance(cat, JdbcCatalog)
+                    and not meta.is_view):
                 from mydumper_spark.sources.ddl_capture import capture_table_ddl
                 from mydumper_spark.sources.server_detect import ServerProduct
 
@@ -1036,7 +1058,10 @@ def source_drift(spark: SparkSession, dump_root: str, source: str,
     cat, fence, _dialect = _open_source(spark, source, cfg)
     out: dict[str, dict] = {}
     try:
-        metas = cat.discover(cfg.filters)
+        metas = cat.discover(cfg.filters, **(
+            {"include_views": True}
+            if cfg.views_as_tables and isinstance(cat, JdbcCatalog)
+            else {}))
         multi_db = len({m.database for m in metas}) > 1
         by_key = {(m.qualified_name if multi_db else m.name): m
                   for m in metas}

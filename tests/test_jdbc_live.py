@@ -765,3 +765,56 @@ def test_restore_records_objects_skipped_on_parquet_target(spark, tmp_path):
     # dumped table literally named "objects" must not collide with them
     assert results["ddl"]["skipped_objects"] == ["view:v1"]
     assert "skipped" not in results["ddl"]
+
+
+def test_views_as_tables_and_no_views_live(spark, tmp_path):
+    """--views-as-tables (reference flag): the view's ROWS dump like a
+    table — entry with rows, no -schema-view.sql object, no table-DDL
+    artifact (SHOW CREATE on a view yields view DDL) — and a restore
+    materializes it as a plain table. --no-views: the view vanishes from
+    the dump entirely. Default: DDL object only, no data entry."""
+    import json
+    import os
+
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "vat_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE base (id INTEGER PRIMARY KEY, amt DOUBLE)")
+    con.execute("INSERT INTO base SELECT range, range * 1.5 FROM range(50)")
+    con.execute("CREATE VIEW big_amt AS SELECT id, amt FROM base "
+                "WHERE amt > 30")
+    con.execute("CHECKPOINT")
+    con.close()
+    url = f"jdbc:duckdb:{src}"
+
+    # default: view captured as a POST DDL object, not a data table
+    dflt = str(tmp_path / "vat_default")
+    m0 = dump(spark, url, DumpConfig(output_dir=dflt,
+                                     jdbc_properties=dict(DRIVER_PROPS)))
+    assert set(m0.tables) == {"base"}
+    assert [o["kind"] for o in m0.objects] == ["view"]
+
+    # --views-as-tables: rows dump, no view object, no schema artifact
+    vat = str(tmp_path / "vat_data")
+    m1 = dump(spark, url, DumpConfig(output_dir=vat, views_as_tables=True,
+                                     jdbc_properties=dict(DRIVER_PROPS)))
+    assert set(m1.tables) == {"base", "big_amt"}
+    assert m1.tables["big_amt"].rows == 29  # amt > 30 ⇔ id >= 21
+    assert m1.tables["big_amt"].schema_def is None
+    assert m1.tables["big_amt"].schema_sql_path is None
+    assert m1.objects == []
+    doc = json.load(open(os.path.join(vat, "_manifest.json")))
+    assert "objects" not in doc
+
+    results = restore(spark, vat, str(tmp_path / "vat_tgt"), parallelism=1)
+    assert results["load"] == {"base": True, "big_amt": True}
+    assert all(results["verify"].values())
+
+    # --no-views: neither data nor DDL
+    nv = str(tmp_path / "vat_none")
+    m2 = dump(spark, url, DumpConfig(output_dir=nv, no_views=True,
+                                     jdbc_properties=dict(DRIVER_PROPS)))
+    assert set(m2.tables) == {"base"} and m2.objects == []
