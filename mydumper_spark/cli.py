@@ -97,6 +97,7 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
         profile=getattr(args, "profile", False),
         tidb_snapshot=getattr(args, "tidb_snapshot", None),
         all_tablespaces=getattr(args, "all_tablespaces", False),
+        order_by_primary=getattr(args, "order_by_primary", False),
         no_views=getattr(args, "no_views", False),
         views_as_tables=getattr(args, "views_as_tables", False),
     )
@@ -105,6 +106,12 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
 def cmd_dump(args: argparse.Namespace) -> int:
     from mydumper_spark.engine import dump
 
+    if getattr(args, "clear", False):
+        import shutil as _shutil
+
+        # reference --clear: empty the output dir before dumping (a stale
+        # table file from a prior run must not coexist with a new manifest)
+        _shutil.rmtree(args.outputdir, ignore_errors=True)
     cfg = _build_dump_config(args, args.outputdir)
     spark = _session(args.threads)
     if getattr(args, "since", None):
@@ -113,6 +120,22 @@ def cmd_dump(args: argparse.Namespace) -> int:
         manifest = dump_incremental(spark, args.source, cfg, args.since)
     else:
         manifest = dump(spark, args.source, cfg)
+    if getattr(args, "stream", False):
+        # reference --stream: frame every finished file onto stdout
+        # (mydumper_stream.c:80-157) — pipe straight into
+        # `restore --stream` on the consumer side. The JSON summary moves
+        # to stderr so stdout stays pure protocol bytes.
+        import sys as _sys
+
+        from mydumper_spark.streaming.protocol import stream_directory
+
+        n = stream_directory(_sys.stdout.buffer, args.outputdir,
+                             delete=not args.no_delete)
+        _sys.stdout.buffer.flush()
+        print(json.dumps({"streamed_files": n,
+                          "dumped_tables": len(manifest.tables)}),
+              file=_sys.stderr)
+        return 0
     print(
         json.dumps(
             {
@@ -216,6 +239,16 @@ def cmd_restore(args: argparse.Namespace) -> int:
     from mydumper_spark.engine import restore
     from mydumper_spark.plans.loader_dag import PurgeMode
 
+    if getattr(args, "stream", False):
+        # reference myloader --stream: reassemble the framed dump from
+        # stdin into the dump dir first, then the normal restore runs on
+        # it (myloader_stream.c)
+        import sys as _sys
+
+        from mydumper_spark.streaming.protocol import restore_directory
+
+        n = restore_directory(_sys.stdin.buffer, args.directory)
+        print(json.dumps({"received_files": n}), file=_sys.stderr)
     purge = PurgeMode.DROP if args.drop_table else (
         PurgeMode.TRUNCATE if args.truncate else (
             PurgeMode.SKIP if args.skip_existing else PurgeMode.FAIL
@@ -718,6 +751,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-Y", "--all-tablespaces", action="store_true",
                    help="dump general InnoDB tablespace DDL (reference -Y; "
                         "off by default — server-level objects)")
+    d.add_argument("--clear", action="store_true",
+                   help="empty the output directory before dumping "
+                        "(reference --clear)")
+    d.add_argument("-k", "--order-by-primary", action="store_true",
+                   help="PK-sort rows within each output partition "
+                        "(reference -k; O1)")
     d.add_argument("-W", "--no-views", action="store_true",
                    help="skip view DDL capture (reference -W)")
     d.add_argument("--views-as-tables", action="store_true",
@@ -727,6 +766,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="incremental dump: emit only rows added/changed "
                         "since this parent dump (P10/K10 daemon analogue); "
                         "deleted keys recorded per table")
+    d.add_argument("--stream", action="store_true",
+                   help="after the dump completes, frame every file onto "
+                        "stdout in the reference wire protocol "
+                        "(mydumper --stream); pipe into `restore --stream`")
+    d.add_argument("--no-delete", action="store_true",
+                   help="with --stream: keep the local files after "
+                        "streaming (reference --stream=NO_DELETE)")
     d.add_argument("--profile", action="store_true",
                    help="write per-table per-column stats to _profile.json")
     d.set_defaults(fn=cmd_dump)
@@ -745,6 +791,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="purge mode TRUNCATE (L3): keep tables, re-fill data")
     r.add_argument("--skip-existing", action="store_true", help="purge mode SKIP (L3)")
     r.add_argument("--no-checksum", action="store_true")
+    r.add_argument("--stream", action="store_true",
+                   help="reassemble a framed dump from stdin into -d first "
+                        "(myloader --stream), then restore it")
     r.set_defaults(fn=cmd_restore)
 
     v = sub.add_parser("verify", help="recompute checksums vs manifest (L9)")

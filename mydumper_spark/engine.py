@@ -84,6 +84,12 @@ class DumpConfig:
     all_tablespaces: bool = False
     #: --no-views (-W): skip view DDL capture entirely
     no_views: bool = False
+    #: -k/--order-by-primary: PK-sort rows within each output partition
+    #: (reference O1, mydumper_write.c:1055 — ORDER BY pk per chunk).
+    #: sortWithinPartitions, deliberately NOT a global orderBy: the
+    #: reference sorts per chunk too, and a corpus-wide total sort would
+    #: be a pure-overhead range exchange
+    order_by_primary: bool = False
     #: --views-as-tables: dump each view's ROWS as a table (a view is
     #: SELECTable) instead of its DDL — the reference flag of the same
     #: name; view entries restore as plain tables
@@ -388,6 +394,9 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                                     path=None, database=db_rec)
                 return key, entry, None, artifact, out_name
             out = apply_transform(df, tt, global_where=cfg.global_where)
+            if (cfg.order_by_primary and meta.primary_key
+                    and all(c in out.columns for c in meta.primary_key)):
+                out = out.sortWithinPartitions(*meta.primary_key)
             path = os.path.join(cfg.output_dir, f"{out_name}.parquet")
             if cfg.fmt == "csv":
                 path = os.path.join(cfg.output_dir, f"{out_name}.dat")

@@ -832,3 +832,49 @@ def test_cli_daemon_crash_window_never_recycles_last_dump(tmp_path):
     assert out["snapshots"][0]["slot"].endswith("/1")
     assert out["last_dump"].endswith("/1")
     assert (ring / "0" / "_manifest.json").read_bytes() == before
+
+
+def test_cli_stream_dump_restore_pipe(tmp_path):
+    """`dump --stream | restore --stream`: the dump frames every file onto
+    stdout in the reference wire protocol, the restore reassembles from
+    stdin and loads — the mydumper|myloader pipe, end-to-end. Default
+    --stream deletes local files after sending (reference semantics);
+    --no-delete keeps them."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    staging = str(tmp_path / "staging")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "dump",
+         "--source", "/root/testdata/sf0.001", "-o", staging,
+         "-T", "region,nation", "--stream", "--no-delete", "--threads", "4"],
+        capture_output=True, env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:].decode()
+    assert r1.stdout.startswith(b"\n-- ")      # pure protocol on stdout
+    summary = json.loads(r1.stderr.decode().strip().splitlines()[-1])
+    assert summary["dumped_tables"] == 2 and summary["streamed_files"] > 4
+    assert os.path.exists(os.path.join(staging, "_manifest.json"))  # kept
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "restore",
+         "-d", landing, "--target", target, "--drop-table",
+         "--stream", "--threads", "4"],
+        input=r1.stdout, capture_output=True, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:].decode()
+    res = json.loads(r2.stdout.decode().strip().splitlines()[-1])
+    assert res["load"] == {"nation": True, "region": True}
+    assert all(res["verify"].values())
+
+    # default --stream DELETES the staged files after sending
+    staging2 = str(tmp_path / "staging2")
+    r3 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "dump",
+         "--source", "/root/testdata/sf0.001", "-o", staging2,
+         "-T", "region", "--stream", "--threads", "4"],
+        capture_output=True, env=env, timeout=600,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:].decode()
+    leftovers = [f for _, _, fs in os.walk(staging2) for f in fs]
+    assert leftovers == []

@@ -1622,3 +1622,24 @@ def test_parallel_incremental_manifest_identical(spark, sf_dir, tmp_path):
     assert canon(dp, par) == canon(ds, seq)
     assert list(dp["tables"]) == list(ds["tables"])
     assert dp["tables"]["nation"]["incremental"]["deleted"] == 1
+
+
+def test_dump_order_by_primary_sorts_within_files(spark, sf_dir, tmp_path):
+    """-k/--order-by-primary (O1): rows inside each written file are
+    PK-ascending — the reference's per-chunk ORDER BY pk — without any
+    global range exchange."""
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump
+
+    out = str(tmp_path / "obp")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, order_by_primary=True,
+        filters=TableFilters(tables_list={"default.orders"})))
+    import glob
+
+    import duckdb
+
+    for part in glob.glob(f"{out}/orders.parquet/part-*.parquet"):
+        keys = [r[0] for r in duckdb.sql(
+            f"SELECT o_orderkey FROM read_parquet('{part}')").fetchall()]
+        assert keys == sorted(keys), part
