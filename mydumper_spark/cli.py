@@ -296,6 +296,9 @@ def cmd_restore(args: argparse.Namespace) -> int:
         jdbc_properties=jdbc_props,
         ddl_executor=ddl_executor,
         jdbc_num_partitions=jdbc_partitions,
+        skip_indexes=getattr(args, "skip_indexes", False),
+        skip_constraints=getattr(args, "skip_constraints", False),
+        skip_post=getattr(args, "skip_post", False),
     )
     print(json.dumps(results))
     ok = all(results["load"].values()) and all(results.get("verify", {"": True}).values())

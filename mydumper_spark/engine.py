@@ -519,6 +519,9 @@ def restore(
     jdbc_properties: dict | None = None,
     ddl_executor=None,
     jdbc_num_partitions: int | None = None,
+    skip_indexes: bool = False,
+    skip_constraints: bool = False,
+    skip_post: bool = False,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -733,10 +736,13 @@ def restore(
                         ddl_executor(s)
                 return action
 
-            if stmts["index"]:
+            # --skip-indexes / --skip-constraints (myloader flags): a
+            # user loading into a pre-indexed staging table opts out of
+            # the deferred DDL phases
+            if stmts["index"] and not skip_indexes:
                 dag.add(LoadJob(table=t, phase=Phase.INDEX,
                                 action=make_ddl_action(stmts["index"])))
-            if stmts["constraint"]:
+            if stmts["constraint"] and not skip_constraints:
                 dag.add(LoadJob(table=t, phase=Phase.CONSTRAINT,
                                 action=make_ddl_action(stmts["constraint"])))
     # non-table schema objects (views/triggers/routines/events) replay in
@@ -745,7 +751,7 @@ def restore(
     # view may reference any table, a trigger must not fire mid-load.
     skipped_objects: list[str] = []
     multi_schema = any(e.get("database") for e in doc["tables"].values())
-    for obj in doc.get("objects", []):
+    for obj in ([] if skip_post else doc.get("objects", [])):
         okind, oname = obj["kind"], obj["name"]
         if okind == "tablespace":
             # reference parity: myloader ignores the tablespace artifact

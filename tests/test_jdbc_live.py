@@ -818,3 +818,53 @@ def test_views_as_tables_and_no_views_live(spark, tmp_path):
     m2 = dump(spark, url, DumpConfig(output_dir=nv, no_views=True,
                                      jdbc_properties=dict(DRIVER_PROPS)))
     assert set(m2.tables) == {"base"} and m2.objects == []
+
+
+def test_restore_phase_skip_flags_live(spark, tmp_path):
+    """myloader --skip-indexes/--skip-constraints/--skip-post: the deferred
+    DDL phases and POST objects stay un-replayed on request; data still
+    loads and verifies."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "skip_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE tt (tt_id INTEGER PRIMARY KEY, v INTEGER)")
+    con.execute("CREATE INDEX idx_v ON tt(v)")
+    con.execute("INSERT INTO tt SELECT range, range % 9 FROM range(80)")
+    con.execute("CREATE VIEW v_tt AS SELECT v, count(*) c FROM tt GROUP BY v")
+    con.execute("CHECKPOINT")
+    con.close()
+    out = str(tmp_path / "skip_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+
+    target = str(tmp_path / "skip_target.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}", parallelism=1,
+        jdbc_properties=dict(DRIVER_PROPS), ddl_executor=ddl_executor,
+        jdbc_num_partitions=1,
+        skip_indexes=True, skip_post=True,
+    )
+    assert results["load"] == {"tt": True}
+    assert results["verify"] == {"tt": True}
+    ddl = results.get("ddl", {})
+    assert "index" not in ddl and "post" not in ddl
+
+    con = duckdb.connect(target)
+    idx = {n for n, _ in con.execute(
+        "SELECT index_name, is_unique FROM duckdb_indexes() "
+        "WHERE table_name = 'tt'").fetchall()}
+    views = con.execute(
+        "SELECT count(*) FROM duckdb_views() WHERE NOT internal"
+    ).fetchone()[0]
+    con.close()
+    assert "idx_v" not in idx and views == 0
