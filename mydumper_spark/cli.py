@@ -299,6 +299,7 @@ def cmd_restore(args: argparse.Namespace) -> int:
         skip_indexes=getattr(args, "skip_indexes", False),
         skip_constraints=getattr(args, "skip_constraints", False),
         skip_post=getattr(args, "skip_post", False),
+        target_database=getattr(args, "database", None),
     )
     print(json.dumps(results))
     ok = all(results["load"].values()) and all(results.get("verify", {"": True}).values())

@@ -522,6 +522,7 @@ def restore(
     skip_indexes: bool = False,
     skip_constraints: bool = False,
     skip_post: bool = False,
+    target_database: str | None = None,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -568,9 +569,14 @@ def restore(
         def entry_db_and_name(t: str) -> tuple[str | None, str]:
             """Manifest key → (schema, bare name). The recorded database
             disambiguates a multi-schema key "s1.t" from a single table
-            literally NAMED "s1.t" — both are legal and must not conflate."""
+            literally NAMED "s1.t" — both are legal and must not conflate.
+            ``target_database`` (myloader -B) overrides the schema every
+            table lands in — the bare name still derives from the
+            RECORDED database (it owns the key prefix)."""
             db = doc["tables"][t].get("database")
-            return (db, t[len(db) + 1:]) if db else (None, t)
+            bare = t[len(db) + 1:] if db else t
+            return (target_database if target_database is not None else db,
+                    bare)
 
         def target_table(t: str) -> str:
             db, bare = entry_db_and_name(t)
@@ -772,12 +778,21 @@ def restore(
 
         def make_post_action(o=obj):
             def action():
-                from mydumper_spark.plans.ddl import quote_ident, skip_definer
+                from mydumper_spark.plans.ddl import (
+                    quote_ident, retarget_database, skip_definer,
+                )
 
                 with open(o["path"]) as f:
                     raw = skip_definer(f.read()).strip()
                 qn = quote_ident(o["name"], dialect)
-                if multi_schema and o.get("database"):
+                if target_database is not None:  # myloader -B: everything
+                    qn = f"{quote_ident(target_database, dialect)}.{qn}"
+                    if o.get("database"):
+                        # the verbatim artifact references the SOURCE
+                        # schema (its own name and its body) — retarget
+                        raw = retarget_database(
+                            raw, o["database"], target_database, dialect)
+                elif multi_schema and o.get("database"):
                     qn = f"{quote_ident(o['database'], dialect)}.{qn}"
                 # idempotent replay (the DAG retries failed jobs): drop the
                 # prior incarnation, then the captured DDL verbatim

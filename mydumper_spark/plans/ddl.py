@@ -453,3 +453,23 @@ def prune_descriptor(descriptor: dict,
             kept_ck.append(ck)
     out["checks"] = kept_ck
     return out, notes
+
+
+def retarget_database(raw: str, old_db: str, new_db: str,
+                      dialect: str = "ansi") -> str:
+    """Rewrite ``old_db.``-qualified references in a captured DDL text to
+    ``new_db.`` — what replaying a view/trigger/routine under a restore
+    database override (myloader -B) needs: the verbatim artifact carries
+    the SOURCE schema both in the object's own name and in its body
+    references. Conservative textual rewrite of the three qualifier
+    spellings (bare word-boundary, backtick-quoted, double-quoted); a
+    string literal that happens to contain ``old_db.`` would be rewritten
+    too — the same text-level trade the reference makes for DDL surgery
+    (its schema-file rewrites are regex-based throughout)."""
+    import re as _re
+
+    q = quote_ident(new_db, dialect)
+    out = raw.replace(f"`{old_db}`.", f"{q}.")
+    out = out.replace(f'"{old_db}".', f"{q}.")
+    out = _re.sub(rf"(?<![\w`\"]){_re.escape(old_db)}\.", f"{q}.", out)
+    return out

@@ -878,3 +878,20 @@ def test_cli_stream_dump_restore_pipe(tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:].decode()
     leftovers = [f for _, _, fs in os.walk(staging2) for f in fs]
     assert leftovers == []
+
+
+def test_retarget_database_spellings():
+    """The -B DDL rewrite covers all three qualifier spellings and leaves
+    other-schema references and non-qualifier occurrences alone."""
+    from mydumper_spark.plans.ddl import retarget_database
+
+    raw = ('CREATE VIEW app.v AS SELECT a.x FROM `app`.`t` a '
+           'JOIN "app"."u" u ON u.id = a.id JOIN other.app o '
+           "ON o.k = a.k WHERE a.note <> 'keep happy.'")
+    out = retarget_database(raw, "app", "staging", "ansi")
+    assert '"staging".`t`' in out or '"staging".`t`' in out
+    assert '"staging"."u"' in out
+    assert out.startswith('CREATE VIEW "staging".v')
+    assert "other.app" in out          # app as a TABLE name untouched
+    assert "happy." in out             # arbitrary text untouched
+    assert "app." not in out.replace("happy.", "")

@@ -868,3 +868,50 @@ def test_restore_phase_skip_flags_live(spark, tmp_path):
     ).fetchone()[0]
     con.close()
     assert "idx_v" not in idx and views == 0
+
+
+def test_restore_into_alternative_database_live(spark, tmp_path):
+    """myloader -B: every table (and POST object) lands in the override
+    schema instead of the recorded one; data verifies by reading the
+    override location back."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "bdb_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA app")
+    con.execute("CREATE TABLE app.items "
+                "(item_id INTEGER PRIMARY KEY, v INTEGER)")
+    con.execute("INSERT INTO app.items SELECT range, range FROM range(30)")
+    con.execute("CREATE VIEW app.v_items AS SELECT count(*) c FROM app.items")
+    con.execute("CHECKPOINT")
+    con.close()
+    out = str(tmp_path / "bdb_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+
+    target = str(tmp_path / "bdb_target.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}", parallelism=1,
+        jdbc_properties=dict(DRIVER_PROPS), ddl_executor=ddl_executor,
+        jdbc_num_partitions=1, target_database="staging",
+    )
+    assert all(results["load"].values())
+    assert all(results["verify"].values())
+
+    con = duckdb.connect(target)
+    n = con.execute("SELECT count(*) FROM staging.items").fetchone()[0]
+    vc = con.execute("SELECT c FROM staging.v_items").fetchone()[0]
+    schemas = {r[0] for r in con.execute(
+        "SELECT schema_name FROM duckdb_tables()").fetchall()}
+    con.close()
+    assert n == 30 and vc == 30
+    assert "app" not in schemas  # nothing leaked into the recorded schema
