@@ -539,6 +539,11 @@ def restore(
     from mydumper_spark.sources.dump_reader import read_dump_table
 
     jdbc_target = target_root.startswith("jdbc:")
+    if target_database is not None and not jdbc_target:
+        raise ValueError(
+            "target_database (-B) applies to jdbc: targets only — a "
+            "parquet target tree is flat; silently ignoring the override "
+            "would restore into unexpected paths")
     doc = read_manifest(dump_root)
     dag = LoaderDag(parallelism=parallelism)
     if jdbc_target:

@@ -1643,3 +1643,18 @@ def test_dump_order_by_primary_sorts_within_files(spark, sf_dir, tmp_path):
         keys = [r[0] for r in duckdb.sql(
             f"SELECT o_orderkey FROM read_parquet('{part}')").fetchall()]
         assert keys == sorted(keys), part
+
+
+def test_restore_database_override_rejects_parquet_target(spark, sf_dir, tmp_path):
+    """-B on a parquet target is a usage error, not a silent no-op."""
+    import pytest
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    out = str(tmp_path / "breject")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, filters=TableFilters(tables_list={"default.region"})))
+    with pytest.raises(ValueError, match="jdbc: targets only"):
+        restore(spark, out, str(tmp_path / "tree"),
+                target_database="staging")
