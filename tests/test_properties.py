@@ -377,3 +377,28 @@ def test_sq8_quantize_properties(vec, scale):
     assert cs == sorted(cs)
     # degenerate scale: all zeros
     assert sq8_quantize(vec, 0.0) == [0] * len(vec)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=120),
+    st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True),
+    st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True),
+)
+def test_retarget_database_properties(body, old, new):
+    """The -B DDL rewrite: idempotent (retargeting twice = once), total
+    (never raises), and complete — no word-boundary `old.` qualifier
+    survives in the output when old is not a prefix-free collision with
+    the replacement."""
+    import re
+
+    from mydumper_spark.plans.ddl import retarget_database
+
+    if old == new or old in new:
+        return  # replacement containing the needle re-introduces matches
+    out = retarget_database(body, old, new, "ansi")
+    assert retarget_database(out, old, new, "ansi") == out  # idempotent
+    # completeness: no unquoted word-boundary old. remains
+    assert not re.search(rf'(?<![\w`"]){re.escape(old)}\.', out)
+    assert f"`{old}`." not in out and f'"{old}".' not in out
