@@ -174,3 +174,24 @@ def fit_bpe(
     """Convenience: frequency aggregate → driver merge training."""
     return train_bpe_merges(word_frequencies(df, text_col, vocab_top),
                             num_merges)
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge list — the tokenizer artifact is ~KBs of
+    string pairs, the same persistence story as IVF centroids / PQ
+    codebooks / the SQ8 scale: train once, version the artifact, encode
+    any corpus against it forever (training-corpus drift must not change
+    a frozen tokenizer)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump([list(m) for m in merges], f)
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_bpe`; the loaded list drives
+    :func:`bpe_encode` identically to the freshly-trained one."""
+    import json
+
+    with open(path) as f:
+        return [tuple(m) for m in json.load(f)]

@@ -1844,3 +1844,27 @@ def test_sq8_indexed_equals_inline(spark, embeddings, tmp_path):
     plan = sq8_topk_indexed(spark, idx, qvec, k=10)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "embedding" not in plan  # codes-only scan
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """A persisted tokenizer encodes identically to the freshly-trained
+    one — the frozen-artifact contract."""
+    from mydumper_spark.operators.tokenizer import (
+        bpe_encode, fit_bpe, load_bpe, save_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = fit_bpe(df, num_merges=40, vocab_top=100)
+    p = str(tmp_path / "bpe.json")
+    save_bpe(merges, p)
+    loaded = load_bpe(p)
+    assert loaded == merges
+    a = {r["doc_id"]: list(r["bpe_tokens"])
+         for r in bpe_encode(df, merges).collect()}
+    b = {r["doc_id"]: list(r["bpe_tokens"])
+         for r in bpe_encode(df, loaded).collect()}
+    assert a == b
