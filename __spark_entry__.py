@@ -2943,6 +2943,42 @@ WHERE {h} < CASE WHEN lang = 'en' THEN {c_en}
 """
 
 
+def x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing at α=0.5 over the language distribution
+    (Conneau & Lample 2019 multilingual sampling; XLM-R's mechanism):
+    target shares ∝ sqrt(N_lang), acceptance thresholds derived with
+    exact integer arithmetic from floor(sqrt) weights — **oracle-backed**:
+    DuckDB recomputes counts, the correctly-rounded sqrt floors, the
+    HUGEINT threshold math and the md5 hash membership."""
+    from mydumper_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", alpha=0.5
+    ).select("doc_id", "lang")
+
+
+def _temperature_mix_sql() -> str:
+    from mydumper_spark.operators.sampling import HASH_SPACE, sample_hash_sql
+
+    h = sample_hash_sql("d.doc_id")
+    return f"""
+WITH n AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+s AS (SELECT lang, CAST(c AS BIGINT) AS c,
+             CAST(floor(sqrt(c)) AS BIGINT) AS w FROM n),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(w) AS BIGINT) AS sw FROM s),
+cuts AS (
+  SELECT lang,
+         least(CAST({HASH_SPACE} AS HUGEINT),
+               CAST({HASH_SPACE} AS HUGEINT) * w * total // (sw * c)) AS cut
+  FROM s CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts USING (lang)
+WHERE {h} < cut
+"""
+
+
 _TOKENS_EXPR_SQL = (
     "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT)"
@@ -4895,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sq8_topk": x_sq8_topk,
         "x_blocklist_filter": x_blocklist_filter,
         "x_lm_source_report": x_lm_source_report,
+        "x_temperature_mix": x_temperature_mix,
         "x_gopher_quality": x_gopher_quality,
         "x_gopher_report": x_gopher_report,
         "x_c4_filter": x_c4_filter,
@@ -5026,6 +5063,7 @@ def oracle_sql() -> dict[str, str]:
         "x_sq8_topk": _SQ8_SQL,
         "x_blocklist_filter": _BLOCKLIST_SQL,
         "x_lm_source_report": _LM_SOURCE_REPORT_SQL,
+        "x_temperature_mix": _temperature_mix_sql(),
         "x_gopher_quality": _GOPHER_QUALITY_SQL,
         "x_gopher_report": _GOPHER_REPORT_SQL,
         "x_c4_filter": _C4_FILTER_SQL,

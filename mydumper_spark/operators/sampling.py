@@ -291,3 +291,53 @@ def shuffle_corpus(
             .sortWithinPartitions("__shard", "shuffle_key", id_col)
         )
     return with_key.orderBy("shuffle_key", id_col)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual-LM sampling
+    rule (Conneau & Lample 2019; XLM-R trains with α=0.3): target share
+    q_g ∝ N_g^α flattens the observed group distribution, so head groups
+    downsample and tail groups keep everything. Unlike
+    :func:`stratified_fractions` the fractions are COMPUTED from the
+    corpus, not user-supplied: per-doc acceptance is
+    ``min(1, q_g / observed_share_g)`` rendered as an integer hash
+    threshold.
+
+    α=0.5 (the default) is engine-exact: weights are ``floor(sqrt(N_g))``
+    — IEEE sqrt is correctly rounded, so the floor is identical in every
+    engine — and every step after that is exact integer arithmetic
+    (Python big-ints on the driver; the oracle replays in HUGEINT), so
+    membership is a pure function of the key. Other α values compute
+    their thresholds with Python pow on the driver — still deterministic
+    per run, but with no exact SQL twin.
+
+    Scale shape: one count aggregate (group cardinality is languages/
+    domains — thousands at most, driver-plane), then a scan-side CASE
+    threshold filter — zero additional shuffles, the
+    stratified_fractions plan."""
+    import math
+
+    rows = df.groupBy(group_col).count().collect()
+    counts = {r[group_col]: r["count"] for r in rows}
+    total = sum(counts.values())
+    if alpha == 0.5:
+        w = {g: int(math.floor(math.sqrt(n))) for g, n in counts.items()}
+        sw = sum(w.values())
+        cuts = {g: min(HASH_SPACE, HASH_SPACE * w[g] * total // (sw * n))
+                for g, n in counts.items()}
+    else:
+        w = {g: float(n) ** alpha for g, n in counts.items()}
+        sw = sum(w[g] for g in sorted(w))  # fixed order: reproducible sum
+        cuts = {g: min(HASH_SPACE,
+                       int(HASH_SPACE * (w[g] * total) / (sw * n)))
+                for g, n in counts.items()}
+    h = sample_hash(F.col(key_col))
+    cut = F.lit(0)
+    for g, c in sorted(cuts.items()):
+        cut = F.when(F.col(group_col) == g, F.lit(int(c))).otherwise(cut)
+    return df.where(h < cut)

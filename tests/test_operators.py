@@ -1868,3 +1868,29 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     b = {r["doc_id"]: list(r["bpe_tokens"])
          for r in bpe_encode(df, loaded).collect()}
     assert a == b
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """α-temperature rebalancing: a 20:1 head/tail corpus flattens toward
+    sqrt shares — the head group's acceptance drops well below 1 while
+    the tail keeps ~everything; membership is a pure function of the key
+    (re-run identical); α=1 is a no-op (target = observed)."""
+    from mydumper_spark.operators.sampling import temperature_mix
+
+    rows = ([(i, "en") for i in range(2000)]
+            + [(10_000 + i, "sw") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", "doc_id", alpha=0.5)
+    got = {r["lang"]: 0 for r in out.select("lang").distinct().collect()}
+    for r in out.groupBy("lang").count().collect():
+        got[r["lang"]] = r["count"]
+    # sqrt weights: w_en≈44.7→44, w_sw=10; q_en≈0.815 vs observed 0.952 →
+    # en accepts ~85%; q_sw≈0.185 vs observed 0.048 → sw caps at 1.0
+    assert got["sw"] == 100                     # tail keeps everything
+    assert 0.75 * 2000 < got["en"] < 0.95 * 2000  # head downsampled
+    again = {r["doc_id"] for r in out.collect()}
+    assert again == {r["doc_id"] for r in temperature_mix(
+        df, "lang", "doc_id", alpha=0.5).collect()}
+
+    # α=1: thresholds all cap at 1 → identity
+    assert temperature_mix(df, "lang", "doc_id", alpha=1.0).count() == 2100
