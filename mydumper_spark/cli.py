@@ -3,14 +3,21 @@
 Option names follow the reference (/root/reference/src/mydumper/
 mydumper_arguments.c, myloader_arguments.c) where a Spark equivalent exists:
 
-    python -m mydumper_spark dump --source DIR --outputdir DIR
+    python -m mydumper_spark dump --source DIR|jdbc:URL -o DIR
         [--where SQL] [--regex RE] [--omit-from-file F] [--tables-list a,b]
-        [--ignore-engines e1,e2] [--defaults-file F] [--format parquet|csv]
-        [--chunk-filesize MB] [--rows N] [--threads N] [--no-checksum]
-        [--exec CMD]
-    python -m mydumper_spark restore --directory DIR --target DIR
-        [--threads N] [--drop-table|--skip-existing] [--no-checksum]
-    python -m mydumper_spark verify --directory DIR
+        [--ignore-engines e1,e2] [--defaults-file F]
+        [--format parquet|csv|jsonl|orc] [--rows N] [--threads N]
+        [--no-checksum] [--exec CMD] [--since PARENT] [--tidb-snapshot TS]
+        [--clear] [-k] [-Y] [-W|--views-as-tables] [--stream [--no-delete]]
+    python -m mydumper_spark restore -d DIR --target DIR|jdbc:URL
+        [--threads N] [--drop-table|--truncate|--skip-existing]
+        [--no-checksum] [-B DB] [--skip-indexes] [--skip-constraints]
+        [--skip-post] [--stream]
+    python -m mydumper_spark verify -d DIR [--source DIR|jdbc:URL]
+    python -m mydumper_spark daemon --source … -o RING --iterations N
+        [--snapshot-interval S] [--snapshot-count M] [--incremental]
+    python -m mydumper_spark diff --old DIR --new DIR
+    python -m mydumper_spark prepare / prepare-stream / embcurate …
 """
 
 from __future__ import annotations
