@@ -174,12 +174,22 @@ def cmd_daemon(args: argparse.Namespace) -> int:
     ``--iterations`` bounds the loop — the testable/cron-able form of the
     reference's run-forever daemon (run the bounded form from cron/systemd
     for forever; checkpointless by design, the ring state file is the only
-    cursor)."""
+    cursor).
+
+    Crash-safety protocol: every snapshot dumps into a ``.wip-<slot>``
+    temp dir under the ring and is atomically renamed into its slot only
+    AFTER the dump succeeds. The recycled slot's previous contents are
+    deleted in the instant between dump completion and the rename — never
+    before — so a crash at ANY point leaves every slot either fully intact
+    or fully replaced. This is what makes wrapping onto a live-chain
+    ancestor slot safe: until the replacement full dump has completed, the
+    ancestor (and with it the whole chain LAST_DUMP resolves through) is
+    untouched on disk."""
     import shutil as _shutil
     import time as _time
 
     from mydumper_spark.engine import dump, dump_incremental
-    from mydumper_spark.sinks.manifest import read_manifest
+    from mydumper_spark.sinks.manifest import read_manifest, rebase_manifest_paths
 
     if args.snapshot_count < 2:
         build_parser().error(
@@ -214,18 +224,31 @@ def cmd_daemon(args: argparse.Namespace) -> int:
             cur = read_manifest(cur).get("parent_manifest")
             cur = os.path.realpath(cur) if cur else None
         mode = "full"
-        # clear the recycled slot: stale artifacts from its previous
-        # incarnation (old deltas, removed tables) must not coexist with
-        # the new manifest. Never the LAST_DUMP slot — count>=2 + the
-        # chain rule guarantee slot != last here.
-        _shutil.rmtree(slot, ignore_errors=True)
-        cfg = _build_dump_config(args, slot)
+        # dump into a temp dir, NOT the slot: the slot being recycled may
+        # be a live-chain ancestor (count=2 wraps onto one every cycle),
+        # and clearing it before the replacement completes would leave
+        # LAST_DUMP resolving through a destroyed parent for the whole
+        # dump window — and forever, on a crash
+        wip = os.path.join(ring, f".wip-{idx}")
+        _shutil.rmtree(wip, ignore_errors=True)  # crashed-run leftovers
+        cfg = _build_dump_config(args, wip)
         if (args.incremental and last and last != os.path.realpath(slot)
                 and os.path.realpath(slot) not in chain):
             dump_incremental(spark, args.source, cfg, last)
             mode = "incremental"
         else:
             dump(spark, args.source, cfg)
+        # the dump is complete — rewrite the manifest's artifact paths to
+        # their post-rename locations, then clear the recycled slot (stale
+        # artifacts from its previous incarnation must not coexist with
+        # the new manifest) and swap the finished snapshot in. The
+        # remaining crash window is two filesystem metadata ops, down from
+        # the whole dump duration; a crash inside it self-heals on the
+        # next run (state unadvanced → same slot recomputed → the chain
+        # rule sees the fresh full manifest and re-dumps full).
+        rebase_manifest_paths(wip, wip, slot)
+        _shutil.rmtree(slot, ignore_errors=True)
+        os.rename(wip, slot)
         with open(state_file, "w") as f:
             f.write(str(idx))
         # repoint ONLY after the dump completed — crash mid-dump leaves
@@ -588,6 +611,39 @@ def _apply_hygiene_gates(df, args):
     return df
 
 
+def _migrate_legacy_fp_store(fp_dir: str) -> int:
+    """Upgrade a pre-round-8 (flat, append-only) fingerprint store in
+    place: move root-level part files into a ``batch=-1`` sentinel
+    partition. Spark's partition discovery REJECTS a directory mixing
+    root-level data files with ``batch=`` partition dirs ("Conflicting
+    directory structures detected"), so a resumed legacy checkpoint would
+    fail permanently on its second post-upgrade batch without this.
+    ``batch=-1`` never collides with a real (non-negative) micro-batch id,
+    so the legacy fingerprints read as prior state in every batch — the
+    exact semantics the old flat store had. Returns files migrated."""
+    import shutil as _shutil
+
+    if not os.path.isdir(fp_dir):
+        return 0
+    root_files = [
+        f for f in os.listdir(fp_dir)
+        if os.path.isfile(os.path.join(fp_dir, f))
+        and not f.startswith((".", "_"))
+    ]
+    if not root_files:
+        return 0
+    legacy = os.path.join(fp_dir, "batch=-1")
+    os.makedirs(legacy, exist_ok=True)
+    for f in root_files:
+        _shutil.move(os.path.join(fp_dir, f), os.path.join(legacy, f))
+    # the flat writer's _SUCCESS marker is ignored by discovery but has no
+    # business at the root of a partitioned store
+    marker = os.path.join(fp_dir, "_SUCCESS")
+    if os.path.isfile(marker):
+        os.remove(marker)
+    return len(root_files)
+
+
 def cmd_prepare_stream(args: argparse.Namespace) -> int:
     """Streaming twin of `prepare` for rolling corpus intake: Structured
     Streaming over a growing parquet directory, per-micro-batch hygiene
@@ -616,6 +672,8 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
                                args.max_files_per_trigger)
     stream = stream.parquet(args.source)
     fp_dir = os.path.join(args.checkpoint, "_fps")
+    if args.exact_dedup:
+        _migrate_legacy_fp_store(fp_dir)
 
     lm = None
     if args.lm_gate_ppm is not None:
@@ -651,8 +709,9 @@ def cmd_prepare_stream(args: argparse.Namespace) -> int:
                 known = spark.read.parquet(fp_dir)
                 if "batch" in known.columns:
                     known = known.where(F.col("batch") != int(batch_id))
-                known = known.select("fp")  # a pre-partitioned (legacy
-                # flat-append) store degrades to the old semantics
+                known = known.select("fp")  # legacy flat stores were
+                # migrated into batch=-1 before the stream started, so the
+                # partition column is always present post-upgrade
             else:  # genuinely the first batch; a corrupt store still raises
                 known = spark.createDataFrame([], "fp string")
             survivors, _all_fps = exact_dedup_incremental(df, known)

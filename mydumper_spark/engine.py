@@ -1084,6 +1084,7 @@ def source_drift(spark: SparkSession, dump_root: str, source: str,
     flags. Returns {table: {"in_sync": bool|None, ...}}; tables now absent
     from the source report in_sync=None with a reason, as do entries
     dumped without checksums."""
+    from mydumper_spark.catalog import JdbcCatalog
     from mydumper_spark.functions.checksum import table_checksum
     from mydumper_spark.sinks.manifest import manifest_algorithm, read_manifest
 

@@ -322,6 +322,13 @@ def temperature_mix(
     stratified_fractions plan."""
     import math
 
+    # NULL-safe ordering key: real corpora carry NULL lang/domain values,
+    # and a None key must neither crash the driver sort (None vs str is
+    # unorderable) nor silently vanish from the output — NULL is a group
+    # like any other and gets its own threshold.
+    def _gkey(g):
+        return (g is None, g)
+
     rows = df.groupBy(group_col).count().collect()
     counts = {r[group_col]: r["count"] for r in rows}
     total = sum(counts.values())
@@ -332,12 +339,16 @@ def temperature_mix(
                 for g, n in counts.items()}
     else:
         w = {g: float(n) ** alpha for g, n in counts.items()}
-        sw = sum(w[g] for g in sorted(w))  # fixed order: reproducible sum
+        sw = sum(w[g] for g in sorted(w, key=_gkey))  # fixed order:
+        # reproducible sum
         cuts = {g: min(HASH_SPACE,
                        int(HASH_SPACE * (w[g] * total) / (sw * n)))
                 for g, n in counts.items()}
     h = sample_hash(F.col(key_col))
     cut = F.lit(0)
-    for g, c in sorted(cuts.items()):
-        cut = F.when(F.col(group_col) == g, F.lit(int(c))).otherwise(cut)
+    for g, c in sorted(cuts.items(), key=lambda kv: _gkey(kv[0])):
+        # eqNullSafe: a plain == against a NULL group value never matches,
+        # which would drop every NULL-group row regardless of threshold
+        cut = F.when(F.col(group_col).eqNullSafe(F.lit(g)),
+                     F.lit(int(c))).otherwise(cut)
     return df.where(h < cut)

@@ -225,6 +225,42 @@ def read_manifest(root: str) -> dict:
         return json.load(f)
 
 
+def rebase_manifest_paths(manifest_dir: str, old_root: str,
+                          new_root: str) -> int:
+    """Rewrite every absolute path the manifest in ``manifest_dir``
+    recorded under ``old_root`` to live under ``new_root`` — the fix-up
+    for moving a dump directory as a unit (the daemon's dump-into-temp →
+    atomic-rename crash-safety protocol runs this on the temp dir RIGHT
+    BEFORE the rename, so the manifest is correct the instant the rename
+    lands). Touches exactly the fields that carry artifact paths:
+    ``tables[*].path`` / ``schema_sql_path`` / ``incremental.delete_path``
+    and ``objects[*].path``; ``parent_manifest`` points OUTSIDE this dump
+    and is left alone. Returns the number of rewritten fields."""
+    doc = read_manifest(manifest_dir)
+    old = os.path.abspath(old_root)
+    new = os.path.abspath(new_root)
+
+    def _rb(container: dict, field: str) -> int:
+        p = container.get(field)
+        if p and os.path.abspath(p).startswith(old + os.sep):
+            container[field] = os.path.join(
+                new, os.path.relpath(os.path.abspath(p), old))
+            return 1
+        return 0
+
+    n = 0
+    for e in doc.get("tables", {}).values():
+        n += _rb(e, "path") + _rb(e, "schema_sql_path")
+        if e.get("incremental"):
+            n += _rb(e["incremental"], "delete_path")
+    for o in doc.get("objects", []):
+        n += _rb(o, "path")
+    if n:
+        with open(os.path.join(manifest_dir, "_manifest.json"), "w") as f:
+            json.dump(doc, f, indent=2)
+    return n
+
+
 def manifest_algorithm(doc: dict) -> str:
     """The row-hash algorithm this manifest's checksums were computed with.
     Manifests written before the algorithm field existed are md5 (the only

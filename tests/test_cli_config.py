@@ -681,6 +681,133 @@ def test_cli_prepare_stream_replay_is_idempotent(tmp_path):
     assert len(ids) == n1
 
 
+def test_cli_prepare_stream_legacy_flat_fp_store_migrates(tmp_path):
+    """A pre-round-8 fingerprint store is FLAT (root-level part files,
+    append-only). The first post-upgrade run must migrate it into the
+    batch=-1 sentinel partition before writing its own batch=N partition —
+    Spark's partition discovery rejects a directory that mixes root files
+    with partition dirs, which would otherwise fail the stream permanently
+    on the SECOND post-upgrade run. Legacy fingerprints keep deduplicating
+    (docs they cover never land)."""
+    import duckdb
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    ck = tmp_path / "ck"
+    fp_dir = ck / "_fps"
+    fp_dir.mkdir(parents=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    con = duckdb.connect()
+    # the legacy store: docs < 20 fingerprinted with the exact repo rule
+    # (md5 of whitespace-normalized lowercase text), one flat root file
+    con.execute(
+        "COPY (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', "
+        "'g')) AS fp FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id < 20) TO '{fp_dir}/part-legacy.parquet' "
+        "(FORMAT PARQUET)")
+    con.execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id < 40) TO '{src}/a.parquet' (FORMAT PARQUET)")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "prepare-stream",
+             "--source", str(src), "-o", out, "--checkpoint", str(ck),
+             "--exact-dedup", "--threads", "4"],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    n1 = json.loads(r1.stdout.strip().splitlines()[-1])["output_rows"]
+    # the legacy fps swallowed docs < 20; only 20..39 can land
+    assert 0 < n1 <= 20
+    # the store is now purely partitioned: batch=-1 (migrated) + batch=0
+    assert not [f for f in os.listdir(fp_dir)
+                if os.path.isfile(fp_dir / f) and not f.startswith((".", "_"))]
+    assert (fp_dir / "batch=-1" / "part-legacy.parquet").exists()
+
+    # the second post-upgrade batch — the run the mixed layout would kill
+    con.execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id < 60) TO '{src}/b.parquet' (FORMAT PARQUET)")
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    n2 = json.loads(r2.stdout.strip().splitlines()[-1])["output_rows"]
+    assert 0 < n2 - n1 <= 20
+    low = con.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet') "
+        "WHERE doc_id < 20").fetchone()[0]
+    assert low == 0                 # legacy fingerprints kept deduplicating
+
+
+def test_cli_daemon_ancestor_slot_survives_failed_wrap_dump(tmp_path):
+    """The high-severity ring-wrap hazard: with count=2 --incremental,
+    iteration 3 recycles slot 0 — the PARENT of the incremental snapshot
+    LAST_DUMP points at. The replacement full dump must run in a temp dir
+    and only swap into the slot AFTER it succeeds: a dump that fails
+    mid-way (here: the source turns unreadable) must leave the ancestor
+    intact and LAST_DUMP fully restorable. A later healthy run recovers."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/nation.parquet",
+                src / "nation.parquet")
+    ring = tmp_path / "ring"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+
+    def run(iters):
+        return subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "daemon",
+             "--source", str(src), "-o", str(ring),
+             "--snapshot-interval", "0", "--snapshot-count", "2",
+             "--iterations", str(iters), "--incremental", "--threads", "4"],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+
+    r = run(2)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out1 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert [s["mode"] for s in out1["snapshots"]] == ["full", "incremental"]
+    ancestor_manifest = (ring / "0" / "_manifest.json").read_bytes()
+
+    # the wrap dump dies mid-way: the source is no longer readable
+    good = (src / "nation.parquet").read_bytes()
+    (src / "nation.parquet").write_bytes(b"this is not a parquet file")
+    r_fail = run(1)
+    assert r_fail.returncode != 0
+
+    # the ancestor slot is byte-identical — the failed dump never touched it
+    assert (ring / "0" / "_manifest.json").read_bytes() == ancestor_manifest
+    # and LAST_DUMP (the incremental in slot 1) still materializes fully
+    r2 = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "restore",
+         "-d", str(ring / "LAST_DUMP"), "--target", str(tmp_path / "tgt"),
+         "--drop-table", "--threads", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert all(json.loads(
+        r2.stdout.strip().splitlines()[-1])["verify"].values())
+
+    # a healthy re-run self-heals past the crash leftovers (.wip dir) and
+    # completes the wrap; the landed manifest's paths point INTO the slot
+    (src / "nation.parquet").write_bytes(good)
+    r3 = run(1)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    out3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert [s["mode"] for s in out3["snapshots"]] == ["full"]
+    assert out3["last_dump"].endswith("/0")
+    doc0 = json.load(open(ring / "0" / "_manifest.json"))
+    slot0 = os.path.realpath(ring / "0")
+    for t, e in doc0["tables"].items():
+        assert os.path.realpath(e["path"]).startswith(slot0 + os.sep), e
+        assert os.path.exists(e["path"])
+
+
 def test_cli_prepare_stream_blocklist_and_lm_gate(tmp_path):
     """prepare-stream applies the shared blocklist gate per batch and the
     LM gate (trained once on --lm-ref) per batch; blocked docs never land."""

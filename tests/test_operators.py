@@ -1894,3 +1894,24 @@ def test_temperature_mix_flattens_distribution(spark):
 
     # α=1: thresholds all cap at 1 → identity
     assert temperature_mix(df, "lang", "doc_id", alpha=1.0).count() == 2100
+
+
+def test_temperature_mix_null_group(spark):
+    """NULL group values are common in real corpora (un-identified lang/
+    domain). They must be a group like any other: no driver crash sorting
+    a None key, and NULL-group rows receive a real threshold instead of
+    silently vanishing through a never-true `col == NULL` predicate.
+    Both the α=0.5 integer-exact path and the float-pow path."""
+    from mydumper_spark.operators.sampling import temperature_mix
+
+    rows = ([(i, "en") for i in range(1000)]
+            + [(10_000 + i, None) for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    for alpha in (0.5, 0.3):
+        out = temperature_mix(df, "lang", "doc_id", alpha=alpha)
+        got = {r["lang"]: r["count"]
+               for r in out.groupBy("lang").count().collect()}
+        # the NULL tail group's target share exceeds its observed share →
+        # threshold caps at 1.0 → every NULL-group doc survives
+        assert got.get(None) == 50, (alpha, got)
+        assert 0 < got["en"] < 1000, (alpha, got)

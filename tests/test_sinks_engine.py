@@ -1528,6 +1528,25 @@ def test_source_drift_detection(spark, sf_dir, tmp_path):
     assert "absent" in res2["region"]["reason"]
 
 
+def test_source_drift_with_views_as_tables_flag(spark, sf_dir, tmp_path):
+    """Regression: source_drift with views_as_tables=True used to raise
+    NameError (JdbcCatalog referenced without the function-local import
+    its sibling dump/dump_incremental have) before ever reaching the
+    catalog — the flag must simply no-op on a parquet source."""
+    import shutil
+
+    from mydumper_spark.engine import DumpConfig, dump, source_drift
+
+    src = tmp_path / "vat_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/region.parquet", src / "region.parquet")
+    out = str(tmp_path / "vat_dump")
+    dump(spark, str(src), DumpConfig(output_dir=out))
+    res = source_drift(spark, out, str(src),
+                       DumpConfig(output_dir=out, views_as_tables=True))
+    assert res["region"]["in_sync"] is True
+
+
 def test_incremental_over_csv_parent(spark, sf_dir, tmp_path):
     """An incremental chain may bottom out in a csv-format full dump: the
     chain materialization must read the parent through its schema sidecar
