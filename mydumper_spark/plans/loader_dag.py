@@ -132,9 +132,16 @@ class LoaderDag:
             # O4: largest first so the long pole starts immediately
             phase_jobs.sort(key=lambda j: -j.size_hint)
             remaining = {j.table: j for j in phase_jobs}
-            progressed = True
-            while remaining and progressed:
-                progressed = False
+            # POST objects are order-dependent in ways the dump cannot see
+            # (a view on a view, a routine reading a view): the reference
+            # requeues a failed POST job behind the rest of the phase and
+            # loops until a full pass makes no progress
+            # (myloader_worker_post.c:1-129 CREATE-order retry). A job that
+            # fails because its prerequisite object doesn't exist yet
+            # succeeds on a later pass, after the prerequisite's own job
+            # lands; only a pass with zero successes makes failures final.
+            requeue_on_failure = phase == Phase.POST
+            while remaining:
                 ready = [
                     j
                     for j in remaining.values()
@@ -145,6 +152,10 @@ class LoaderDag:
                         for d in j.depends_on
                     )
                 ]
+                if not ready:
+                    stuck = sorted(remaining)
+                    raise RuntimeError(
+                        f"dependency cycle or failed deps in phase {phase.name}: {stuck}")
                 if self.parallelism > 1 and len(ready) > 1:
                     from concurrent.futures import ThreadPoolExecutor
 
@@ -152,21 +163,38 @@ class LoaderDag:
                         outs = list(ex.map(self._run_one, ready))
                 else:
                     outs = [self._run_one(j) for j in ready]
+                progressed = False
+                failures: list[LoadJob] = []
                 for j, res in zip(ready, outs):
                     self.results[(j.table, j.phase)] = res
                     del remaining[j.table]
-                    progressed = True
                     if res.ok:
+                        progressed = True
                         self._advance(j.table, j.phase)
+                    elif requeue_on_failure:
+                        failures.append(j)  # verdict after the pass
                     else:
                         self.state[j.table] = TableState.FAILED
                         if fail_fast:
                             raise RuntimeError(
                                 f"load failed: {j.table} phase {j.phase.name}: {res.error}"
                             )
-            if remaining:
-                stuck = sorted(remaining)
-                raise RuntimeError(f"dependency cycle or failed deps in phase {phase.name}: {stuck}")
+                if failures:
+                    if progressed:
+                        # something landed this pass — the failures may have
+                        # been waiting on it; give them another pass (at the
+                        # back: dict order is insertion order)
+                        for j in failures:
+                            remaining[j.table] = j
+                    else:
+                        for j in failures:
+                            self.state[j.table] = TableState.FAILED
+                        if fail_fast:
+                            j = failures[0]
+                            res = self.results[(j.table, j.phase)]
+                            raise RuntimeError(
+                                f"load failed: {j.table} phase {j.phase.name}: {res.error}"
+                            )
         return self.results
 
 

@@ -740,6 +740,126 @@ def test_view_dump_restore_roundtrip_live(spark, tmp_path):
     assert rows == {"r0": 30, "r1": 30, "r2": 30}
 
 
+def test_view_on_view_restore_order_independent_live(spark, tmp_path):
+    """POST-phase dependency handling, live: a view chain whose CAPTURE
+    order is the reverse of its CREATE order (the dependent view sorts
+    first — manifest objects sort by name) must still restore: the failed
+    CREATE requeues behind the phase and lands on a later pass once its
+    base view exists (myloader_worker_post.c CREATE-order retry). Three
+    levels deep, worst-case order, parallelism=1."""
+    import json
+    import os
+
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "vchain_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE fact (id INTEGER PRIMARY KEY, grp VARCHAR, "
+                "v DOUBLE)")
+    con.execute("INSERT INTO fact SELECT range, 'g' || (range % 4), "
+                "range * 1.25 FROM range(80)")
+    # names chosen so alphabetical (= manifest) order is the exact REVERSE
+    # of dependency order: a_top → m_mid → z_base
+    con.execute("CREATE VIEW z_base AS SELECT grp, sum(v) AS total, "
+                "count(*) AS n FROM fact GROUP BY grp")
+    con.execute("CREATE VIEW m_mid AS SELECT grp, total / n AS avg_v "
+                "FROM z_base")
+    con.execute("CREATE VIEW a_top AS SELECT count(*) AS n_groups, "
+                "sum(avg_v) AS s FROM m_mid")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "vchain_dump")
+    manifest = dump(spark, f"jdbc:duckdb:{src}",
+                    DumpConfig(output_dir=out,
+                               jdbc_properties=dict(DRIVER_PROPS)))
+    doc = json.load(open(os.path.join(out, "_manifest.json")))
+    # the hazard is real: the dependent views precede their bases on disk
+    assert [o["name"] for o in doc["objects"]] == ["a_top", "m_mid", "z_base"]
+    assert set(manifest.tables) == {"fact"}
+
+    target = str(tmp_path / "vchain_target.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}",
+        parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor, jdbc_num_partitions=1,
+    )
+    assert results["load"] == {"fact": True}
+    assert results["ddl"]["post"] == {
+        "view:a_top": True, "view:m_mid": True, "view:z_base": True}
+
+    con = duckdb.connect(target)
+    n_groups = con.execute("SELECT n_groups FROM a_top").fetchone()[0]
+    base_rows = con.execute("SELECT count(*) FROM z_base").fetchone()[0]
+    con.close()
+    assert n_groups == 4 and base_rows == 4
+
+
+def test_restore_ddl_retry_composes_with_replay_live(spark, tmp_path):
+    """L8 retry × L6 DDL replay, live: the INDEX phase's first CREATE
+    INDEX statement fails once (transient target error); the LoadJob's
+    retry policy re-runs the whole action, the second attempt succeeds,
+    and verify stays green — a transient DDL hiccup must not abort the
+    restore or leave the index missing."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "retry_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE t_retry (id INTEGER PRIMARY KEY, "
+                "grp INTEGER, v DOUBLE)")
+    con.execute("CREATE INDEX idx_grp ON t_retry(grp)")
+    con.execute("INSERT INTO t_retry SELECT range, range % 9, range * 0.5 "
+                "FROM range(150)")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "retry_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+
+    target = str(tmp_path / "retry_target.duckdb")
+    index_attempts = {"n": 0}
+
+    def ddl_executor(sql):
+        if sql.lstrip().upper().startswith("CREATE INDEX"):
+            index_attempts["n"] += 1
+            if index_attempts["n"] == 1:
+                raise RuntimeError("transient: target briefly unavailable")
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}",
+        parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor, jdbc_num_partitions=1,
+    )
+    assert index_attempts["n"] == 2          # failed once, retried, landed
+    assert results["load"] == {"t_retry": True}
+    assert results["ddl"]["index"] == {"t_retry": True}
+    assert results["verify"] == {"t_retry": True}
+
+    con = duckdb.connect(target)
+    idx = {name for name, _ in con.execute(
+        "SELECT index_name, is_unique FROM duckdb_indexes() "
+        "WHERE table_name = 't_retry'").fetchall()}
+    n = con.execute("SELECT count(*) FROM t_retry").fetchone()[0]
+    con.close()
+    assert "idx_grp" in idx and n == 150
+
+
 def test_restore_records_objects_skipped_on_parquet_target(spark, tmp_path):
     """A parquet target tree has no view engine: captured objects are
     recorded as skipped in the restore result, never silently dropped."""

@@ -151,6 +151,59 @@ def test_dag_resume_skips_done():
     assert ran == []  # L11
 
 
+def test_dag_post_phase_requeues_order_dependent_failures():
+    """The POST phase is order-dependent in ways the dump can't see (a
+    view on a view, a routine reading a view): a failed POST job requeues
+    behind the rest of the phase and the phase loops until a full pass
+    makes no progress — the reference's CREATE-order retry
+    (myloader_worker_post.c). Here the jobs arrive in the WORST order
+    (deepest dependent first): every pass lands exactly one object."""
+    created: set[str] = set()
+
+    def make(name: str, needs: str | None):
+        def action():
+            if needs is not None and needs not in created:
+                raise RuntimeError(f"{needs} does not exist")
+            created.add(name)
+        return action
+
+    dag = LoaderDag()
+    # reverse dependency order: c needs b needs a
+    dag.add(LoadJob("view:c", Phase.POST, make("c", "b"), retries=0))
+    dag.add(LoadJob("view:b", Phase.POST, make("b", "a"), retries=0))
+    dag.add(LoadJob("view:a", Phase.POST, make("a", None), retries=0))
+    results = dag.run()
+    assert created == {"a", "b", "c"}
+    assert all(r.ok for r in results.values())
+
+
+def test_dag_post_phase_genuine_failure_still_fails():
+    """Requeue-on-failure must not mask a genuinely broken object: when a
+    full pass makes no progress, the failure is final (fail_fast raises;
+    fail_fast=False records it and the rest of the phase lands)."""
+    created: set[str] = set()
+
+    def ok_action():
+        created.add("ok")
+
+    def broken():
+        raise RuntimeError("references a table that is not in the dump")
+
+    dag = LoaderDag()
+    dag.add(LoadJob("view:broken", Phase.POST, broken, retries=0))
+    dag.add(LoadJob("view:ok", Phase.POST, ok_action, retries=0))
+    with pytest.raises(RuntimeError, match="load failed"):
+        dag.run()
+    assert "ok" in created  # the healthy object landed before the verdict
+
+    dag2 = LoaderDag()
+    dag2.add(LoadJob("view:broken", Phase.POST, broken, retries=0))
+    dag2.add(LoadJob("view:ok", Phase.POST, ok_action, retries=0))
+    results = dag2.run(fail_fast=False)
+    assert results[("view:ok", Phase.POST)].ok
+    assert not results[("view:broken", Phase.POST)].ok
+
+
 def test_split_create_table():
     ddl = """CREATE TABLE actor (
       actor_id INT NOT NULL,
