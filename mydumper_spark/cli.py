@@ -184,11 +184,21 @@ def cmd_daemon(args: argparse.Namespace) -> int:
     or fully replaced. This is what makes wrapping onto a live-chain
     ancestor slot safe: until the replacement full dump has completed, the
     ancestor (and with it the whole chain LAST_DUMP resolves through) is
-    untouched on disk."""
+    untouched on disk.
+
+    ``--only-if-drifted`` closes the drift loop: before each non-first
+    snapshot, recompute the source's checksums against the manifest
+    LAST_DUMP points at (engine.source_drift — the exact answer the
+    reference's mtime-coarse ``--updated-since`` freshness gate
+    approximates) and SKIP the snapshot when everything is in_sync. The
+    cost is one full source scan; the saving is the dump's write path,
+    checksum read-back and a ring slot — on a mostly-idle source the ring
+    stops churning slots that would be byte-identical anyway.
+    """
     import shutil as _shutil
     import time as _time
 
-    from mydumper_spark.engine import dump, dump_incremental
+    from mydumper_spark.engine import dump, dump_incremental, source_drift
     from mydumper_spark.sinks.manifest import read_manifest, rebase_manifest_paths
 
     if args.snapshot_count < 2:
@@ -208,6 +218,17 @@ def cmd_daemon(args: argparse.Namespace) -> int:
                 idx = (int(f.read().strip() or 0) + 1) % args.snapshot_count
         slot = os.path.join(ring, str(idx))
         last = os.path.realpath(link) if os.path.islink(link) else None
+        if getattr(args, "only_if_drifted", False) and last:
+            # drift gate: skip the snapshot when the live source still
+            # checksums to what LAST_DUMP recorded (None = unverifiable —
+            # e.g. a table appeared/vanished — counts as drift: snapshot)
+            drift = source_drift(spark, last, args.source,
+                                 _build_dump_config(args, last))
+            if drift and all(r.get("in_sync") for r in drift.values()):
+                snapshots.append({"slot": None, "mode": "skipped_in_sync"})
+                if it + 1 < args.iterations and args.snapshot_interval > 0:
+                    _time.sleep(args.snapshot_interval)
+                continue
         if last and os.path.realpath(slot) == last:
             # crash window: a prior run wrote the state file but died
             # before repointing LAST_DUMP, so the naive next slot IS the
@@ -284,12 +305,6 @@ def cmd_restore(args: argparse.Namespace) -> int:
             PurgeMode.SKIP if args.skip_existing else PurgeMode.FAIL
         )
     )
-    if args.target.startswith("jdbc:") and purge == PurgeMode.SKIP:
-        build_parser().error(
-            "--skip-existing is not supported with a jdbc: target "
-            "(existence cannot be probed portably); use --drop-table or "
-            "--truncate"
-        )
     jdbc_props = _parse_props(args.jdbc_property)
     ddl_executor = None
     parallelism = args.threads or 4
@@ -859,7 +874,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--drop-table", action="store_true", help="purge mode DROP (L3)")
     r.add_argument("--truncate", action="store_true",
                    help="purge mode TRUNCATE (L3): keep tables, re-fill data")
-    r.add_argument("--skip-existing", action="store_true", help="purge mode SKIP (L3)")
+    r.add_argument("--skip-existing", action="store_true",
+                   help="purge mode SKIP (L3): leave tables that already "
+                        "exist on the target untouched (jdbc targets probe "
+                        "information_schema.tables)")
     r.add_argument("--no-checksum", action="store_true")
     r.add_argument("--stream", action="store_true",
                    help="reassemble a framed dump from stdin into -d first "
@@ -993,6 +1011,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="non-first snapshots dump only rows added/changed "
                          "since LAST_DUMP; a snapshot recycling a chain "
                          "ancestor slot runs full automatically")
+    dd.add_argument("--only-if-drifted", action="store_true",
+                    help="before each non-first snapshot, checksum the live "
+                         "source against LAST_DUMP's manifest and skip the "
+                         "snapshot when everything is in sync (the exact "
+                         "form of the reference's --updated-since "
+                         "freshness gate)")
     dd.add_argument("--jdbc-property", action="append", metavar="K=V")
     dd.add_argument("-T", "--tables-list", default=None)
     dd.add_argument("-x", "--regex", default=None)

@@ -546,17 +546,11 @@ def restore(
             "would restore into unexpected paths")
     doc = read_manifest(dump_root)
     dag = LoaderDag(parallelism=parallelism)
+    skip_existing: set[str] = set()
     if jdbc_target:
         from mydumper_spark.plans.ddl import quote_ident
         from mydumper_spark.sinks.jdbc_sink import JdbcSinkConfig
 
-        if purge == PurgeMode.SKIP:
-            raise ValueError(
-                "purge=SKIP is not supported for jdbc targets: existence "
-                "cannot be probed portably through Spark's JDBC reader; "
-                "use DROP (re-create), TRUNCATE/DELETE (keep, re-fill) or "
-                "FAIL (abort on existing)"
-            )
         scheme = target_root.split(":")[1].lower()
         dialect = "mysql" if scheme in ("mysql", "mariadb") else "ansi"
         sink = JdbcSinkConfig(
@@ -593,6 +587,30 @@ def restore(
                 url=target_root, table=target_table(t),
                 properties=dict(jdbc_properties or {}),
             )
+
+        if purge == PurgeMode.SKIP:
+            # myloader's purge-matrix SKIP on a live target: one probe of
+            # information_schema.tables (ANSI — MySQL/MariaDB/TiDB/DuckDB,
+            # the same surface JdbcCatalog discovery walks) decides which
+            # manifest tables already exist and are left untouched. A
+            # single-namespace dump records no database, so its tables
+            # land in the connection's DEFAULT schema — which no dialect
+            # names portably — and match on bare name across schemas:
+            # skipping is the conservative direction (--skip-existing
+            # promises "never touch what's there").
+            rows = spark.read.jdbc(
+                url=target_root,
+                table="(SELECT table_schema, table_name FROM "
+                      "information_schema.tables "
+                      "WHERE table_type = 'BASE TABLE') AS t",
+                properties=dict(jdbc_properties or {}),
+            ).collect()
+            qualified = {(r["table_schema"], r["table_name"]) for r in rows}
+            names = {r["table_name"] for r in rows}
+            for t in doc["tables"]:
+                db, bare = entry_db_and_name(t)
+                if (db, bare) in qualified or (db is None and bare in names):
+                    skip_existing.add(t)
     else:
         tnames = FilenameRegistry()  # target-side safe names for weird tables
         target_paths = {
@@ -637,6 +655,8 @@ def restore(
 
     skipped_ddl: dict[str, list[str]] = {}
     for t, entry in doc["tables"].items():
+        if t in skip_existing:
+            continue  # L3 SKIP: the target already has it — untouched
         src_path = entry.get("path")
         schema_only = entry.get("path") is None and entry["rows"] == 0
         if jdbc_target:
@@ -724,10 +744,14 @@ def restore(
         )
         # L6/L7: captured secondary indexes + constraints replay AFTER the
         # data phase (the reference's --optimize-keys: bulk-load a bare
-        # table, index once — myloader_worker_index.c:107-171). Only under
-        # DROP purge: TRUNCATE/DELETE keep the existing table, whose own
-        # indexes survive — re-issuing CREATE INDEX would collide.
-        if jdbc_target and entry.get("schema_def") and purge == PurgeMode.DROP:
+        # table, index once — myloader_worker_index.c:107-171). Only for
+        # purge modes that CREATE the table fresh (DROP re-creates; FAIL
+        # and SKIP reach here only when the table did not exist):
+        # TRUNCATE/DELETE keep the existing table, whose own indexes
+        # survive — re-issuing CREATE INDEX would collide.
+        if (jdbc_target and entry.get("schema_def")
+                and purge in (PurgeMode.DROP, PurgeMode.FAIL,
+                              PurgeMode.SKIP)):
             from mydumper_spark.plans.ddl import (
                 prune_descriptor, restore_statements,
             )
@@ -823,6 +847,9 @@ def restore(
                         action=make_post_action()))
     dag.run()
     results = {"load": {k[0]: v.ok for k, v in dag.results.items() if k[1] == Phase.DATA}}
+    if skip_existing:
+        # visible, not silent: which tables --skip-existing left alone
+        results["skipped_existing"] = sorted(skip_existing)
     ddl_phases = {
         phase.name.lower(): {
             k[0]: v.ok for k, v in dag.results.items() if k[1] == phase
@@ -848,6 +875,10 @@ def restore(
         algo = manifest_algorithm(doc)
         checks = {}
         for t, entry in doc["tables"].items():
+            if t in skip_existing:
+                # SKIP left whatever data was already there — comparing it
+                # to the manifest would flag a deliberate non-action
+                continue
             if entry.get("path") is None and entry["rows"] == 0:
                 continue  # schema-only (same predicate as schema_only above)
             if entry.get("data_checksum") is None:

@@ -808,6 +808,59 @@ def test_cli_daemon_ancestor_slot_survives_failed_wrap_dump(tmp_path):
         assert os.path.exists(e["path"])
 
 
+def test_cli_daemon_only_if_drifted_skips_in_sync_source(tmp_path):
+    """daemon --only-if-drifted: the drift gate (source checksums vs
+    LAST_DUMP's manifest) skips the snapshot when nothing changed — run 1
+    takes the first snapshot, an immediately-following gated run takes
+    none (source unchanged, no new slot, LAST_DUMP stays), and after the
+    source mutates the gate opens and a fresh snapshot lands."""
+    import shutil
+
+    import duckdb
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/region.parquet",
+                src / "region.parquet")
+    ring = tmp_path / "ring"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+
+    def run(iters):
+        r = subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "daemon",
+             "--source", str(src), "-o", str(ring),
+             "--snapshot-interval", "0", "--snapshot-count", "2",
+             "--iterations", str(iters), "--only-if-drifted",
+             "--threads", "4"],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out1 = run(1)
+    assert [s["mode"] for s in out1["snapshots"]] == ["full"]
+    assert out1["last_dump"].endswith("/0")
+    manifest0 = (ring / "0" / "_manifest.json").read_bytes()
+
+    # source unchanged → the gated run takes NO snapshot: no new slot,
+    # LAST_DUMP unmoved, slot 0 byte-identical
+    out2 = run(2)
+    assert [s["mode"] for s in out2["snapshots"]] == [
+        "skipped_in_sync", "skipped_in_sync"]
+    assert all(s["slot"] is None for s in out2["snapshots"])
+    assert out2["last_dump"].endswith("/0")
+    assert not (ring / "1").exists()
+    assert (ring / "0" / "_manifest.json").read_bytes() == manifest0
+
+    # mutate the source → the gate opens and a snapshot lands in slot 1
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{src}/region.parquet' WHERE r_regionkey <> 2)"
+        f" TO '{src}/region.parquet' (FORMAT PARQUET)")
+    out3 = run(1)
+    assert [s["mode"] for s in out3["snapshots"]] == ["full"]
+    assert out3["last_dump"].endswith("/1")
+
+
 def test_cli_prepare_stream_blocklist_and_lm_gate(tmp_path):
     """prepare-stream applies the shared blocklist gate per batch and the
     LM gate (trained once on --lm-ref) per batch; blocked docs never land."""

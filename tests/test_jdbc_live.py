@@ -323,8 +323,9 @@ def test_cli_restore_into_jdbc_target_live(spark, sf_dir, tmp_path):
 def test_restore_jdbc_purge_modes_rerun(spark, sf_dir, tmp_path):
     """Re-running a restore against the same live target must honor purge:
     DROP re-creates and re-fills (no duplicates — the checksum verify
-    proves it), FAIL aborts on the existing table, SKIP is rejected
-    up-front for jdbc targets."""
+    proves it), FAIL aborts on the existing table, SKIP probes
+    information_schema.tables and leaves the existing table untouched
+    (myloader's purge matrix, myloader_restore_job.c:120-160)."""
     import duckdb
 
     from mydumper_spark.catalog import TableFilters
@@ -356,9 +357,35 @@ def test_restore_jdbc_purge_modes_rerun(spark, sf_dir, tmp_path):
     # FAIL on an existing table aborts
     with pytest.raises(RuntimeError):
         restore(spark, out, url, purge=PurgeMode.FAIL, **kw)
-    # SKIP is rejected before any work
-    with pytest.raises(ValueError, match="SKIP"):
-        restore(spark, out, url, purge=PurgeMode.SKIP, **kw)
+    # SKIP: the existing table is probed and left completely alone — no
+    # DDL, no data action, no verify row for it (the target's content is
+    # a deliberate non-action, not a mismatch)
+    con = duckdb.connect(target)
+    con.execute("INSERT INTO nation SELECT 990 + range, 'marker' || range, "
+                "0 FROM range(3)")  # drift the target so a reload shows
+    con.execute("CHECKPOINT")
+    con.close()
+    r3 = restore(spark, out, url, purge=PurgeMode.SKIP, **kw)
+    assert r3["skipped_existing"] == ["nation"]
+    assert r3["load"] == {} and r3.get("verify", {}) == {}
+    con = duckdb.connect(target)
+    assert con.execute('SELECT count(*) FROM "nation"').fetchone()[0] == 28
+    con.close()
+    # SKIP on an empty target behaves like a normal first restore
+    target2 = str(tmp_path / "t2.duckdb")
+
+    def ddl_executor2(sql):
+        con = duckdb.connect(target2)
+        con.execute(sql)
+        con.execute("CHECKPOINT")
+        con.close()
+
+    kw2 = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+               ddl_executor=ddl_executor2, jdbc_num_partitions=1)
+    r4 = restore(spark, out, f"jdbc:duckdb:{target2}",
+                 purge=PurgeMode.SKIP, **kw2)
+    assert "skipped_existing" not in r4
+    assert r4["verify"] == {"nation": True}
 
 
 def test_restore_jdbc_target_requires_ddl_executor(spark, sf_dir, tmp_path):
