@@ -121,6 +121,39 @@ def cmd_dump(args: argparse.Namespace) -> int:
         _shutil.rmtree(args.outputdir, ignore_errors=True)
     cfg = _build_dump_config(args, args.outputdir)
     spark = _session(args.threads)
+    streamed: set[str] = set()
+    stream_count = [0]
+    if getattr(args, "stream", False) and not getattr(args, "since", None):
+        # reference --stream pushes each file AS ITS TABLE COMPLETES so
+        # the consumer's restore overlaps the producer's dump
+        # (mydumper_stream.c:34-157) — wire the engine's per-table
+        # completion callback straight into the framer. Pool threads call
+        # it concurrently; one lock serializes the byte stream.
+        import sys as _sys
+        import threading as _threading
+
+        from mydumper_spark.streaming.protocol import write_frame
+
+        _lock = _threading.Lock()
+        _out = _sys.stdout.buffer
+
+        def _table_done(key, files, _root=args.outputdir):
+            with _lock:
+                for p in files:
+                    with open(p, "rb") as f:
+                        payload = f.read()
+                    write_frame(_out, os.path.relpath(p, _root), payload)
+                    streamed.add(os.path.abspath(p))
+                    stream_count[0] += 1
+                _out.flush()
+                if not args.no_delete:
+                    # default --stream deletes after send — but only after
+                    # the WHOLE table framed (a reader of a half-deleted
+                    # parquet dir would see a torn table)
+                    for p in files:
+                        os.remove(p)
+
+        cfg.table_done = _table_done
     if getattr(args, "since", None):
         from mydumper_spark.engine import dump_incremental
 
@@ -128,18 +161,19 @@ def cmd_dump(args: argparse.Namespace) -> int:
     else:
         manifest = dump(spark, args.source, cfg)
     if getattr(args, "stream", False):
-        # reference --stream: frame every finished file onto stdout
-        # (mydumper_stream.c:80-157) — pipe straight into
-        # `restore --stream` on the consumer side. The JSON summary moves
-        # to stderr so stdout stays pure protocol bytes.
+        # post-dump sweep: whatever the overlap path didn't already send —
+        # schema/object artifacts, profile, the manifest (always last, the
+        # reference's final-metadata ordering). The JSON summary moves to
+        # stderr so stdout stays pure protocol bytes. Incremental dumps
+        # (--since) take this path for everything.
         import sys as _sys
 
         from mydumper_spark.streaming.protocol import stream_directory
 
         n = stream_directory(_sys.stdout.buffer, args.outputdir,
-                             delete=not args.no_delete)
+                             delete=not args.no_delete, exclude=streamed)
         _sys.stdout.buffer.flush()
-        print(json.dumps({"streamed_files": n,
+        print(json.dumps({"streamed_files": n + stream_count[0],
                           "dumped_tables": len(manifest.tables)}),
               file=_sys.stderr)
         return 0

@@ -94,6 +94,16 @@ class DumpConfig:
     #: SELECTable) instead of its DDL — the reference flag of the same
     #: name; view entries restore as plain tables
     views_as_tables: bool = False
+    #: completion callback ``(table_key, [absolute file paths])`` invoked
+    #: from the dump pool the moment ONE table's files are finished on
+    #: disk (data written, checksummed, profiled) — the hook ``dump
+    #: --stream`` uses to frame files onto the wire WHILE other tables
+    #: are still dumping, the reference's per-file push
+    #: (mydumper_stream.c:34-157). Called from pool threads concurrently:
+    #: the callback must do its own locking. Dump-wide artifacts (schema
+    #: DDL, objects, profile, manifest) finish after every table and are
+    #: NOT announced here — stream them when ``dump`` returns.
+    table_done: object | None = None
 
 
 def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
@@ -437,6 +447,22 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 from mydumper_spark.operators.profile import table_profile
 
                 prof = [r.asDict() for r in table_profile(written).collect()]
+            if cfg.table_done is not None:
+                # this table is DONE (written + checksummed + profiled):
+                # announce its files — data (file or directory of parts)
+                # plus the typed-read sidecar where the format has one
+                files = []
+                if os.path.isdir(path):
+                    files = sorted(
+                        os.path.join(dp, f)
+                        for dp, _, fs in os.walk(path) for f in fs)
+                elif os.path.exists(path):
+                    files = [path]
+                sidecar = os.path.join(cfg.output_dir,
+                                       f"{out_name}.schema.json")
+                if os.path.exists(sidecar):
+                    files.append(sidecar)
+                cfg.table_done(key, files)
             return key, entry, prof, artifact, out_name
 
         n_threads = max(1, int(cfg.dump_threads))

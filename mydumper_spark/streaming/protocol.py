@@ -28,11 +28,18 @@ def write_frame(out: BinaryIO, filename: str, payload: bytes) -> None:
     out.write(payload)
 
 
-def stream_directory(out: BinaryIO, root: str, delete: bool = False) -> int:
+def stream_directory(out: BinaryIO, root: str, delete: bool = False,
+                     exclude: "set[str] | None" = None) -> int:
     """Frame every file under root (sorted, metadata last like the
-    reference's final-metadata ordering). Returns file count."""
+    reference's final-metadata ordering). ``exclude`` skips files already
+    framed by the per-table overlap path (absolute paths) — the post-dump
+    sweep then carries only the dump-wide artifacts (schema DDL, objects,
+    profile, manifest). Returns file count."""
+    skip = {os.path.abspath(p) for p in (exclude or ())}
     names = sorted(
-        (os.path.join(dp, f) for dp, _, fs in os.walk(root) for f in fs),
+        (p for p in (os.path.join(dp, f)
+                     for dp, _, fs in os.walk(root) for f in fs)
+         if os.path.abspath(p) not in skip),
         key=lambda p: (os.path.basename(p).startswith("_"), p),
     )
     for path in names:

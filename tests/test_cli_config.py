@@ -1034,6 +1034,22 @@ def test_cli_stream_dump_restore_pipe(tmp_path):
     assert summary["dumped_tables"] == 2 and summary["streamed_files"] > 4
     assert os.path.exists(os.path.join(staging, "_manifest.json"))  # kept
 
+    # producer/consumer overlap wire order: every table DATA frame was
+    # pushed by the per-table completion callback, so all of them precede
+    # every dump-wide artifact (schema DDL, metadata) and the manifest is
+    # the final frame (the reference's final-metadata contract)
+    import io
+
+    from mydumper_spark.streaming.protocol import read_frames
+
+    names = [fn for fn, _ in read_frames(io.BytesIO(r1.stdout))]
+    data_pos = [i for i, fn in enumerate(names) if ".parquet/" in fn]
+    wide_pos = [i for i, fn in enumerate(names)
+                if fn.endswith(("-schema.sql", ".ini")) or fn == "metadata"]
+    assert data_pos and wide_pos
+    assert max(data_pos) < min(wide_pos)
+    assert names[-1] == "_manifest.json"
+
     landing = str(tmp_path / "landing")
     target = str(tmp_path / "target")
     r2 = subprocess.run(

@@ -1581,6 +1581,37 @@ def test_source_drift_detection(spark, sf_dir, tmp_path):
     assert "absent" in res2["region"]["reason"]
 
 
+def test_dump_table_done_fires_per_table_during_dump(spark, sf_dir, tmp_path):
+    """The --stream overlap hook: cfg.table_done is invoked once per table
+    the moment THAT table's files are complete — i.e. strictly before the
+    dump-wide manifest exists (the manifest is the last thing dump()
+    writes), which is what lets a piped consumer restore tables while the
+    producer is still dumping others. Announced files are real and on
+    disk at announcement time."""
+    import shutil
+
+    from mydumper_spark.engine import DumpConfig, dump
+
+    src = tmp_path / "cb_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", src / "nation.parquet")
+    shutil.copy(f"{sf_dir}/region.parquet", src / "region.parquet")
+    out = str(tmp_path / "cb_dump")
+    seen: list[tuple] = []
+
+    def table_done(key, files):
+        seen.append((key, list(files),
+                     os.path.exists(os.path.join(out, "_manifest.json")),
+                     all(os.path.exists(p) for p in files)))
+
+    dump(spark, str(src), DumpConfig(output_dir=out, table_done=table_done))
+    assert {k for k, *_ in seen} == {"nation", "region"}
+    for key, files, manifest_existed, all_present in seen:
+        assert not manifest_existed      # announced BEFORE dump-wide finish
+        assert files and all_present
+        assert all(f"{key}.parquet" in p for p in files)
+
+
 def test_source_drift_with_views_as_tables_flag(spark, sf_dir, tmp_path):
     """Regression: source_drift with views_as_tables=True used to raise
     NameError (JdbcCatalog referenced without the function-local import
