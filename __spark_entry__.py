@@ -2979,6 +2979,50 @@ WHERE {h} < cut
 """
 
 
+def x_temperature_mix_a03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing at α=0.3 — the ACTUAL XLM-R setting
+    (Conneau et al. 2020 train with α=0.3, not the 0.5 default): weights
+    are the exact integer 10th root floor((N^3)^(1/10)), big-int
+    arithmetic throughout, no float pow — **oracle-backed**: DuckDB
+    replays the root with a float seed corrected by exact HUGEINT power
+    comparisons, then the identical integer threshold math."""
+    from mydumper_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", alpha=0.3
+    ).select("doc_id", "lang")
+
+
+def _temperature_mix_a03_sql() -> str:
+    from mydumper_spark.operators.sampling import HASH_SPACE, sample_hash_sql
+
+    h = sample_hash_sql("d.doc_id")
+    # the integer 10th root of c^3: float seed r0, then the exact root is
+    # the largest r in [r0-2, r0+2] with r^10 <= c^3 — both powers as
+    # HUGEINT products (a double can't hold 63^10 exactly)
+    return f"""
+WITH n AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+seed AS (SELECT lang, CAST(c AS HUGEINT) AS c,
+                CAST(floor(pow(CAST(c AS DOUBLE), 0.3)) AS HUGEINT) AS r0
+         FROM n),
+s AS (SELECT lang, c,
+             (SELECT max(r)
+              FROM (SELECT unnest([r0 - 2, r0 - 1, r0, r0 + 1, r0 + 2]) AS r)
+              WHERE r >= 1 AND r*r*r*r*r*r*r*r*r*r <= c*c*c) AS w
+      FROM seed),
+tot AS (SELECT sum(c) AS total, sum(w) AS sw FROM s),
+cuts AS (
+  SELECT lang,
+         least(CAST({HASH_SPACE} AS HUGEINT),
+               CAST({HASH_SPACE} AS HUGEINT) * w * total // (sw * c)) AS cut
+  FROM s CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts USING (lang)
+WHERE {h} < cut
+"""
+
+
 _TOKENS_EXPR_SQL = (
     "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT)"
@@ -4932,6 +4976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_blocklist_filter": x_blocklist_filter,
         "x_lm_source_report": x_lm_source_report,
         "x_temperature_mix": x_temperature_mix,
+        "x_temperature_mix_a03": x_temperature_mix_a03,
         "x_gopher_quality": x_gopher_quality,
         "x_gopher_report": x_gopher_report,
         "x_c4_filter": x_c4_filter,
@@ -5064,6 +5109,7 @@ def oracle_sql() -> dict[str, str]:
         "x_blocklist_filter": _BLOCKLIST_SQL,
         "x_lm_source_report": _LM_SOURCE_REPORT_SQL,
         "x_temperature_mix": _temperature_mix_sql(),
+        "x_temperature_mix_a03": _temperature_mix_a03_sql(),
         "x_gopher_quality": _GOPHER_QUALITY_SQL,
         "x_gopher_report": _GOPHER_REPORT_SQL,
         "x_c4_filter": _C4_FILTER_SQL,

@@ -293,6 +293,39 @@ def shuffle_corpus(
     return with_key.orderBy("shuffle_key", id_col)
 
 
+def _small_rational(alpha: float) -> "tuple[int, int] | None":
+    """α as a small exact fraction p/q (q ≤ 64) via its DECIMAL spelling —
+    ``str(0.3)`` is ``'0.3'`` (repr round-trips the shortest spelling), so
+    the user's intended rational survives the float detour. None when no
+    small form exists (→ the float-pow fallback)."""
+    from fractions import Fraction
+
+    try:
+        f = Fraction(str(alpha))
+    except ValueError:
+        return None
+    if f <= 0 or f.denominator > 64:
+        return None
+    return f.numerator, f.denominator
+
+
+def _int_kth_root(x: int, k: int) -> int:
+    """floor(x^(1/k)) in exact big-int arithmetic: float seed, integer
+    correction — the same trick the DuckDB oracle twin replays (float
+    seed + HUGEINT power comparisons), so both engines land on the
+    identical integer for any x."""
+    if x < 0 or k < 1:
+        raise ValueError("x must be >= 0, k >= 1")
+    if x == 0:
+        return 0
+    r = max(1, int(round(float(x) ** (1.0 / k))))
+    while r**k > x:
+        r -= 1
+    while (r + 1) ** k <= x:
+        r += 1
+    return r
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str = "lang",
@@ -312,9 +345,13 @@ def temperature_mix(
     — IEEE sqrt is correctly rounded, so the floor is identical in every
     engine — and every step after that is exact integer arithmetic
     (Python big-ints on the driver; the oracle replays in HUGEINT), so
-    membership is a pure function of the key. Other α values compute
-    their thresholds with Python pow on the driver — still deterministic
-    per run, but with no exact SQL twin.
+    membership is a pure function of the key. Any other RATIONAL α = p/q
+    (q ≤ 64, e.g. the actual XLM-R α=0.3 = 3/10) is engine-exact too:
+    weights are the integer k-th root ``floor((N^p)^(1/q))`` — computed
+    with big-int arithmetic, no float pow anywhere — and the oracle
+    replays the root with a float seed + exact HUGEINT correction.
+    Only an α with no small rational form falls back to Python float
+    pow on the driver (deterministic per run, no exact SQL twin).
 
     Scale shape: one count aggregate (group cardinality is languages/
     domains — thousands at most, driver-plane), then a scan-side CASE
@@ -332,8 +369,18 @@ def temperature_mix(
     rows = df.groupBy(group_col).count().collect()
     counts = {r[group_col]: r["count"] for r in rows}
     total = sum(counts.values())
+    frac = _small_rational(alpha)
     if alpha == 0.5:
         w = {g: int(math.floor(math.sqrt(n))) for g, n in counts.items()}
+        sw = sum(w.values())
+        cuts = {g: min(HASH_SPACE, HASH_SPACE * w[g] * total // (sw * n))
+                for g, n in counts.items()}
+    elif frac is not None:
+        # exact rational path: α = p/q ⇒ weight = floor((N^p)^(1/q)),
+        # big-int throughout — same convention (and same oracle contract)
+        # as the floor(sqrt) α=0.5 fast path
+        p, q = frac
+        w = {g: _int_kth_root(int(n) ** p, q) for g, n in counts.items()}
         sw = sum(w.values())
         cuts = {g: min(HASH_SPACE, HASH_SPACE * w[g] * total // (sw * n))
                 for g, n in counts.items()}

@@ -1417,3 +1417,137 @@ def sq8_topk_indexed(
     scored = df.select(F.col(id_col), total.alias("sq8_score"))
     return scored.orderBy(
         F.col("sq8_score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --- index maintenance under incremental growth ----------------------------
+#
+# The steady-state LLM pipeline (daemon + incremental dumps) grows the
+# embeddings table every snapshot; rebuilding a persisted index from
+# scratch per delta would cost a full corpus re-encode. The append path
+# encodes ONLY the delta with the index's FROZEN training artifacts (SQ8
+# scale / IVF centroids / ANN hyperplanes) — the same persisted-artifact
+# contract save_bpe/load_bpe established — so indexed queries over
+# base+delta are bit-identical to inline queries over the union at the
+# frozen parameters. The price of freezing is drift: the staleness probe
+# below measures it and says when to retrain.
+
+
+def append_sq8_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Append a delta's codes to a persisted SQ8 index using the FROZEN
+    training scale from the index sidecar — never retrained here, because
+    two scales in one codes file would break the integer-dot ranking
+    (codes are only comparable under one scale). One encode pass over the
+    delta, appended parquet, sidecar append-count bumped. Returns the
+    frozen scale."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_sq8_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    scale = float(meta["scale"])
+    sq8_encode(delta, scale, vec_col).select(
+        id_col, "sq8_code"
+    ).write.mode("append").parquet(path)
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return scale
+
+
+def append_ivf_index(
+    delta: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a delta to a persisted IVF index: assign cells with the
+    FROZEN centroids (the ones persisted next to the index — retraining
+    here would orphan every existing row's assignment) and append into
+    the same ``__cell`` partition layout; partition-pruned queries see
+    base and delta rows alike."""
+    assigned, _ = ivf_assign_cells(delta, id_col=id_col, vec_col=vec_col,
+                                   centroids=centroids)
+    assigned.write.mode("append").partitionBy("__cell").parquet(path)
+
+
+def append_ann_index(
+    delta: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a delta to a persisted hyperplane-ANN index. The planes are
+    deterministic functions of (plane index, dim) — nothing is trained —
+    so the only contract is calling with the SAME num_planes/band_bits
+    the index was built with; signatures then land in the identical band
+    partitioning."""
+    sig = simhash_embedding_signature(F.col(vec_col), dim, num_planes)
+    indexed = delta.withColumn("__sig", sig).withColumn(
+        "sig_band", F.col("__sig").bitwiseAND(F.lit((1 << band_bits) - 1))
+    )
+    indexed.write.mode("append").partitionBy("sig_band").parquet(path)
+
+
+def sq8_index_staleness(
+    current: DataFrame,
+    scale: float | None = None,
+    path: str | None = None,
+    vec_col: str = "embedding",
+    clip_ppm_max: int = 1000,
+    min_range_utilization: float = 0.5,
+) -> dict:
+    """How stale is a frozen SQ8 scale against the CURRENT corpus? Two
+    distortion signals, both from ONE aggregate over the corpus:
+
+    - ``clip_ppm`` — ppm of vector components whose |x| exceeds the
+      frozen scale: those saturate at ±127 and their dot-product
+      contribution flattens (ranking fidelity loss for exactly the
+      outlier mass a drifted corpus grows).
+    - ``range_utilization`` — current max-|component| / frozen scale:
+      well below 1 means the corpus shrank into a sliver of the int8
+      range and quantization steps are needlessly coarse.
+
+    ``retrain_recommended`` fires when either crosses its threshold —
+    the signal the daemon's incremental loop checks before deciding
+    between :func:`append_sq8_index` and a fresh :func:`write_sq8_index`."""
+    import json
+    import os
+
+    if scale is None:
+        if path is None:
+            raise ValueError("pass the frozen scale or the index path")
+        with open(os.path.join(path, "_sq8_meta.json")) as f:
+            scale = float(json.load(f)["scale"])
+    e = F.col(vec_col)
+    clipped = F.size(F.filter(
+        e, lambda x: F.abs(x.cast("double")) > F.lit(float(scale))))
+    maxabs = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
+    row = current.agg(
+        F.sum(clipped).alias("clipped"),
+        F.sum(F.size(e)).alias("components"),
+        F.max(maxabs).alias("current_scale"),
+    ).first()
+    components = int(row["components"] or 0)
+    clip_ppm = (1_000_000 * int(row["clipped"] or 0) // components
+                if components else 0)
+    current_scale = float(row["current_scale"] or 0.0)
+    utilization = current_scale / scale if scale > 0 else 0.0
+    return {
+        "frozen_scale": float(scale),
+        "current_scale": current_scale,
+        "clip_ppm": clip_ppm,
+        "range_utilization": utilization,
+        "retrain_recommended": bool(
+            clip_ppm > clip_ppm_max or utilization < min_range_utilization),
+    }

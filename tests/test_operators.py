@@ -1846,6 +1846,101 @@ def test_sq8_indexed_equals_inline(spark, embeddings, tmp_path):
     assert "embedding" not in plan  # codes-only scan
 
 
+def test_sq8_index_append_equals_inline_union(spark, embeddings, tmp_path):
+    """Incremental index maintenance: appending a delta encoded with the
+    FROZEN scale makes the persisted index answer exactly like the inline
+    operator over base ∪ delta at that scale — the daemon/incremental
+    steady state never rebuilds the base. The sidecar keeps the frozen
+    scale (bumping only the append counter), and re-training on the union
+    is measurably a DIFFERENT scale when the delta carries outliers (the
+    drift the staleness probe is for)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.operators.similarity import (
+        append_sq8_index, sq8_index_staleness, sq8_topk, sq8_topk_indexed,
+        train_sq8_scale, write_sq8_index,
+    )
+
+    base = embeddings.where("vec_id < 300")
+    delta = embeddings.where("vec_id >= 300")
+    qvec = [float(v) for v in embeddings.where("vec_id = 0")
+            .first()["embedding"]]
+    idx = str(tmp_path / "sq8grow")
+    frozen = write_sq8_index(base, idx)
+
+    appended_scale = append_sq8_index(delta, idx)
+    assert appended_scale == frozen  # never retrained on append
+    meta = json.load(open(f"{idx}/_sq8_meta.json"))
+    assert meta["scale"] == frozen and meta["appends"] == 1
+
+    inline = sq8_topk(embeddings, qvec, k=10, scale=frozen).collect()
+    indexed = sq8_topk_indexed(spark, idx, qvec, k=10).collect()
+    assert [(r["vec_id"], r["sq8_score"]) for r in inline] == \
+           [(r["vec_id"], r["sq8_score"]) for r in indexed]
+
+    # staleness probe: the scale was trained on the base, so the union
+    # shows only the delta's genuine (mild) drift — components past the
+    # frozen scale register as clip_ppm, utilization sits near 1, and
+    # neither crosses its retrain threshold
+    st = sq8_index_staleness(embeddings, path=idx)
+    assert st["frozen_scale"] == frozen
+    assert st["current_scale"] == train_sq8_scale(embeddings)
+    assert 0 <= st["clip_ppm"] < 1000
+    assert 0.9 < st["range_utilization"] < 1.5
+    assert not st["retrain_recommended"]
+
+    # a drifted corpus (components beyond the frozen range) trips the gate
+    drifted = embeddings.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(3.0)))
+    st2 = sq8_index_staleness(drifted, path=idx)
+    assert st2["clip_ppm"] > 0 and st2["retrain_recommended"]
+    # and a shrunken corpus wastes the int8 range → also retrain
+    shrunk = embeddings.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(0.1)))
+    st3 = sq8_index_staleness(shrunk, path=idx)
+    assert st3["range_utilization"] < 0.5 and st3["retrain_recommended"]
+
+
+def test_ivf_and_ann_index_append_equal_inline_union(spark, embeddings,
+                                                     tmp_path):
+    """The IVF and hyperplane-ANN persisted indexes take deltas the same
+    way: frozen centroids / deterministic planes assign the delta into the
+    existing partition layout, and the indexed query over base+delta
+    equals the inline query over the union with the same parameters."""
+    from mydumper_spark.operators.similarity import (
+        ann_topk, ann_topk_indexed, append_ann_index, append_ivf_index,
+        ivf_topk, ivf_topk_indexed, train_ivf_centroids, write_ann_index,
+        write_ivf_index,
+    )
+
+    base = embeddings.where("vec_id < 300")
+    delta = embeddings.where("vec_id >= 300")
+    first = embeddings.where("vec_id = 0").first()
+    qvec = [float(v) for v in first["embedding"]]
+    dim = len(qvec)
+
+    cents = train_ivf_centroids(base, n_cells=4)
+    ivf_path = str(tmp_path / "ivfgrow")
+    write_ivf_index(base, ivf_path, n_cells=4, centroids=cents)
+    append_ivf_index(delta, ivf_path, cents)
+    inline = ivf_topk(embeddings, qvec, k=10, n_cells=4, n_probe=2,
+                      centroids=cents).collect()
+    indexed = ivf_topk_indexed(spark, ivf_path, cents, qvec, k=10,
+                               n_probe=2).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in inline] == \
+           [(r["vec_id"], r["cosine_sim"]) for r in indexed]
+
+    ann_path = str(tmp_path / "anngrow")
+    write_ann_index(base, ann_path, dim=dim)
+    append_ann_index(delta, ann_path, dim=dim)
+    inline_a = ann_topk(embeddings, qvec, k=10, dim=dim).collect()
+    indexed_a = ann_topk_indexed(spark, ann_path, qvec, k=10).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in inline_a] == \
+           [(r["vec_id"], r["cosine_sim"]) for r in indexed_a]
+
+
 def test_bpe_save_load_roundtrip(spark, tmp_path):
     """A persisted tokenizer encodes identically to the freshly-trained
     one — the frozen-artifact contract."""
@@ -1894,6 +1989,31 @@ def test_temperature_mix_flattens_distribution(spark):
 
     # α=1: thresholds all cap at 1 → identity
     assert temperature_mix(df, "lang", "doc_id", alpha=1.0).count() == 2100
+
+
+def test_temperature_mix_rational_alpha_exact():
+    """The α=p/q path is big-int exact: _int_kth_root is floor((x)^(1/k))
+    for every x across perfect powers and off-by-one neighborhoods (the
+    float-seed correction must never be trusted raw), and _small_rational
+    reads the user's decimal spelling, not the float's binary expansion."""
+    from mydumper_spark.operators.sampling import (
+        _int_kth_root, _small_rational,
+    )
+
+    for base in [1, 2, 3, 7, 63, 64, 1000, 10**6]:
+        for k in [1, 2, 3, 10]:
+            x = base**k
+            assert _int_kth_root(x, k) == base
+            if x > 1:
+                assert _int_kth_root(x - 1, k) == base - 1
+            if k > 1:  # for k=1 the root of x+1 is x+1 itself
+                assert _int_kth_root(x + 1, k) == base
+    assert _int_kth_root(0, 10) == 0
+    assert _small_rational(0.3) == (3, 10)
+    assert _small_rational(0.25) == (1, 4)
+    assert _small_rational(1.0) == (1, 1)
+    assert _small_rational(2 / 3) is None       # no short decimal spelling
+    assert _small_rational(-0.5) is None
 
 
 def test_temperature_mix_null_group(spark):
