@@ -541,6 +541,30 @@ FROM (
 """
 
 
+def x_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup frequency reweighting (He et al. 2024): every document
+    kept, each fingerprint-family member weighted 1/family-size in integer
+    ppm — the reweighting alternative to dropping duplicates. One count
+    aggregate on the fingerprint + join back."""
+    from mydumper_spark.operators.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return soft_dedup_weights(docs).select(
+        "doc_id", "dup_count", "weight_ppm")
+
+
+_SOFT_DEDUP_SQL = """
+SELECT doc_id, dup_count, 1000000 // dup_count AS weight_ppm
+FROM (
+  SELECT doc_id,
+         count(*) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         ) AS dup_count
+  FROM documents
+)
+"""
+
+
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document counting stats (token/punct/digit/upper/space)."""
     from mydumper_spark.operators.text import add_text_stats
@@ -1023,6 +1047,33 @@ comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
 _MINHASH_SQL = f"""
 WITH {_SHINGLE_DOCS_CTE}
 SELECT id_a, id_b, jaccard FROM exact_pairs
+"""
+
+
+def x_crossdup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup leakage matrix: verified MinHash+LSH pairs
+    aggregated by unordered source pair — intra-source counts say "dedup
+    within the crawl", off-diagonal counts say "mirrors/syndication:
+    source-level splits leak". Oracle: the exact all-pairs Jaccard edge
+    set aggregated the same way."""
+    from mydumper_spark.operators.dedup import (
+        cross_group_dup_matrix, minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    return cross_group_dup_matrix(docs, pairs)
+
+
+_CROSSDUP_SQL = f"""
+WITH {_SHINGLE_DOCS_CTE}
+SELECT least(da.source, db.source) AS group_a,
+       greatest(da.source, db.source) AS group_b,
+       count(*) AS n_pairs
+FROM exact_pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
 """
 
 _CC_SQL = f"""
@@ -4905,6 +4956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_masquerade_static": t_masquerade_static,
         "a4_checksums": a4_checksums,
         "x_dedup_exact": x_dedup_exact,
+        "x_soft_dedup_weights": x_soft_dedup_weights,
         "x_text_stats": x_text_stats,
         "x_lang_id": x_lang_id,
         "x_lang_confusion": x_lang_confusion,
@@ -4922,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_source_cap": x_source_cap,
         "x_corpus_mix": x_corpus_mix,
         "x_minhash_pairs": x_minhash_pairs,
+        "x_crossdup_matrix": x_crossdup_matrix,
         "x_connected_components": x_connected_components,
         "x_token_histogram": x_token_histogram,
         "x_asof_join": x_asof_join,
@@ -5045,6 +5098,7 @@ def oracle_sql() -> dict[str, str]:
         "t_masquerade_static": _T_MASQ_SQL,
         "a4_checksums": _a4_sql(),
         "x_dedup_exact": _DEDUP_SQL,
+        "x_soft_dedup_weights": _SOFT_DEDUP_SQL,
         "x_text_stats": _TEXT_STATS_SQL,
         "x_lang_id": _lang_sql(),
         "x_lang_confusion": _lang_confusion_sql(),
@@ -5065,6 +5119,7 @@ def oracle_sql() -> dict[str, str]:
         "x_sample_stratified": _sample_stratified_sql(),
         "x_sample_rebalance": _sample_rebalance_sql(),
         "x_minhash_pairs": _MINHASH_SQL,
+        "x_crossdup_matrix": _CROSSDUP_SQL,
         "x_connected_components": _CC_SQL,
         "x_token_histogram": _TOKEN_HIST_SQL,
         "x_source_quantiles": _SOURCE_QUANTILES_SQL,

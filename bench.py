@@ -59,6 +59,13 @@ BENCH_QUERIES = [
     # symmetric int8 ANN: must stay a single codegen projection +
     # TakeOrdered (zero joins, zero exchanges)
     "x_sq8_topk",
+    # exact rational-α temperature rebalance (integer k-th roots): one
+    # count aggregate + a scan-side CASE filter — zero extra exchanges
+    "x_temperature_mix_a03",
+    # SoftDeDup frequency reweighting: ONE fp-keyed count aggregate +
+    # join-back — benched so an accidental window-over-corpus (sort) or
+    # lost map-side combine is visible
+    "x_soft_dedup_weights",
 ]
 
 

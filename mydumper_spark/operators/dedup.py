@@ -85,6 +85,76 @@ def exact_dedup_incremental(
     return survivors, known_fps.select(fp_col).union(new_fps).distinct()
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDeDup-style frequency reweighting (He et al. 2024: downweight
+    duplicated documents instead of dropping them — hard dedup discards
+    the signal that a document was common, soft dedup keeps every copy
+    but makes the FAMILY's total sampling mass one document's worth).
+
+    Adds ``dup_count`` (how many corpus documents share this document's
+    normalized-text fingerprint) and ``weight_ppm`` = floor(1e6 /
+    dup_count): a unique document weighs 1.0, each member of a k-copy
+    family weighs 1/k, so Σ weight over a family ≈ 1 — the sampling-mass
+    conservation the paper's reweighting targets. Integer ppm keeps the
+    column engine-exact (the repo-wide float rule).
+
+    Scale shape: ONE exchange — a count aggregate on the 16-byte
+    fingerprint (map-side combine forwards one partial per fp per task)
+    joined back on the same key; AQE broadcasts the count table when the
+    duplicate-family set is small. No sort, no window over the corpus."""
+    fp = fingerprint(F.col(text_col))
+    with_fp = df.withColumn("__fp", fp)
+    counts = with_fp.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("dup_count"))
+    return (
+        with_fp.join(counts, "__fp")
+        .withColumn("weight_ppm",
+                    F.expr("1000000 div dup_count").cast("bigint"))
+        .drop("__fp")
+    )
+
+
+def cross_group_dup_matrix(
+    df: DataFrame,
+    pairs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WHERE is near-duplicate leakage coming from? Aggregate verified
+    near-dup pairs into an unordered group×group matrix: ``(group_a,
+    group_b, n_pairs)`` with group_a ≤ group_b — the diagnostic that
+    tells a curation pipeline whether duplication is intra-source
+    (boilerplate within a crawl: dedup within the source) or
+    cross-source (mirrors/syndication: dedup globally, and a
+    train/holdout split on source is leaking).
+
+    ``pairs`` is any (id_a, id_b) edge set — MinHash+LSH verified pairs,
+    SimHash pairs, n-gram Jaccard pairs. Scale shape: the pair set is
+    near-dup EDGES (≪ corpus); two joins against the (id, group)
+    projection — AQE broadcasts the pair side — then one small-key
+    aggregate. The corpus itself is scanned once for the projection and
+    never shuffled."""
+    g = df.select(F.col(id_col), F.col(group_col))
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(g.select(F.col(id_col).alias("id_a"),
+                       F.col(group_col).alias("__ga")), "id_a")
+        .join(g.select(F.col(id_col).alias("id_b"),
+                       F.col(group_col).alias("__gb")), "id_b")
+    )
+    return (
+        j.groupBy(
+            F.least("__ga", "__gb").alias("group_a"),
+            F.greatest("__ga", "__gb").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def tokens(col: Column) -> Column:
     t = F.trim(F.lower(col))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(

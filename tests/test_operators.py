@@ -114,6 +114,41 @@ def test_exact_dedup_incremental_batches(spark):
     assert fps2.count() == 3
 
 
+def test_soft_dedup_weights_conserve_family_mass(spark):
+    """SoftDeDup reweighting: every document survives, a k-copy family's
+    members each weigh floor(1e6/k) ppm (normalization-equal variants
+    count as copies), and a unique doc weighs exactly 1e6 — the family's
+    total sampling mass stays ≈ one document."""
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "Same  Text"), (3, "same text"),
+         (4, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["dup_count"], r["weight_ppm"])
+           for r in dd.soft_dedup_weights(df).collect()}
+    assert set(out) == {1, 2, 3, 4}          # nothing dropped
+    assert out[1] == out[2] == out[3] == (3, 333333)
+    assert out[4] == (1, 1_000_000)
+
+
+def test_cross_group_dup_matrix(spark):
+    """The leakage matrix aggregates an edge set by unordered group pair:
+    intra-source edges land on the diagonal, cross-source edges on one
+    (least, greatest) cell regardless of edge direction."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "c")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (1, 2), (4, 1), (2, 4)], "id_a long, id_b long"
+    )
+    out = {(r["group_a"], r["group_b"]): r["n_pairs"]
+           for r in dd.cross_group_dup_matrix(docs, pairs).collect()}
+    # (1,3)=a-a; (1,2) and (4,1) both a-b despite opposite direction;
+    # (2,4)=b-b
+    assert out == {("a", "a"): 1, ("a", "b"): 2, ("b", "b"): 1}
+
+
 def test_minhash_dedup_quality_arbiter_keeps_best(spark):
     """arbiter='quality': the cluster survivor is the highest-quality copy,
     not the earliest id. Doc 1 is a punctuation-noisy copy (higher

@@ -329,3 +329,21 @@ def test_round8_plan_shapes(spark):
     # 1-row total via the allowed scalar cross join — the corpus side's
     # only hash exchange is the final (doc, sum) aggregate
     assert plan.count("BroadcastExchange") == 4, plan
+
+
+def test_round9_plan_shapes(spark):
+    """Round-9 operators keep their promised shapes:
+    - rational-α temperature mix: thresholds are driver-computed literals
+      → the query itself is a pure scan-side CASE filter (zero exchanges,
+      zero joins — the stratified_fractions plan);
+    - SoftDeDup reweighting: exactly ONE hash exchange (the fp-keyed
+      count aggregate, map-side combined), the count table broadcast back
+      — never a window/sort over the corpus."""
+    plan = _plan(entry.queries()["x_temperature_mix_a03"](spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+
+    plan = _plan(entry.queries()["x_soft_dedup_weights"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "Window" not in plan and "Sort " not in plan, plan
