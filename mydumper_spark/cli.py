@@ -12,10 +12,11 @@ mydumper_arguments.c, myloader_arguments.c) where a Spark equivalent exists:
     python -m mydumper_spark restore -d DIR --target DIR|jdbc:URL
         [--threads N] [--drop-table|--truncate|--skip-existing]
         [--no-checksum] [-B DB] [--skip-indexes] [--skip-constraints]
-        [--skip-post] [--stream]
+        [--skip-post] [--stream] [--resume]
     python -m mydumper_spark verify -d DIR [--source DIR|jdbc:URL]
     python -m mydumper_spark daemon --source … -o RING --iterations N
         [--snapshot-interval S] [--snapshot-count M] [--incremental]
+        [--only-if-drifted]
     python -m mydumper_spark diff --old DIR --new DIR
     python -m mydumper_spark prepare / prepare-stream / embcurate …
 """
@@ -379,6 +380,8 @@ def cmd_restore(args: argparse.Namespace) -> int:
         skip_constraints=getattr(args, "skip_constraints", False),
         skip_post=getattr(args, "skip_post", False),
         target_database=getattr(args, "database", None),
+        resume_file=(os.path.join(args.directory, ".restore_resume.json")
+                     if getattr(args, "resume", False) else None),
     )
     print(json.dumps(results))
     ok = all(results["load"].values()) and all(results.get("verify", {"": True}).values())
@@ -916,6 +919,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--stream", action="store_true",
                    help="reassemble a framed dump from stdin into -d first "
                         "(myloader --stream), then restore it")
+    r.add_argument("--resume", action="store_true",
+                   help="L11: skip objects a previous interrupted restore "
+                        "of this dump already completed (state in "
+                        "<dump>/.restore_resume.json, written on failure, "
+                        "removed on success)")
     r.set_defaults(fn=cmd_restore)
 
     v = sub.add_parser("verify", help="recompute checksums vs manifest (L9)")

@@ -549,6 +549,7 @@ def restore(
     skip_constraints: bool = False,
     skip_post: bool = False,
     target_database: str | None = None,
+    resume_file: str | None = None,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -571,7 +572,17 @@ def restore(
             "parquet target tree is flat; silently ignoring the override "
             "would restore into unexpected paths")
     doc = read_manifest(dump_root)
-    dag = LoaderDag(parallelism=parallelism)
+    # L11 resume: a prior interrupted restore's completed-job log seeds the
+    # DAG so finished objects are skipped; the log persists on ANY failure
+    # and is removed on full success (a later fresh restore of the same
+    # dump must not silently skip everything)
+    resume_log: set[str] = set()
+    if resume_file and os.path.exists(resume_file):
+        import json as _json
+
+        with open(resume_file) as f:
+            resume_log = set(_json.load(f))
+    dag = LoaderDag(parallelism=parallelism, resume_log=resume_log)
     skip_existing: set[str] = set()
     if jdbc_target:
         from mydumper_spark.plans.ddl import quote_ident
@@ -871,7 +882,18 @@ def restore(
 
         dag.add(LoadJob(table=f"{okind}:{oname}", phase=Phase.POST,
                         action=make_post_action()))
-    dag.run()
+    try:
+        dag.run()
+    except BaseException:
+        if resume_file:
+            import json as _json
+
+            with open(resume_file, "w") as f:
+                _json.dump(sorted(dag.resume_log), f)
+        raise
+    else:
+        if resume_file and os.path.exists(resume_file):
+            os.remove(resume_file)
     results = {"load": {k[0]: v.ok for k, v in dag.results.items() if k[1] == Phase.DATA}}
     if skip_existing:
         # visible, not silent: which tables --skip-existing left alone

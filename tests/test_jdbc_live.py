@@ -887,6 +887,61 @@ def test_restore_ddl_retry_composes_with_replay_live(spark, tmp_path):
     assert "idx_grp" in idx and n == 150
 
 
+def test_restore_resume_after_failure_live(spark, sf_dir, tmp_path):
+    """L11 resume, user-facing: run 1 fails mid-DATA (one table's target
+    errors past the retry budget) and persists the completed-job log; run
+    2 with resume_file skips everything run 1 finished — the completed
+    table's data phase never re-executes — finishes the failed table, and
+    removes the log on success. Verify green over both tables."""
+    import os
+
+    import duckdb
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    out = str(tmp_path / "resume_dump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.nation",
+                                          "default.region"})))
+    target = str(tmp_path / "resume_t.duckdb")
+    resume_file = os.path.join(out, ".restore_resume.json")
+    region_broken = {"on": True}
+    applied: list[str] = []
+
+    def ddl_executor(sql):
+        applied.append(sql)
+        if region_broken["on"] and sql.startswith('DELETE FROM "region"'):
+            raise RuntimeError("transient target failure on region")
+        con = duckdb.connect(target)
+        con.execute(sql)
+        con.execute("CHECKPOINT")
+        con.close()
+
+    kw = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+              ddl_executor=ddl_executor, jdbc_num_partitions=1,
+              resume_file=resume_file)
+    with pytest.raises(RuntimeError, match="load failed"):
+        restore(spark, out, f"jdbc:duckdb:{target}", **kw)
+    assert os.path.exists(resume_file)
+    # nation (larger, runs first) completed and is in the log
+    import json as _json
+
+    log = set(_json.load(open(resume_file)))
+    assert "nation:DATA" in log and "region:DATA" not in log
+
+    region_broken["on"] = False
+    applied.clear()
+    results = restore(spark, out, f"jdbc:duckdb:{target}", **kw)
+    assert results["load"] == {"nation": True, "region": True}
+    assert results["verify"] == {"nation": True, "region": True}
+    # nation's data phase did NOT re-run; region's did
+    assert not any(s.startswith('DELETE FROM "nation"') for s in applied)
+    assert any(s.startswith('DELETE FROM "region"') for s in applied)
+    assert not os.path.exists(resume_file)   # removed on success
+
+
 def test_restore_records_objects_skipped_on_parquet_target(spark, tmp_path):
     """A parquet target tree has no view engine: captured objects are
     recorded as skipped in the restore result, never silently dropped."""
