@@ -12,7 +12,7 @@ mydumper_arguments.c, myloader_arguments.c) where a Spark equivalent exists:
     python -m mydumper_spark restore -d DIR --target DIR|jdbc:URL
         [--threads N] [--drop-table|--truncate|--skip-existing]
         [--no-checksum] [-B DB] [--skip-indexes] [--skip-constraints]
-        [--skip-post] [--stream] [--resume]
+        [--skip-post] [--stream] [--resume] [-s DB] [--no-data]
     python -m mydumper_spark verify -d DIR [--source DIR|jdbc:URL]
     python -m mydumper_spark daemon --source … -o RING --iterations N
         [--snapshot-interval S] [--snapshot-count M] [--incremental]
@@ -382,6 +382,8 @@ def cmd_restore(args: argparse.Namespace) -> int:
         target_database=getattr(args, "database", None),
         resume_file=(os.path.join(args.directory, ".restore_resume.json")
                      if getattr(args, "resume", False) else None),
+        source_database=getattr(args, "source_db", None),
+        no_data=getattr(args, "no_data", False),
     )
     print(json.dumps(results))
     ok = all(results["load"].values()) and all(results.get("verify", {"": True}).values())
@@ -924,6 +926,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "of this dump already completed (state in "
                         "<dump>/.restore_resume.json, written on failure, "
                         "removed on success)")
+    r.add_argument("-s", "--source-db", default=None, metavar="DB",
+                   help="restore only this recorded database out of a "
+                        "multi-schema dump (myloader -s); its views/"
+                        "triggers/routines come along, other schemas' "
+                        "don't")
+    r.add_argument("--no-data", action="store_true",
+                   help="restore schema, indexes, constraints and post "
+                        "objects but load no rows (myloader --no-data)")
     r.set_defaults(fn=cmd_restore)
 
     v = sub.add_parser("verify", help="recompute checksums vs manifest (L9)")

@@ -550,6 +550,8 @@ def restore(
     skip_post: bool = False,
     target_database: str | None = None,
     resume_file: str | None = None,
+    source_database: str | None = None,
+    no_data: bool = False,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -572,6 +574,22 @@ def restore(
             "parquet target tree is flat; silently ignoring the override "
             "would restore into unexpected paths")
     doc = read_manifest(dump_root)
+    # myloader -s/--source-db: restore ONE recorded database out of a
+    # multi-schema dump. Matching is on the manifest's recorded database
+    # (single-namespace dumps record none — -s on those is a usage error,
+    # reported with what IS recorded rather than silently restoring zero
+    # tables).
+    if source_database is not None:
+        admitted = {t for t, e in doc["tables"].items()
+                    if e.get("database") == source_database}
+        if not admitted:
+            avail = sorted({str(e.get("database"))
+                            for e in doc["tables"].values()})
+            raise ValueError(
+                f"source_database {source_database!r} matches no dumped "
+                f"table; recorded databases: {avail}")
+    else:
+        admitted = set(doc["tables"])
     # L11 resume: a prior interrupted restore's completed-job log seeds the
     # DAG so finished objects are skipped; the log persists on ANY failure
     # and is removed on full success (a later fresh restore of the same
@@ -644,7 +662,7 @@ def restore(
             ).collect()
             qualified = {(r["table_schema"], r["table_name"]) for r in rows}
             names = {r["table_name"] for r in rows}
-            for t in doc["tables"]:
+            for t in admitted:
                 db, bare = entry_db_and_name(t)
                 if (db, bare) in qualified or (db is None and bare in names):
                     skip_existing.add(t)
@@ -692,6 +710,8 @@ def restore(
 
     skipped_ddl: dict[str, list[str]] = {}
     for t, entry in doc["tables"].items():
+        if t not in admitted:
+            continue  # -s/--source-db: out-of-scope schema
         if t in skip_existing:
             continue  # L3 SKIP: the target already has it — untouched
         src_path = entry.get("path")
@@ -771,14 +791,15 @@ def restore(
         dag.add(LoadJob(table=t, phase=Phase.SCHEMA, action=make_schema_action()))
         if schema_only:
             continue  # P11 schema-only export: nothing to load
-        dag.add(
-            LoadJob(
-                table=t,
-                phase=Phase.DATA,
-                action=make_data_action(),
-                size_hint=entry["rows"],
+        if not no_data:  # myloader --no-data: schema/index/post only
+            dag.add(
+                LoadJob(
+                    table=t,
+                    phase=Phase.DATA,
+                    action=make_data_action(),
+                    size_hint=entry["rows"],
+                )
             )
-        )
         # L6/L7: captured secondary indexes + constraints replay AFTER the
         # data phase (the reference's --optimize-keys: bulk-load a bare
         # table, index once — myloader_worker_index.c:107-171). Only for
@@ -825,6 +846,10 @@ def restore(
     multi_schema = any(e.get("database") for e in doc["tables"].values())
     for obj in ([] if skip_post else doc.get("objects", [])):
         okind, oname = obj["kind"], obj["name"]
+        if (source_database is not None
+                and obj.get("database") != source_database
+                and okind != "tablespace"):
+            continue  # -s: objects of out-of-scope schemas never replay
         if okind == "tablespace":
             # reference parity: myloader ignores the tablespace artifact
             # with an import-manually warning (myloader_process_file_type.c:
@@ -914,7 +939,7 @@ def restore(
             **({"skipped_objects": skipped_objects}
                if skipped_objects else {}),
         }
-    if verify:
+    if verify and not no_data:  # --no-data loaded nothing to checksum
         # L9: recompute checksums on the *target* and compare to the
         # manifest, with the algorithm the dump recorded
         from mydumper_spark.functions.checksum import table_checksum
@@ -923,6 +948,8 @@ def restore(
         algo = manifest_algorithm(doc)
         checks = {}
         for t, entry in doc["tables"].items():
+            if t not in admitted:
+                continue  # -s/--source-db: out-of-scope schema
             if t in skip_existing:
                 # SKIP left whatever data was already there — comparing it
                 # to the manifest would flag a deliberate non-action

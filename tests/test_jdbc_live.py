@@ -942,6 +942,87 @@ def test_restore_resume_after_failure_live(spark, sf_dir, tmp_path):
     assert not os.path.exists(resume_file)   # removed on success
 
 
+def test_restore_source_db_and_no_data_live(spark, tmp_path):
+    """myloader -s/--source-db and --no-data, live: a two-schema dump
+    restores only the selected schema (its view comes along, the other
+    schema's table and view never land); --no-data creates keyed tables
+    with zero rows and no verify section; -s with an unknown name is a
+    loud error listing what IS recorded."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "sdb_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+    con.execute("CREATE TABLE s1.t1 (id INTEGER PRIMARY KEY, v DOUBLE)")
+    con.execute("CREATE INDEX idx_v ON s1.t1(v)")
+    con.execute("INSERT INTO s1.t1 SELECT range, range * 0.5 FROM range(40)")
+    con.execute("CREATE VIEW s1.v1 AS SELECT sum(v) AS s FROM s1.t1")
+    con.execute("CREATE TABLE s2.t2 AS SELECT range AS id FROM range(9)")
+    con.execute("CREATE VIEW s2.v2 AS SELECT count(*) AS n FROM s2.t2")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "sdb_dump")
+    manifest = dump(spark, f"jdbc:duckdb:{src}",
+                    DumpConfig(output_dir=out,
+                               jdbc_properties=dict(DRIVER_PROPS)))
+    assert set(manifest.tables) == {"s1.t1", "s2.t2"}
+
+    target = str(tmp_path / "sdb_target.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    kw = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+              ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    results = restore(spark, out, f"jdbc:duckdb:{target}",
+                      source_database="s1", **kw)
+    assert results["load"] == {"s1.t1": True}
+    assert results["verify"] == {"s1.t1": True}
+    assert results["ddl"]["post"] == {"view:v1": True}
+
+    con = duckdb.connect(target)
+    n = con.execute("SELECT count(*) FROM s1.t1").fetchone()[0]
+    s2_tables = con.execute(
+        "SELECT count(*) FROM information_schema.tables "
+        "WHERE table_schema = 's2'").fetchone()[0]
+    con.close()
+    assert n == 40 and s2_tables == 0
+
+    # unknown -s fails loudly with the recorded databases
+    with pytest.raises(ValueError, match="s1"):
+        restore(spark, out, f"jdbc:duckdb:{target}",
+                source_database="nope", **kw)
+
+    # --no-data: schema + indexes land, zero rows, no verify section
+    target2 = str(tmp_path / "sdb_nodata.duckdb")
+
+    def ddl_executor2(sql):
+        c = duckdb.connect(target2)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    r2 = restore(spark, out, f"jdbc:duckdb:{target2}",
+                 parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+                 ddl_executor=ddl_executor2, jdbc_num_partitions=1,
+                 no_data=True)
+    assert r2["load"] == {} and "verify" not in r2
+    con = duckdb.connect(target2)
+    n1 = con.execute("SELECT count(*) FROM s1.t1").fetchone()[0]
+    n2 = con.execute("SELECT count(*) FROM s2.t2").fetchone()[0]
+    idx = {name for name, _ in con.execute(
+        "SELECT index_name, is_unique FROM duckdb_indexes() "
+        "WHERE table_name = 't1'").fetchall()}
+    con.close()
+    assert n1 == 0 and n2 == 0 and "idx_v" in idx
+
+
 def test_restore_records_objects_skipped_on_parquet_target(spark, tmp_path):
     """A parquet target tree has no view engine: captured objects are
     recorded as skipped in the restore result, never silently dropped."""
