@@ -6,7 +6,9 @@ mydumper_arguments.c, myloader_arguments.c) where a Spark equivalent exists:
     python -m mydumper_spark dump --source DIR|jdbc:URL -o DIR
         [--where SQL] [--regex RE] [--omit-from-file F] [--tables-list a,b]
         [--ignore-engines e1,e2] [--defaults-file F]
-        [--format parquet|csv|jsonl|orc] [--rows N] [--threads N]
+        [--format parquet|csv|jsonl|orc|sql] [--rows N] [--threads N]
+        [-s BYTES] [--rows-per-statement N] [--complete-insert]
+        [--insert-ignore|--replace]
         [--no-checksum] [--exec CMD] [--since PARENT] [--tidb-snapshot TS]
         [--clear] [-k] [-Y] [-W|--views-as-tables] [--stream [--no-delete]]
     python -m mydumper_spark restore -d DIR --target DIR|jdbc:URL
@@ -108,6 +110,14 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
         order_by_primary=getattr(args, "order_by_primary", False),
         no_views=getattr(args, "no_views", False),
         views_as_tables=getattr(args, "views_as_tables", False),
+        rows_per_statement=getattr(args, "rows_per_statement", 1000),
+        statement_size=getattr(args, "statement_size", None),
+        complete_insert=getattr(args, "complete_insert", False),
+        insert_mode=("REPLACE" if getattr(args, "replace", False)
+                     else "INSERT IGNORE"
+                     if getattr(args, "insert_ignore", False) else "INSERT"),
+        check_row_count=getattr(args, "check_row_count", False),
+        disk_limits=getattr(args, "disk_limits", None),
     )
 
 
@@ -337,7 +347,11 @@ def cmd_restore(args: argparse.Namespace) -> int:
         print(json.dumps({"received_files": n}), file=_sys.stderr)
     purge = PurgeMode.DROP if args.drop_table else (
         PurgeMode.TRUNCATE if args.truncate else (
-            PurgeMode.SKIP if args.skip_existing else PurgeMode.FAIL
+            PurgeMode.SKIP if args.skip_existing else (
+                PurgeMode.APPEND
+                if getattr(args, "append_if_not_exist", False)
+                else PurgeMode.FAIL
+            )
         )
     )
     jdbc_props = _parse_props(args.jdbc_property)
@@ -384,9 +398,20 @@ def cmd_restore(args: argparse.Namespace) -> int:
                      if getattr(args, "resume", False) else None),
         source_database=getattr(args, "source_db", None),
         no_data=getattr(args, "no_data", False),
+        phase_threads={
+            "schema": (1 if getattr(args, "serialized_table_creation",
+                                    False)
+                       else getattr(args, "max_threads_schema", None)),
+            "index": getattr(args, "max_threads_index", None),
+            "post": getattr(args, "max_threads_post", None),
+        },
     )
     print(json.dumps(results))
-    ok = all(results["load"].values()) and all(results.get("verify", {"": True}).values())
+    # verify None = honestly unverifiable (e.g. --append-if-not-exist onto
+    # a non-empty table) — only a hard False fails the exit code
+    ok = (all(results["load"].values())
+          and all(v is not False
+                  for v in results.get("verify", {}).values()))
     return 0 if ok else 1
 
 
@@ -410,6 +435,21 @@ def cmd_verify(args: argparse.Namespace) -> int:
     results = verify_manifest(spark, args.directory)
     print(json.dumps(results))
     return 0 if all(r.get("ok") for r in results.values()) else 1
+
+
+def cmd_import_mysqldump(args: argparse.Namespace) -> int:
+    from mydumper_spark.engine import import_mysqldump
+
+    spark = _session(args.threads)
+    m = import_mysqldump(spark, args.file, args.outputdir,
+                         checksum=not getattr(args, "no_checksum", False))
+    print(json.dumps({
+        "tables": {k: e.rows for k, e in m.tables.items()},
+        "objects": [f"{o['kind']}:{o['name']}" for o in m.objects],
+        "skipped_statements":
+            int(m.source_info.get("skipped_statements", "0")),
+    }))
+    return 0
 
 
 def cmd_diff(args: argparse.Namespace) -> int:
@@ -865,9 +905,33 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-i", "--ignore-engines", help="engine filter (P9)")
     d.add_argument("--defaults-file", help="INI config with per-table sections")
     d.add_argument("--format", default="parquet",
-                   choices=["parquet", "csv", "jsonl", "orc"])
+                   choices=["parquet", "csv", "jsonl", "orc", "sql"])
     d.add_argument("-c", "--compress", default=None, choices=[None, "gzip", "zstd"])
     d.add_argument("-r", "--rows", type=int, help="max records per output file (K5)")
+    d.add_argument("-s", "--statement-size", type=int, metavar="BYTES",
+                   help="with --format sql: cap each INSERT statement at "
+                        "this many bytes (reference -s; composes with "
+                        "--rows-per-statement)")
+    d.add_argument("--rows-per-statement", type=int, default=1000,
+                   help="with --format sql: rows per INSERT statement "
+                        "(default 1000)")
+    d.add_argument("--complete-insert", action="store_true",
+                   help="with --format sql: emit the column list in every "
+                        "INSERT (reference --complete-insert)")
+    ins = d.add_mutually_exclusive_group()
+    ins.add_argument("--insert-ignore", action="store_true",
+                     help="with --format sql: write INSERT IGNORE "
+                          "statements (reference --insert-ignore)")
+    ins.add_argument("--replace", action="store_true",
+                     help="with --format sql: write REPLACE statements "
+                          "(reference --replace)")
+    d.add_argument("--check-row-count", action="store_true",
+                   help="independently pre-count each table and fail the "
+                        "dump on a written-row mismatch (reference flag)")
+    d.add_argument("--disk-limits", metavar="PAUSE:RESUME",
+                   help="pause dumping while free space at the output dir "
+                        "is under PAUSE MB; resume at RESUME MB "
+                        "(reference --disk-limits)")
     d.add_argument("-t", "--threads", type=int)
     d.add_argument("--no-checksum", action="store_true")
     d.add_argument("-E", "--exec", dest="exec_cmd", help="run CMD per finished file (K9)")
@@ -891,9 +955,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "since this parent dump (P10/K10 daemon analogue); "
                         "deleted keys recorded per table")
     d.add_argument("--stream", action="store_true",
-                   help="after the dump completes, frame every file onto "
-                        "stdout in the reference wire protocol "
-                        "(mydumper --stream); pipe into `restore --stream`")
+                   help="frame each table's files onto stdout AS ITS DUMP "
+                        "COMPLETES (reference wire protocol, restore "
+                        "overlaps dump); pipe into `restore --stream`")
     d.add_argument("--no-delete", action="store_true",
                    help="with --stream: keep the local files after "
                         "streaming (reference --stream=NO_DELETE)")
@@ -917,6 +981,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="purge mode SKIP (L3): leave tables that already "
                         "exist on the target untouched (jdbc targets probe "
                         "information_schema.tables)")
+    r.add_argument("--append-if-not-exist", action="store_true",
+                   help="purge mode APPEND (myloader flag): CREATE TABLE "
+                        "IF NOT EXISTS, keep pre-existing rows, append the "
+                        "dump's rows; checksum mismatches report as "
+                        "unverifiable, not failures")
     r.add_argument("--no-checksum", action="store_true")
     r.add_argument("--stream", action="store_true",
                    help="reassemble a framed dump from stdin into -d first "
@@ -934,6 +1003,20 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-data", action="store_true",
                    help="restore schema, indexes, constraints and post "
                         "objects but load no rows (myloader --no-data)")
+    r.add_argument("--max-threads-for-schema-creation", type=int,
+                   dest="max_threads_schema", metavar="N",
+                   help="cap SCHEMA-phase concurrency under --threads "
+                        "(myloader flag; DDL storms contend on metadata "
+                        "locks)")
+    r.add_argument("--max-threads-for-index-creation", type=int,
+                   dest="max_threads_index", metavar="N",
+                   help="cap INDEX-phase concurrency (myloader flag)")
+    r.add_argument("--max-threads-for-post-actions", type=int,
+                   dest="max_threads_post", metavar="N",
+                   help="cap POST-phase concurrency (myloader flag)")
+    r.add_argument("--serialized-table-creation", action="store_true",
+                   help="create tables one at a time (myloader flag; "
+                        "equivalent to --max-threads-for-schema-creation 1)")
     r.set_defaults(fn=cmd_restore)
 
     v = sub.add_parser("verify", help="recompute checksums vs manifest (L9)")
@@ -950,6 +1033,17 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--jdbc-property", action="append", metavar="K=V")
     v.add_argument("-t", "--threads", type=int)
     v.set_defaults(fn=cmd_verify)
+
+    im = sub.add_parser(
+        "import-mysqldump",
+        help="convert a mysqldump-format .sql file into a dump directory "
+             "(myloader --mysqldump): restore/verify/-s/-B/--no-data all "
+             "work on the result")
+    im.add_argument("file", help="mysqldump .sql file")
+    im.add_argument("-o", "--outputdir", required=True)
+    im.add_argument("--no-checksum", action="store_true")
+    im.add_argument("-t", "--threads", type=int)
+    im.set_defaults(fn=cmd_import_mysqldump)
 
     f = sub.add_parser("diff", help="added/deleted/changed rows between two dumps")
     f.add_argument("--old", required=True, help="older dump directory")

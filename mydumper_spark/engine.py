@@ -38,9 +38,20 @@ class DumpConfig:
     global_where: str | None = None  # P1 --where
     per_table: dict[str, TableTransform] = field(default_factory=dict)  # P2-P5
     chunks_per_table: int | None = None  # --rows analogue
-    fmt: str = "parquet"  # parquet | csv | jsonl | orc (K2-K4 + interchange)
+    fmt: str = "parquet"  # parquet | csv | jsonl | orc | sql (K1-K4)
     csv_format: CsvFormat = field(default_factory=CsvFormat)
     max_records_per_file: int | None = None  # K5 --chunk-filesize
+    # --- fmt="sql" (K1, the reference's NATIVE format: multi-row INSERT
+    # chunk files db.table.NNNNN.sql that real myloader can consume) ---
+    #: rows per INSERT statement (myloader --rows re-batching analogue)
+    rows_per_statement: int = 1000
+    #: -s/--statement-size: cap each statement by BYTES (reference-exact;
+    #: composes with rows_per_statement — whichever cap hits first)
+    statement_size: int | None = None
+    #: --complete-insert: emit the column list in every INSERT
+    complete_insert: bool = False
+    #: --insert-ignore / --replace → "INSERT IGNORE" / "REPLACE"
+    insert_mode: str = "INSERT"
     checksum: bool = True  # --checksum-all
     exec_per_file: str | None = None  # K9 --exec
     masquerade_filenames: bool = False  # T13 --masquerade-filename
@@ -104,6 +115,58 @@ class DumpConfig:
     #: DDL, objects, profile, manifest) finish after every table and are
     #: NOT announced here — stream them when ``dump`` returns.
     table_done: object | None = None
+    #: --check-row-count: pre-count each table at the source (SELECT
+    #: COUNT(*) pushed to a JDBC server / metadata-only for parquet) and
+    #: hard-fail the dump if the written row count differs (reference
+    #: mydumper_start_dump.c:804 m_critical) — catches concurrent writes
+    #: slipping through an unfenced dump
+    check_row_count: bool = False
+    #: --disk-limits "<pause>:<resume>" in MB (reference
+    #: mydumper_arguments.c:196): before each table's write, pause while
+    #: free space at the output dir is below pause-MB, resuming once it
+    #: recovers to resume-MB
+    disk_limits: str | None = None
+    #: test seam for disk_limits: zero-arg callable returning free bytes
+    #: at the output dir (default shutil.disk_usage)
+    disk_free_fn: object | None = None
+
+
+def _parse_disk_limits(spec: str) -> tuple[int, int]:
+    """'<pause>:<resume>' MB → (pause_bytes, resume_bytes); the reference
+    pauses when free < pause and resumes at free ≥ resume, so resume must
+    not be below pause."""
+    try:
+        pause_mb, resume_mb = (int(x) for x in spec.split(":"))
+    except ValueError as e:
+        raise ValueError(
+            f"--disk-limits expects '<pause>:<resume>' in MB, got {spec!r}"
+        ) from e
+    if resume_mb < pause_mb:
+        raise ValueError(
+            f"--disk-limits resume ({resume_mb}MB) below pause "
+            f"({pause_mb}MB) would never resume")
+    return pause_mb * 1024 * 1024, resume_mb * 1024 * 1024
+
+
+def _wait_for_disk(cfg: DumpConfig, pause_b: int, resume_b: int) -> None:
+    """Block the calling pool thread while the output filesystem is under
+    the pause threshold (reference mydumper_file_handler.c disk-space
+    check: writers stall, they don't fail)."""
+    import shutil
+    import time as _time
+
+    free = cfg.disk_free_fn or (
+        lambda: shutil.disk_usage(cfg.output_dir).free)
+    if free() >= pause_b:
+        return
+    import warnings
+
+    warnings.warn(
+        f"disk-limits: free space under {pause_b >> 20}MB at "
+        f"{cfg.output_dir}; pausing until {resume_b >> 20}MB free",
+        stacklevel=2)
+    while free() < resume_b:
+        _time.sleep(0.1)
 
 
 def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
@@ -150,6 +213,11 @@ def _read_written(spark: SparkSession, path: str, cfg: DumpConfig, schema):
     """Typed read-back of a just-written table (checksum/profile input) —
     dispatching on the dump format, with the dumped schema (never
     inference: JSON/CSV are stringly-typed on disk)."""
+    if cfg.fmt == "sql":
+        from mydumper_spark.sinks.manifest import sql_chunk_paths
+        from mydumper_spark.sources.insert_parser import read_insert_sql
+
+        return read_insert_sql(spark, sql_chunk_paths(path), schema)
     if cfg.fmt == "jsonl":
         return spark.read.schema(schema).json(path)
     if cfg.fmt == "orc":
@@ -365,7 +433,13 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             out_name = (
                 masquerade_table_name(key)
                 if cfg.masquerade_filenames
-                else fnames.filename_for(key)  # weird-name safety (specific_16)
+                # weird-name safety (specific_16); multi-db dumps keep the
+                # reference's db.table composition (segments sanitized
+                # independently) so fmt="sql" chunk files route through
+                # myloader's filename parser
+                else fnames.filename_for_qualified(meta.database, meta.name)
+                if multi_db
+                else fnames.filename_for(key)
             )
             artifact = None
             # a view-as-table restores from the dumped column schema; SHOW
@@ -393,17 +467,31 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         # checksum/profile. Each item is an independent chain of Spark
         # jobs; pool threads overlap them (FAIR pool "dump" so no one
         # table's stage monopolizes slots under fair scheduling).
+        disk_limits = (_parse_disk_limits(cfg.disk_limits)
+                       if cfg.disk_limits else None)
+
         def run_table(item):
             key, db_rec, meta, tt, out_name, artifact = item
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "dump")
             spark.sparkContext.setLocalProperty(
                 "spark.job.description", f"dump {key}")
+            if disk_limits is not None:  # --disk-limits: stall, don't fail
+                _wait_for_disk(cfg, *disk_limits)
             df = cat.read(meta, cfg.chunks_per_table)
             if tt is not None and "DATA" not in tt.object_scope:  # P11
                 entry = build_entry(df.limit(0), key, manifest.algorithm,
                                     path=None, database=db_rec)
                 return key, entry, None, artifact, out_name
             out = apply_transform(df, tt, global_where=cfg.global_where)
+            pre_rows = None
+            if cfg.check_row_count:
+                # an INDEPENDENT pre-count (its own scan/pushed COUNT(*)):
+                # written rows differing from it means writes slipped into
+                # an unfenced dump window (reference m_critical,
+                # mydumper_start_dump.c:804)
+                from mydumper_spark.planner.chunks import estimate_rows
+
+                pre_rows = estimate_rows(out)
             if (cfg.order_by_primary and meta.primary_key
                     and all(c in out.columns for c in meta.primary_key)):
                 out = out.sortWithinPartitions(*meta.primary_key)
@@ -432,16 +520,85 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
 
                 path = os.path.join(cfg.output_dir, f"{out_name}.orc")
                 write_orc(out, path, cfg.max_records_per_file)
+            elif cfg.fmt == "sql":
+                # K1, the reference's NATIVE format: multi-row INSERT chunk
+                # files named {db.}table.NNNNN.sql in the dump root — the
+                # exact layout myloader routes by filename
+                # (myloader_process_filename.c), so a JDBC-source dump is
+                # directly loadable by real myloader. Statements assemble
+                # shuffle-free and order-preserving (-k survives);
+                # statement_size caps bytes exactly (reference -s).
+                import shutil
+
+                from mydumper_spark.sinks.writers import (
+                    insert_statements_stream,
+                )
+
+                complex_cols = [
+                    f"{c}:{t}" for c, t in out.dtypes
+                    if t.startswith(("array", "map", "struct"))
+                ]
+                if complex_cols:
+                    raise ValueError(
+                        "fmt='sql' renders relational rows (the reference "
+                        "targets MySQL); nested columns cannot round-trip "
+                        f"as SQL literals: {complex_cols}. Dump this table "
+                        "as parquet, or project the nested columns away.")
+                stmts = insert_statements_stream(
+                    out, meta.name, cfg.rows_per_statement,
+                    cfg.complete_insert, cfg.insert_mode,
+                    cfg.statement_size,
+                )
+                tmp = os.path.join(cfg.output_dir, f"_{out_name}.sqltmp")
+                w = stmts.write.mode("overwrite")
+                if cfg.max_records_per_file:
+                    # file rotation in ROWS → statements (the writer's
+                    # record unit); with a byte cap active this is an
+                    # upper bound, not exact — same trade the reference
+                    # makes between --rows and --chunk-filesize
+                    per_file = max(1, -(-int(cfg.max_records_per_file)
+                                        // max(1, cfg.rows_per_statement)))
+                    w = w.option("maxRecordsPerFile", per_file)
+                w.text(tmp)
+                parts = sorted(
+                    f for f in os.listdir(tmp)
+                    if f.startswith("part-") and not f.endswith(".crc"))
+                chunks = []
+                for i, p in enumerate(parts):
+                    dst = os.path.join(cfg.output_dir,
+                                       f"{out_name}.{i:05d}.sql")
+                    os.replace(os.path.join(tmp, p), dst)
+                    chunks.append(dst)
+                shutil.rmtree(tmp)
+                if not chunks:  # empty table still records a data path
+                    chunks = [os.path.join(cfg.output_dir,
+                                           f"{out_name}.00000.sql")]
+                    open(chunks[0], "w").close()
+                path = chunks[0]  # manifest records chunk 0; readers
+                # discover siblings via sql_chunk_paths
+                with open(os.path.join(cfg.output_dir,
+                                       f"{out_name}.schema.json"), "w") as f:
+                    f.write(out.schema.json())
             else:
                 write_parquet(out, path, cfg.max_records_per_file)
             if cfg.exec_per_file:
-                exec_per_file(path, cfg.exec_per_file)
+                if cfg.fmt == "sql":
+                    from mydumper_spark.sinks.manifest import sql_chunk_paths
+
+                    for p in sql_chunk_paths(path):  # reference: per FILE
+                        exec_per_file(p, cfg.exec_per_file)
+                else:
+                    exec_per_file(path, cfg.exec_per_file)
             # read-back of the written bytes: what checksums and profiles
             # must describe (the files, not the pre-write plan). Runs for
             # EITHER flag — profile without checksum is a valid dump.
             written = _read_written(spark, path, cfg, out.schema)
             entry = build_entry(written, key, manifest.algorithm, path=path,
                                 database=db_rec, checksum=cfg.checksum)
+            if pre_rows is not None and entry.rows != pre_rows:
+                raise RuntimeError(
+                    f"check-row-count: row count mismatch for {key}: "
+                    f"dumped {entry.rows} of {pre_rows} expected")
             prof = None
             if cfg.profile:
                 from mydumper_spark.operators.profile import table_profile
@@ -452,7 +609,11 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 # announce its files — data (file or directory of parts)
                 # plus the typed-read sidecar where the format has one
                 files = []
-                if os.path.isdir(path):
+                if cfg.fmt == "sql":
+                    from mydumper_spark.sinks.manifest import sql_chunk_paths
+
+                    files = sql_chunk_paths(path)  # every sibling chunk
+                elif os.path.isdir(path):
                     files = sorted(
                         os.path.join(dp, f)
                         for dp, _, fs in os.walk(path) for f in fs)
@@ -523,6 +684,76 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     return manifest
 
 
+def import_mysqldump(spark: SparkSession, dumpfile: str, out_dir: str,
+                     checksum: bool = True) -> Manifest:
+    """myloader --mysqldump analogue (myloader_arguments.c:151): convert a
+    mysqldump-format .sql file into a first-class dump directory — the
+    reference layout plus our manifest — after which EVERY existing
+    consumer works on it unchanged: ``verify``, ``restore`` (with -s, -B,
+    --no-data, --skip-*, purge modes), drift checks, ``dump --since``
+    incremental chains.
+
+    The single-node file is split in one driver-side streaming pass
+    (sources/mysqldump_reader.py); rows are then typed, counted and
+    checksummed DISTRIBUTED through the line-parallel INSERT parser.
+    CREATE TABLE text yields both the Spark schema and the L6/L7
+    descriptor (PK/indexes/constraints replay deferred exactly like a
+    live-captured dump)."""
+    from types import SimpleNamespace
+
+    from mydumper_spark.plans.ddl import (
+        descriptor_from_create_table,
+        schema_from_create_table,
+    )
+    from mydumper_spark.sinks.exec_sink import FilenameRegistry
+    from mydumper_spark.sinks.manifest import build_entry
+    from mydumper_spark.sources.insert_parser import read_insert_sql
+    from mydumper_spark.sources.mysqldump_reader import split_mysqldump
+
+    res = split_mysqldump(dumpfile, out_dir)
+    manifest = Manifest(fmt="sql")
+    manifest.source_info = {
+        "imported_from": "mysqldump",
+        "source_file": os.path.abspath(dumpfile),
+        "skipped_statements": str(res.skipped_statements),
+    }
+    for key, t in res.tables.items():
+        if t["create_sql"] is None:
+            raise ValueError(
+                f"mysqldump file has INSERTs for {key!r} but no CREATE "
+                "TABLE — cannot type the rows (is the file truncated, or "
+                "was it produced with --no-create-info?)")
+        schema = schema_from_create_table(t["create_sql"])
+        if t["data_path"]:
+            df = read_insert_sql(spark, t["data_path"], schema)
+        else:  # schema-only table (mysqldump of an empty table)
+            df = spark.createDataFrame([], schema)
+            # an empty chunk keeps path-based consumers (verify, restore)
+            # on the same route as populated tables
+            t["data_path"] = os.path.join(out_dir, f"{key}.00000.sql")
+            open(t["data_path"], "w").close()
+        with open(os.path.join(out_dir, f"{key}.schema.json"), "w") as f:
+            f.write(df.schema.json())
+        entry = build_entry(df, key, manifest.algorithm,
+                            path=t["data_path"], database=t["database"],
+                            checksum=checksum)
+        _attach_schema_artifact(
+            entry,
+            SimpleNamespace(
+                raw_sql=t["create_sql"],
+                descriptor=descriptor_from_create_table(t["create_sql"])),
+            key, out_dir)
+        manifest.tables[key] = entry
+    _write_object_artifacts(
+        manifest,
+        [((f"{o['database']}.{o['name']}" if res.multi_db and o["database"]
+           else o["name"]), SimpleNamespace(**o)) for o in res.objects],
+        FilenameRegistry(), out_dir)
+    manifest.finish()
+    write_manifest(manifest, out_dir)
+    return manifest
+
+
 def plan_for_table(spark: SparkSession, meta: TableMeta, df: DataFrame,
                    num_chunks: int | None,
                    profile: list[dict] | None = None) -> ChunkPlan:
@@ -552,6 +783,7 @@ def restore(
     resume_file: str | None = None,
     source_database: str | None = None,
     no_data: bool = False,
+    phase_threads: dict | None = None,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -600,7 +832,16 @@ def restore(
 
         with open(resume_file) as f:
             resume_log = set(_json.load(f))
-    dag = LoaderDag(parallelism=parallelism, resume_log=resume_log)
+    # myloader --max-threads-for-schema-creation/-index-creation/
+    # -post-actions + --serialized-table-creation: per-phase concurrency
+    # ceilings under the global `parallelism`. Keys: "schema", "index",
+    # "constraint", "post".
+    caps = {}
+    for pname, cap in (phase_threads or {}).items():
+        if cap is not None:
+            caps[Phase[pname.upper()]] = max(1, int(cap))
+    dag = LoaderDag(parallelism=parallelism, resume_log=resume_log,
+                    phase_caps=caps)
     skip_existing: set[str] = set()
     if jdbc_target:
         from mydumper_spark.plans.ddl import quote_ident
@@ -668,8 +909,18 @@ def restore(
                     skip_existing.add(t)
     else:
         tnames = FilenameRegistry()  # target-side safe names for weird tables
+
+        def _target_name(t: str) -> str:
+            # db-qualified entries keep the reference's db.table file
+            # composition (segments sanitized independently) — the same
+            # naming the dump side uses
+            db = doc["tables"][t].get("database")
+            if db:
+                return tnames.filename_for_qualified(db, t[len(db) + 1:])
+            return tnames.filename_for(t)
+
         target_paths = {
-            t: os.path.join(target_root, f"{tnames.filename_for(t)}.parquet")
+            t: os.path.join(target_root, f"{_target_name(t)}.parquet")
             for t in doc["tables"]
         }
 
@@ -696,6 +947,15 @@ def restore(
             with open(sidecar) as f:  # typed read via the dumped schema
                 schema = T.StructType.fromJson(__import__("json").load(f))
             return spark.read.schema(schema).json(src_path)
+        if src_path and src_path.endswith(".sql") and os.path.exists(src_path):
+            from mydumper_spark.sinks.manifest import read_dumped_table
+
+            # fmt="sql" dump: typed read through the .schema.json sidecar +
+            # the INSERT parser (manifest path wins over name derivation —
+            # masqueraded filenames)
+            df = read_dumped_table(spark, doc["tables"][table])
+            if df is not None:
+                return df
         if src_path and src_path.endswith(".dat") and os.path.exists(src_path):
             from mydumper_spark.sinks.manifest import read_dumped_table
 
@@ -754,10 +1014,11 @@ def restore(
                         ddl_executor(create_table_ddl(
                             bare, schema, dialect, database=db,
                             primary_key=pk))
-                    elif purge in (PurgeMode.TRUNCATE, PurgeMode.DELETE):
+                    elif purge in (PurgeMode.TRUNCATE, PurgeMode.DELETE,
+                                   PurgeMode.APPEND):
                         # keep an existing table (grants/triggers survive,
                         # myloader_restore_job.c:120-160); data clearing
-                        # happens in the data action
+                        # happens in the data action (APPEND never clears)
                         ddl_executor(create_table_ddl(
                             bare, schema, dialect, if_not_exists=True,
                             database=db, primary_key=pk))
@@ -773,8 +1034,13 @@ def restore(
 
                     # DELETE-then-append makes the action idempotent: the
                     # DAG retries failed jobs, and a re-run of a partially
-                    # committed append would otherwise duplicate rows
-                    ddl_executor(f"DELETE FROM {target_table(table)}")
+                    # committed append would otherwise duplicate rows.
+                    # --append-if-not-exist keeps pre-existing rows by
+                    # contract, so it cannot have that protection (the
+                    # reference shares the hazard — it just replays
+                    # INSERTs)
+                    if purge != PurgeMode.APPEND:
+                        ddl_executor(f"DELETE FROM {target_table(table)}")
                     write_jdbc(source_df(table, sp), sink, target_table(table))
                 return action
         else:
@@ -963,7 +1229,16 @@ def restore(
                 checks[t] = read_target(t).count() == entry["rows"]
                 continue
             cs = table_checksum(read_target(t), algorithm=algo)
-            checks[t] = cs["checksum"] == entry["data_checksum"] and cs["rows"] == entry["rows"]
+            ok = (cs["checksum"] == entry["data_checksum"]
+                  and cs["rows"] == entry["rows"])
+            if not ok and purge == PurgeMode.APPEND:
+                # --append-if-not-exist keeps pre-existing target rows, so
+                # a mismatch is expected whenever the table wasn't empty —
+                # indistinguishable from corruption, reported as
+                # unverifiable (None), never as a hard failure
+                checks[t] = None
+                continue
+            checks[t] = ok
         results["verify"] = checks
     return results
 
@@ -1040,7 +1315,9 @@ def dump_incremental(
             tt = cfg.per_table.get(key)
             if tt is None and not multi_db:
                 tt = cfg.per_table.get(meta.qualified_name)
-            out_name = fnames.filename_for(key)
+            out_name = (fnames.filename_for_qualified(meta.database,
+                                                      meta.name)
+                        if multi_db else fnames.filename_for(key))
             artifact = None
             # a view-as-table restores from the dumped column schema; SHOW
             # CREATE would yield view DDL, wrong to replay as a table

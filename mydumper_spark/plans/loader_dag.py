@@ -48,6 +48,9 @@ class PurgeMode(enum.Enum):
     DELETE = "delete"
     FAIL = "fail"
     SKIP = "skip"
+    #: myloader --append-if-not-exist: CREATE TABLE IF NOT EXISTS, keep
+    #: whatever rows are already there, APPEND the dump's rows on top
+    APPEND = "append"
 
     @property
     def spark_mode(self) -> str:
@@ -57,6 +60,7 @@ class PurgeMode(enum.Enum):
             PurgeMode.DELETE: "append",
             PurgeMode.FAIL: "errorifexists",
             PurgeMode.SKIP: "ignore",
+            PurgeMode.APPEND: "append",
         }[self]
 
 
@@ -90,12 +94,21 @@ class LoaderDag:
     tables can't saturate (many small tables — the reference's exact
     many-tables case, test/specific_25)."""
 
-    def __init__(self, resume_log: set[str] | None = None, parallelism: int = 1):
+    def __init__(self, resume_log: set[str] | None = None,
+                 parallelism: int = 1,
+                 phase_caps: "dict[Phase, int] | None" = None):
         self.jobs: list[LoadJob] = []
         self.state: dict[str, TableState] = {}
         self.results: dict[tuple[str, Phase], _JobResult] = {}
         self.resume_log = resume_log if resume_log is not None else set()  # L11
         self.parallelism = parallelism
+        #: per-phase concurrency ceilings — myloader's
+        #: --max-threads-for-schema-creation / -index-creation /
+        #: -post-actions and --serialized-table-creation (cap SCHEMA at 1):
+        #: DDL storms hurt some servers (metadata-lock contention) even
+        #: when the DATA phase wants full width, so the caps are
+        #: per-phase, never one global knob (myloader_arguments.c)
+        self.phase_caps = phase_caps or {}
 
     def add(self, job: LoadJob) -> None:
         self.jobs.append(job)
@@ -156,10 +169,12 @@ class LoaderDag:
                     stuck = sorted(remaining)
                     raise RuntimeError(
                         f"dependency cycle or failed deps in phase {phase.name}: {stuck}")
-                if self.parallelism > 1 and len(ready) > 1:
+                width = min(self.parallelism,
+                            self.phase_caps.get(phase, self.parallelism))
+                if width > 1 and len(ready) > 1:
                     from concurrent.futures import ThreadPoolExecutor
 
-                    with ThreadPoolExecutor(max_workers=self.parallelism) as ex:
+                    with ThreadPoolExecutor(max_workers=width) as ex:
                         outs = list(ex.map(self._run_one, ready))
                 else:
                     outs = [self._run_one(j) for j in ready]

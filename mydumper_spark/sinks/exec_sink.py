@@ -68,17 +68,36 @@ class FilenameRegistry:
 
     def __init__(self) -> None:
         self._map: dict[str, str] = {}
+        self._seg: dict[str, str] = {}
         self._n = 0
 
     def filename_for(self, table: str) -> str:
         if table in self._map:
             return self._map[table]
-        if _SAFE_FILENAME_RE.match(table) and not table.startswith("mydumper_"):
-            name = table
-        else:
-            name = f"mydumper_{self._n}"
-            self._n += 1
+        name = self._safe(table)
         self._map[table] = name
+        return name
+
+    def filename_for_qualified(self, database: str, table: str) -> str:
+        """determine_filename for a db-qualified table: each segment
+        sanitized INDEPENDENTLY and joined with "." — the reference's
+        db.table file naming (a dot inside db or table is unsafe; the
+        separator dot is structural, myloader splits on it to route
+        db.table.NNNNN.sql files). Memoized per segment so the same
+        table name stays stable across schemas."""
+        d = self._seg.get(database)
+        if d is None:
+            d = self._seg[database] = self._safe(database)
+        t = self._seg.get(table)
+        if t is None:
+            t = self._seg[table] = self._safe(table)
+        return f"{d}.{t}"
+
+    def _safe(self, s: str) -> str:
+        if _SAFE_FILENAME_RE.match(s) and not s.startswith("mydumper_"):
+            return s
+        name = f"mydumper_{self._n}"
+        self._n += 1
         return name
 
     @property

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -282,6 +283,14 @@ def read_dumped_table(spark, entry: dict,
         return None
     if path.endswith(".parquet"):
         return spark.read.parquet(path)
+    if _SQL_CHUNK_RE.search(path):
+        # fmt="sql": path records chunk 0; data spans every sibling chunk
+        schema = _sidecar_schema(path, _SQL_CHUNK_RE.search(path).group(0))
+        if schema is None:
+            return None
+        from mydumper_spark.sources.insert_parser import read_insert_sql
+
+        return read_insert_sql(spark, sql_chunk_paths(path), schema)
     if path.endswith(".orc"):
         return spark.read.orc(path)
     if path.endswith(".jsonl"):
@@ -307,6 +316,21 @@ def read_dumped_table(spark, entry: dict,
             .csv(path)
         )
     return None
+
+
+#: chunk suffix of a fmt="sql" data file ({out_name}.NNNNN.sql — the
+#: reference's db.table.NNNNN.sql rotation, myloader_process_filename.c)
+_SQL_CHUNK_RE = re.compile(r"\.\d{5}\.sql$")
+
+
+def sql_chunk_paths(chunk0: str) -> list[str]:
+    """Every sibling chunk of a fmt="sql" dump, from its recorded first
+    chunk — listdir + regex, not glob (masqueraded/odd table names must
+    not be glob-interpreted)."""
+    d, base = os.path.split(chunk0)
+    prefix = _SQL_CHUNK_RE.sub("", base)
+    pat = re.compile(re.escape(prefix) + r"\.\d{5}\.sql$")
+    return sorted(os.path.join(d, f) for f in os.listdir(d) if pat.match(f))
 
 
 def _sidecar_schema(path: str, suffix: str):

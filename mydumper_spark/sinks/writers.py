@@ -255,6 +255,73 @@ def write_insert_sql(
     insert_statements(df, table, rows_per_statement, **kw).write.mode("overwrite").text(path)
 
 
+def insert_statements_stream(
+    df: DataFrame,
+    table: str,
+    rows_per_statement: int = 1000,
+    complete_insert: bool = False,
+    insert_mode: str = "INSERT",
+    statement_size: int | None = None,
+) -> DataFrame:
+    """K1, dump-path variant: assemble multi-row INSERT statements with NO
+    shuffle and preserved partition order.
+
+    ``insert_statements`` groups tuples via ``groupBy(bucket)`` — an
+    exchange of every rendered byte, and ``collect_list`` forfeits row
+    order, which breaks ``-k/--order-by-primary`` (the reference sorts
+    rows *within* each file, mydumper_write.c:1055). Here the tuples are
+    rendered JVM-side (same ``_sql_literal`` matrix) and only the cheap
+    string *concatenation* runs in Arrow-batched ``mapInPandas``, carrying
+    state across batches within a partition: zero exchange, order intact.
+
+    ``statement_size`` caps statements by BYTES — the reference's exact
+    ``-s/--statement-size`` semantics (mydumper_write.c checks the byte
+    budget before appending each tuple; at least one tuple always goes in).
+    ``rows_per_statement`` caps by row count; both caps apply when both
+    are set."""
+    import pandas as pd
+
+    value_cols = [_sql_literal(c, t) for c, t in df.dtypes]
+    tuple_col = F.concat(F.lit("("), F.concat_ws(",", *value_cols), F.lit(")"))
+    rendered = df.select(tuple_col.alias("vals"))
+    cols_clause = (
+        " (" + ",".join(f"`{c}`" for c in df.columns) + ")" if complete_insert else ""
+    )
+    prefix = f"{insert_mode} INTO `{table}`{cols_clause} VALUES "
+    prefix_b = len(prefix.encode("utf-8"))  # non-ASCII table/column names
+    byte_cap = statement_size if statement_size and statement_size > 0 else None
+    row_cap = max(1, int(rows_per_statement))
+
+    def assemble(batches):
+        # per-partition state: tuples pending for the open statement
+        pend: list[str] = []
+        pend_bytes = prefix_b
+
+        def flush():
+            nonlocal pend, pend_bytes
+            stmt = prefix + ",".join(pend) + ";"
+            pend, pend_bytes = [], prefix_b
+            return stmt
+
+        for pdf in batches:
+            out: list[str] = []
+            for v in pdf["vals"]:
+                vb = len(v.encode("utf-8", "surrogatepass")) + 1
+                if pend and (
+                    len(pend) >= row_cap
+                    or (byte_cap is not None and pend_bytes + vb > byte_cap)
+                ):
+                    out.append(flush())
+                pend.append(v)
+                pend_bytes += vb
+            if out:
+                yield pd.DataFrame({"statement": out})
+        if pend:
+            yield pd.DataFrame({"statement": [flush()]})
+
+    return rendered.mapInPandas(assemble, schema="statement string")
+
+
 def write_load_data(
     df: DataFrame,
     root: str,

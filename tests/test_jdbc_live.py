@@ -1198,3 +1198,117 @@ def test_restore_into_alternative_database_live(spark, tmp_path):
     con.close()
     assert n == 30 and vc == 30
     assert "app" not in schemas  # nothing leaked into the recorded schema
+
+
+def test_sql_format_reference_layout_live(spark, tmp_path):
+    """fmt="sql" over a multi-schema JDBC source writes the reference's
+    exact file layout — db.table.NNNNN.sql data chunks that myloader's
+    filename router recognizes (myloader_process_filename.c), alongside
+    -schema.sql DDL and the INI metadata — and restores live into a second
+    database with checksums green."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+    from mydumper_spark.sources.dump_reader import classify
+
+    src = str(tmp_path / "sqlfmt_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA a; CREATE SCHEMA b")
+    con.execute("CREATE TABLE a.t (id INTEGER PRIMARY KEY, v VARCHAR)")
+    con.execute(
+        "INSERT INTO a.t SELECT range, 'x' || range FROM range(25)")
+    con.execute("CREATE TABLE b.t AS SELECT range AS id FROM range(7)")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "sqlfmt_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, fmt="sql",
+                    jdbc_properties=dict(DRIVER_PROPS)))
+    data_files = sorted(f for f in os.listdir(out)
+                        if f.endswith(".sql") and ".00" in f)
+    assert data_files == ["a.t.00000.sql", "b.t.00000.sql"]
+    # myloader's router would accept these names
+    for f in data_files:
+        kind, parts = classify(f)
+        assert kind == "data_sql" and parts["table"] == "t"
+    assert os.path.exists(os.path.join(out, "metadata"))  # INI for myloader
+    with open(os.path.join(out, "a.t.00000.sql")) as fh:
+        assert fh.readline().startswith("INSERT INTO `t` VALUES (0,'x0'),")
+
+    target = str(tmp_path / "sqlfmt_target.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(spark, out, f"jdbc:duckdb:{target}", parallelism=1,
+                      jdbc_properties=dict(DRIVER_PROPS),
+                      ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    assert results["verify"] == {"a.t": True, "b.t": True}
+    con = duckdb.connect(target)
+    vals = con.execute("SELECT count(*), max(v) FROM a.t").fetchone()
+    nb = con.execute("SELECT count(*) FROM b.t").fetchone()[0]
+    con.close()
+    assert vals == (25, "x9") and nb == 7
+
+
+def test_restore_append_if_not_exist_live(spark, sf_dir, tmp_path):
+    """myloader --append-if-not-exist, live: pre-existing rows survive and
+    the dump's rows append on top; verify reports the inevitable checksum
+    mismatch as unverifiable (None) — never as failure; on an EMPTY fresh
+    table the checksum genuinely verifies."""
+    import duckdb
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+    from mydumper_spark.plans.loader_dag import PurgeMode
+
+    out = str(tmp_path / "app_dump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.region"})))
+
+    target = str(tmp_path / "app_target.duckdb")
+    con = duckdb.connect(target)
+    con.execute("CREATE TABLE region (r_regionkey INTEGER PRIMARY KEY, "
+                "r_name VARCHAR, r_comment VARCHAR)")
+    con.execute("INSERT INTO region VALUES (99, 'PRE', 'existing row')")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    kw = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+              ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    results = restore(spark, out, f"jdbc:duckdb:{target}",
+                      purge=PurgeMode.APPEND, **kw)
+    assert results["load"] == {"region": True}
+    assert results["verify"]["region"] is None  # honest: can't verify
+    con = duckdb.connect(target)
+    n, pre = con.execute(
+        "SELECT count(*), sum(CASE WHEN r_name='PRE' THEN 1 END) "
+        "FROM region").fetchone()
+    con.close()
+    assert n == 6 and pre == 1  # 5 dumped + 1 pre-existing, none purged
+
+    # fresh empty target: APPEND verifies green (nothing pre-existing)
+    target2 = str(tmp_path / "app_fresh.duckdb")
+
+    def ddl_executor2(sql):
+        c = duckdb.connect(target2)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    r2 = restore(spark, out, f"jdbc:duckdb:{target2}",
+                 purge=PurgeMode.APPEND, parallelism=1,
+                 jdbc_properties=dict(DRIVER_PROPS),
+                 ddl_executor=ddl_executor2, jdbc_num_partitions=1)
+    assert r2["verify"] == {"region": True}

@@ -1,0 +1,162 @@
+"""myloader --mysqldump analogue: convert a mysqldump-format .sql file into
+a first-class dump directory (reference layout + manifest), then verify and
+restore it through the normal paths."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mydumper_spark.engine import import_mysqldump, restore
+from mydumper_spark.sinks.manifest import read_manifest, verify_manifest
+
+#: a faithful mysqldump 8.0 excerpt: version-gated session SETs, CREATE
+#: DATABASE with gated IF NOT EXISTS, LOCK/UNLOCK, extended INSERTs with
+#: hostile values, an empty table, a view STAND-IN (/*!50001 CREATE TABLE)
+#: followed by the real CREATE VIEW, and a DELIMITER-wrapped trigger
+MYSQLDUMP = r"""-- MySQL dump 10.13  Distrib 8.0.36, for Linux (x86_64)
+/*!40101 SET @OLD_CHARACTER_SET_CLIENT=@@CHARACTER_SET_CLIENT */;
+/*!40103 SET TIME_ZONE='+00:00' */;
+
+CREATE DATABASE /*!32312 IF NOT EXISTS*/ `shop` /*!40100 DEFAULT CHARACTER SET utf8mb4 */;
+
+USE `shop`;
+
+DROP TABLE IF EXISTS `customer`;
+/*!40101 SET @saved_cs_client     = @@character_set_client */;
+CREATE TABLE `customer` (
+  `id` int unsigned NOT NULL AUTO_INCREMENT,
+  `name` varchar(50) NOT NULL,
+  `balance` decimal(10,2) DEFAULT NULL,
+  `joined` datetime DEFAULT NULL,
+  `note` text,
+  PRIMARY KEY (`id`),
+  KEY `idx_name` (`name`)
+) ENGINE=InnoDB AUTO_INCREMENT=4 DEFAULT CHARSET=utf8mb4;
+
+LOCK TABLES `customer` WRITE;
+/*!40000 ALTER TABLE `customer` DISABLE KEYS */;
+INSERT INTO `customer` VALUES (1,'Alice; \'quoted\'',100.50,'2024-01-02 03:04:05','line\nbreak'),(2,'Bob (paren, comma)',NULL,NULL,NULL),(3,'NULL',0.00,'2023-12-31 23:59:59','semi;colon');
+/*!40000 ALTER TABLE `customer` ENABLE KEYS */;
+UNLOCK TABLES;
+
+DROP TABLE IF EXISTS `orders`;
+CREATE TABLE `orders` (
+  `oid` bigint NOT NULL,
+  `cust` int DEFAULT NULL,
+  `total` double DEFAULT NULL,
+  PRIMARY KEY (`oid`)
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
+
+LOCK TABLES `orders` WRITE;
+INSERT INTO `orders` VALUES (10,1,9.99),(11,2,0);
+INSERT INTO `orders` VALUES (12,3,-5.25);
+UNLOCK TABLES;
+
+DROP TABLE IF EXISTS `emptytab`;
+CREATE TABLE `emptytab` (
+  `x` int DEFAULT NULL
+) ENGINE=InnoDB;
+
+DROP TABLE IF EXISTS `big_spenders`;
+/*!50001 DROP VIEW IF EXISTS `big_spenders`*/;
+/*!50001 CREATE TABLE `big_spenders` (
+ `id` tinyint NOT NULL,
+ `name` tinyint NOT NULL
+) ENGINE=MyISAM */;
+
+DELIMITER ;;
+/*!50003 CREATE*/ /*!50017 DEFINER=`root`@`localhost`*/ /*!50003 TRIGGER `trg_bal` BEFORE INSERT ON `customer` FOR EACH ROW BEGIN SET NEW.balance = IFNULL(NEW.balance, 0); END */;;
+DELIMITER ;
+
+/*!50001 DROP TABLE IF EXISTS `big_spenders`*/;
+/*!50001 CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`localhost` SQL SECURITY DEFINER VIEW `big_spenders` AS select `customer`.`id` AS `id`,`customer`.`name` AS `name` from `customer` where (`customer`.`balance` > 50) */;
+
+/*!40103 SET TIME_ZONE=@OLD_TIME_ZONE */;
+
+-- Dump completed on 2026-08-15 10:00:00
+"""
+
+
+@pytest.fixture()
+def converted(spark, tmp_path):
+    src = tmp_path / "dump.sql"
+    src.write_text(MYSQLDUMP)
+    out = str(tmp_path / "converted")
+    manifest = import_mysqldump(spark, str(src), out)
+    return manifest, out
+
+
+def test_import_mysqldump_tables_and_objects(spark, converted):
+    manifest, out = converted
+    assert {k: e.rows for k, e in manifest.tables.items()} == {
+        "shop.customer": 3, "shop.orders": 3, "shop.emptytab": 0}
+    # view stand-in never becomes a table; the real view is an object
+    objs = {(o["kind"], o["name"]) for o in manifest.objects}
+    assert objs == {("trigger", "trg_bal"), ("view", "big_spenders")}
+    # object DDL is replayable: no version-gate debris (/*!NNNNN or */)
+    for o in manifest.objects:
+        with open(o["path"]) as f:
+            raw = f.read()
+        assert "/*!" not in raw and "*/" not in raw, raw
+    # reference layout on disk: db.table.NNNNN.sql + db.table-schema.sql
+    # + db-schema-create.sql + INI metadata
+    names = set(os.listdir(out))
+    assert {"shop.customer.00000.sql", "shop.customer-schema.sql",
+            "shop-schema-create.sql", "metadata"} <= names
+    # the imported dump is a first-class dump: checksums verify
+    v = verify_manifest(spark, out)
+    assert v["shop.customer"]["ok"] and v["shop.orders"]["ok"]
+    # an empty table has no rows to checksum (engine-wide convention:
+    # zero-row checksums record None) — unverifiable, never False
+    assert v["shop.emptytab"]["ok"] is not False
+    # indexes/PK survived into the replayable descriptor (L6/L7 inputs)
+    doc = read_manifest(out)
+    sd = doc["tables"]["shop.customer"]["schema_def"]
+    assert sd["primary_key"] == ["id"]
+    assert [i["name"] for i in sd["indexes"]] == ["idx_name"]
+
+
+def test_import_mysqldump_restores_exact_values(spark, converted):
+    import datetime
+    from decimal import Decimal
+
+    _, out = converted
+    target = out + "_restored"
+    results = restore(spark, out, target)
+    assert all(results["load"].values()) and all(results["verify"].values())
+    # parquet target has no trigger/view engine: recorded, never dropped
+    assert set(results["ddl"]["skipped_objects"]) == {
+        "trigger:trg_bal", "view:big_spenders"}
+    rows = (spark.read.parquet(os.path.join(target, "shop.customer.parquet"))
+            .orderBy("id").collect())
+    assert [r["name"] for r in rows] == [
+        "Alice; 'quoted'", "Bob (paren, comma)", "NULL"]
+    assert rows[0]["balance"] == Decimal("100.50")
+    assert rows[0]["joined"] == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert rows[0]["note"] == "line\nbreak"
+    assert rows[1]["balance"] is None and rows[1]["note"] is None
+    assert rows[2]["name"] == "NULL"  # the STRING, not SQL NULL
+
+
+def test_import_mysqldump_no_create_info_is_loud(spark, tmp_path):
+    src = tmp_path / "nocreate.sql"
+    src.write_text("USE `d`;\nINSERT INTO `t` VALUES (1),(2);\n")
+    with pytest.raises(ValueError, match="no CREATE TABLE"):
+        import_mysqldump(spark, str(src), str(tmp_path / "out"))
+
+
+def test_import_mysqldump_cli(spark, tmp_path, capsys):
+    from mydumper_spark.cli import main
+
+    src = tmp_path / "cli.sql"
+    src.write_text(MYSQLDUMP)
+    out = str(tmp_path / "cliout")
+    rc = main(["import-mysqldump", str(src), "-o", out])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["tables"]["shop.customer"] == 3
+    assert sorted(doc["objects"]) == ["trigger:trg_bal",
+                                      "view:big_spenders"]

@@ -416,10 +416,11 @@ def test_jdbc_sink_options():
 def test_purge_modes_distinct():
     from mydumper_spark.plans.loader_dag import PurgeMode
 
-    assert len({m.value for m in PurgeMode}) == 5
+    assert len({m.value for m in PurgeMode}) == 6
     assert PurgeMode.TRUNCATE is not PurgeMode.DROP
     assert PurgeMode.DELETE.spark_mode == "append"
     assert PurgeMode.SKIP.spark_mode == "ignore"
+    assert PurgeMode.APPEND.spark_mode == "append"  # --append-if-not-exist
 
 
 def test_load_data_clickhouse_dialect(spark, tmp_path):
@@ -1761,3 +1762,196 @@ def test_restore_database_override_rejects_parquet_target(spark, sf_dir, tmp_pat
     with pytest.raises(ValueError, match="jdbc: targets only"):
         restore(spark, out, str(tmp_path / "tree"),
                 target_database="staging")
+
+
+def test_sql_format_dump_roundtrip_exact(spark, sf_dir, tmp_path):
+    """fmt="sql" (the reference's NATIVE format): dump writes chunk files
+    {table}.NNNNN.sql of multi-row INSERTs, the manifest checksums verify
+    against a typed re-read through the INSERT parser, restore reproduces
+    the source exactly, and --insert-ignore/--complete-insert shape the
+    statement text (mydumper_write.c)."""
+    import re
+
+    out = str(tmp_path / "sqldump")
+    cfg = DumpConfig(
+        output_dir=out, fmt="sql", rows_per_statement=100,
+        max_records_per_file=300, complete_insert=True,
+        insert_mode="INSERT IGNORE",
+        filters=TableFilters(tables_list={"default.orders", "default.nation"}),
+    )
+    dump(spark, sf_dir, cfg)
+    chunks = sorted(f for f in os.listdir(out) if f.endswith(".sql")
+                    and not f.endswith("-schema.sql"))
+    assert all(re.search(r"\.\d{5}\.sql$", f) for f in chunks)
+    # rotation: orders at sf0.001 is 1500 rows → 15 statements, ≤3/file
+    assert sum(1 for f in chunks if f.startswith("orders.")) >= 5
+    with open(os.path.join(out, "nation.00000.sql")) as f:
+        first = f.readline()
+    assert first.startswith("INSERT IGNORE INTO `nation` (`n_nationkey`,")
+    v = verify_manifest(spark, out)
+    assert all(r["ok"] for r in v.values()), v
+    target = str(tmp_path / "sqlrestored")
+    results = restore(spark, out, target, parallelism=2)
+    assert all(results["load"].values()) and all(results["verify"].values())
+    orig = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    back = spark.read.parquet(os.path.join(target, "orders.parquet"))
+    assert orig.schema == back.schema
+    assert orig.exceptAll(back).count() == 0
+    assert back.exceptAll(orig).count() == 0
+
+
+def test_sql_format_statement_size_byte_cap(spark):
+    """-s/--statement-size caps every emitted statement by BYTES exactly
+    (at least one tuple per statement), losing no rows."""
+    from mydumper_spark.sinks.writers import insert_statements_stream
+    from mydumper_spark.sources.insert_parser import read_insert_sql
+
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+    )
+    stmts = insert_statements_stream(
+        df, "t", rows_per_statement=10_000, statement_size=120)
+    lines = [r["statement"] for r in stmts.collect()]
+    assert len(lines) > 5  # the byte cap actually split
+    assert all(len(line.encode()) <= 120 for line in lines)
+    p = "/tmp/claude-0/stmt_cap.sql"
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    back = read_insert_sql(spark, p, df.schema)
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_sql_format_preserves_order_by_primary(spark, sf_dir, tmp_path):
+    """-k/--order-by-primary survives fmt="sql": statement assembly is
+    shuffle-free and order-preserving, so tuples inside each chunk file
+    stay PK-sorted (the groupBy/collect_list path would scramble them)."""
+    from mydumper_spark.sources.insert_parser import parse_tuples
+
+    out = str(tmp_path / "sqlsorted")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, fmt="sql", order_by_primary=True,
+        rows_per_statement=37,
+        filters=TableFilters(tables_list={"default.customer"})))
+    for f in os.listdir(out):
+        if f.startswith("customer.") and f.endswith(".sql"):
+            with open(os.path.join(out, f)) as fh:
+                keys = [int(t[0]) for line in fh for t in parse_tuples(line)]
+            assert keys == sorted(keys), f
+
+
+def test_sql_format_rejects_nested_columns(spark, sf_dir, tmp_path):
+    """Nested columns cannot round-trip as SQL literals — loud error, not
+    silent corruption (the reference's format targets relational MySQL)."""
+    with pytest.raises(ValueError, match="nested columns"):
+        dump(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "sqlbad"), fmt="sql",
+            filters=TableFilters(tables_list={"default.embeddings"})))
+
+
+def test_sql_format_escaping_full_path(spark, tmp_path):
+    """Hostile strings (quotes, backslashes, newlines, NUL, literal
+    "NULL", unicode, empty vs NULL) survive the ENGINE-level dump→verify→
+    restore cycle in fmt="sql", not just the unit-level parser inversion."""
+    src = str(tmp_path / "nasty_src")
+    rows = [
+        (1, "it's", b"\x00\xff"),
+        (2, 'back\\slash and "dquote"', None),
+        (3, "line\nbreak\tand\rcr", b""),
+        (4, "NULL", b"\x1a"),
+        (5, None, b"ok"),
+        (6, "", b"\x27\x5c"),
+        (7, "émoji ☃ ligne", b"\x00" * 4),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string, b binary")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src}/nasty.parquet")
+    out = str(tmp_path / "nasty_dump")
+    dump(spark, src, DumpConfig(output_dir=out, fmt="sql"))
+    v = verify_manifest(spark, out)
+    assert all(r["ok"] for r in v.values()), v
+    target = str(tmp_path / "nasty_back")
+    results = restore(spark, out, target)
+    assert all(results["verify"].values())
+    back = spark.read.parquet(f"{target}/nasty.parquet")
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_check_row_count_and_disk_limits(spark, sf_dir, tmp_path, monkeypatch):
+    """--check-row-count re-counts independently and hard-fails on a
+    mismatch; --disk-limits stalls the writer under the pause threshold
+    and resumes at the resume threshold (reference semantics, probe
+    injected)."""
+    from mydumper_spark import engine as eng
+
+    out = str(tmp_path / "crc")
+    # green path: steady source → counts agree
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, check_row_count=True,
+        filters=TableFilters(tables_list={"default.region"})))
+
+    # mismatch path: make the written read-back disagree with the pre-count
+    real = eng._read_written
+
+    def tampered(spark_, path, cfg, schema):
+        return real(spark_, path, cfg, schema).limit(3)
+
+    monkeypatch.setattr(eng, "_read_written", tampered)
+    with pytest.raises(RuntimeError, match="row count mismatch"):
+        dump(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "crc2"), check_row_count=True,
+            filters=TableFilters(tables_list={"default.region"})))
+    monkeypatch.undo()
+
+    # disk-limits: first two probes under pause, third above resume
+    probes = iter([50 << 20, 400 << 20, 600 << 20])
+    seen = []
+
+    def free():
+        v = next(probes)
+        seen.append(v)
+        return v
+
+    with pytest.warns(UserWarning, match="disk-limits"):
+        dump(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "dl"), disk_limits="100:500",
+            disk_free_fn=free, dump_threads=1,
+            filters=TableFilters(tables_list={"default.region"})))
+    assert seen == [50 << 20, 400 << 20, 600 << 20]  # stalled until ≥500MB
+
+    # malformed / never-resuming specs are loud usage errors
+    with pytest.raises(ValueError, match="disk-limits"):
+        dump(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "dl2"), disk_limits="500:100",
+            filters=TableFilters(tables_list={"default.region"})))
+
+
+def test_dag_per_phase_concurrency_caps():
+    """myloader --max-threads-for-schema-creation / --serialized-table-
+    creation: the SCHEMA phase respects its own ceiling while DATA keeps
+    the full width (per-phase caps, not one global knob)."""
+    import threading
+    import time as _time
+
+    peak = {"SCHEMA": 0, "DATA": 0}
+    cur = {"SCHEMA": 0, "DATA": 0}
+    lock = threading.Lock()
+
+    def act(phase):
+        def run():
+            with lock:
+                cur[phase] += 1
+                peak[phase] = max(peak[phase], cur[phase])
+            _time.sleep(0.05)
+            with lock:
+                cur[phase] -= 1
+        return run
+
+    dag = LoaderDag(parallelism=4, phase_caps={Phase.SCHEMA: 1})
+    for t in ("a", "b", "c", "d"):
+        dag.add(LoadJob(t, Phase.SCHEMA, act("SCHEMA")))
+        dag.add(LoadJob(t, Phase.DATA, act("DATA")))
+    results = dag.run()
+    assert all(r.ok for r in results.values())
+    assert peak["SCHEMA"] == 1  # serialized
+    assert peak["DATA"] >= 2    # full width untouched
