@@ -118,6 +118,9 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
                      if getattr(args, "insert_ignore", False) else "INSERT"),
         check_row_count=getattr(args, "check_row_count", False),
         disk_limits=getattr(args, "disk_limits", None),
+        skip_triggers=getattr(args, "skip_triggers", False),
+        skip_routines=getattr(args, "skip_routines", False),
+        skip_events=getattr(args, "skip_events", False),
     )
 
 
@@ -932,6 +935,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pause dumping while free space at the output dir "
                         "is under PAUSE MB; resume at RESUME MB "
                         "(reference --disk-limits)")
+    d.add_argument("--skip-triggers", action="store_true",
+                   help="don't capture trigger DDL (inverse of the "
+                        "reference's -G opt-in; we capture by default)")
+    d.add_argument("--skip-routines", action="store_true",
+                   help="don't capture routine DDL (inverse of -R)")
+    d.add_argument("--skip-events", action="store_true",
+                   help="don't capture event DDL (inverse of -E)")
     d.add_argument("-t", "--threads", type=int)
     d.add_argument("--no-checksum", action="store_true")
     d.add_argument("-E", "--exec", dest="exec_cmd", help="run CMD per finished file (K9)")

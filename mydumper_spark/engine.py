@@ -95,6 +95,13 @@ class DumpConfig:
     all_tablespaces: bool = False
     #: --no-views (-W): skip view DDL capture entirely
     no_views: bool = False
+    #: object-capture gates. The reference's -G/-R/-E are opt-INs
+    #: (triggers/routines/events dump only when asked); our default
+    #: captures everything, so the user-facing knobs are the inverse —
+    #: skip flags per kind (a superset default with honest opt-outs)
+    skip_triggers: bool = False
+    skip_routines: bool = False
+    skip_events: bool = False
     #: -k/--order-by-primary: PK-sort rows within each output partition
     #: (reference O1, mydumper_write.c:1055 — ORDER BY pk per chunk).
     #: sortWithinPartitions, deliberately NOT a global orderBy: the
@@ -284,6 +291,10 @@ def _capture_objects(cat, dialect, cfg: DumpConfig,
             # --no-views drops them; --views-as-tables dumps their ROWS
             # instead (they entered the table list at discovery)
             continue
+        if ((obj.kind == "trigger" and cfg.skip_triggers)
+                or (obj.kind == "routine" and cfg.skip_routines)
+                or (obj.kind == "event" and cfg.skip_events)):
+            continue  # per-kind capture gates (reference -G/-R/-E inverse)
         if obj.kind == "tablespace":
             # server-global (no database, no table): always admitted —
             # the reference gates only on server support
@@ -551,6 +562,10 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 )
                 tmp = os.path.join(cfg.output_dir, f"_{out_name}.sqltmp")
                 w = stmts.write.mode("overwrite")
+                comp = cfg.csv_format.compression  # -c: .sql.gz/.sql.zst
+                ext = {"gzip": ".gz", "zstd": ".zst"}.get(comp or "", "")
+                if comp:
+                    w = w.option("compression", comp)
                 if cfg.max_records_per_file:
                     # file rotation in ROWS → statements (the writer's
                     # record unit); with a byte cap active this is an
@@ -566,11 +581,13 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 chunks = []
                 for i, p in enumerate(parts):
                     dst = os.path.join(cfg.output_dir,
-                                       f"{out_name}.{i:05d}.sql")
+                                       f"{out_name}.{i:05d}.sql{ext}")
                     os.replace(os.path.join(tmp, p), dst)
                     chunks.append(dst)
                 shutil.rmtree(tmp)
-                if not chunks:  # empty table still records a data path
+                if not chunks:
+                    # empty table still records a data path — always a
+                    # PLAIN .sql (a zero-byte .gz is not a valid stream)
                     chunks = [os.path.join(cfg.output_dir,
                                            f"{out_name}.00000.sql")]
                     open(chunks[0], "w").close()
@@ -947,15 +964,19 @@ def restore(
             with open(sidecar) as f:  # typed read via the dumped schema
                 schema = T.StructType.fromJson(__import__("json").load(f))
             return spark.read.schema(schema).json(src_path)
-        if src_path and src_path.endswith(".sql") and os.path.exists(src_path):
-            from mydumper_spark.sinks.manifest import read_dumped_table
+        if src_path and os.path.exists(src_path):
+            from mydumper_spark.sinks.manifest import (
+                is_sql_chunk,
+                read_dumped_table,
+            )
 
-            # fmt="sql" dump: typed read through the .schema.json sidecar +
-            # the INSERT parser (manifest path wins over name derivation —
-            # masqueraded filenames)
-            df = read_dumped_table(spark, doc["tables"][table])
-            if df is not None:
-                return df
+            if is_sql_chunk(src_path):
+                # fmt="sql" dump (plain or -c compressed): typed read via
+                # the .schema.json sidecar + the INSERT parser (manifest
+                # path wins over name derivation — masqueraded filenames)
+                df = read_dumped_table(spark, doc["tables"][table])
+                if df is not None:
+                    return df
         if src_path and src_path.endswith(".dat") and os.path.exists(src_path):
             from mydumper_spark.sinks.manifest import read_dumped_table
 

@@ -318,9 +318,15 @@ def read_dumped_table(spark, entry: dict,
     return None
 
 
-#: chunk suffix of a fmt="sql" data file ({out_name}.NNNNN.sql — the
-#: reference's db.table.NNNNN.sql rotation, myloader_process_filename.c)
-_SQL_CHUNK_RE = re.compile(r"\.\d{5}\.sql$")
+#: chunk suffix of a fmt="sql" data file ({out_name}.NNNNN.sql[.gz|.zst]
+#: — the reference's db.table.NNNNN.sql rotation + -c compression,
+#: myloader_process_filename.c)
+_SQL_CHUNK_RE = re.compile(r"\.\d{5}\.sql(\.(gz|zst))?$")
+
+
+def is_sql_chunk(path: str) -> bool:
+    """True when a recorded data path is a fmt="sql" chunk file."""
+    return bool(_SQL_CHUNK_RE.search(path))
 
 
 def sql_chunk_paths(chunk0: str) -> list[str]:
@@ -329,7 +335,7 @@ def sql_chunk_paths(chunk0: str) -> list[str]:
     not be glob-interpreted)."""
     d, base = os.path.split(chunk0)
     prefix = _SQL_CHUNK_RE.sub("", base)
-    pat = re.compile(re.escape(prefix) + r"\.\d{5}\.sql$")
+    pat = re.compile(re.escape(prefix) + r"\.\d{5}\.sql(\.(gz|zst))?$")
     return sorted(os.path.join(d, f) for f in os.listdir(d) if pat.match(f))
 
 

@@ -1955,3 +1955,78 @@ def test_dag_per_phase_concurrency_caps():
     assert all(r.ok for r in results.values())
     assert peak["SCHEMA"] == 1  # serialized
     assert peak["DATA"] >= 2    # full width untouched
+
+
+def test_sql_format_gzip_compression_roundtrip(spark, sf_dir, tmp_path):
+    """-c gzip with --format sql writes .sql.gz chunks (the reference's
+    default combo); verify and restore decompress transparently through
+    Spark's codec; empty tables stay PLAIN .sql (a zero-byte .gz is not a
+    valid stream)."""
+    import gzip
+
+    from mydumper_spark.sinks.writers import CsvFormat
+
+    out = str(tmp_path / "sqlgz")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, fmt="sql", csv_format=CsvFormat(compression="gzip"),
+        filters=TableFilters(tables_list={"default.nation"})))
+    chunks = [f for f in os.listdir(out) if f.endswith(".sql.gz")]
+    assert chunks == ["nation.00000.sql.gz"]
+    with gzip.open(os.path.join(out, chunks[0]), "rt") as f:
+        assert f.readline().startswith("INSERT INTO `nation` VALUES")
+    v = verify_manifest(spark, out)
+    assert v["nation"]["ok"] is True
+    target = str(tmp_path / "sqlgz_restored")
+    results = restore(spark, out, target)
+    assert results["verify"] == {"nation": True}
+    orig = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    back = spark.read.parquet(os.path.join(target, "nation.parquet"))
+    assert back.exceptAll(orig).count() == 0 and orig.exceptAll(back).count() == 0
+
+
+def test_dump_object_capture_skip_gates():
+    """--skip-triggers/--skip-routines/--skip-events gate per-kind object
+    capture (the honest inverse of the reference's -G/-R/-E opt-ins: our
+    default captures everything)."""
+    from types import SimpleNamespace
+
+    from mydumper_spark.catalog import JdbcCatalog
+    from mydumper_spark.engine import _capture_objects
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    def query(sql):
+        if "information_schema.views" in sql:
+            return [{"db": "shop", "name": "v1", "body": "select 1"}]
+        if "information_schema.triggers" in sql:
+            return [{"db": "shop", "name": "trg", "timing": "AFTER",
+                     "ev": "INSERT", "tbl": "orders", "body": "SET @x=1"}]
+        if "information_schema.routines" in sql:
+            return [{"db": "shop", "name": "p1", "rtype": "PROCEDURE",
+                     "body": "SET @y=1", "ret": None}]
+        if "information_schema.parameters" in sql:
+            return []
+        if "information_schema.events" in sql:
+            return [{"db": "shop", "name": "ev1", "body": "CALL p1()",
+                     "etype": "RECURRING", "iv": "1", "ifld": "DAY",
+                     "at": None}]
+        raise AssertionError(sql)
+
+    class Q:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def collect(self):
+            return self.rows
+
+    cat = JdbcCatalog.__new__(JdbcCatalog)
+    cat._q = lambda sql: Q(query(sql))
+    dialect = SimpleNamespace(product=ServerProduct.MYSQL)
+
+    def kinds(**flags):
+        cfg = DumpConfig(output_dir="/tmp/claude-0/unused", **flags)
+        return {o.kind for _, o in _capture_objects(
+            cat, dialect, cfg, {"orders"}, False, None)}
+
+    assert kinds() == {"view", "trigger", "routine", "event"}
+    assert kinds(skip_triggers=True) == {"view", "routine", "event"}
+    assert kinds(skip_routines=True, skip_events=True) == {"view", "trigger"}
