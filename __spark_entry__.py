@@ -565,6 +565,43 @@ FROM (
 """
 
 
+def x_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained selection (operators/sampling.budget_select):
+    fill a budget of 1/4 of the corpus's tokens with the best documents by
+    a distinct-token-ratio quality score (integer ppm), ties on doc_id.
+    The Spark side locates the cutoff hierarchically (score histogram →
+    id-range-bucket histogram → one-bucket exact window) instead of the
+    single-partition global running-sum window the naive form needs; the
+    oracle replays the naive window and must match hash-exact."""
+    from mydumper_spark.operators.sampling import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        F.expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) "
+               "* 1000000) DIV size(split(text, ' '))").alias("score_ppm"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    return budget_select(scored, "score_ppm", "n_tokens",
+                         budget_fraction=(1, 4))
+
+
+_BUDGET_SELECT_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         (len(list_distinct(string_split(text, ' '))) * 1000000)
+           // len(string_split(text, ' ')) AS score_ppm,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY score_ppm DESC, doc_id) AS cum
+  FROM scored
+)
+SELECT doc_id, score_ppm, n_tokens FROM ranked
+WHERE cum <= (SELECT sum(n_tokens) // 4 FROM scored)
+"""
+
+
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document counting stats (token/punct/digit/upper/space)."""
     from mydumper_spark.operators.text import add_text_stats
@@ -4957,6 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_checksums": a4_checksums,
         "x_dedup_exact": x_dedup_exact,
         "x_soft_dedup_weights": x_soft_dedup_weights,
+        "x_budget_select": x_budget_select,
         "x_text_stats": x_text_stats,
         "x_lang_id": x_lang_id,
         "x_lang_confusion": x_lang_confusion,
@@ -5099,6 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         "a4_checksums": _a4_sql(),
         "x_dedup_exact": _DEDUP_SQL,
         "x_soft_dedup_weights": _SOFT_DEDUP_SQL,
+        "x_budget_select": _BUDGET_SELECT_SQL,
         "x_text_stats": _TEXT_STATS_SQL,
         "x_lang_id": _lang_sql(),
         "x_lang_confusion": _lang_confusion_sql(),

@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     # join-back — benched so an accidental window-over-corpus (sort) or
     # lost map-side combine is visible
     "x_soft_dedup_weights",
+    # token-budget selection: hierarchical cutoff (score histogram →
+    # id-bucket histogram → one-bucket window) — benched so a regression
+    # to the naive single-partition global running-sum window is visible
+    "x_budget_select",
 ]
 
 

@@ -399,3 +399,116 @@ def temperature_mix(
         cut = F.when(F.col(group_col).eqNullSafe(F.lit(g)),
                      F.lit(int(c))).otherwise(cut)
     return df.where(h < cut)
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int | None = None,
+    id_col: str = "doc_id",
+    id_buckets: int = 4096,
+    budget_fraction: "tuple[int, int] | None" = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Token-budget-constrained selection: fill a training-token ``budget``
+    with the best-scoring documents — order by (score DESC, id ASC), keep
+    the maximal prefix whose running token sum stays ≤ budget. This is the
+    last step of every curation pipeline ("we can afford 1T tokens; take
+    the best 1T of the 5T we curated").
+
+    The textbook form is a running-sum window over a GLOBAL sort — on
+    Spark that is ``Window.orderBy(...)`` with no partition key: every row
+    through ONE task, the anti-pattern that dies first at 100 TB. Instead
+    the cutoff is located hierarchically, all integer-exact:
+
+    1. one aggregate per distinct score (score is an integer ppm-style
+       metric → cardinality is bounded by its SCALE, ~1e6 rows max, a
+       driver-plane cumsum);
+    2. every doc strictly above the threshold score is selected by a pure
+       scan-side filter (no ordering anywhere);
+    3. only the BOUNDARY score's docs — the one group the budget splits —
+       need intra-group ordering by id; they are themselves thresholded by
+       a second histogram over ``id_buckets`` range buckets of the id
+       (range buckets preserve id order), leaving a single bucket
+       (~1/id_buckets of one score group) for the final exact
+       running-sum window.
+
+    Every count is integer; ties break on the id; the result set is a
+    pure function of the data — the DuckDB oracle replays it with the
+    naive window and matches hash-exact.
+
+    ``budget`` is absolute tokens; ``budget_fraction=(p, q)`` instead
+    derives it as total_tokens·p//q FROM pass 1's histogram (no extra
+    scan). ``materialize`` localCheckpoints the input once — the
+    threshold machinery reads the frame 4-5 times, and re-deriving a
+    scored projection (e.g. tokenizing text) on every pass would
+    dominate the cost; pass a SLIM frame (id, score, tokens)."""
+    if (budget is None) == (budget_fraction is None):
+        raise ValueError("pass exactly one of budget / budget_fraction")
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    score, toks, did = F.col(score_col), F.col(tokens_col), F.col(id_col)
+
+    # pass 1: per-score token totals (bounded by score cardinality)
+    hist = (df.groupBy(score_col).agg(F.sum(toks).alias("t"))
+            .collect())
+    if budget_fraction is not None:
+        p, q = budget_fraction
+        budget = sum(int(r["t"]) for r in hist) * p // q
+    # NULL scores rank last (worst), same None-safe rule as
+    # temperature_mix — they must neither crash the sort nor vanish
+    hist.sort(key=lambda r: (r[score_col] is not None,
+                             r[score_col] if r[score_col] is not None
+                             else 0),
+              reverse=True)
+    cum = 0
+    found = False
+    thr_score = None       # the score whose group the budget splits
+    remaining = budget     # budget left when we reach the boundary group
+    for r in hist:
+        if cum + r["t"] > budget:
+            thr_score = r[score_col]
+            remaining = budget - cum
+            found = True
+            break
+        cum += r["t"]
+    if not found:  # whole corpus fits
+        return df
+    if thr_score is None:  # the budget splits the NULL-score group
+        selected_above = df.filter(score.isNotNull())
+        boundary = df.filter(score.isNull())
+    else:
+        selected_above = df.filter(score > F.lit(thr_score))
+        boundary = df.filter(score.eqNullSafe(F.lit(thr_score)))
+    if remaining <= 0:
+        return selected_above
+
+    # pass 2: range-bucket histogram over the boundary group's ids
+    lo, hi = boundary.agg(F.min(did), F.max(did)).first()
+    width = max(1, (int(hi) - int(lo)) // id_buckets + 1)
+    bucket = ((did - F.lit(int(lo))) / F.lit(width)).cast("bigint")
+    bhist = (boundary.groupBy(bucket.alias("b"))
+             .agg(F.sum(toks).alias("t")).collect())
+    bhist.sort(key=lambda r: r["b"])
+    bcum = 0
+    thr_bucket = None
+    b_remaining = remaining
+    for r in bhist:
+        if bcum + r["t"] > remaining:
+            thr_bucket = r["b"]
+            b_remaining = remaining - bcum
+            break
+        bcum += r["t"]
+    if thr_bucket is None:
+        return selected_above.unionByName(boundary)
+    full_buckets = boundary.filter(bucket < F.lit(int(thr_bucket)))
+    edge = boundary.filter(bucket == F.lit(int(thr_bucket)))
+
+    # final exact prefix inside ONE bucket (~group/id_buckets rows): the
+    # only place a single-partition running-sum window ever runs
+    w = Window.orderBy(did)
+    edge_sel = (edge.withColumn("_cum", F.sum(toks).over(w))
+                .filter(F.col("_cum") <= F.lit(int(b_remaining)))
+                .drop("_cum"))
+    return selected_above.unionByName(full_buckets).unionByName(edge_sel)

@@ -2070,3 +2070,54 @@ def test_temperature_mix_null_group(spark):
         # threshold caps at 1.0 → every NULL-group doc survives
         assert got.get(None) == 50, (alpha, got)
         assert 0 < got["en"] < 1000, (alpha, got)
+
+
+def test_budget_select_exact_prefix_and_edges(spark):
+    """budget_select == the naive global-window prefix, including the hard
+    edges: one score shared by EVERYTHING (the whole budget resolves
+    through the id-bucket machinery), zero/tiny budgets, a budget the
+    corpus fits inside, and NULL scores ranking last."""
+    from mydumper_spark.operators.sampling import budget_select
+
+    rows = [(i, (i * 7) % 5, 10 + (i % 4)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, toks long")
+
+    def naive(budget, data=rows):
+        order = sorted(data, key=lambda r: (-(r[1] if r[1] is not None
+                                              else -10**9), r[0]))
+        out, cum = set(), 0
+        for i, s, t in order:
+            if cum + t > budget:
+                break
+            cum += t
+        # inclusive-prefix semantics: every row whose running sum fits
+        out, cum = set(), 0
+        for i, s, t in order:
+            cum += t
+            if cum > budget:
+                break
+            out.add(i)
+        return out
+
+    for budget in (0, 5, 117, 2000, 10**9):
+        got = {r["doc_id"] for r in
+               budget_select(df, "score", "toks", budget).collect()}
+        assert got == naive(budget), budget
+
+    # all-ties: a single score group, split purely by id buckets
+    ties = spark.createDataFrame(
+        [(i, 1, 10) for i in range(300)], "doc_id long, score long, toks long")
+    got = {r["doc_id"] for r in
+           budget_select(ties, "score", "toks", 1005, id_buckets=8).collect()}
+    assert got == set(range(100))  # 100 docs × 10 tokens ≤ 1005
+
+    # NULL scores come last and can be the boundary group
+    withnull = spark.createDataFrame(
+        [(1, 5, 10), (2, None, 10), (3, None, 10), (4, 7, 10)],
+        "doc_id long, score long, toks long")
+    got = {r["doc_id"] for r in
+           budget_select(withnull, "score", "toks", 25).collect()}
+    assert got == {4, 1}  # both NULLs don't fit; 2 (lower id) would at 30
+    got = {r["doc_id"] for r in
+           budget_select(withnull, "score", "toks", 30).collect()}
+    assert got == {4, 1, 2}
