@@ -12,9 +12,12 @@ mydumper_arguments.c, myloader_arguments.c) where a Spark equivalent exists:
         [--no-checksum] [--exec CMD] [--since PARENT] [--tidb-snapshot TS]
         [--clear] [-k] [-Y] [-W|--views-as-tables] [--stream [--no-delete]]
     python -m mydumper_spark restore -d DIR --target DIR|jdbc:URL
-        [--threads N] [--drop-table|--truncate|--skip-existing]
-        [--no-checksum] [-B DB] [--skip-indexes] [--skip-constraints]
-        [--skip-post] [--stream] [--resume] [-s DB] [--no-data]
+        [--threads N] [--drop-table|--truncate|--skip-existing|
+         --append-if-not-exist] [--no-checksum] [-B DB] [--skip-indexes]
+        [--skip-constraints] [--skip-post] [--stream] [--resume] [-s DB]
+        [--no-data] [--max-threads-for-{schema-creation,index-creation,
+        post-actions} N] [--serialized-table-creation] [-Q CHAR]
+    python -m mydumper_spark import-mysqldump FILE -o DIR
     python -m mydumper_spark verify -d DIR [--source DIR|jdbc:URL]
     python -m mydumper_spark daemon --source … -o RING --iterations N
         [--snapshot-interval S] [--snapshot-count M] [--incremental]
@@ -408,6 +411,7 @@ def cmd_restore(args: argparse.Namespace) -> int:
             "index": getattr(args, "max_threads_index", None),
             "post": getattr(args, "max_threads_post", None),
         },
+        quote_character=getattr(args, "quote_character", None),
     )
     print(json.dumps(results))
     # verify None = honestly unverifiable (e.g. --append-if-not-exist onto
@@ -654,6 +658,24 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         df = df.join(keep, "doc_id", "left_semi")
     if args.cap_per_source or args.dsir_target:
         df = _stage(df, "after_selection")
+    if args.token_budget:
+        # final budgeting: fill --token-budget whitespace tokens with the
+        # best docs by the integer quality composite (hierarchical cutoff,
+        # never a global-sort window — operators/sampling.budget_select).
+        # Runs LAST among doc-level stages: budgeting before hygiene would
+        # spend budget on docs the gates were about to drop.
+        from mydumper_spark.operators.sampling import budget_select
+        from mydumper_spark.operators.text import quality_score, token_count
+
+        scored = quality_score(df).select(
+            "doc_id",
+            (F.col("quality") * 10_000_000).cast("bigint").alias("__q_e7"),
+            token_count(F.col("text")).cast("bigint").alias("__toks"),
+        )
+        sel = budget_select(scored, "__q_e7", "__toks",
+                            budget=args.token_budget)
+        df = df.join(sel.select("doc_id"), "doc_id", "left_semi")
+        df = _stage(df, "after_token_budget")
 
     out = df
     if args.chunk_tokens:
@@ -1027,6 +1049,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--serialized-table-creation", action="store_true",
                    help="create tables one at a time (myloader flag; "
                         "equivalent to --max-threads-for-schema-creation 1)")
+    r.add_argument("-Q", "--quote-character", default=None, metavar="CHAR",
+                   help="force identifier quoting for replayed DDL: ` "
+                        "(backtick) or \" (ANSI) — myloader -Q; default "
+                        "derives from the target URL scheme")
     r.set_defaults(fn=cmd_restore)
 
     v = sub.add_parser("verify", help="recompute checksums vs manifest (L9)")
@@ -1132,6 +1158,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "the docs most target-like by DSIR importance")
     pp.add_argument("--dsir-top", type=int, default=1000,
                     help="how many docs --dsir-target keeps")
+    pp.add_argument("--token-budget", type=int, default=None,
+                    help="final stage: keep only the best docs (integer "
+                         "quality composite, ties on doc_id) whose "
+                         "whitespace tokens fit this budget")
     pp.add_argument("--chunk-tokens", type=int, default=None,
                     help="emit token-window chunks of this size instead of docs")
     pp.add_argument("--chunk-overlap", type=int, default=8)

@@ -801,6 +801,7 @@ def restore(
     source_database: str | None = None,
     no_data: bool = False,
     phase_threads: dict | None = None,
+    quote_character: str | None = None,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -866,6 +867,17 @@ def restore(
 
         scheme = target_root.split(":")[1].lower()
         dialect = "mysql" if scheme in ("mysql", "mariadb") else "ansi"
+        if quote_character is not None:
+            # myloader -Q/--quote-character: force the identifier quoting
+            # style instead of deriving it from the target's URL scheme
+            # (e.g. backticks against a MySQL-compatible engine whose JDBC
+            # scheme we don't recognize)
+            try:
+                dialect = {"`": "mysql", '"': "ansi"}[quote_character]
+            except KeyError:
+                raise ValueError(
+                    "quote_character must be ` (backtick) or \" (ANSI "
+                    f"double quote), got {quote_character!r}") from None
         sink = JdbcSinkConfig(
             url=target_root,
             num_partitions=jdbc_num_partitions,

@@ -1091,3 +1091,30 @@ def test_retarget_database_spellings():
     assert "other.app" in out          # app as a TABLE name untouched
     assert "happy." in out             # arbitrary text untouched
     assert "app." not in out.replace("happy.", "")
+
+
+def test_cli_prepare_token_budget(tmp_path):
+    """`prepare --token-budget N` wiring: the output's whitespace-token
+    total fits the budget and is a non-trivial strict subset (prefix
+    EXACTNESS itself is pinned by test_budget_select_exact_prefix_and_edges
+    and the x_budget_select oracle)."""
+    import duckdb
+
+    out = str(tmp_path / "budgeted")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    budget = 3000
+    r = subprocess.run(
+        [sys.executable, "-m", "mydumper_spark", "prepare",
+         "--source", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--dedup", "none", "--threads", "4",
+         "--token-budget", str(budget)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < counts["after_token_budget"] < counts["input"]
+    con = duckdb.connect()
+    toks = con.execute(
+        f"SELECT sum(len(regexp_split_to_array(trim(text), '\\s+') )) "
+        f"FROM '{out}/*.parquet'").fetchone()[0]
+    assert 0 < toks <= budget

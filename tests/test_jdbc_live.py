@@ -1312,3 +1312,35 @@ def test_restore_append_if_not_exist_live(spark, sf_dir, tmp_path):
                  jdbc_properties=dict(DRIVER_PROPS),
                  ddl_executor=ddl_executor2, jdbc_num_partitions=1)
     assert r2["verify"] == {"region": True}
+
+
+def test_restore_quote_character_override_live(spark, sf_dir, tmp_path):
+    """myloader -Q: forcing backtick quoting against a target whose scheme
+    would default to ANSI flips the quoting of every replayed CREATE
+    (observed through a recording executor under --no-data — DuckDB
+    itself rejects backticks, which is exactly why a user pointing at a
+    backtick-dialect server behind an unrecognized scheme needs -Q);
+    an unsupported character is a loud usage error."""
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    out = str(tmp_path / "qdump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.region"})))
+
+    kw = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+              jdbc_num_partitions=1, no_data=True)
+
+    def run(qc):
+        seen = []
+        restore(spark, out, "jdbc:duckdb:" + str(tmp_path / "q.duckdb"),
+                ddl_executor=seen.append, quote_character=qc, **kw)
+        return [s for s in seen if s.startswith("CREATE TABLE")]
+
+    assert any("`region`" in s for s in run("`"))     # forced backtick
+    assert any('"region"' in s for s in run('"'))     # forced ANSI
+    assert any('"region"' in s for s in run(None))    # scheme default
+
+    with pytest.raises(ValueError, match="quote_character"):
+        run("[")
