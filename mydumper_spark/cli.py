@@ -14,7 +14,8 @@ mydumper_arguments.c, myloader_arguments.c) where a Spark equivalent exists:
     python -m mydumper_spark restore -d DIR --target DIR|jdbc:URL
         [--threads N] [--drop-table|--truncate|--skip-existing|
          --append-if-not-exist] [--no-checksum] [-B DB] [--skip-indexes]
-        [--skip-constraints] [--skip-post] [--stream] [--resume] [-s DB]
+        [--skip-constraints] [--skip-post] [--stream [--mysqldump]]
+        [--resume] [-s DB]
         [--no-data] [--max-threads-for-{schema-creation,index-creation,
         post-actions} N] [--serialized-table-creation] [-Q CHAR]
     python -m mydumper_spark import-mysqldump FILE -o DIR
@@ -341,7 +342,31 @@ def cmd_restore(args: argparse.Namespace) -> int:
     from mydumper_spark.engine import restore
     from mydumper_spark.plans.loader_dag import PurgeMode
 
-    if getattr(args, "stream", False):
+    if getattr(args, "stream", False) and getattr(args, "mysqldump", False):
+        # reference myloader --stream --mysqldump ("It expect a mysqldump
+        # format when stream is used", myloader_arguments.c:151): stdin is
+        # a RAW mysqldump script, not the framed wire protocol — spool it
+        # (the splitter needs seekable sequential reads) and convert into
+        # the dump dir; the normal restore then runs on the conversion
+        import shutil as _shutil
+        import sys as _sys
+        import tempfile as _tempfile
+
+        from mydumper_spark.engine import import_mysqldump
+
+        with _tempfile.NamedTemporaryFile(suffix=".sql",
+                                          delete=False) as tf:
+            _shutil.copyfileobj(_sys.stdin.buffer, tf)
+            spool = tf.name
+        try:
+            m = import_mysqldump(_session(args.threads), spool,
+                                 args.directory,
+                                 checksum=not args.no_checksum)
+        finally:
+            os.unlink(spool)
+        print(json.dumps({"imported_tables": len(m.tables)}),
+              file=_sys.stderr)
+    elif getattr(args, "stream", False):
         # reference myloader --stream: reassemble the framed dump from
         # stdin into the dump dir first, then the normal restore runs on
         # it (myloader_stream.c)
@@ -1022,6 +1047,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--stream", action="store_true",
                    help="reassemble a framed dump from stdin into -d first "
                         "(myloader --stream), then restore it")
+    r.add_argument("--mysqldump", action="store_true",
+                   help="with --stream: stdin is a RAW mysqldump script "
+                        "instead of the framed wire protocol (myloader "
+                        "--mysqldump); it converts into -d, then restores")
     r.add_argument("--resume", action="store_true",
                    help="L11: skip objects a previous interrupted restore "
                         "of this dump already completed (state in "

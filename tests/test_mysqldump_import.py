@@ -160,3 +160,30 @@ def test_import_mysqldump_cli(spark, tmp_path, capsys):
     assert doc["tables"]["shop.customer"] == 3
     assert sorted(doc["objects"]) == ["trigger:trg_bal",
                                       "view:big_spenders"]
+
+
+def test_restore_stream_mysqldump_pipe(tmp_path):
+    """myloader --stream --mysqldump, end to end over a real pipe: a raw
+    mysqldump script on stdin converts into the dump dir and restores to
+    a parquet target in one command."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "pipe.sql"
+    src.write_text(MYSQLDUMP)
+    d = str(tmp_path / "converted")
+    target = str(tmp_path / "restored")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH="/root/repo")
+    with open(src, "rb") as stdin:
+        r = subprocess.run(
+            [sys.executable, "-m", "mydumper_spark", "restore",
+             "-d", d, "--target", target, "--stream", "--mysqldump",
+             "--threads", "4"],
+            stdin=stdin, capture_output=True, text=True, env=env,
+            timeout=600,
+        )
+    assert r.returncode == 0, r.stderr[-2000:]
+    results = json.loads(r.stdout.strip().splitlines()[-1])
+    assert results["load"] == {"shop.customer": True, "shop.orders": True,
+                               "shop.emptytab": True}
+    assert os.path.exists(os.path.join(target, "shop.customer.parquet"))

@@ -347,3 +347,11 @@ def test_round9_plan_shapes(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "Window" not in plan and "Sort " not in plan, plan
+
+    # budget_select: the hierarchical cutoff leaves EXACTLY ONE window —
+    # the final running sum inside the single boundary id-bucket — never
+    # a window/sort over the whole corpus (the above-threshold branch is
+    # a pure filter, no ordering anywhere)
+    plan = _plan(entry.queries()["x_budget_select"](spark, SF))
+    assert plan.count("Window") == 1, plan
+    assert "rangepartitioning" not in plan, plan  # no global sort
