@@ -586,6 +586,47 @@ def x_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                          budget_fraction=(1, 4))
 
 
+def x_budget_select_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budgeting (sampling.budget_select_by_group):
+    every language keeps its own best-by-quality docs within 1/4 of ITS
+    OWN tokens — the multilingual budgeting rule. Spark locates every
+    language's cutoff from one (lang, score) histogram and resolves ALL
+    boundary groups in a constant number of jobs; the naive form — a
+    window PARTITIONED BY lang — ships half the corpus to the 'en' task.
+    The oracle replays that naive partitioned window and must match."""
+    from mydumper_spark.operators.sampling import budget_select_by_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = docs.select(
+        "doc_id", "lang",
+        F.expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) "
+               "* 1000000) DIV size(split(text, ' '))").alias("score_ppm"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    return budget_select_by_group(scored, "lang", "score_ppm", "n_tokens",
+                                  budget_fraction=(1, 4))
+
+
+_BUDGET_BY_LANG_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         (len(list_distinct(string_split(text, ' '))) * 1000000)
+           // len(string_split(text, ' ')) AS score_ppm,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT lang, sum(n_tokens) // 4 AS budget FROM scored GROUP BY lang
+), ranked AS (
+  SELECT s.*, sum(n_tokens) OVER (
+    PARTITION BY lang ORDER BY score_ppm DESC, doc_id) AS cum
+  FROM scored s
+)
+SELECT r.doc_id, r.lang, r.score_ppm, r.n_tokens
+FROM ranked r JOIN tot USING (lang)
+WHERE r.cum <= tot.budget
+"""
+
+
 _BUDGET_SELECT_SQL = """
 WITH scored AS (
   SELECT doc_id,
@@ -4995,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_exact": x_dedup_exact,
         "x_soft_dedup_weights": x_soft_dedup_weights,
         "x_budget_select": x_budget_select,
+        "x_budget_select_by_lang": x_budget_select_by_lang,
         "x_text_stats": x_text_stats,
         "x_lang_id": x_lang_id,
         "x_lang_confusion": x_lang_confusion,
@@ -5138,6 +5180,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_exact": _DEDUP_SQL,
         "x_soft_dedup_weights": _SOFT_DEDUP_SQL,
         "x_budget_select": _BUDGET_SELECT_SQL,
+        "x_budget_select_by_lang": _BUDGET_BY_LANG_SQL,
         "x_text_stats": _TEXT_STATS_SQL,
         "x_lang_id": _lang_sql(),
         "x_lang_confusion": _lang_confusion_sql(),

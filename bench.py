@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     # id-bucket histogram → one-bucket window) — benched so a regression
     # to the naive single-partition global running-sum window is visible
     "x_budget_select",
+    # the per-language form: all groups' cutoffs from ONE histogram, all
+    # boundary groups resolved together — benched so a regression to the
+    # skew-prone window-partitioned-by-lang form is visible
+    "x_budget_select_by_lang",
 ]
 
 

@@ -512,3 +512,142 @@ def budget_select(
                 .filter(F.col("_cum") <= F.lit(int(b_remaining)))
                 .drop("_cum"))
     return selected_above.unionByName(full_buckets).unionByName(edge_sel)
+
+
+def budget_select_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget_fraction: "tuple[int, int] | None" = None,
+    budgets: "dict | None" = None,
+    id_col: str = "doc_id",
+    id_buckets: int = 4096,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-group token budgeting — the multilingual form of
+    :func:`budget_select`: every group (language, domain, source) gets its
+    OWN budget, filled with its own best documents by (score DESC, id ASC)
+    maximal prefix. ``budgets`` maps group → absolute tokens;
+    ``budget_fraction=(p, q)`` gives every group p/q of its own total.
+
+    Scale shape: the naive form is a window PARTITIONED BY group — which
+    shuffles the corpus by group and hands each language to ONE task
+    (language distributions are exactly the skew this breaks under: 'en'
+    is half the corpus). Here group count only widens two bounded
+    aggregates: one (group, score) histogram locates every group's
+    boundary score on the driver; everything strictly above selects via a
+    broadcast-literal CASE filter (no shuffle at all); and ALL split
+    groups resolve together — one min/max-id aggregate, one
+    (group, id-bucket) histogram, one partitioned window over ONLY the
+    edge buckets (≤ groups × group/4096 rows) — a constant number of jobs
+    regardless of group count. NULL groups are groups (temperature_mix's
+    None-safe rule); all arithmetic is integer-exact, so the DuckDB
+    oracle's naive partitioned window matches hash-exact."""
+    if (budgets is None) == (budget_fraction is None):
+        raise ValueError("pass exactly one of budgets / budget_fraction")
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    g, score, toks, did = (F.col(group_col), F.col(score_col),
+                           F.col(tokens_col), F.col(id_col))
+
+    def geq(col, val):  # NULL-safe group match
+        return col.eqNullSafe(F.lit(val))
+
+    # pass 1: (group, score) histogram — bounded by groups × score scale
+    hist = (df.groupBy(group_col, score_col).agg(F.sum(toks).alias("t"))
+            .collect())
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r[group_col], []).append(
+            (r[score_col], int(r["t"])))
+    if budget_fraction is not None:
+        p, q = budget_fraction
+        budgets = {gv: sum(t for _, t in rows) * p // q
+                   for gv, rows in per_group.items()}
+    keep_all: list = []          # groups whose whole corpus fits
+    thr: dict = {}               # group → (boundary score, remaining)
+    for gv, rows in per_group.items():
+        rows.sort(key=lambda st: (st[0] is not None,
+                                  st[0] if st[0] is not None else 0),
+                  reverse=True)
+        budget = int(budgets.get(gv, 0))
+        cum = 0
+        for s, t in rows:
+            if cum + t > budget:
+                thr[gv] = (s, budget - cum)
+                break
+            cum += t
+        else:
+            keep_all.append(gv)
+
+    def _case(groups_vals, build):
+        """OR-chain of per-group conditions (group count is bounded)."""
+        cond = F.lit(False)
+        for gv in groups_vals:
+            cond = cond | (geq(g, gv) & build(gv))
+        return cond
+
+    above = df.filter(_case(keep_all, lambda gv: F.lit(True)) | _case(
+        [gv for gv in thr],
+        lambda gv: (score > F.lit(thr[gv][0])) if thr[gv][0] is not None
+        else F.lit(False)))
+    split = {gv: rem for gv, (s, rem) in thr.items() if rem > 0}
+    if not split:
+        return above
+    bmatch = _case(
+        list(split),
+        lambda gv: score.eqNullSafe(F.lit(thr[gv][0])))
+    boundary = df.filter(bmatch)
+
+    # all split groups' id ranges in ONE aggregate, then ONE bucket
+    # histogram with per-group widths
+    ranges = {r[group_col]: (int(r["lo"]), int(r["hi"]))
+              for r in boundary.groupBy(group_col)
+              .agg(F.min(did).alias("lo"), F.max(did).alias("hi"))
+              .collect()}
+    width = {gv: max(1, (hi - lo) // id_buckets + 1)
+             for gv, (lo, hi) in ranges.items()}
+    bucket = F.lit(None).cast("bigint")
+    for gv in split:
+        lo = ranges[gv][0]
+        bucket = F.when(
+            geq(g, gv),
+            ((did - F.lit(lo)) / F.lit(width[gv])).cast("bigint")
+        ).otherwise(bucket)
+    bhist = (boundary.withColumn("__b", bucket)
+             .groupBy(group_col, "__b").agg(F.sum(toks).alias("t"))
+             .collect())
+    per_gb: dict = {}
+    for r in bhist:
+        per_gb.setdefault(r[group_col], []).append((int(r["__b"]),
+                                                    int(r["t"])))
+    full_cond = F.lit(False)
+    edge_thr: dict = {}          # group → (edge bucket, remaining)
+    for gv, rows in per_gb.items():
+        rows.sort()
+        rem = split[gv]
+        cum = 0
+        for b, t in rows:
+            if cum + t > rem:
+                edge_thr[gv] = (b, rem - cum)
+                full_cond = full_cond | (geq(g, gv)
+                                         & (bucket < F.lit(b)))
+                break
+            cum += t
+        else:
+            full_cond = full_cond | geq(g, gv)
+    full = boundary.filter(full_cond)
+    if not edge_thr:
+        return above.unionByName(full)
+
+    # final exact prefixes: one partitioned window over ONLY edge buckets
+    edge = boundary.filter(_case(
+        list(edge_thr), lambda gv: bucket == F.lit(int(edge_thr[gv][0]))))
+    w = Window.partitionBy(group_col).orderBy(did)
+    rem_col = F.lit(None).cast("bigint")
+    for gv, (_, rem) in edge_thr.items():
+        rem_col = F.when(geq(g, gv), F.lit(int(rem))).otherwise(rem_col)
+    edge_sel = (edge.withColumn("_cum", F.sum(toks).over(w))
+                .filter(F.col("_cum") <= rem_col).drop("_cum"))
+    return above.unionByName(full).unionByName(edge_sel)

@@ -2121,3 +2121,48 @@ def test_budget_select_exact_prefix_and_edges(spark):
     got = {r["doc_id"] for r in
            budget_select(withnull, "score", "toks", 30).collect()}
     assert got == {4, 1, 2}
+
+
+def test_budget_select_by_group_matches_naive(spark):
+    """budget_select_by_group == per-group naive prefix across budgets and
+    fractions, including a skewed group holding most rows (resolved through
+    its own bucket machinery), a group whose corpus fully fits, absolute
+    per-group budgets with a missing group (budget 0 → nothing kept), and
+    NULL group values."""
+    from mydumper_spark.operators.sampling import budget_select_by_group
+
+    rows = ([(i, "en", (i * 13) % 7, 10) for i in range(400)]      # skewed
+            + [(1000 + i, "fr", i % 3, 5) for i in range(30)]
+            + [(2000 + i, None, 1, 8) for i in range(20)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score long, toks long")
+
+    def naive(budgets):
+        out = set()
+        for gv in {r[1] for r in rows}:
+            grp = sorted((r for r in rows if r[1] == gv),
+                         key=lambda r: (-r[2], r[0]))
+            cum = 0
+            for i, _, _, t in grp:
+                cum += t
+                if cum > budgets.get(gv, 0):
+                    break
+                out.add(i)
+        return out
+
+    for p, q in ((1, 4), (1, 2), (9, 10)):
+        budgets = {}
+        for gv in {r[1] for r in rows}:
+            budgets[gv] = sum(r[3] for r in rows if r[1] == gv) * p // q
+        got = {r["doc_id"] for r in budget_select_by_group(
+            df, "lang", "score", "toks", budget_fraction=(p, q),
+            id_buckets=16).collect()}
+        assert got == naive(budgets), (p, q)
+
+    # absolute budgets: fr generous (fully fits), en tight, NULL absent
+    budgets = {"en": 95, "fr": 10**6}
+    got = {r["doc_id"] for r in budget_select_by_group(
+        df, "lang", "score", "toks", budgets=budgets,
+        id_buckets=8).collect()}
+    assert got == naive(budgets)
+    assert not any(2000 <= i < 2020 for i in got)  # no budget → dropped

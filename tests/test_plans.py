@@ -355,3 +355,9 @@ def test_round9_plan_shapes(spark):
     plan = _plan(entry.queries()["x_budget_select"](spark, SF))
     assert plan.count("Window") == 1, plan
     assert "rangepartitioning" not in plan, plan  # no global sort
+
+    # per-group variant: same promise — one window (over edge buckets
+    # only, partitioned), never a corpus-wide sort
+    plan = _plan(entry.queries()["x_budget_select_by_lang"](spark, SF))
+    assert plan.count("Window") == 1, plan
+    assert "rangepartitioning" not in plan, plan
