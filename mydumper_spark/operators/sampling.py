@@ -590,8 +590,11 @@ def budget_select_by_group(
 
     above = df.filter(_case(keep_all, lambda gv: F.lit(True)) | _case(
         [gv for gv in thr],
+        # a NULL boundary score means the budget ran out inside the
+        # group's NULL-score tail — every non-NULL-score doc of that
+        # group sorted before it and fits
         lambda gv: (score > F.lit(thr[gv][0])) if thr[gv][0] is not None
-        else F.lit(False)))
+        else score.isNotNull()))
     split = {gv: rem for gv, (s, rem) in thr.items() if rem > 0}
     if not split:
         return above

@@ -284,10 +284,15 @@ def insert_statements_stream(
     value_cols = [_sql_literal(c, t) for c, t in df.dtypes]
     tuple_col = F.concat(F.lit("("), F.concat_ws(",", *value_cols), F.lit(")"))
     rendered = df.select(tuple_col.alias("vals"))
+
+    def bt(name: str) -> str:  # MySQL identifier quoting: ` doubles to ``
+        return "`" + name.replace("`", "``") + "`"
+
     cols_clause = (
-        " (" + ",".join(f"`{c}`" for c in df.columns) + ")" if complete_insert else ""
+        " (" + ",".join(bt(c) for c in df.columns) + ")"
+        if complete_insert else ""
     )
-    prefix = f"{insert_mode} INTO `{table}`{cols_clause} VALUES "
+    prefix = f"{insert_mode} INTO {bt(table)}{cols_clause} VALUES "
     prefix_b = len(prefix.encode("utf-8"))  # non-ASCII table/column names
     byte_cap = statement_size if statement_size and statement_size > 0 else None
     row_cap = max(1, int(rows_per_statement))

@@ -143,7 +143,22 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
     os.makedirs(out_dir, exist_ok=True)
     res = SplitResult()
     current_db: str | None = None
-    data_fh: dict[str, object] = {}  # key → open data-chunk handle
+    # key → open data-chunk handle, LRU-capped: a 10k-table dump must not
+    # hold 10k descriptors (mysqldump groups a table's INSERTs contiguously,
+    # so evicted handles reopen in append mode at most once per table in
+    # practice)
+    data_fh: dict[str, object] = {}
+    _FH_CAP = 128
+
+    def _handle(key: str, path: str):
+        fh = data_fh.pop(key, None)
+        if fh is None:
+            if len(data_fh) >= _FH_CAP:
+                oldest = next(iter(data_fh))
+                data_fh.pop(oldest).close()
+            fh = open(path, "a")
+        data_fh[key] = fh  # re-insert = most recent (dict order)
+        return fh
 
     def key_for(name: str) -> tuple[str, str | None, str]:
         """(manifest_key, database, bare_name) honoring `db`.`t` spellings."""
@@ -191,10 +206,11 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                     if entry["data_path"] is None:
                         entry["data_path"] = os.path.join(
                             out_dir, f"{key}.00000.sql")
-                        data_fh[key] = open(entry["data_path"], "w")
+                        open(entry["data_path"], "w").close()  # truncate
                     # verbatim: the dump's own escaping already guarantees
                     # one-statement-per-line for the parallel parser
-                    data_fh[key].write(raw.replace("\n", " ") + ";\n")
+                    _handle(key, entry["data_path"]).write(
+                        raw.replace("\n", " ") + ";\n")
                     continue
                 m = _RE_CREATE_TABLE.match(s)
                 if m:

@@ -2166,3 +2166,19 @@ def test_budget_select_by_group_matches_naive(spark):
         id_buckets=8).collect()}
     assert got == naive(budgets)
     assert not any(2000 <= i < 2020 for i in got)  # no budget → dropped
+
+
+def test_budget_select_by_group_null_boundary_score(spark):
+    """A group whose budget runs out inside its NULL-score tail still keeps
+    every non-NULL-score doc (they sort first and fit) plus the id-prefix
+    of the NULL-score docs — matching the naive NULLS-LAST prefix."""
+    from mydumper_spark.operators.sampling import budget_select_by_group
+
+    rows = [(1, "g", 9, 10), (2, "g", 5, 10),
+            (3, "g", None, 10), (4, "g", None, 10), (5, "g", None, 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score long, toks long")
+    got = {r["doc_id"] for r in budget_select_by_group(
+        df, "lang", "score", "toks", budgets={"g": 35}).collect()}
+    # 1,2 (scored, 20 tokens) + NULL tail by id: 3 fits (30), 4 bursts
+    assert got == {1, 2, 3}
