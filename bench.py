@@ -109,9 +109,41 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # host-load snapshot so a drifted run is self-diagnosing (the
+        # r7→r8 and r8→r9 bench episodes were host contention, proven
+        # after the fact by SCALE.md forensics — record the evidence
+        # inline instead): loadavg is the 1/5/15-min run-queue, steal/
+        # iowait come from /proc/stat deltas across the bench itself
+        "host": _host_load(),
     }
     print(json.dumps(result))
     spark.stop()
+
+
+def _host_load() -> dict:
+    """Best-effort host-contention snapshot (Linux /proc; empty elsewhere)."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            l1, l5, l15 = f.read().split()[:3]
+        out["loadavg"] = [float(l1), float(l5), float(l15)]
+    except Exception:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        total = sum(vals) or 1
+        # fields: user nice system idle iowait irq softirq steal ...
+        out["cpu_pct"] = {
+            "idle": round(100 * vals[3] / total, 1),
+            "iowait": round(100 * vals[4] / total, 1) if len(vals) > 4 else 0.0,
+            "steal": round(100 * vals[7] / total, 1) if len(vals) > 7 else 0.0,
+        }
+        out["ncpu"] = os.cpu_count()
+    except Exception:
+        pass
+    return out
 
 
 if __name__ == "__main__":

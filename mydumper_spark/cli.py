@@ -106,6 +106,9 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
         max_records_per_file=getattr(args, "rows", None),
         checksum=not getattr(args, "no_checksum", False),
         exec_per_file=getattr(args, "exec_cmd", None),
+        exec_per_thread=getattr(args, "exec_per_thread", None),
+        exec_per_thread_extension=getattr(
+            args, "exec_per_thread_extension", None),
         masquerade_filenames=getattr(args, "masquerade_filename", False),
         jdbc_properties=jdbc_props,
         profile=getattr(args, "profile", False),
@@ -122,6 +125,7 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
                      if getattr(args, "insert_ignore", False) else "INSERT"),
         check_row_count=getattr(args, "check_row_count", False),
         disk_limits=getattr(args, "disk_limits", None),
+        throttle=getattr(args, "throttle", None),
         skip_triggers=getattr(args, "skip_triggers", False),
         skip_routines=getattr(args, "skip_routines", False),
         skip_events=getattr(args, "skip_events", False),
@@ -437,6 +441,7 @@ def cmd_restore(args: argparse.Namespace) -> int:
             "post": getattr(args, "max_threads_post", None),
         },
         quote_character=getattr(args, "quote_character", None),
+        exec_per_thread=getattr(args, "exec_per_thread", None),
     )
     print(json.dumps(results))
     # verify None = honestly unverifiable (e.g. --append-if-not-exist onto
@@ -982,6 +987,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pause dumping while free space at the output dir "
                         "is under PAUSE MB; resume at RESUME MB "
                         "(reference --disk-limits)")
+    d.add_argument("--throttle", metavar="[MAX_US:]VAR=VALUE",
+                   help="hold dump submissions while a source status "
+                        "variable exceeds VALUE (SHOW GLOBAL STATUS LIKE "
+                        "VAR; bare VALUE means Threads_running; reference "
+                        "--throttle grammar incl. the optional max-sleep-"
+                        "microseconds head)")
     d.add_argument("--skip-triggers", action="store_true",
                    help="don't capture trigger DDL (inverse of the "
                         "reference's -G opt-in; we capture by default)")
@@ -992,6 +1003,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-t", "--threads", type=int)
     d.add_argument("--no-checksum", action="store_true")
     d.add_argument("-E", "--exec", dest="exec_cmd", help="run CMD per finished file (K9)")
+    d.add_argument("--exec-per-thread", metavar="CMD",
+                   help="pipe every finished sql chunk through CMD "
+                        "(stdin→stdout filter, e.g. 'lz4 -c'); requires "
+                        "--exec-per-thread-extension (reference pair)")
+    d.add_argument("--exec-per-thread-extension", metavar=".EXT",
+                   help="filename extension the filtered chunks carry "
+                        "(e.g. .lz4)")
     d.add_argument("--masquerade-filename", action="store_true", help="hash table names in output paths (T13)")
     d.add_argument("-Y", "--all-tablespaces", action="store_true",
                    help="dump general InnoDB tablespace DDL (reference -Y; "
@@ -1078,6 +1096,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--serialized-table-creation", action="store_true",
                    help="create tables one at a time (myloader flag; "
                         "equivalent to --max-threads-for-schema-creation 1)")
+    r.add_argument("--exec-per-thread", metavar="CMD",
+                   help="decode command for a dump written with "
+                        "--exec-per-thread (stdin→stdout, e.g. 'lz4 -dc')"
+                        " — myloader's flag of the same name")
     r.add_argument("-Q", "--quote-character", default=None, metavar="CHAR",
                    help="force identifier quoting for replayed DDL: ` "
                         "(backtick) or \" (ANSI) — myloader -Q; default "

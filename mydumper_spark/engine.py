@@ -54,6 +54,14 @@ class DumpConfig:
     insert_mode: str = "INSERT"
     checksum: bool = True  # --checksum-all
     exec_per_file: str | None = None  # K9 --exec
+    #: --exec-per-thread + --exec-per-thread-extension (reference
+    #: mydumper.c:270-298): pipe every finished fmt="sql" chunk through an
+    #: arbitrary filter process (stdin→stdout), the output carrying the
+    #: extension. Both-or-neither (the reference m_criticals otherwise);
+    #: incompatible with -c compression (same check, mydumper.c:281) —
+    #: gzip/zstd ARE this mechanism internally and ride the native codec.
+    exec_per_thread: str | None = None
+    exec_per_thread_extension: str | None = None
     masquerade_filenames: bool = False  # T13 --masquerade-filename
     #: write a per-table per-column profile (_profile.json) alongside the
     #: manifest — rows/nulls/distincts/bounds from one extra aggregate per
@@ -136,6 +144,21 @@ class DumpConfig:
     #: test seam for disk_limits: zero-arg callable returning free bytes
     #: at the output dir (default shutil.disk_usage)
     disk_free_fn: object | None = None
+    #: --throttle "[max_sleep_us:]Variable=value" (reference
+    #: common_options.c:122-146; monitor thread common.c:1796-1834 polls
+    #: SHOW GLOBAL STATUS LIKE Variable and writers g_usleep an adaptive
+    #: amount — doubling from 10ms while over, halving on recovery,
+    #: capped at max_sleep_us). Plain "value" defaults the variable to
+    #: Threads_running; value 0 defaults to dump_threads (both reference
+    #: defaults). Spark shape: the gate holds dump-pool SUBMISSIONS (a
+    #: per-write sleep would stall executors mid-stage) — the same
+    #: backpressure point as --disk-limits, probing source load instead
+    #: of target disk.
+    throttle: str | None = None
+    #: test seam / non-MySQL sources: zero-arg callable returning the
+    #: probed value. Default probes SHOW GLOBAL STATUS LIKE <variable>
+    #: over a connection_factory() connection (MySQL-family servers).
+    throttle_probe_fn: object | None = None
 
 
 def _parse_disk_limits(spec: str) -> tuple[int, int]:
@@ -174,6 +197,80 @@ def _wait_for_disk(cfg: DumpConfig, pause_b: int, resume_b: int) -> None:
         stacklevel=2)
     while free() < resume_b:
         _time.sleep(0.1)
+
+
+def _parse_throttle(spec: str) -> tuple[str, int, float]:
+    """``[max_sleep_us:]Variable=value`` → (variable, value, max_sleep_s)
+    — the reference's exact grammar (common_options.c:122-146: an optional
+    leading microseconds cap, then ``Variable=value`` or a bare ``value``
+    that defaults the variable to Threads_running; the cap defaults to
+    60s, common.c throttle_max_usleep_limit)."""
+    max_sleep_s = 60.0
+    body = spec
+    if ":" in spec:
+        head, body = spec.split(":", 1)
+        try:
+            max_sleep_s = int(head) / 1e6
+        except ValueError as e:
+            raise ValueError(
+                f"--throttle expects '[max_sleep_us:]Variable=value', got "
+                f"{spec!r}") from e
+        if max_sleep_s <= 0:
+            raise ValueError("--throttle max_sleep_us must be positive")
+    if "=" in body:
+        var, _, val = body.partition("=")
+    else:
+        var, val = "Threads_running", body
+    try:
+        value = int(val)
+    except ValueError as e:
+        raise ValueError(
+            f"--throttle expects '[max_sleep_us:]Variable=value', got "
+            f"{spec!r}") from e
+    return var, value, max_sleep_s
+
+
+class _ThrottleGate:
+    """--throttle analogue: probe a source load metric between table
+    submissions and hold new work while it exceeds the threshold. The
+    sleep adapts exactly like the reference monitor
+    (common.c:1796-1834): doubles from 10ms while over the threshold
+    (capped), halves once recovered — so a persistently loaded server
+    backs the dump off geometrically instead of hammering the probe.
+    Thread-safe: pool threads share one gate (one probe stream, like the
+    reference's single monitor thread)."""
+
+    def __init__(self, probe, threshold: int, max_sleep_s: float = 60.0):
+        import threading
+
+        self.probe = probe
+        self.threshold = threshold
+        self.max_sleep = max_sleep_s
+        self.sleep = 0.0
+        self._lock = threading.Lock()
+
+    def wait(self) -> None:
+        import time as _time
+        import warnings
+
+        warned = False
+        while True:
+            current = int(self.probe())
+            if current <= self.threshold:
+                with self._lock:
+                    self.sleep /= 2
+                return
+            with self._lock:
+                self.sleep = min(self.max_sleep,
+                                 self.sleep * 2 if self.sleep else 0.01)
+                s = self.sleep
+            if not warned:
+                warnings.warn(
+                    f"throttle: source metric at {current} > "
+                    f"{self.threshold}; holding dump submissions",
+                    stacklevel=2)
+                warned = True
+            _time.sleep(s)
 
 
 def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
@@ -379,8 +476,28 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     )
     from mydumper_spark.sinks.manifest import build_entry
 
+    if bool(cfg.exec_per_thread) != bool(cfg.exec_per_thread_extension):
+        # reference m_critical pair, mydumper.c:270-273
+        raise ValueError(
+            "--exec-per-thread and --exec-per-thread-extension must be "
+            "set together")
+    if cfg.exec_per_thread:
+        if cfg.fmt != "sql":
+            raise ValueError(
+                "--exec-per-thread filters the reference's text chunk "
+                "files (fmt='sql'); parquet/orc/csv containers use their "
+                "native codecs (-c / compression options)")
+        if cfg.csv_format.compression:
+            # reference mydumper.c:281: -c IS exec-per-thread internally
+            raise ValueError(
+                "--compression and --exec-per-thread are not compatible")
+        if not cfg.exec_per_thread_extension.startswith("."):
+            raise ValueError("--exec-per-thread-extension must start "
+                             "with '.' (e.g. .lz4)")
     cat, fence, dialect = _open_source(spark, source_dir, cfg)
     manifest = Manifest(fmt=cfg.fmt)
+    if cfg.exec_per_thread:
+        manifest.exec_per_thread_extension = cfg.exec_per_thread_extension
     if cfg.fmt == "csv":
         from dataclasses import asdict as _asdict
 
@@ -480,6 +597,27 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         # table's stage monopolizes slots under fair scheduling).
         disk_limits = (_parse_disk_limits(cfg.disk_limits)
                        if cfg.disk_limits else None)
+        throttle_gate = None
+        if cfg.throttle:
+            var, value, max_sleep = _parse_throttle(cfg.throttle)
+            if value == 0:
+                value = cfg.dump_threads  # reference: defaults num_threads
+            probe = cfg.throttle_probe_fn
+            if probe is None:
+                if cfg.connection_factory is None:
+                    raise ValueError(
+                        "--throttle needs a probe: a source with "
+                        "DumpConfig.connection_factory (probed via SHOW "
+                        "GLOBAL STATUS LIKE, MySQL-family) or an explicit "
+                        "throttle_probe_fn")
+                conn = cfg.connection_factory()
+                sql = f"SHOW GLOBAL STATUS LIKE '{var}'"
+
+                def probe(conn=conn, sql=sql):
+                    rows = conn.execute(sql)
+                    # SHOW GLOBAL STATUS rows are (Variable_name, Value)
+                    return int(rows[0][-1]) if rows else 0
+            throttle_gate = _ThrottleGate(probe, value, max_sleep)
 
         def run_table(item):
             key, db_rec, meta, tt, out_name, artifact = item
@@ -488,6 +626,8 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 "spark.job.description", f"dump {key}")
             if disk_limits is not None:  # --disk-limits: stall, don't fail
                 _wait_for_disk(cfg, *disk_limits)
+            if throttle_gate is not None:  # --throttle: hold while loaded
+                throttle_gate.wait()
             df = cat.read(meta, cfg.chunks_per_table)
             if tt is not None and "DATA" not in tt.object_scope:  # P11
                 entry = build_entry(df.limit(0), key, manifest.algorithm,
@@ -621,6 +761,20 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
                 from mydumper_spark.operators.profile import table_profile
 
                 prof = [r.asDict() for r in table_profile(written).collect()]
+            if cfg.exec_per_thread:
+                # AFTER every consumer of the plain files (checksum +
+                # profile jobs both read `written` lazily): pipe each
+                # chunk through the filter, record chunk0's filtered name
+                from mydumper_spark.sinks.exec_sink import exec_filter_file
+                from mydumper_spark.sinks.manifest import sql_chunk_paths
+
+                filtered = [
+                    exec_filter_file(p, cfg.exec_per_thread,
+                                     cfg.exec_per_thread_extension)
+                    for p in sql_chunk_paths(path)
+                ]
+                path = filtered[0]
+                entry.path = path
             if cfg.table_done is not None:
                 # this table is DONE (written + checksummed + profiled):
                 # announce its files — data (file or directory of parts)
@@ -802,6 +956,7 @@ def restore(
     no_data: bool = False,
     phase_threads: dict | None = None,
     quote_character: str | None = None,
+    exec_per_thread: str | None = None,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -861,6 +1016,7 @@ def restore(
     dag = LoaderDag(parallelism=parallelism, resume_log=resume_log,
                     phase_caps=caps)
     skip_existing: set[str] = set()
+    append_preexisting: set[str] = set()
     if jdbc_target:
         from mydumper_spark.plans.ddl import quote_ident
         from mydumper_spark.sinks.jdbc_sink import JdbcSinkConfig
@@ -913,16 +1069,21 @@ def restore(
                 properties=dict(jdbc_properties or {}),
             )
 
-        if purge == PurgeMode.SKIP:
-            # myloader's purge-matrix SKIP on a live target: one probe of
-            # information_schema.tables (ANSI — MySQL/MariaDB/TiDB/DuckDB,
-            # the same surface JdbcCatalog discovery walks) decides which
-            # manifest tables already exist and are left untouched. A
-            # single-namespace dump records no database, so its tables
-            # land in the connection's DEFAULT schema — which no dialect
-            # names portably — and match on bare name across schemas:
-            # skipping is the conservative direction (--skip-existing
-            # promises "never touch what's there").
+        if purge in (PurgeMode.SKIP, PurgeMode.APPEND):
+            # one probe of information_schema.tables (ANSI — MySQL/
+            # MariaDB/TiDB/DuckDB, the same surface JdbcCatalog discovery
+            # walks) decides which manifest tables already exist on the
+            # target. SKIP leaves those untouched (myloader's purge-matrix
+            # SKIP: "--skip-existing promises never touch what's there");
+            # APPEND uses the same answer the other way around — a table
+            # it CREATES fresh must also get its secondary indexes/
+            # constraints replayed (reference myloader replays the full
+            # dumped CREATE TABLE under IF NOT EXISTS), while a
+            # pre-existing table keeps its own. A single-namespace dump
+            # records no database, so its tables land in the connection's
+            # DEFAULT schema — which no dialect names portably — and match
+            # on bare name across schemas: the conservative direction for
+            # both modes (skip / don't re-index).
             rows = spark.read.jdbc(
                 url=target_root,
                 table="(SELECT table_schema, table_name FROM "
@@ -932,10 +1093,15 @@ def restore(
             ).collect()
             qualified = {(r["table_schema"], r["table_name"]) for r in rows}
             names = {r["table_name"] for r in rows}
+            preexisting: set[str] = set()
             for t in admitted:
                 db, bare = entry_db_and_name(t)
                 if (db, bare) in qualified or (db is None and bare in names):
-                    skip_existing.add(t)
+                    preexisting.add(t)
+            if purge == PurgeMode.SKIP:
+                skip_existing = preexisting
+            else:
+                append_preexisting = preexisting
     else:
         tnames = FilenameRegistry()  # target-side safe names for weird tables
 
@@ -952,6 +1118,14 @@ def restore(
             t: os.path.join(target_root, f"{_target_name(t)}.parquet")
             for t in doc["tables"]
         }
+        if purge == PurgeMode.APPEND:
+            # parquet-tree analogue of the information_schema probe: a
+            # table whose output path already holds data keeps its rows
+            # (verify downgrades to unverifiable); a fresh path must
+            # verify exactly
+            append_preexisting = {
+                t for t, p in target_paths.items() if os.path.exists(p)
+            }
 
         def read_target(t: str) -> DataFrame:
             return spark.read.parquet(target_paths[t])
@@ -983,6 +1157,50 @@ def restore(
             )
 
             if is_sql_chunk(src_path):
+                filt_ext = doc.get("config", {}).get(
+                    "exec_per_thread_extension")
+                if filt_ext and src_path.endswith(filt_ext):
+                    # dump was written through --exec-per-thread: pipe
+                    # every chunk back through the user's decode command
+                    # (myloader --exec-per-thread) into a scratch dir —
+                    # the dump dir itself stays untouched. Scratch files
+                    # must outlive this call (Spark reads them lazily
+                    # during the DATA/verify jobs); they die with the
+                    # process' temp dir.
+                    if exec_per_thread is None:
+                        raise ValueError(
+                            "dump chunks carry the --exec-per-thread "
+                            f"extension {filt_ext!r}; pass "
+                            "exec_per_thread=<decode command> (e.g. "
+                            "'lz4 -dc') to read them back")
+                    import shutil as _shutil
+                    import tempfile
+
+                    from mydumper_spark.sinks.exec_sink import (
+                        exec_decode_file,
+                    )
+                    from mydumper_spark.sinks.manifest import (
+                        _SQL_CHUNK_RE,
+                        sql_chunk_paths,
+                    )
+
+                    scratch = tempfile.mkdtemp(prefix="mydumper_ept_")
+                    decoded = [
+                        exec_decode_file(p, exec_per_thread, filt_ext,
+                                         scratch)
+                        for p in sql_chunk_paths(src_path)
+                    ]
+                    prefix = _SQL_CHUNK_RE.sub(
+                        "", os.path.basename(src_path))
+                    side = os.path.join(os.path.dirname(src_path),
+                                        f"{prefix}.schema.json")
+                    if os.path.exists(side):
+                        _shutil.copy(side, scratch)
+                    entry2 = dict(doc["tables"][table])
+                    entry2["path"] = decoded[0]
+                    df = read_dumped_table(spark, entry2)
+                    if df is not None:
+                        return df
                 # fmt="sql" dump (plain or -c compressed): typed read via
                 # the .schema.json sidecar + the INSERT parser (manifest
                 # path wins over name derivation — masqueraded filenames)
@@ -1103,12 +1321,16 @@ def restore(
         # data phase (the reference's --optimize-keys: bulk-load a bare
         # table, index once — myloader_worker_index.c:107-171). Only for
         # purge modes that CREATE the table fresh (DROP re-creates; FAIL
-        # and SKIP reach here only when the table did not exist):
+        # and SKIP reach here only when the table did not exist; APPEND
+        # creates fresh exactly when the pre-restore probe found no such
+        # table — a pre-existing one keeps its own indexes):
         # TRUNCATE/DELETE keep the existing table, whose own indexes
         # survive — re-issuing CREATE INDEX would collide.
         if (jdbc_target and entry.get("schema_def")
-                and purge in (PurgeMode.DROP, PurgeMode.FAIL,
-                              PurgeMode.SKIP)):
+                and (purge in (PurgeMode.DROP, PurgeMode.FAIL,
+                               PurgeMode.SKIP)
+                     or (purge == PurgeMode.APPEND
+                         and t not in append_preexisting))):
             from mydumper_spark.plans.ddl import (
                 prune_descriptor, restore_statements,
             )
@@ -1145,6 +1367,14 @@ def restore(
     multi_schema = any(e.get("database") for e in doc["tables"].values())
     for obj in ([] if skip_post else doc.get("objects", [])):
         okind, oname = obj["kind"], obj["name"]
+        # DATABASE-QUALIFIED job key: the DAG keys its phase queue and
+        # resume log by this string (loader_dag.py remaining/{resume_log}),
+        # so two same-named objects in different schemas (db1.v + db2.v —
+        # both replayed by the reference, myloader_worker_post.c walks the
+        # full queue) must not collapse into one job. Same key convention
+        # as manifest table entries: qualified iff a database is recorded.
+        okey = (f"{okind}:{obj['database']}.{oname}"
+                if obj.get("database") else f"{okind}:{oname}")
         if (source_database is not None
                 and obj.get("database") != source_database
                 and okind != "tablespace"):
@@ -1160,10 +1390,10 @@ def restore(
         if not jdbc_target:
             # a parquet target tree has no view/trigger engine — recorded,
             # never silently dropped
-            skipped_objects.append(f"{okind}:{oname}")
+            skipped_objects.append(okey)
             continue
         if ddl_executor is None:
-            skipped_objects.append(f"{okind}:{oname}")
+            skipped_objects.append(okey)
             continue
 
         def make_post_action(o=obj):
@@ -1204,7 +1434,7 @@ def restore(
                     ddl_executor(raw)
             return action
 
-        dag.add(LoadJob(table=f"{okind}:{oname}", phase=Phase.POST,
+        dag.add(LoadJob(table=okey, phase=Phase.POST,
                         action=make_post_action()))
     try:
         dag.run()
@@ -1255,23 +1485,24 @@ def restore(
                 continue
             if entry.get("path") is None and entry["rows"] == 0:
                 continue  # schema-only (same predicate as schema_only above)
+            # --append-if-not-exist keeps pre-existing target rows, so a
+            # mismatch on a table the probe found ALREADY THERE is
+            # expected — indistinguishable from corruption, reported as
+            # unverifiable (None), never as a hard failure. A table APPEND
+            # created fresh started empty and must verify exactly.
+            append_unverifiable = (purge == PurgeMode.APPEND
+                                   and t in append_preexisting)
             if entry.get("data_checksum") is None:
                 # dump ran with checksum=False — verify row count only (a
                 # plain count, NOT table_checksum: hashing every row of the
                 # target to then read only .rows would double verify cost)
-                checks[t] = read_target(t).count() == entry["rows"]
+                ok = read_target(t).count() == entry["rows"]
+                checks[t] = None if (not ok and append_unverifiable) else ok
                 continue
             cs = table_checksum(read_target(t), algorithm=algo)
             ok = (cs["checksum"] == entry["data_checksum"]
                   and cs["rows"] == entry["rows"])
-            if not ok and purge == PurgeMode.APPEND:
-                # --append-if-not-exist keeps pre-existing target rows, so
-                # a mismatch is expected whenever the table wasn't empty —
-                # indistinguishable from corruption, reported as
-                # unverifiable (None), never as a hard failure
-                checks[t] = None
-                continue
-            checks[t] = ok
+            checks[t] = None if (not ok and append_unverifiable) else ok
         results["verify"] = checks
     return results
 

@@ -318,7 +318,19 @@ def _int_kth_root(x: int, k: int) -> int:
         raise ValueError("x must be >= 0, k >= 1")
     if x == 0:
         return 0
-    r = max(1, int(round(float(x) ** (1.0 / k))))
+    if x.bit_length() < 1000:
+        r = max(1, int(round(float(x) ** (1.0 / k))))
+    else:
+        # float(x) raises OverflowError past ~1.8e308 (reachable: N^p with
+        # α=63/64 and big group counts) — seed from an over-estimate via
+        # bit_length and converge with integer Newton (monotone decreasing
+        # from above), leaving the same ±1 correction loops to finish
+        r = 1 << ((x.bit_length() + k - 1) // k)
+        while True:
+            nr = ((k - 1) * r + x // r ** (k - 1)) // k
+            if nr >= r:
+                break
+            r = nr
     while r**k > x:
         r -= 1
     while (r + 1) ** k <= x:
@@ -401,6 +413,37 @@ def temperature_mix(
     return df.where(h < cut)
 
 
+def _bucket_order(df: DataFrame, id_col: str):
+    """Monotone-in-id integer expression for range bucketing. Numeric ids
+    bucket on their own value; STRING ids (UUIDs, URL hashes) bucket on the
+    big-endian integer of their first 8 UTF-8 bytes — Spark compares
+    strings bytewise (UTF8String), so the zero-right-padded prefix integer
+    is monotone non-decreasing in id order: buckets stay CONTIGUOUS id
+    ranges, equal-prefix ids merely share a bucket, and the in-bucket
+    window still orders by the TRUE id, so selection remains exact and
+    hash-identical to the naive-window oracle (unlike hashing, which would
+    reorder ties)."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[id_col].dataType, T.StringType):
+        return F.conv(
+            F.rpad(F.substring(F.hex(F.encode(F.col(id_col), "UTF-8")),
+                               1, 16), 16, "0"),
+            16, 10,
+        ).cast("decimal(38,0)")
+    return F.col(id_col)
+
+
+def _ord_lit(v):
+    """Literal for a _bucket_order value: plain bigint when it fits,
+    decimal(38,0) via string otherwise (8-byte prefixes reach 2^64-1,
+    past F.lit's int64 range)."""
+    v = int(v)
+    if -(1 << 63) <= v < (1 << 63):
+        return F.lit(v)
+    return F.lit(str(v)).cast("decimal(38,0)")
+
+
 def budget_select(
     df: DataFrame,
     score_col: str,
@@ -467,12 +510,12 @@ def budget_select(
     thr_score = None       # the score whose group the budget splits
     remaining = budget     # budget left when we reach the boundary group
     for r in hist:
-        if cum + r["t"] > budget:
+        if cum + int(r["t"] or 0) > budget:
             thr_score = r[score_col]
             remaining = budget - cum
             found = True
             break
-        cum += r["t"]
+        cum += int(r["t"] or 0)
     if not found:  # whole corpus fits
         return df
     if thr_score is None:  # the budget splits the NULL-score group
@@ -481,13 +524,18 @@ def budget_select(
     else:
         selected_above = df.filter(score > F.lit(thr_score))
         boundary = df.filter(score.eqNullSafe(F.lit(thr_score)))
-    if remaining <= 0:
-        return selected_above
+    # remaining == 0 (budget exhausted exactly at the group boundary) is
+    # NOT an early return: the naive running-sum oracle still keeps the
+    # boundary group's leading zero-token docs (their cumulative sum never
+    # advances past the budget), and the bucket machinery below reproduces
+    # exactly that — full buckets are the all-zero-token prefix, the edge
+    # window keeps rows with _cum <= 0.
 
     # pass 2: range-bucket histogram over the boundary group's ids
-    lo, hi = boundary.agg(F.min(did), F.max(did)).first()
+    ordv = _bucket_order(df, id_col)
+    lo, hi = boundary.agg(F.min(ordv), F.max(ordv)).first()
     width = max(1, (int(hi) - int(lo)) // id_buckets + 1)
-    bucket = ((did - F.lit(int(lo))) / F.lit(width)).cast("bigint")
+    bucket = ((ordv - _ord_lit(lo)) / F.lit(width)).cast("bigint")
     bhist = (boundary.groupBy(bucket.alias("b"))
              .agg(F.sum(toks).alias("t")).collect())
     bhist.sort(key=lambda r: r["b"])
@@ -495,11 +543,11 @@ def budget_select(
     thr_bucket = None
     b_remaining = remaining
     for r in bhist:
-        if bcum + r["t"] > remaining:
+        if bcum + int(r["t"] or 0) > remaining:
             thr_bucket = r["b"]
             b_remaining = remaining - bcum
             break
-        bcum += r["t"]
+        bcum += int(r["t"] or 0)
     if thr_bucket is None:
         return selected_above.unionByName(boundary)
     full_buckets = boundary.filter(bucket < F.lit(int(thr_bucket)))
@@ -560,7 +608,7 @@ def budget_select_by_group(
     per_group: dict = {}
     for r in hist:
         per_group.setdefault(r[group_col], []).append(
-            (r[score_col], int(r["t"])))
+            (r[score_col], int(r["t"] or 0)))
     if budget_fraction is not None:
         p, q = budget_fraction
         budgets = {gv: sum(t for _, t in rows) * p // q
@@ -595,7 +643,10 @@ def budget_select_by_group(
         # group sorted before it and fits
         lambda gv: (score > F.lit(thr[gv][0])) if thr[gv][0] is not None
         else score.isNotNull()))
-    split = {gv: rem for gv, (s, rem) in thr.items() if rem > 0}
+    # rem == 0 groups stay in the split set: the naive partitioned-window
+    # oracle keeps their boundary-score zero-token prefix (cumsum never
+    # advances past the budget), and the edge machinery reproduces that
+    split = {gv: rem for gv, (s, rem) in thr.items()}
     if not split:
         return above
     bmatch = _case(
@@ -604,10 +655,12 @@ def budget_select_by_group(
     boundary = df.filter(bmatch)
 
     # all split groups' id ranges in ONE aggregate, then ONE bucket
-    # histogram with per-group widths
+    # histogram with per-group widths (ordv: numeric ids as-is, string
+    # ids via the monotone 8-byte-prefix integer — _bucket_order)
+    ordv = _bucket_order(df, id_col)
     ranges = {r[group_col]: (int(r["lo"]), int(r["hi"]))
               for r in boundary.groupBy(group_col)
-              .agg(F.min(did).alias("lo"), F.max(did).alias("hi"))
+              .agg(F.min(ordv).alias("lo"), F.max(ordv).alias("hi"))
               .collect()}
     width = {gv: max(1, (hi - lo) // id_buckets + 1)
              for gv, (lo, hi) in ranges.items()}
@@ -616,7 +669,7 @@ def budget_select_by_group(
         lo = ranges[gv][0]
         bucket = F.when(
             geq(g, gv),
-            ((did - F.lit(lo)) / F.lit(width[gv])).cast("bigint")
+            ((ordv - _ord_lit(lo)) / F.lit(width[gv])).cast("bigint")
         ).otherwise(bucket)
     bhist = (boundary.withColumn("__b", bucket)
              .groupBy(group_col, "__b").agg(F.sum(toks).alias("t"))
@@ -624,7 +677,7 @@ def budget_select_by_group(
     per_gb: dict = {}
     for r in bhist:
         per_gb.setdefault(r[group_col], []).append((int(r["__b"]),
-                                                    int(r["t"])))
+                                                    int(r["t"] or 0)))
     full_cond = F.lit(False)
     edge_thr: dict = {}          # group → (edge bucket, remaining)
     for gv, rows in per_gb.items():

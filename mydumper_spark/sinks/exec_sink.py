@@ -48,6 +48,60 @@ def exec_per_file(root: str, command: str, max_workers: int = 4,
         return list(ex.map(run, files))
 
 
+def exec_filter_file(path: str, command: str, extension: str,
+                     remove: bool = True) -> str:
+    """--exec-per-thread (reference mydumper.c:270-298): pipe one finished
+    output file through an arbitrary filter process — stdin is the file,
+    stdout becomes ``path + extension`` — and drop the original. The
+    reference's ``-c gzip/zstd`` is internally this same mechanism with
+    ``gzip -c`` (set_pipe_backup); the general form covers codecs/filters
+    the engine has no native writer for (lz4, openssl enc, …).
+
+    Driver-side on finished files (same rationale as exec_per_file: the
+    committer must have renamed them into place first); the reference
+    instead wires the pipe into each writer thread — at Spark scale the
+    equivalent inline path is the writer's own codec option, which -c
+    already uses, so the general filter runs post-commit."""
+    argv = shlex.split(command)
+    out_path = path + extension
+    with open(path, "rb") as fin, open(out_path, "wb") as fout:
+        proc = subprocess.run(argv, stdin=fin, stdout=fout,
+                              stderr=subprocess.PIPE)
+    if proc.returncode != 0:
+        if os.path.exists(out_path):
+            os.remove(out_path)  # never leave a half-written artifact
+        raise RuntimeError(
+            f"exec-per-thread: {argv[0]} failed (rc={proc.returncode}) on "
+            f"{path}: {proc.stderr[-500:].decode(errors='replace')}")
+    if remove:
+        os.remove(path)
+    return out_path
+
+
+def exec_decode_file(path: str, command: str, strip_extension: str,
+                     out_dir: str) -> str:
+    """Restore-side inverse (myloader --exec-per-thread): pipe a filtered
+    dump file back through the user's decode command into ``out_dir``,
+    named without ``strip_extension`` — the dump dir itself is never
+    written to by a restore."""
+    base = os.path.basename(path)
+    if base.endswith(strip_extension):
+        base = base[: -len(strip_extension)]
+    out_path = os.path.join(out_dir, base)
+    argv = shlex.split(command)
+    with open(path, "rb") as fin, open(out_path, "wb") as fout:
+        proc = subprocess.run(argv, stdin=fin, stdout=fout,
+                              stderr=subprocess.PIPE)
+    if proc.returncode != 0:
+        if os.path.exists(out_path):
+            os.remove(out_path)
+        raise RuntimeError(
+            f"exec-per-thread decode: {argv[0]} failed "
+            f"(rc={proc.returncode}) on {path}: "
+            f"{proc.stderr[-500:].decode(errors='replace')}")
+    return out_path
+
+
 def masquerade_table_name(table: str, salt: str = "") -> str:
     """T13: stable hashed output name for a table."""
     return "t_" + hashlib.sha256((salt + table).encode()).hexdigest()[:16]

@@ -75,6 +75,10 @@ class Manifest:
     #: 202-302), so its native csv format must not be the one we can't
     #: check. None for non-csv dumps.
     csv_dialect: dict | None = None
+    #: --exec-per-thread filter extension the dump's sql chunks carry
+    #: (reference mydumper.c:270-298) — recorded so restore knows the
+    #: files need the user's decode command instead of a native read
+    exec_per_thread_extension: str | None = None
     #: reference [source] section: the GTID/binlog position the dump is
     #: consistent at, set by the S11 fence (engine._open_source)
     source_info: dict[str, str] = field(default_factory=dict)
@@ -148,6 +152,9 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
             "format": manifest.fmt,
             **({"csv_dialect": manifest.csv_dialect}
                if manifest.csv_dialect else {}),
+            **({"exec_per_thread_extension":
+                manifest.exec_per_thread_extension}
+               if manifest.exec_per_thread_extension else {}),
         },
         "started_at": manifest.started_at,
         "finished_at": manifest.finished_at,
@@ -285,7 +292,14 @@ def read_dumped_table(spark, entry: dict,
         return spark.read.parquet(path)
     if _SQL_CHUNK_RE.search(path):
         # fmt="sql": path records chunk 0; data spans every sibling chunk
-        schema = _sidecar_schema(path, _SQL_CHUNK_RE.search(path).group(0))
+        m = _SQL_CHUNK_RE.search(path)
+        tail = m.group(0)
+        extra = tail[tail.index(".sql") + len(".sql"):]
+        if extra not in _NATIVE_SQL_EXTS:
+            # --exec-per-thread filtered dump: unreadable without the
+            # user's decode command — unverifiable, never garbage-parsed
+            return None
+        schema = _sidecar_schema(path, tail)
         if schema is None:
             return None
         from mydumper_spark.sources.insert_parser import read_insert_sql
@@ -318,10 +332,14 @@ def read_dumped_table(spark, entry: dict,
     return None
 
 
-#: chunk suffix of a fmt="sql" data file ({out_name}.NNNNN.sql[.gz|.zst]
-#: — the reference's db.table.NNNNN.sql rotation + -c compression,
-#: myloader_process_filename.c)
-_SQL_CHUNK_RE = re.compile(r"\.\d{5}\.sql(\.(gz|zst))?$")
+#: chunk suffix of a fmt="sql" data file ({out_name}.NNNNN.sql[.ext…] —
+#: the reference's db.table.NNNNN.sql rotation, -c compression (.gz/.zst),
+#: or an --exec-per-thread filter extension, myloader_process_filename.c)
+_SQL_CHUNK_RE = re.compile(r"\.\d{5}\.sql(\.[A-Za-z0-9]{1,10})*$")
+#: extra extensions the engine can read back NATIVELY (Spark text codecs);
+#: anything else means the dump went through --exec-per-thread and needs
+#: the user's decode command (engine.restore exec_per_thread=…)
+_NATIVE_SQL_EXTS = {"", ".gz", ".zst"}
 
 
 def is_sql_chunk(path: str) -> bool:
@@ -335,7 +353,13 @@ def sql_chunk_paths(chunk0: str) -> list[str]:
     not be glob-interpreted)."""
     d, base = os.path.split(chunk0)
     prefix = _SQL_CHUNK_RE.sub("", base)
-    pat = re.compile(re.escape(prefix) + r"\.\d{5}\.sql(\.(gz|zst))?$")
+    # siblings carry chunk0's exact extension tail (.sql / .sql.gz /
+    # .sql.<filter-ext>) — matching ANY tail here could mix a filtered
+    # and an unfiltered generation of the same dump dir
+    tail = _SQL_CHUNK_RE.search(base).group(0)
+    ext = tail[tail.index(".sql") + len(".sql"):]
+    pat = re.compile(re.escape(prefix) + r"\.\d{5}\.sql"
+                     + re.escape(ext) + "$")
     return sorted(os.path.join(d, f) for f in os.listdir(d) if pat.match(f))
 
 

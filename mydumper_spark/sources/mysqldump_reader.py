@@ -71,6 +71,12 @@ class SplitResult:
     databases: list[str] = field(default_factory=list)
     skipped_statements: int = 0
     multi_db: bool = False
+    #: INSERT statements that SPANNED physical lines and were flattened to
+    #: one line for the line-parallel parser. mysqldump's own escaping
+    #: makes this safe (\n inside values is backslash-escaped, so a real
+    #: newline is always formatting), but a nonzero count means the input
+    #: was post-processed (e.g. pretty-printed) — surfaced via warning.
+    flattened_inserts: int = 0
 
 
 def _statements(lines) -> "list[tuple[str, str]]":
@@ -156,7 +162,10 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
             if len(data_fh) >= _FH_CAP:
                 oldest = next(iter(data_fh))
                 data_fh.pop(oldest).close()
-            fh = open(path, "a")
+            # explicit utf-8: the locale-default encoding (C/POSIX in
+            # containers/cron) would raise UnicodeEncodeError mid-split on
+            # non-ASCII INSERT data
+            fh = open(path, "a", encoding="utf-8")
         data_fh[key] = fh  # re-insert = most recent (dict order)
         return fh
 
@@ -193,7 +202,7 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                         res.databases.append(db)
                     with open(os.path.join(out_dir,
                                            f"{db}-schema-create.sql"),
-                              "w") as f:
+                              "w", encoding="utf-8") as f:
                         f.write(s + ";\n")  # gate-free, replayable form
                     continue
                 m = _RE_INSERT.match(s)
@@ -206,9 +215,16 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                     if entry["data_path"] is None:
                         entry["data_path"] = os.path.join(
                             out_dir, f"{key}.00000.sql")
-                        open(entry["data_path"], "w").close()  # truncate
+                        open(entry["data_path"], "w",
+                             encoding="utf-8").close()  # truncate
                     # verbatim: the dump's own escaping already guarantees
-                    # one-statement-per-line for the parallel parser
+                    # one-statement-per-line for the parallel parser; a
+                    # statement that nonetheless spans lines (pretty-
+                    # printed / --skip-extended-insert post-processed
+                    # input) flattens safely — values with literal \n are
+                    # escaped — and is COUNTED, not silently rewritten
+                    if "\n" in raw:
+                        res.flattened_inserts += 1
                     _handle(key, entry["data_path"]).write(
                         raw.replace("\n", " ") + ";\n")
                     continue
@@ -227,7 +243,8 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                     entry["create_sql"] = raw.rstrip() + ";"
                     entry["schema_path"] = os.path.join(
                         out_dir, f"{key}-schema.sql")
-                    with open(entry["schema_path"], "w") as f:
+                    with open(entry["schema_path"], "w",
+                              encoding="utf-8") as f:
                         f.write(entry["create_sql"] + "\n")
                     continue
                 mv = _RE_VIEW.match(s)
@@ -260,4 +277,13 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
         for f in data_fh.values():
             f.close()
     res.multi_db = len({e["database"] for e in res.tables.values()}) > 1
+    if res.flattened_inserts:
+        import warnings
+
+        warnings.warn(
+            f"mysqldump import: {res.flattened_inserts} INSERT "
+            "statement(s) spanned physical lines and were flattened — "
+            "safe (values escape literal newlines), but the input looks "
+            "post-processed (pretty-printed / re-wrapped)",
+            stacklevel=2)
     return res

@@ -984,7 +984,7 @@ def test_restore_source_db_and_no_data_live(spark, tmp_path):
                       source_database="s1", **kw)
     assert results["load"] == {"s1.t1": True}
     assert results["verify"] == {"s1.t1": True}
-    assert results["ddl"]["post"] == {"view:v1": True}
+    assert results["ddl"]["post"] == {"view:s1.v1": True}
 
     con = duckdb.connect(target)
     n = con.execute("SELECT count(*) FROM s1.t1").fetchone()[0]
@@ -1344,3 +1344,256 @@ def test_restore_quote_character_override_live(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="quote_character"):
         run("[")
+
+
+def test_restore_multi_schema_same_named_views_both_replay_live(
+        spark, tmp_path):
+    """POST-phase job keys are database-qualified: two schemas each holding
+    a view NAMED the same (s1.v + s2.v) must BOTH replay — the reference
+    walks the full post queue (myloader_worker_post.c), and a bare-name key
+    silently dropped one of them while the restore reported success."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "dupobj_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+    con.execute("CREATE TABLE s1.t AS SELECT range AS id FROM range(12)")
+    con.execute("CREATE TABLE s2.t AS SELECT range AS id FROM range(34)")
+    con.execute("CREATE VIEW s1.v AS SELECT count(*) AS n FROM s1.t")
+    con.execute("CREATE VIEW s2.v AS SELECT count(*) AS n FROM s2.t")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "dupobj_dump")
+    manifest = dump(spark, f"jdbc:duckdb:{src}",
+                    DumpConfig(output_dir=out,
+                               jdbc_properties=dict(DRIVER_PROPS)))
+    assert sorted((o["database"], o["name"]) for o in manifest.objects
+                  if o["kind"] == "view") == [("s1", "v"), ("s2", "v")]
+
+    target = str(tmp_path / "dupobj_target.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}",
+        parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor, jdbc_num_partitions=1,
+    )
+    assert results["ddl"]["post"] == {"view:s1.v": True, "view:s2.v": True}
+
+    con = duckdb.connect(target)
+    n1 = con.execute("SELECT n FROM s1.v").fetchone()[0]
+    n2 = con.execute("SELECT n FROM s2.v").fetchone()[0]
+    con.close()
+    assert (n1, n2) == (12, 34)
+
+
+def test_restore_resume_keeps_same_named_objects_apart_live(spark, tmp_path):
+    """L11 resume × qualified POST keys: run 1 lands s1.v, fails s2.v past
+    the retry budget, persists the resume log; run 2 must SKIP s1.v (its
+    qualified key is in the log) yet still replay s2.v — a bare-name
+    resume key would wrongly skip both."""
+    import os
+
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "dupres_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+    con.execute("CREATE TABLE s1.t AS SELECT range AS id FROM range(5)")
+    con.execute("CREATE TABLE s2.t AS SELECT range AS id FROM range(7)")
+    con.execute("CREATE VIEW s1.v AS SELECT count(*) AS n FROM s1.t")
+    con.execute("CREATE VIEW s2.v AS SELECT count(*) AS n FROM s2.t")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "dupres_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+
+    target = str(tmp_path / "dupres_target.duckdb")
+    resume_file = os.path.join(out, ".restore_resume.json")
+    s2_broken = {"on": True}
+    applied: list[str] = []
+
+    def ddl_executor(sql):
+        applied.append(sql)
+        if s2_broken["on"] and sql.lstrip().startswith("CREATE VIEW s2."):
+            raise RuntimeError("transient target failure on s2.v")
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    kw = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+              ddl_executor=ddl_executor, jdbc_num_partitions=1,
+              resume_file=resume_file)
+    with pytest.raises(RuntimeError):
+        restore(spark, out, f"jdbc:duckdb:{target}", **kw)
+    assert os.path.exists(resume_file)
+
+    s2_broken["on"] = False
+    applied.clear()
+    results = restore(spark, out, f"jdbc:duckdb:{target}", **kw)
+    # s1.v completed in run 1 — its qualified key skips; s2.v replays
+    assert not any(s.lstrip().startswith("CREATE VIEW s1.")
+                   for s in applied)
+    assert any(s.lstrip().startswith("CREATE VIEW s2.") for s in applied)
+    assert results["ddl"]["post"]["view:s2.v"] is True
+    assert not os.path.exists(resume_file)
+
+    con = duckdb.connect(target)
+    n1 = con.execute("SELECT n FROM s1.v").fetchone()[0]
+    n2 = con.execute("SELECT n FROM s2.v").fetchone()[0]
+    con.close()
+    assert (n1, n2) == (5, 7)
+
+
+def test_restore_append_replays_indexes_on_fresh_table_live(spark, tmp_path):
+    """--append-if-not-exist index parity: when APPEND CREATES the table
+    (nothing pre-existing), the captured secondary indexes/constraints
+    replay exactly as DROP/FAIL/SKIP would (reference myloader replays the
+    full dumped CREATE TABLE under IF NOT EXISTS); when the table already
+    exists, its own indexes are kept and no CREATE INDEX is issued."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+    from mydumper_spark.plans.loader_dag import PurgeMode
+
+    src = str(tmp_path / "appix_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE ledger (id INTEGER PRIMARY KEY, "
+                "acct INTEGER, v DOUBLE)")
+    con.execute("CREATE INDEX idx_acct ON ledger(acct)")
+    con.execute("INSERT INTO ledger SELECT range, range % 7, range * 0.25 "
+                "FROM range(60)")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "appix_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+
+    # fresh target: APPEND creates the table → indexes must replay
+    target = str(tmp_path / "appix_fresh.duckdb")
+    duckdb.connect(target).close()  # file exists, no tables
+    applied: list[str] = []
+
+    def ddl_executor(sql):
+        applied.append(sql)
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}", purge=PurgeMode.APPEND,
+        parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor, jdbc_num_partitions=1,
+    )
+    assert results["ddl"]["index"] == {"ledger": True}
+    assert results["verify"] == {"ledger": True}  # fresh ⇒ exact verify
+    con = duckdb.connect(target)
+    idx = {name for name, in con.execute(
+        "SELECT index_name FROM duckdb_indexes() "
+        "WHERE table_name = 'ledger'").fetchall()}
+    con.close()
+    assert "idx_acct" in idx
+
+    # pre-existing target table: no index replay, verify unverifiable
+    target2 = str(tmp_path / "appix_pre.duckdb")
+    con = duckdb.connect(target2)
+    con.execute("CREATE TABLE ledger (id INTEGER PRIMARY KEY, "
+                "acct INTEGER, v DOUBLE)")
+    con.execute("INSERT INTO ledger VALUES (999, 1, 0.0)")
+    con.execute("CHECKPOINT")
+    con.close()
+    applied2: list[str] = []
+
+    def ddl_executor2(sql):
+        applied2.append(sql)
+        c = duckdb.connect(target2)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    r2 = restore(
+        spark, out, f"jdbc:duckdb:{target2}", purge=PurgeMode.APPEND,
+        parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor2, jdbc_num_partitions=1,
+    )
+    assert not any(s.startswith("CREATE INDEX") for s in applied2)
+    assert "index" not in r2.get("ddl", {})
+    assert r2["verify"]["ledger"] is None
+    con = duckdb.connect(target2)
+    n = con.execute("SELECT count(*) FROM ledger").fetchone()[0]
+    con.close()
+    assert n == 61  # 60 appended + 1 pre-existing
+
+
+def test_sql_format_masquerade_multischema_composed_live(spark, tmp_path):
+    """The three newest surfaces composed in one path: a multi-schema JDBC
+    source dumped as fmt="sql" WITH --masquerade-filename (hashed chunk
+    names; the manifest carries the mapping), then restored live through
+    -s/--source-db into a fresh target — filenames route by MANIFEST path,
+    never by name derivation, so hashing must not break chunk discovery,
+    schema routing, or checksum verification."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "mmx_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+    con.execute("CREATE TABLE s1.t (id INTEGER PRIMARY KEY, v VARCHAR)")
+    con.execute("INSERT INTO s1.t SELECT range, 'a''b;' || range "
+                "FROM range(40)")
+    con.execute("CREATE TABLE s2.t AS SELECT range AS id FROM range(9)")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "mmx_dump")
+    manifest = dump(spark, f"jdbc:duckdb:{src}",
+                    DumpConfig(output_dir=out, fmt="sql",
+                               masquerade_filenames=True,
+                               jdbc_properties=dict(DRIVER_PROPS)))
+    # hashed names: no plaintext table name leaks into ANY output filename
+    for f in os.listdir(out):
+        assert "s1.t" not in f and "s2.t" not in f, f
+    p1 = manifest.tables["s1.t"].path
+    assert p1.endswith(".00000.sql") and os.path.exists(p1)
+
+    # restore only s1 into a live target: manifest-path routing end to end
+    target = str(tmp_path / "mmx_target.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(spark, out, f"jdbc:duckdb:{target}",
+                      source_database="s1", parallelism=1,
+                      jdbc_properties=dict(DRIVER_PROPS),
+                      ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    assert results["verify"] == {"s1.t": True}
+    con = duckdb.connect(target)
+    n, mx = con.execute("SELECT count(*), max(v) FROM s1.t").fetchone()
+    s2_tables = con.execute(
+        "SELECT count(*) FROM information_schema.tables "
+        "WHERE table_schema = 's2'").fetchone()[0]
+    con.close()
+    assert (n, mx, s2_tables) == (40, "a'b;9", 0)
+
+    # full restore of BOTH schemas to a parquet tree also routes by path
+    r2 = restore(spark, out, str(tmp_path / "mmx_tree"))
+    assert r2["verify"] == {"s1.t": True, "s2.t": True}

@@ -128,8 +128,9 @@ def test_import_mysqldump_restores_exact_values(spark, converted):
     results = restore(spark, out, target)
     assert all(results["load"].values()) and all(results["verify"].values())
     # parquet target has no trigger/view engine: recorded, never dropped
+    # (database-qualified — the same key convention as POST-phase jobs)
     assert set(results["ddl"]["skipped_objects"]) == {
-        "trigger:trg_bal", "view:big_spenders"}
+        "trigger:shop.trg_bal", "view:shop.big_spenders"}
     rows = (spark.read.parquet(os.path.join(target, "shop.customer.parquet"))
             .orderBy("id").collect())
     assert [r["name"] for r in rows] == [
@@ -187,3 +188,107 @@ def test_restore_stream_mysqldump_pipe(tmp_path):
     assert results["load"] == {"shop.customer": True, "shop.orders": True,
                                "shop.emptytab": True}
     assert os.path.exists(os.path.join(target, "shop.customer.parquet"))
+
+
+def test_import_mysqldump_insert_ignore_and_replace(spark, tmp_path):
+    """Round-trip statement shapes the splitter did not write itself:
+    mysqldump --insert-ignore emits INSERT IGNORE INTO, --replace emits
+    REPLACE INTO (reference mydumper_working_thread.h:22-24 carries all
+    three shapes) — both must parse to the same typed rows as plain
+    INSERT."""
+    dump_sql = (
+        "USE `d`;\n"
+        "CREATE TABLE `t` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `v` varchar(20) DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT IGNORE INTO `t` VALUES (1,'ig;nored'),(2,NULL);\n"
+        "REPLACE INTO `t` VALUES (3,'re\\'placed');\n"
+    )
+    src = tmp_path / "shapes.sql"
+    src.write_text(dump_sql)
+    out = str(tmp_path / "shapes_out")
+    manifest = import_mysqldump(spark, str(src), out)
+    assert manifest.tables["d.t"].rows == 3
+    target = out + "_restored"
+    results = restore(spark, out, target)
+    assert results["verify"] == {"d.t": True}
+    rows = (spark.read.parquet(os.path.join(target, "d.t.parquet"))
+            .orderBy("id").collect())
+    assert [(r["id"], r["v"]) for r in rows] == [
+        (1, "ig;nored"), (2, None), (3, "re'placed")]
+
+
+def test_import_mysqldump_multiline_insert_flattens_with_warning(
+        spark, tmp_path):
+    """An INSERT spanning physical lines (pretty-printed input) flattens
+    safely — values escape literal newlines, so joining lines cannot
+    corrupt data — and the splitter COUNTS it and warns instead of
+    rewriting silently."""
+    import warnings as _warnings
+
+    from mydumper_spark.sources.mysqldump_reader import split_mysqldump
+
+    dump_sql = (
+        "USE `d`;\n"
+        "CREATE TABLE `t` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `v` varchar(40) DEFAULT NULL\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `t`\nVALUES\n(1,'multi\\nline'),\n(2,'plain');\n"
+        "INSERT INTO `t` VALUES (3,'oneline');\n"
+    )
+    src = tmp_path / "pretty.sql"
+    src.write_text(dump_sql)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        res = split_mysqldump(str(src), str(tmp_path / "pretty_out"))
+    assert res.flattened_inserts == 1
+    assert any("flattened" in str(w.message) for w in caught)
+
+    out = str(tmp_path / "pretty_dump")
+    manifest = import_mysqldump(spark, str(src), out)
+    assert manifest.tables["d.t"].rows == 3
+    target = out + "_restored"
+    restore(spark, out, target)
+    rows = (spark.read.parquet(os.path.join(target, "d.t.parquet"))
+            .orderBy("id").collect())
+    # the ESCAPED \n survives as a real newline; the physical line breaks
+    # between tuples were pure formatting
+    assert [(r["id"], r["v"]) for r in rows] == [
+        (1, "multi\nline"), (2, "plain"), (3, "oneline")]
+
+
+def test_split_mysqldump_nonascii_under_c_locale(tmp_path):
+    """Non-ASCII INSERT data must split cleanly regardless of the process
+    locale (C/POSIX in containers): every output handle opens utf-8
+    explicitly, so the split never depends on locale defaults."""
+    import subprocess
+    import sys
+
+    dump_sql = (
+        "USE `d`;\n"
+        "CREATE TABLE `t` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `v` varchar(40) DEFAULT NULL\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `t` VALUES (1,'héllo wörld — 你好'),(2,'ASCII');\n"
+    )
+    src = tmp_path / "uni.sql"
+    src.write_text(dump_sql, encoding="utf-8")
+    out = tmp_path / "uni_out"
+    # a child process with LC_ALL=C reproduces the cron/daemon environment
+    code = (
+        "from mydumper_spark.sources.mysqldump_reader import split_mysqldump\n"
+        f"r = split_mysqldump({str(src)!r}, {str(out)!r})\n"
+        "assert r.tables['d.t']['data_path']\n"
+        "print('OK')\n"
+    )
+    env = dict(os.environ, LC_ALL="C", LANG="C", PYTHONPATH="/root/repo",
+               PYTHONIOENCODING="utf-8")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = (out / "d.t.00000.sql").read_bytes().decode("utf-8")
+    assert "héllo wörld — 你好" in data

@@ -2182,3 +2182,109 @@ def test_budget_select_by_group_null_boundary_score(spark):
         df, "lang", "score", "toks", budgets={"g": 35}).collect()}
     # 1,2 (scored, 20 tokens) + NULL tail by id: 3 fits (30), 4 bursts
     assert got == {1, 2, 3}
+
+
+def test_budget_select_zero_token_boundary_docs(spark):
+    """Budget exhausted EXACTLY at a score-group boundary: the naive
+    running-sum oracle still keeps the boundary group's leading zero-token
+    docs (their cumulative sum never advances past the budget) — the
+    remaining==0 case must not early-return selected_above."""
+    from mydumper_spark.operators.sampling import (
+        budget_select, budget_select_by_group,
+    )
+
+    rows = [(1, 5, 10), (2, 5, 10),                     # 20 tokens, fit
+            (10, 3, 0), (11, 3, 0), (12, 3, 7), (13, 3, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, toks long")
+    got = {r["doc_id"] for r in
+           budget_select(df, "score", "toks", 20).collect()}
+    # 12 bursts; 13 sits AFTER the burst (cumsum 27) so it is out too
+    assert got == {1, 2, 10, 11}
+
+    gdf = spark.createDataFrame(
+        [(i, "g", s_, t) for i, s_, t in rows],
+        "doc_id long, lang string, score long, toks long")
+    got = {r["doc_id"] for r in budget_select_by_group(
+        gdf, "lang", "score", "toks", budgets={"g": 20}).collect()}
+    assert got == {1, 2, 10, 11}
+
+
+def test_budget_select_string_ids(spark):
+    """String doc_ids (UUIDs, URL hashes) work end-to-end: range buckets
+    derive from the monotone 8-byte-prefix integer, the edge window orders
+    by the true id, and the result equals the naive (score DESC, id ASC)
+    prefix — including mixed-length ids where unpadded prefixes would
+    break monotonicity ('b' vs 'abc')."""
+    from mydumper_spark.operators.sampling import budget_select
+
+    ids = (["b", "ab", "abc", "a", "zz-0", "zz"]
+           + [f"{x:08x}-4dea-{x % 97:04d}" for x in range(200)])
+    rows = [(i, (n * 7) % 5, 10 + (n % 4)) for n, i in enumerate(ids)]
+    df = spark.createDataFrame(rows, "doc_id string, score long, toks long")
+
+    def naive(budget):
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        out, cum = set(), 0
+        for i, s_, t in order:
+            cum += t
+            if cum > budget:
+                break
+            out.add(i)
+        return out
+
+    for budget in (0, 37, 460, 10**9):
+        got = {r["doc_id"] for r in
+               budget_select(df, "score", "toks", budget,
+                             id_buckets=8).collect()}
+        assert got == naive(budget), budget
+
+    # all-ties: the whole budget resolves through string id buckets
+    ties = spark.createDataFrame([(i, 1, 10) for i in ids],
+                                 "doc_id string, score long, toks long")
+    got = {r["doc_id"] for r in
+           budget_select(ties, "score", "toks", 305, id_buckets=4).collect()}
+    assert got == set(sorted(ids)[:30])
+
+
+def test_budget_select_by_group_string_ids(spark):
+    """String ids through the per-group form: every split group's bucket
+    histogram uses the prefix integer, result equals per-group naive."""
+    from mydumper_spark.operators.sampling import budget_select_by_group
+
+    rows = ([(f"en-{i:05d}", "en", (i * 13) % 7, 10) for i in range(120)]
+            + [(f"fr-{i:05d}", "fr", i % 3, 5) for i in range(30)])
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, score long, toks long")
+
+    def naive(budgets):
+        out = set()
+        for gv in {r[1] for r in rows}:
+            grp = sorted((r for r in rows if r[1] == gv),
+                         key=lambda r: (-r[2], r[0]))
+            cum = 0
+            for i, _, _, t in grp:
+                cum += t
+                if cum > budgets.get(gv, 0):
+                    break
+                out.add(i)
+        return out
+
+    budgets = {"en": 333, "fr": 62}
+    got = {r["doc_id"] for r in budget_select_by_group(
+        df, "lang", "score", "toks", budgets=budgets,
+        id_buckets=8).collect()}
+    assert got == naive(budgets)
+
+
+def test_int_kth_root_huge_values():
+    """x past float range (~1.8e308) must not raise OverflowError — the
+    ADVICE repro: temperature_mix alpha=63/64 with group counts >= 1e5
+    computes N^63 > 10^315. Newton-from-bit-length path stays exact."""
+    from mydumper_spark.operators.sampling import _int_kth_root
+
+    for base, k in ((10**5, 63), (123_456_789, 64), (2**61 - 1, 17)):
+        x = base**k
+        assert x.bit_length() >= 1000  # genuinely the overflow regime
+        assert _int_kth_root(x, k) == base
+        assert _int_kth_root(x - 1, k) == base - 1
+        assert _int_kth_root(x + 1, k) == base

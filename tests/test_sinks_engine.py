@@ -2030,3 +2030,145 @@ def test_dump_object_capture_skip_gates():
     assert kinds() == {"view", "trigger", "routine", "event"}
     assert kinds(skip_triggers=True) == {"view", "routine", "event"}
     assert kinds(skip_routines=True, skip_events=True) == {"view", "trigger"}
+
+
+def test_throttle_holds_and_resumes_dump(spark, sf_dir, tmp_path):
+    """--throttle (reference [max_us:]Variable=value): the dump pool holds
+    new table submissions while the probed source metric exceeds the
+    threshold, with the reference's adaptive sleep (doubling while over,
+    halving on recovery), and resumes once under. Probe injected — the
+    same seam pattern as --disk-limits."""
+    from mydumper_spark.engine import _parse_throttle
+
+    # grammar, reference common_options.c:122-146
+    assert _parse_throttle("Threads_running=10") == ("Threads_running", 10, 60.0)
+    assert _parse_throttle("25") == ("Threads_running", 25, 60.0)
+    assert _parse_throttle("20000:Innodb_row_lock_waits=3") == (
+        "Innodb_row_lock_waits", 3, 0.02)
+    with pytest.raises(ValueError, match="throttle"):
+        _parse_throttle("abc:x=1")
+    with pytest.raises(ValueError, match="throttle"):
+        _parse_throttle("Threads_running=lots")
+
+    # loaded → loaded → recovered: two holds, then the table dumps
+    probes = iter([42, 17, 4])
+    seen = []
+
+    def probe():
+        v = next(probes)
+        seen.append(v)
+        return v
+
+    out = str(tmp_path / "thr")
+    with pytest.warns(UserWarning, match="throttle"):
+        manifest = dump(spark, sf_dir, DumpConfig(
+            output_dir=out, throttle="10", throttle_probe_fn=probe,
+            dump_threads=1,
+            filters=TableFilters(tables_list={"default.region"})))
+    assert seen == [42, 17, 4]          # held twice, resumed at 4 <= 10
+    assert manifest.tables["region"].rows == 5
+
+    # no probe and no connection_factory is a loud usage error, not a
+    # silent no-throttle dump
+    with pytest.raises(ValueError, match="throttle"):
+        dump(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "thr2"), throttle="10",
+            filters=TableFilters(tables_list={"default.region"})))
+
+
+def test_throttle_gate_adaptive_sleep():
+    """The gate's sleep doubles from 10ms while the metric stays over the
+    threshold, caps at max_sleep, and halves on each recovery — the
+    reference monitor's exact schedule (common.c:1806-1826)."""
+    from mydumper_spark.engine import _ThrottleGate
+
+    vals = iter([100, 100, 100, 1, 100, 1])
+    gate = _ThrottleGate(lambda: next(vals), threshold=10,
+                         max_sleep_s=0.02)
+    import time as _time
+
+    t0 = _time.time()
+    gate.wait()                          # 3 holds: 0.01 + 0.02 + 0.02(cap)
+    elapsed = _time.time() - t0
+    assert 0.04 <= elapsed < 1.0
+    assert gate.sleep == 0.01            # halved once on recovery
+    gate.wait()                          # one hold: doubles back to 0.02
+    assert gate.sleep == 0.01            # 0.02 held once, halved on exit
+
+
+def test_exec_per_thread_filter_roundtrip(spark, sf_dir, tmp_path):
+    """--exec-per-thread/--exec-per-thread-extension (reference
+    mydumper.c:270-298): every finished sql chunk pipes through an
+    arbitrary stdin→stdout filter and carries the extension; the manifest
+    records the extension; restore without the decode command is a loud
+    error; restore WITH it (myloader --exec-per-thread) round-trips
+    exactly. gzip stands in for the arbitrary filter — invoked through
+    the generic pipe, not the native codec path."""
+    import gzip as _gzip
+    import os
+
+    out = str(tmp_path / "ept")
+    manifest = dump(spark, sf_dir, DumpConfig(
+        output_dir=out, fmt="sql",
+        exec_per_thread="gzip -c", exec_per_thread_extension=".filtgz",
+        filters=TableFilters(tables_list={"default.region"})))
+    entry = manifest.tables["region"]
+    assert entry.path.endswith(".00000.sql.filtgz")
+    assert os.path.exists(entry.path)
+    assert not os.path.exists(entry.path[: -len(".filtgz")])  # original gone
+    # the bytes really went through the filter
+    head = _gzip.open(entry.path, "rt").read(30)
+    assert head.upper().startswith("INSERT INTO")
+    import json as _json
+
+    doc = _json.load(open(os.path.join(out, "_manifest.json")))
+    assert doc["config"]["exec_per_thread_extension"] == ".filtgz"
+
+    # without the decode command: loud, mentions the extension
+    with pytest.raises(Exception, match="filtgz"):
+        restore(spark, out, str(tmp_path / "nofilt"), parallelism=1)
+
+    # with it: full round-trip, checksums verify
+    results = restore(spark, out, str(tmp_path / "restored"),
+                      parallelism=1, exec_per_thread="gzip -dc")
+    assert results["verify"] == {"region": True}
+    got = spark.read.parquet(
+        str(tmp_path / "restored" / "region.parquet"))
+    assert got.count() == 5
+
+    # config hygiene: the reference's m_critical pairs
+    with pytest.raises(ValueError, match="together"):
+        dump(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "e2"), fmt="sql",
+            exec_per_thread="gzip -c",
+            filters=TableFilters(tables_list={"default.region"})))
+    with pytest.raises(ValueError, match="not compatible"):
+        from mydumper_spark.sinks.writers import CsvFormat
+
+        dump(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "e3"), fmt="sql",
+            exec_per_thread="gzip -c", exec_per_thread_extension=".gz",
+            csv_format=CsvFormat(compression="gzip"),
+            filters=TableFilters(tables_list={"default.region"})))
+
+
+def test_sql_format_replace_mode_roundtrip(spark, sf_dir, tmp_path):
+    """--replace (reference mydumper_working_thread.h:22-24's third
+    statement shape): the dump emits REPLACE INTO statements and the S12
+    parser reads them back typed — checksums verify and restore
+    reproduces the source exactly, same as INSERT/INSERT IGNORE."""
+    out = str(tmp_path / "repldump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, fmt="sql", insert_mode="REPLACE",
+        filters=TableFilters(tables_list={"default.region"})))
+    with open(os.path.join(out, "region.00000.sql")) as f:
+        assert f.readline().startswith("REPLACE INTO `region` VALUES")
+    v = verify_manifest(spark, out)
+    assert all(r["ok"] for r in v.values()), v
+    target = str(tmp_path / "replrestored")
+    results = restore(spark, out, target, parallelism=1)
+    assert results["verify"] == {"region": True}
+    orig = spark.read.parquet(f"{sf_dir}/region.parquet")
+    back = spark.read.parquet(os.path.join(target, "region.parquet"))
+    assert orig.exceptAll(back).count() == 0
+    assert back.exceptAll(orig).count() == 0
