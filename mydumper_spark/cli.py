@@ -126,6 +126,7 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
         check_row_count=getattr(args, "check_row_count", False),
         disk_limits=getattr(args, "disk_limits", None),
         throttle=getattr(args, "throttle", None),
+        dry_run=getattr(args, "dry_run", False),
         skip_triggers=getattr(args, "skip_triggers", False),
         skip_routines=getattr(args, "skip_routines", False),
         skip_events=getattr(args, "skip_events", False),
@@ -182,6 +183,9 @@ def cmd_dump(args: argparse.Namespace) -> int:
         manifest = dump_incremental(spark, args.source, cfg, args.since)
     else:
         manifest = dump(spark, args.source, cfg)
+    if getattr(args, "dry_run", False):
+        print(json.dumps(manifest))  # the PLAN dict, not a Manifest
+        return 0
     if getattr(args, "stream", False):
         # post-dump sweep: whatever the overlap path didn't already send —
         # schema/object artifacts, profile, the manifest (always last, the
@@ -442,13 +446,22 @@ def cmd_restore(args: argparse.Namespace) -> int:
         },
         quote_character=getattr(args, "quote_character", None),
         exec_per_thread=getattr(args, "exec_per_thread", None),
+        drop_database=getattr(args, "drop_database", False),
+        ignore_errors=getattr(args, "ignore_errors", False),
+        dry_run=getattr(args, "dry_run", False),
     )
     print(json.dumps(results))
+    if results.get("dry_run"):
+        return 0  # nothing executed, nothing to grade
     # verify None = honestly unverifiable (e.g. --append-if-not-exist onto
     # a non-empty table) — only a hard False fails the exit code
     ok = (all(results["load"].values())
           and all(v is not False
                   for v in results.get("verify", {}).values()))
+    if not ok and getattr(args, "ignore_errors", False):
+        # myloader --ignore-errors: failures were warnings, not criticals —
+        # the failure map is in the printed results, the exit code is 0
+        return 0
     return 0 if ok else 1
 
 
@@ -987,6 +1000,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pause dumping while free space at the output dir "
                         "is under PAUSE MB; resume at RESUME MB "
                         "(reference --disk-limits)")
+    d.add_argument("--dry-run", action="store_true",
+                   help="plan only: print admitted tables, output names "
+                        "and row estimates; read no data, write nothing "
+                        "(reference --dry-run)")
     d.add_argument("--throttle", metavar="[MAX_US:]VAR=VALUE",
                    help="hold dump submissions while a source status "
                         "variable exceeds VALUE (SHOW GLOBAL STATUS LIKE "
@@ -1100,6 +1117,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode command for a dump written with "
                         "--exec-per-thread (stdin→stdout, e.g. 'lz4 -dc')"
                         " — myloader's flag of the same name")
+    r.add_argument("--drop-database", action="store_true",
+                   help="DROP each recorded schema before restoring it "
+                        "(whole-namespace replace; myloader flag)")
+    r.add_argument("--ignore-errors", action="store_true",
+                   help="continue past failed tables; failures are "
+                        "reported in the results map and warn instead of "
+                        "failing the exit code (myloader --ignore-errors)")
+    r.add_argument("--dry-run", action="store_true",
+                   help="build and print the full phase plan without "
+                        "executing anything (reference --dry-run)")
     r.add_argument("-Q", "--quote-character", default=None, metavar="CHAR",
                    help="force identifier quoting for replayed DDL: ` "
                         "(backtick) or \" (ANSI) — myloader -Q; default "

@@ -159,6 +159,12 @@ class DumpConfig:
     #: probed value. Default probes SHOW GLOBAL STATUS LIKE <variable>
     #: over a connection_factory() connection (MySQL-family servers).
     throttle_probe_fn: object | None = None
+    #: --dry-run (reference common_options.c: "skips the connection to the
+    #: database and the execution of any query"): run discovery/planning
+    #: only — admitted tables, resolved output names, row estimates,
+    #: captured object inventory — and return that PLAN dict instead of a
+    #: Manifest; no data is read, nothing is written
+    dry_run: bool = False
 
 
 def _parse_disk_limits(spec: str) -> tuple[int, int]:
@@ -247,6 +253,7 @@ class _ThrottleGate:
         self.threshold = threshold
         self.max_sleep = max_sleep_s
         self.sleep = 0.0
+        self.dead = False  # probe broke: throttling disabled, warned once
         self._lock = threading.Lock()
 
     def wait(self) -> None:
@@ -255,7 +262,20 @@ class _ThrottleGate:
 
         warned = False
         while True:
-            current = int(self.probe())
+            if self.dead:
+                return
+            try:
+                current = int(self.probe())
+            except Exception as e:
+                # a broken monitor must not wedge the dump (the reference
+                # traces "Invalid query" and keeps going, common.c:1828):
+                # warn once, stop throttling
+                if not self.dead:
+                    warnings.warn(f"throttle: probe failed ({e}); "
+                                  "disabling throttle for this dump",
+                                  stacklevel=2)
+                self.dead = True
+                return
             if current <= self.threshold:
                 with self._lock:
                     self.sleep /= 2
@@ -590,6 +610,33 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         schema_objects = _capture_objects(
             cat, dialect, cfg, {item[0] for item in work}, multi_db,
             capture_conn)
+
+        if cfg.dry_run:
+            # --dry-run: the plan, never the execution. Phase 1 above only
+            # touched source METADATA (catalog discovery, DDL capture);
+            # object artifacts are written in phase 3, so returning here
+            # writes nothing and reads no data.
+            return {
+                "dry_run": True,
+                "format": cfg.fmt,
+                "output_dir": cfg.output_dir,
+                "tables": {
+                    key: {
+                        "database": db_rec,
+                        "output_name": out_name,
+                        "row_estimate": meta.row_estimate,
+                        "schema_only": bool(
+                            tt is not None
+                            and "DATA" not in tt.object_scope),
+                    }
+                    for key, db_rec, meta, tt, out_name, artifact in work
+                },
+                "objects": [
+                    {"kind": obj.kind, "database": obj.database,
+                     "name": obj.name}
+                    for _, obj in schema_objects
+                ],
+            }
 
         # --- phase 2 (pooled): per-table read → transform → write →
         # checksum/profile. Each item is an independent chain of Spark
@@ -957,6 +1004,9 @@ def restore(
     phase_threads: dict | None = None,
     quote_character: str | None = None,
     exec_per_thread: str | None = None,
+    drop_database: bool = False,
+    ignore_errors: bool = False,
+    dry_run: bool = False,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -978,6 +1028,10 @@ def restore(
             "target_database (-B) applies to jdbc: targets only — a "
             "parquet target tree is flat; silently ignoring the override "
             "would restore into unexpected paths")
+    if drop_database and not jdbc_target:
+        raise ValueError(
+            "drop_database applies to jdbc: targets only — a parquet "
+            "tree has no schema namespace to drop")
     doc = read_manifest(dump_root)
     # myloader -s/--source-db: restore ONE recorded database out of a
     # multi-schema dump. Matching is on the manifest's recorded database
@@ -1069,7 +1123,7 @@ def restore(
                 properties=dict(jdbc_properties or {}),
             )
 
-        if purge in (PurgeMode.SKIP, PurgeMode.APPEND):
+        if purge in (PurgeMode.SKIP, PurgeMode.APPEND) and not dry_run:
             # one probe of information_schema.tables (ANSI — MySQL/
             # MariaDB/TiDB/DuckDB, the same surface JdbcCatalog discovery
             # walks) decides which manifest tables already exist on the
@@ -1102,6 +1156,23 @@ def restore(
                 skip_existing = preexisting
             else:
                 append_preexisting = preexisting
+        if drop_database and not dry_run:
+            # myloader --drop-database ("executes a DROP DATABASE if the
+            # schema database file is found"): drop every schema the
+            # restore is about to recreate — whole-namespace replace, the
+            # step purge=DROP's per-table drops can't express (stale
+            # tables NOT in the dump survive those)
+            if ddl_executor is None:
+                raise ValueError(
+                    "drop_database needs ddl_executor (it issues DROP "
+                    "SCHEMA statements)")
+            dbs = sorted({entry_db_and_name(t)[0] for t in admitted
+                          if entry_db_and_name(t)[0]})
+            for db in dbs:
+                qd = quote_ident(db, dialect)
+                ddl_executor(
+                    f"DROP DATABASE IF EXISTS {qd}" if dialect == "mysql"
+                    else f"DROP SCHEMA IF EXISTS {qd} CASCADE")
     else:
         tnames = FilenameRegistry()  # target-side safe names for weird tables
 
@@ -1365,16 +1436,22 @@ def restore(
     # view may reference any table, a trigger must not fire mid-load.
     skipped_objects: list[str] = []
     multi_schema = any(e.get("database") for e in doc["tables"].values())
-    for obj in ([] if skip_post else doc.get("objects", [])):
+    post_objects = [] if skip_post else doc.get("objects", [])
+    # DATABASE-QUALIFIED job keys: the DAG keys its phase queue and resume
+    # log by this string (loader_dag.py remaining/resume_log), so two
+    # same-named objects in different schemas (db1.v + db2.v — both
+    # replayed by the reference, myloader_worker_post.c walks the full
+    # queue) must not collapse into one job. Qualification follows the
+    # manifest table-key convention: only MULTI-schema dumps qualify —
+    # a single-namespace dump's objects all live in the connection's
+    # default schema (DuckDB "main", etc.), where the qualifier is noise.
+    qualify_objects = multi_schema or len(
+        {o.get("database") for o in post_objects if o.get("database")}) > 1
+    for obj in post_objects:
         okind, oname = obj["kind"], obj["name"]
-        # DATABASE-QUALIFIED job key: the DAG keys its phase queue and
-        # resume log by this string (loader_dag.py remaining/{resume_log}),
-        # so two same-named objects in different schemas (db1.v + db2.v —
-        # both replayed by the reference, myloader_worker_post.c walks the
-        # full queue) must not collapse into one job. Same key convention
-        # as manifest table entries: qualified iff a database is recorded.
         okey = (f"{okind}:{obj['database']}.{oname}"
-                if obj.get("database") else f"{okind}:{oname}")
+                if qualify_objects and obj.get("database")
+                else f"{okind}:{oname}")
         if (source_database is not None
                 and obj.get("database") != source_database
                 and okind != "tablespace"):
@@ -1436,8 +1513,21 @@ def restore(
 
         dag.add(LoadJob(table=okey, phase=Phase.POST,
                         action=make_post_action()))
+    if dry_run:
+        # reference --dry-run: the full phase plan, zero execution — the
+        # DAG was BUILT (discovery, routing, purge/skip decisions all
+        # real) but no action runs and the target is never written
+        plan: dict[str, list[str]] = {}
+        for j in sorted(dag.jobs, key=lambda j: (j.phase, j.table)):
+            plan.setdefault(j.phase.name.lower(), []).append(j.table)
+        out: dict = {"dry_run": True, "plan": plan}
+        if skip_existing:
+            out["skipped_existing"] = sorted(skip_existing)
+        if skipped_objects:
+            out["skipped_objects"] = skipped_objects
+        return out
     try:
-        dag.run()
+        dag.run(fail_fast=not ignore_errors)
     except BaseException:
         if resume_file:
             import json as _json
@@ -1446,8 +1536,18 @@ def restore(
                 _json.dump(sorted(dag.resume_log), f)
         raise
     else:
-        if resume_file and os.path.exists(resume_file):
-            os.remove(resume_file)
+        if resume_file:
+            if any(not v.ok for v in dag.results.values()):
+                # ignore_errors let the run FINISH with failures: persist
+                # the completed-job log anyway so a re-run against a fixed
+                # target skips everything that already landed (the same
+                # contract the exception path gives)
+                import json as _json
+
+                with open(resume_file, "w") as f:
+                    _json.dump(sorted(dag.resume_log), f)
+            elif os.path.exists(resume_file):
+                os.remove(resume_file)
     results = {"load": {k[0]: v.ok for k, v in dag.results.items() if k[1] == Phase.DATA}}
     if skip_existing:
         # visible, not silent: which tables --skip-existing left alone
@@ -1476,9 +1576,17 @@ def restore(
 
         algo = manifest_algorithm(doc)
         checks = {}
+        # ignore_errors: a table whose load failed is a verify FAILURE by
+        # definition — reading the (absent/partial) target back to hash it
+        # would just throw and abort the remaining verifications
+        failed_data = {k[0] for k, v in dag.results.items()
+                       if k[1] == Phase.DATA and not v.ok}
         for t, entry in doc["tables"].items():
             if t not in admitted:
                 continue  # -s/--source-db: out-of-scope schema
+            if t in failed_data:
+                checks[t] = False
+                continue
             if t in skip_existing:
                 # SKIP left whatever data was already there — comparing it
                 # to the manifest would flag a deliberate non-action

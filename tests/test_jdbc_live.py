@@ -1597,3 +1597,147 @@ def test_sql_format_masquerade_multischema_composed_live(spark, tmp_path):
     # full restore of BOTH schemas to a parquet tree also routes by path
     r2 = restore(spark, out, str(tmp_path / "mmx_tree"))
     assert r2["verify"] == {"s1.t": True, "s2.t": True}
+
+
+def test_restore_drop_database_replaces_whole_schema_live(spark, tmp_path):
+    """myloader --drop-database: the recorded schemas are DROPped wholesale
+    before restore — a stale table living in the target schema but NOT in
+    the dump disappears (per-table purge=DROP cannot express that), and
+    the dump's tables land fresh."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "dropdb_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+    con.execute("CREATE TABLE s1.t AS SELECT range AS id FROM range(20)")
+    con.execute("CREATE TABLE s2.u AS SELECT range AS id FROM range(3)")
+    con.execute("CHECKPOINT")
+    con.close()
+    out = str(tmp_path / "dropdb_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+
+    target = str(tmp_path / "dropdb_target.duckdb")
+    con = duckdb.connect(target)
+    con.execute("CREATE SCHEMA s1")
+    con.execute("CREATE TABLE s1.stale AS SELECT 1 AS x")
+    con.execute("CREATE TABLE s1.t AS SELECT 999 AS id")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    applied = []
+
+    def ddl_executor(sql):
+        applied.append(sql)
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}", drop_database=True,
+        parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    # both recorded schemas drop FIRST, before any CREATE
+    assert applied[0] == 'DROP SCHEMA IF EXISTS "s1" CASCADE'
+    assert applied[1] == 'DROP SCHEMA IF EXISTS "s2" CASCADE'
+    assert results["verify"] == {"s1.t": True, "s2.u": True}
+    con = duckdb.connect(target)
+    tabs = {t for t, in con.execute(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = 's1'").fetchall()}
+    n = con.execute("SELECT count(*) FROM s1.t").fetchone()[0]
+    con.close()
+    assert tabs == {"t"} and n == 20  # stale gone, old rows replaced
+
+    # parquet targets have no schema namespace: loud usage error
+    with pytest.raises(ValueError, match="jdbc"):
+        restore(spark, out, str(tmp_path / "tree"), drop_database=True)
+
+
+def test_restore_ignore_errors_continues_past_failed_table_live(
+        spark, sf_dir, tmp_path):
+    """myloader --ignore-errors: one table's target fails past the retry
+    budget; the restore CONTINUES, loads the other table, reports the
+    failure in the results map (load False, verify False) instead of
+    raising."""
+    import duckdb
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    out = str(tmp_path / "ign_dump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.region",
+                                          "default.nation"})))
+    target = str(tmp_path / "ign_target.duckdb")
+
+    def ddl_executor(sql):
+        if '"region"' in sql:
+            raise RuntimeError("region target permanently broken")
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}", ignore_errors=True,
+        parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+        ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    assert results["load"]["nation"] is True
+    assert results["load"]["region"] is False
+    assert results["verify"]["nation"] is True
+    assert results["verify"]["region"] is False
+    con = duckdb.connect(target)
+    n = con.execute("SELECT count(*) FROM nation").fetchone()[0]
+    con.close()
+    assert n == 25
+
+
+def test_restore_ignore_errors_persists_resume_log_live(
+        spark, sf_dir, tmp_path):
+    """ignore_errors lets a run FINISH with failures — the resume log must
+    persist (same contract as the exception path) so a re-run against a
+    fixed target skips completed work and only redoes the failed table."""
+    import duckdb
+
+    from mydumper_spark.catalog import TableFilters
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    out = str(tmp_path / "ignres_dump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.region",
+                                          "default.nation"})))
+    target = str(tmp_path / "ignres_t.duckdb")
+    resume_file = os.path.join(out, ".restore_resume.json")
+    broken = {"on": True}
+    applied: list[str] = []
+
+    def ddl_executor(sql):
+        applied.append(sql)
+        if broken["on"] and '"region"' in sql:
+            raise RuntimeError("region target down")
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    kw = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+              ddl_executor=ddl_executor, jdbc_num_partitions=1,
+              resume_file=resume_file, ignore_errors=True)
+    r1 = restore(spark, out, f"jdbc:duckdb:{target}", **kw)
+    assert r1["load"] == {"nation": True, "region": False}
+    assert os.path.exists(resume_file)  # failures happened: log persisted
+
+    broken["on"] = False
+    applied.clear()
+    r2 = restore(spark, out, f"jdbc:duckdb:{target}", **kw)
+    # nation completed in run 1: nothing for it re-executes
+    assert not any('"nation"' in s for s in applied)
+    assert r2["load"] == {"nation": True, "region": True}
+    assert r2["verify"] == {"nation": True, "region": True}
+    assert not os.path.exists(resume_file)  # clean run: log removed

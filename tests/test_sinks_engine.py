@@ -2172,3 +2172,54 @@ def test_sql_format_replace_mode_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(os.path.join(target, "region.parquet"))
     assert orig.exceptAll(back).count() == 0
     assert back.exceptAll(orig).count() == 0
+
+
+def test_dump_and_restore_dry_run(spark, sf_dir, tmp_path):
+    """--dry-run (reference common_options.c): dump returns the PLAN —
+    admitted tables, resolved output names, row estimates, object
+    inventory — and writes nothing; restore builds the full phase DAG,
+    returns it as a plan, and never touches the target."""
+    out = str(tmp_path / "dr")
+    plan = dump(spark, sf_dir, DumpConfig(
+        output_dir=out, dry_run=True,
+        filters=TableFilters(tables_list={"default.region",
+                                          "default.nation"})))
+    assert plan["dry_run"] is True
+    assert set(plan["tables"]) == {"region", "nation"}
+    assert plan["tables"]["region"]["output_name"] == "region"
+    # nothing written — not even a manifest
+    assert not os.path.exists(os.path.join(out, "_manifest.json"))
+    assert not any(f.endswith(".parquet")
+                   for f in (os.listdir(out) if os.path.exists(out) else []))
+
+    # a real dump, then a dry-run restore: plan only, target untouched
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.region",
+                                          "default.nation"})))
+    target = str(tmp_path / "dr_target")
+    r = restore(spark, out, target, dry_run=True)
+    assert r["dry_run"] is True
+    assert sorted(r["plan"]["data"]) == ["nation", "region"]
+    assert sorted(r["plan"]["schema"]) == ["nation", "region"]
+    assert not os.path.exists(target)
+
+
+def test_throttle_probe_failure_disables_not_wedges(spark, sf_dir, tmp_path):
+    """A broken throttle probe must not wedge or fail the dump (reference
+    traces 'Invalid query' and keeps going, common.c:1828): warn once,
+    disable throttling, dump completes."""
+    calls = {"n": 0}
+
+    def broken_probe():
+        calls["n"] += 1
+        raise RuntimeError("monitor connection lost")
+
+    with pytest.warns(UserWarning, match="disabling throttle"):
+        manifest = dump(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "tpf"), throttle="10",
+            throttle_probe_fn=broken_probe, dump_threads=1,
+            filters=TableFilters(tables_list={"default.region",
+                                              "default.nation"})))
+    assert set(manifest.tables) == {"region", "nation"}
+    assert calls["n"] == 1  # dead after the first failure, not per table
