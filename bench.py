@@ -87,6 +87,7 @@ def main():
 
     qs = entry.queries()
     timings: dict[str, float] = {}
+    cpu0 = _cpu_counters()
 
     # warm the JVM/codegen paths once with the cheapest query so q1 doesn't
     # absorb session startup cost
@@ -112,16 +113,29 @@ def main():
         # host-load snapshot so a drifted run is self-diagnosing (the
         # r7→r8 and r8→r9 bench episodes were host contention, proven
         # after the fact by SCALE.md forensics — record the evidence
-        # inline instead): loadavg is the 1/5/15-min run-queue, steal/
-        # iowait come from /proc/stat deltas across the bench itself
-        "host": _host_load(),
+        # inline instead): loadavg is the 1/5/15-min run-queue; idle/
+        # iowait/steal are /proc/stat DELTAS across the timed loop
+        # itself (since-boot cumulative counters would hide a contended
+        # minute inside weeks of idle history)
+        "host": _host_load(cpu0),
     }
     print(json.dumps(result))
     spark.stop()
 
 
-def _host_load() -> dict:
-    """Best-effort host-contention snapshot (Linux /proc; empty elsewhere)."""
+def _cpu_counters() -> "list[int] | None":
+    """Raw cumulative cpu jiffies from /proc/stat (Linux; None elsewhere):
+    user nice system idle iowait irq softirq steal …"""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except Exception:
+        return None
+
+
+def _host_load(cpu0: "list[int] | None") -> dict:
+    """Best-effort host-contention snapshot; cpu percentages are deltas
+    against ``cpu0`` (captured before the timed loop)."""
     out: dict = {}
     try:
         with open("/proc/loadavg") as f:
@@ -129,20 +143,16 @@ def _host_load() -> dict:
         out["loadavg"] = [float(l1), float(l5), float(l15)]
     except Exception:
         pass
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()[1:]
-        vals = [int(x) for x in parts]
-        total = sum(vals) or 1
-        # fields: user nice system idle iowait irq softirq steal ...
+    cpu1 = _cpu_counters()
+    if cpu0 and cpu1:
+        d = [b - a for a, b in zip(cpu0, cpu1)]
+        total = sum(d) or 1
         out["cpu_pct"] = {
-            "idle": round(100 * vals[3] / total, 1),
-            "iowait": round(100 * vals[4] / total, 1) if len(vals) > 4 else 0.0,
-            "steal": round(100 * vals[7] / total, 1) if len(vals) > 7 else 0.0,
+            "idle": round(100 * d[3] / total, 1),
+            "iowait": round(100 * d[4] / total, 1) if len(d) > 4 else 0.0,
+            "steal": round(100 * d[7] / total, 1) if len(d) > 7 else 0.0,
         }
         out["ncpu"] = os.cpu_count()
-    except Exception:
-        pass
     return out
 
 

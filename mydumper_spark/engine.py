@@ -262,25 +262,27 @@ class _ThrottleGate:
 
         warned = False
         while True:
-            if self.dead:
-                return
-            try:
-                current = int(self.probe())
-            except Exception as e:
-                # a broken monitor must not wedge the dump (the reference
-                # traces "Invalid query" and keeps going, common.c:1828):
-                # warn once, stop throttling
-                if not self.dead:
+            # probe under the gate lock: pool threads share ONE probe
+            # connection (like the reference's single monitor thread), and
+            # DBAPI connections are not thread-safe — an unserialized
+            # concurrent probe would interleave protocol packets
+            with self._lock:
+                if self.dead:
+                    return
+                try:
+                    current = int(self.probe())
+                except Exception as e:
+                    # a broken monitor must not wedge the dump (the
+                    # reference traces "Invalid query" and keeps going,
+                    # common.c:1828): warn once, stop throttling
                     warnings.warn(f"throttle: probe failed ({e}); "
                                   "disabling throttle for this dump",
                                   stacklevel=2)
-                self.dead = True
-                return
-            if current <= self.threshold:
-                with self._lock:
+                    self.dead = True
+                    return
+                if current <= self.threshold:
                     self.sleep /= 2
-                return
-            with self._lock:
+                    return
                 self.sleep = min(self.max_sleep,
                                  self.sleep * 2 if self.sleep else 0.01)
                 s = self.sleep
@@ -290,7 +292,36 @@ class _ThrottleGate:
                     f"{self.threshold}; holding dump submissions",
                     stacklevel=2)
                 warned = True
-            _time.sleep(s)
+            _time.sleep(s)  # outside the lock: held threads sleep, the
+            # next prober takes over
+
+
+def _build_throttle_gate(cfg: DumpConfig) -> "_ThrottleGate | None":
+    """Construct the --throttle gate (None when the flag is unset): parse
+    the reference grammar, default value 0 → dump_threads (reference
+    common.c:1804-1806), and build the default SHOW GLOBAL STATUS probe
+    over a connection_factory() connection when no probe seam is given."""
+    if not cfg.throttle:
+        return None
+    var, value, max_sleep = _parse_throttle(cfg.throttle)
+    if value == 0:
+        value = cfg.dump_threads  # reference: defaults num_threads
+    probe = cfg.throttle_probe_fn
+    if probe is None:
+        if cfg.connection_factory is None:
+            raise ValueError(
+                "--throttle needs a probe: a source with "
+                "DumpConfig.connection_factory (probed via SHOW "
+                "GLOBAL STATUS LIKE, MySQL-family) or an explicit "
+                "throttle_probe_fn")
+        conn = cfg.connection_factory()
+        sql = f"SHOW GLOBAL STATUS LIKE '{var}'"
+
+        def probe(conn=conn, sql=sql):
+            rows = conn.execute(sql)
+            # SHOW GLOBAL STATUS rows are (Variable_name, Value)
+            return int(rows[0][-1]) if rows else 0
+    return _ThrottleGate(probe, value, max_sleep)
 
 
 def _open_source(spark: SparkSession, source: str, cfg: DumpConfig):
@@ -511,9 +542,17 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             # reference mydumper.c:281: -c IS exec-per-thread internally
             raise ValueError(
                 "--compression and --exec-per-thread are not compatible")
-        if not cfg.exec_per_thread_extension.startswith("."):
-            raise ValueError("--exec-per-thread-extension must start "
-                             "with '.' (e.g. .lz4)")
+        import re as _re
+
+        if not _re.fullmatch(r"(\.[A-Za-z0-9]{1,10})+",
+                             cfg.exec_per_thread_extension):
+            # must match the chunk-name pattern (_SQL_CHUNK_RE) or the
+            # filtered files become undiscoverable: stream announce and
+            # restore routing both parse chunk names by that regex
+            raise ValueError(
+                "--exec-per-thread-extension must be dot-separated "
+                "alphanumeric segments, each 1-10 chars (e.g. .lz4, "
+                f".enc.v2); got {cfg.exec_per_thread_extension!r}")
     cat, fence, dialect = _open_source(spark, source_dir, cfg)
     manifest = Manifest(fmt=cfg.fmt)
     if cfg.exec_per_thread:
@@ -644,27 +683,7 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
         # table's stage monopolizes slots under fair scheduling).
         disk_limits = (_parse_disk_limits(cfg.disk_limits)
                        if cfg.disk_limits else None)
-        throttle_gate = None
-        if cfg.throttle:
-            var, value, max_sleep = _parse_throttle(cfg.throttle)
-            if value == 0:
-                value = cfg.dump_threads  # reference: defaults num_threads
-            probe = cfg.throttle_probe_fn
-            if probe is None:
-                if cfg.connection_factory is None:
-                    raise ValueError(
-                        "--throttle needs a probe: a source with "
-                        "DumpConfig.connection_factory (probed via SHOW "
-                        "GLOBAL STATUS LIKE, MySQL-family) or an explicit "
-                        "throttle_probe_fn")
-                conn = cfg.connection_factory()
-                sql = f"SHOW GLOBAL STATUS LIKE '{var}'"
-
-                def probe(conn=conn, sql=sql):
-                    rows = conn.execute(sql)
-                    # SHOW GLOBAL STATUS rows are (Variable_name, Value)
-                    return int(rows[0][-1]) if rows else 0
-            throttle_gate = _ThrottleGate(probe, value, max_sleep)
+        throttle_gate = _build_throttle_gate(cfg)
 
         def run_table(item):
             key, db_rec, meta, tt, out_name, artifact = item
@@ -1123,6 +1142,37 @@ def restore(
                 properties=dict(jdbc_properties or {}),
             )
 
+        if drop_database and resume_log and not dry_run:
+            # a RESUMED run must not re-drop: run 1 already replaced the
+            # schemas, and re-dropping would destroy its completed tables
+            # while the resume log skips recreating them — data silently
+            # lost behind a success report
+            import warnings
+
+            warnings.warn(
+                "drop_database skipped: resuming a prior run whose "
+                "schemas were already replaced", stacklevel=2)
+        elif drop_database and not dry_run:
+            # myloader --drop-database ("executes a DROP DATABASE if the
+            # schema database file is found"): drop every schema the
+            # restore is about to recreate — whole-namespace replace, the
+            # step purge=DROP's per-table drops can't express (stale
+            # tables NOT in the dump survive those). MUST run BEFORE
+            # the SKIP/APPEND pre-existing probe below: the probe has
+            # to see the post-drop target, or SKIP would 'skip' (=
+            # lose) tables the drop removed and APPEND would withhold
+            # index replay from tables it now creates fresh
+            if ddl_executor is None:
+                raise ValueError(
+                    "drop_database needs ddl_executor (it issues DROP "
+                    "SCHEMA statements)")
+            dbs = sorted({entry_db_and_name(t)[0] for t in admitted
+                          if entry_db_and_name(t)[0]})
+            for db in dbs:
+                qd = quote_ident(db, dialect)
+                ddl_executor(
+                    f"DROP DATABASE IF EXISTS {qd}" if dialect == "mysql"
+                    else f"DROP SCHEMA IF EXISTS {qd} CASCADE")
         if purge in (PurgeMode.SKIP, PurgeMode.APPEND) and not dry_run:
             # one probe of information_schema.tables (ANSI — MySQL/
             # MariaDB/TiDB/DuckDB, the same surface JdbcCatalog discovery
@@ -1156,23 +1206,6 @@ def restore(
                 skip_existing = preexisting
             else:
                 append_preexisting = preexisting
-        if drop_database and not dry_run:
-            # myloader --drop-database ("executes a DROP DATABASE if the
-            # schema database file is found"): drop every schema the
-            # restore is about to recreate — whole-namespace replace, the
-            # step purge=DROP's per-table drops can't express (stale
-            # tables NOT in the dump survive those)
-            if ddl_executor is None:
-                raise ValueError(
-                    "drop_database needs ddl_executor (it issues DROP "
-                    "SCHEMA statements)")
-            dbs = sorted({entry_db_and_name(t)[0] for t in admitted
-                          if entry_db_and_name(t)[0]})
-            for db in dbs:
-                qd = quote_ident(db, dialect)
-                ddl_executor(
-                    f"DROP DATABASE IF EXISTS {qd}" if dialect == "mysql"
-                    else f"DROP SCHEMA IF EXISTS {qd} CASCADE")
     else:
         tnames = FilenameRegistry()  # target-side safe names for weird tables
 
@@ -1234,16 +1267,21 @@ def restore(
                     # dump was written through --exec-per-thread: pipe
                     # every chunk back through the user's decode command
                     # (myloader --exec-per-thread) into a scratch dir —
-                    # the dump dir itself stays untouched. Scratch files
-                    # must outlive this call (Spark reads them lazily
-                    # during the DATA/verify jobs); they die with the
-                    # process' temp dir.
+                    # the dump dir itself stays untouched. Decoded ONCE
+                    # per table (_ept_scratch), removed at process exit.
                     if exec_per_thread is None:
                         raise ValueError(
                             "dump chunks carry the --exec-per-thread "
                             f"extension {filt_ext!r}; pass "
                             "exec_per_thread=<decode command> (e.g. "
                             "'lz4 -dc') to read them back")
+                    if table in _ept_scratch:
+                        entry2 = dict(doc["tables"][table])
+                        entry2["path"] = _ept_scratch[table]
+                        df = read_dumped_table(spark, entry2)
+                        if df is not None:
+                            return df
+                    import atexit
                     import shutil as _shutil
                     import tempfile
 
@@ -1256,6 +1294,8 @@ def restore(
                     )
 
                     scratch = tempfile.mkdtemp(prefix="mydumper_ept_")
+                    atexit.register(_shutil.rmtree, scratch,
+                                    ignore_errors=True)
                     decoded = [
                         exec_decode_file(p, exec_per_thread, filt_ext,
                                          scratch)
@@ -1267,6 +1307,7 @@ def restore(
                                         f"{prefix}.schema.json")
                     if os.path.exists(side):
                         _shutil.copy(side, scratch)
+                    _ept_scratch[table] = decoded[0]
                     entry2 = dict(doc["tables"][table])
                     entry2["path"] = decoded[0]
                     df = read_dumped_table(spark, entry2)
@@ -1289,6 +1330,13 @@ def restore(
             if df is not None:
                 return df
         return read_dump_table(spark, dump_root, table)
+
+    # --exec-per-thread decode cache: source_df is called up to three
+    # times per table (schema phase, data phase, index-phase column
+    # check) — decode ONCE per table, reuse the scratch dir; the decoded
+    # files must outlive this call (Spark reads them lazily during the
+    # DATA/verify jobs), so cleanup registers at process exit
+    _ept_scratch: dict[str, str] = {}
 
     skipped_ddl: dict[str, list[str]] = {}
     for t, entry in doc["tables"].items():
@@ -1514,13 +1562,22 @@ def restore(
         dag.add(LoadJob(table=okey, phase=Phase.POST,
                         action=make_post_action()))
     if dry_run:
-        # reference --dry-run: the full phase plan, zero execution — the
-        # DAG was BUILT (discovery, routing, purge/skip decisions all
-        # real) but no action runs and the target is never written
+        # reference --dry-run ("skips the connection to the database"):
+        # the full phase plan from the dump's own metadata, zero
+        # execution, target never contacted. Because the target is never
+        # contacted, the SKIP/APPEND pre-existing probe CANNOT run — the
+        # plan over-approximates those modes (every table listed; a real
+        # run may skip some), and says so instead of implying otherwise.
         plan: dict[str, list[str]] = {}
         for j in sorted(dag.jobs, key=lambda j: (j.phase, j.table)):
             plan.setdefault(j.phase.name.lower(), []).append(j.table)
         out: dict = {"dry_run": True, "plan": plan}
+        if purge in (PurgeMode.SKIP, PurgeMode.APPEND):
+            out["note"] = (
+                f"purge={purge.value}: the pre-existing-table probe needs "
+                "a target connection, which dry-run never opens — the "
+                "plan lists every table; a real run may skip/append-"
+                "preserve some")
         if skip_existing:
             out["skipped_existing"] = sorted(skip_existing)
         if skipped_objects:
@@ -1660,6 +1717,10 @@ def dump_incremental(
     if cfg.fmt != "parquet":
         raise ValueError("incremental dumps support fmt='parquet' only")
     parent_doc = read_manifest(parent_dir)
+    if cfg.exec_per_thread or cfg.exec_per_thread_extension:
+        raise ValueError(
+            "incremental dumps are parquet-only; --exec-per-thread "
+            "filters fmt='sql' chunk files")
     cat, fence, dialect = _open_source(spark, source_dir, cfg)
     manifest = Manifest(fmt="parquet")
     manifest.parent_manifest = os.path.abspath(parent_dir)
@@ -1708,15 +1769,49 @@ def dump_incremental(
             cat, dialect, cfg, {item[0] for item in work}, multi_db,
             capture_conn)
 
+        if cfg.dry_run:
+            # --dry-run for incremental dumps too (the CLI accepts the
+            # combination): the plan after metadata-only phase 1 — which
+            # tables would diff against which parent entries — zero data
+            # reads, zero writes
+            return {
+                "dry_run": True,
+                "format": "parquet",
+                "output_dir": cfg.output_dir,
+                "incremental_parent": os.path.abspath(parent_dir),
+                "tables": {
+                    key: {
+                        "database": db_rec,
+                        "output_name": out_name,
+                        "row_estimate": meta.row_estimate,
+                        "in_parent": key in parent_doc["tables"],
+                    }
+                    for key, db_rec, meta, tt, out_name, artifact in work
+                },
+                "objects": [
+                    {"kind": obj.kind, "database": obj.database,
+                     "name": obj.name}
+                    for _, obj in schema_objects
+                ],
+            }
+
         # --- phase 2 (pooled): per-table diff → delta/deletes write →
         # reconstruction checksum. Three Spark jobs per table, each far
         # too small to saturate the cluster alone.
+        inc_disk_limits = (_parse_disk_limits(cfg.disk_limits)
+                           if cfg.disk_limits else None)
+        inc_throttle = _build_throttle_gate(cfg)
+
         def run_table(item):
             key, db_rec, meta, tt, out_name, artifact = item
             spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", "dump")
             spark.sparkContext.setLocalProperty(
                 "spark.job.description", f"dump-incremental {key}")
+            if inc_disk_limits is not None:  # --disk-limits applies here too
+                _wait_for_disk(cfg, *inc_disk_limits)
+            if inc_throttle is not None:
+                inc_throttle.wait()
             cur = apply_transform(cat.read(meta, cfg.chunks_per_table), tt,
                                   global_where=cfg.global_where)
             if tt is not None and "DATA" not in tt.object_scope:  # P11

@@ -136,6 +136,57 @@ def _statements(lines) -> "list[tuple[str, str]]":
         yield "\n".join(buf), buf[0]
 
 
+def _flatten_statement(raw: str) -> str:
+    """One-statement-per-line rewrite for the line-parallel parser.
+    mysqldump's own output never has in-value newlines (they're escaped
+    at dump time), but hand-written/third-party SQL can: a physical
+    newline INSIDE a quoted value is re-escaped to ``\\n`` (the exact
+    form the INSERT parser unescapes back to a real newline — value
+    fidelity preserved), while newlines outside quotes are pure
+    formatting and become spaces."""
+    out: list[str] = []
+    in_sq = in_dq = in_bt = False
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i]
+        if in_sq or in_dq:
+            q = "'" if in_sq else '"'
+            if ch == "\\" and i + 1 < n:
+                out.append(raw[i:i + 2])
+                i += 2
+                continue
+            if ch == q:
+                in_sq = in_dq = False
+            elif ch == "\n":
+                out.append("\\n")
+                i += 1
+                continue
+            elif ch == "\r":
+                out.append("\\r")
+                i += 1
+                continue
+        elif in_bt:
+            if ch == "`":
+                in_bt = False
+            elif ch == "\n":  # newline in an identifier: pathological;
+                out.append(" ")  # space keeps the line-parse invariant
+                i += 1
+                continue
+        elif ch == "'":
+            in_sq = True
+        elif ch == '"':
+            in_dq = True
+        elif ch == "`":
+            in_bt = True
+        elif ch == "\n":
+            out.append(" ")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def split_mysqldump(path: str, out_dir: str) -> SplitResult:
     """One streaming pass: route every statement of a mysqldump file into
     the reference dump layout under ``out_dir``. Data INSERT lines are
@@ -217,16 +268,18 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                             out_dir, f"{key}.00000.sql")
                         open(entry["data_path"], "w",
                              encoding="utf-8").close()  # truncate
-                    # verbatim: the dump's own escaping already guarantees
-                    # one-statement-per-line for the parallel parser; a
-                    # statement that nonetheless spans lines (pretty-
-                    # printed / --skip-extended-insert post-processed
-                    # input) flattens safely — values with literal \n are
-                    # escaped — and is COUNTED, not silently rewritten
+                    # verbatim when single-line (the mysqldump norm: its
+                    # escaping guarantees one statement per line). A
+                    # statement that SPANS lines (pretty-printed input, or
+                    # hand-written SQL with a real newline inside a quoted
+                    # value) flattens quote-aware: formatting newlines
+                    # become spaces, in-value newlines re-escape to \n so
+                    # the parser restores them exactly — counted, never
+                    # silently rewritten
                     if "\n" in raw:
                         res.flattened_inserts += 1
-                    _handle(key, entry["data_path"]).write(
-                        raw.replace("\n", " ") + ";\n")
+                        raw = _flatten_statement(raw)
+                    _handle(key, entry["data_path"]).write(raw + ";\n")
                     continue
                 m = _RE_CREATE_TABLE.match(s)
                 if m:
@@ -282,8 +335,9 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
 
         warnings.warn(
             f"mysqldump import: {res.flattened_inserts} INSERT "
-            "statement(s) spanned physical lines and were flattened — "
-            "safe (values escape literal newlines), but the input looks "
-            "post-processed (pretty-printed / re-wrapped)",
+            "statement(s) spanned physical lines and were flattened "
+            "(in-value newlines re-escaped, formatting newlines "
+            "spaced) — the input looks post-processed "
+            "(pretty-printed / re-wrapped)",
             stacklevel=2)
     return res

@@ -1741,3 +1741,129 @@ def test_restore_ignore_errors_persists_resume_log_live(
     assert r2["load"] == {"nation": True, "region": True}
     assert r2["verify"] == {"nation": True, "region": True}
     assert not os.path.exists(resume_file)  # clean run: log removed
+
+
+def test_restore_drop_database_not_rerun_on_resume_live(spark, tmp_path):
+    """--drop-database × --resume: run 1 drops+replaces the schemas, loads
+    one table, then fails; the RESUMED run 2 must NOT re-drop (that would
+    destroy run 1's completed table while the resume log skips recreating
+    it) — both tables end up intact."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+
+    src = str(tmp_path / "dbr_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+    con.execute("CREATE TABLE s1.a AS SELECT range AS id FROM range(50)")
+    con.execute("CREATE TABLE s2.b AS SELECT range AS id FROM range(8)")
+    con.execute("CHECKPOINT")
+    con.close()
+    out = str(tmp_path / "dbr_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+
+    target = str(tmp_path / "dbr_target.duckdb")
+    resume_file = os.path.join(out, ".restore_resume.json")
+    b_broken = {"on": True}
+    drops: list[str] = []
+
+    def ddl_executor(sql):
+        if sql.startswith("DROP SCHEMA"):
+            drops.append(sql)
+        if b_broken["on"] and '"b"' in sql and sql.startswith("DELETE"):
+            raise RuntimeError("s2.b target down")
+        c = duckdb.connect(target)
+        c.execute(sql)
+        c.execute("CHECKPOINT")
+        c.close()
+
+    kw = dict(parallelism=1, jdbc_properties=dict(DRIVER_PROPS),
+              ddl_executor=ddl_executor, jdbc_num_partitions=1,
+              resume_file=resume_file, drop_database=True)
+    with pytest.raises(RuntimeError):
+        restore(spark, out, f"jdbc:duckdb:{target}", **kw)
+    assert len(drops) == 2 and os.path.exists(resume_file)
+
+    b_broken["on"] = False
+    with pytest.warns(UserWarning, match="drop_database skipped"):
+        results = restore(spark, out, f"jdbc:duckdb:{target}", **kw)
+    assert len(drops) == 2  # run 2 issued NO new drops
+    assert results["verify"] == {"s1.a": True, "s2.b": True}
+    con = duckdb.connect(target)
+    na = con.execute("SELECT count(*) FROM s1.a").fetchone()[0]
+    nb = con.execute("SELECT count(*) FROM s2.b").fetchone()[0]
+    con.close()
+    assert (na, nb) == (50, 8)  # run 1's table SURVIVED the resume
+
+
+def test_drop_database_runs_before_preexisting_probe_live(spark, tmp_path):
+    """--drop-database × SKIP/APPEND ordering: the drop runs BEFORE the
+    pre-existing-table probe, so a table the drop removes is NOT 'skipped'
+    (SKIP would silently lose it) and IS treated as created-fresh under
+    APPEND (secondary indexes replay, verify is exact)."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump, restore
+    from mydumper_spark.plans.loader_dag import PurgeMode
+
+    src = str(tmp_path / "dbp_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+    con.execute("CREATE TABLE s1.t (id INTEGER PRIMARY KEY, g INTEGER)")
+    con.execute("CREATE INDEX idx_g ON s1.t(g)")
+    con.execute("INSERT INTO s1.t SELECT range, range % 5 FROM range(30)")
+    con.execute("CREATE TABLE s2.u AS SELECT range AS id FROM range(4)")
+    con.execute("CHECKPOINT")
+    con.close()
+    out = str(tmp_path / "dbp_dump")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+
+    def make_target(path):
+        c = duckdb.connect(path)
+        c.execute("CREATE SCHEMA s1; CREATE SCHEMA s2")
+        c.execute("CREATE TABLE s1.t AS SELECT 777 AS id, 0 AS g")
+        c.execute("CREATE TABLE s2.u AS SELECT 777 AS id")
+        c.execute("CHECKPOINT")
+        c.close()
+
+    def executor_for(path):
+        def ddl_executor(sql):
+            c = duckdb.connect(path)
+            c.execute(sql)
+            c.execute("CHECKPOINT")
+            c.close()
+        return ddl_executor
+
+    # SKIP: with the drop first, nothing pre-exists — nothing is skipped
+    t1 = str(tmp_path / "dbp_skip.duckdb")
+    make_target(t1)
+    r1 = restore(spark, out, f"jdbc:duckdb:{t1}", drop_database=True,
+                 purge=PurgeMode.SKIP, parallelism=1,
+                 jdbc_properties=dict(DRIVER_PROPS),
+                 ddl_executor=executor_for(t1), jdbc_num_partitions=1)
+    assert "skipped_existing" not in r1
+    assert r1["verify"] == {"s1.t": True, "s2.u": True}
+    con = duckdb.connect(t1)
+    n = con.execute("SELECT count(*) FROM s1.t").fetchone()[0]
+    stale = con.execute(
+        "SELECT count(*) FROM s1.t WHERE id = 777").fetchone()[0]
+    con.close()
+    assert (n, stale) == (30, 0)
+
+    # APPEND: dropped ⇒ created fresh ⇒ indexes replay + exact verify
+    t2 = str(tmp_path / "dbp_app.duckdb")
+    make_target(t2)
+    r2 = restore(spark, out, f"jdbc:duckdb:{t2}", drop_database=True,
+                 purge=PurgeMode.APPEND, parallelism=1,
+                 jdbc_properties=dict(DRIVER_PROPS),
+                 ddl_executor=executor_for(t2), jdbc_num_partitions=1)
+    assert r2["ddl"]["index"] == {"s1.t": True}
+    assert r2["verify"] == {"s1.t": True, "s2.u": True}  # exact, not None
+    con = duckdb.connect(t2)
+    idx = {name for name, in con.execute(
+        "SELECT index_name FROM duckdb_indexes() "
+        "WHERE table_name = 't'").fetchall()}
+    con.close()
+    assert "idx_g" in idx

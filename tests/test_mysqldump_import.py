@@ -292,3 +292,36 @@ def test_split_mysqldump_nonascii_under_c_locale(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     data = (out / "d.t.00000.sql").read_bytes().decode("utf-8")
     assert "héllo wörld — 你好" in data
+
+
+def test_flatten_preserves_in_value_newlines(spark, tmp_path):
+    """A REAL newline inside a quoted value (hand-written SQL — mysqldump
+    itself always escapes them) must survive the one-statement-per-line
+    rewrite: it re-escapes to \\n for the line parser, which restores it
+    exactly; formatting newlines between tuples become spaces."""
+    from mydumper_spark.sources.mysqldump_reader import _flatten_statement
+
+    flat = _flatten_statement("INSERT INTO `t`\nVALUES\n(1,'a\nb'),\n(2,'c')")
+    assert flat == "INSERT INTO `t` VALUES (1,'a\\nb'), (2,'c')"
+    # backslash escapes already in the text are not double-processed
+    assert _flatten_statement("(1,'x\\ny')") == "(1,'x\\ny')"
+
+    dump_sql = (
+        "USE `d`;\n"
+        "CREATE TABLE `t` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `v` varchar(40) DEFAULT NULL\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `t` VALUES (1,'real\nnewline'),\n(2,'plain');\n"
+    )
+    src = tmp_path / "realnl.sql"
+    src.write_text(dump_sql)
+    out = str(tmp_path / "realnl_out")
+    manifest = import_mysqldump(spark, str(src), out)
+    assert manifest.tables["d.t"].rows == 2
+    target = out + "_restored"
+    restore(spark, out, target)
+    rows = (spark.read.parquet(os.path.join(target, "d.t.parquet"))
+            .orderBy("id").collect())
+    assert [(r["id"], r["v"]) for r in rows] == [
+        (1, "real\nnewline"), (2, "plain")]

@@ -361,3 +361,16 @@ def test_round9_plan_shapes(spark):
     plan = _plan(entry.queries()["x_budget_select_by_lang"](spark, SF))
     assert plan.count("Window") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_round10_plan_shapes(spark):
+    """Round-10 operators keep their promised shapes: string-id budget
+    selection pays the SAME plan as the numeric form — the prefix-integer
+    bucketing is a scan-side projection (conv/rpad/substring codegen), so
+    there is still exactly ONE window (the single edge bucket) and no
+    range partitioning (no global sort) anywhere."""
+    plan = _plan(entry.queries()["x_budget_select_string_ids"](spark, SF))
+    assert plan.count("Window") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    # the ordering expression must not smuggle in a Python UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -2223,3 +2223,117 @@ def test_throttle_probe_failure_disables_not_wedges(spark, sf_dir, tmp_path):
                                               "default.nation"})))
     assert set(manifest.tables) == {"region", "nation"}
     assert calls["n"] == 1  # dead after the first failure, not per table
+
+
+def test_incremental_dump_gates_throttle_and_rejects_exec_per_thread(
+        spark, sf_dir, tmp_path):
+    """dump_incremental shares --disk-limits/--throttle backpressure with
+    dump (one gate implementation, _build_throttle_gate) and rejects the
+    fmt='sql'-only --exec-per-thread loudly instead of ignoring it."""
+    from mydumper_spark.engine import dump_incremental
+
+    base = str(tmp_path / "inc_base")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=base,
+        filters=TableFilters(tables_list={"default.region"})))
+
+    probes = iter([42, 3])
+    seen = []
+
+    def probe():
+        v = next(probes)
+        seen.append(v)
+        return v
+
+    with pytest.warns(UserWarning, match="throttle"):
+        m = dump_incremental(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "inc_thr"), throttle="10",
+            throttle_probe_fn=probe, dump_threads=1,
+            filters=TableFilters(tables_list={"default.region"})), base)
+    assert seen == [42, 3] and "region" in m.tables
+
+    with pytest.raises(ValueError, match="parquet-only"):
+        dump_incremental(spark, sf_dir, DumpConfig(
+            output_dir=str(tmp_path / "inc_ept"),
+            exec_per_thread="gzip -c", exec_per_thread_extension=".gz",
+            filters=TableFilters(tables_list={"default.region"})), base)
+
+
+def test_dump_incremental_dry_run(spark, sf_dir, tmp_path):
+    """--since × --dry-run: the incremental plan (which tables would diff
+    against which parent entries) with zero data reads and zero writes —
+    previously this combination ran the full incremental dump."""
+    from mydumper_spark.engine import dump_incremental
+
+    base = str(tmp_path / "idr_base")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=base,
+        filters=TableFilters(tables_list={"default.region"})))
+    out = str(tmp_path / "idr_out")
+    plan = dump_incremental(spark, sf_dir, DumpConfig(
+        output_dir=out, dry_run=True,
+        filters=TableFilters(tables_list={"default.region",
+                                          "default.nation"})), base)
+    assert plan["dry_run"] is True
+    assert plan["tables"]["region"]["in_parent"] is True
+    assert plan["tables"]["nation"]["in_parent"] is False
+    assert not any(f.startswith("region") or f.startswith("nation")
+                   for f in os.listdir(out))  # no delta files written
+
+
+def test_restore_dry_run_notes_unprobed_skip(spark, sf_dir, tmp_path):
+    """dry-run never connects to the target, so the SKIP/APPEND
+    pre-existing probe cannot run — the plan must SAY so instead of
+    implying the skip decisions were real."""
+    from mydumper_spark.plans.loader_dag import PurgeMode
+
+    out = str(tmp_path / "drn")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, filters=TableFilters(tables_list={"default.region"})))
+    r = restore(spark, out, str(tmp_path / "drn_t"), dry_run=True,
+                purge=PurgeMode.APPEND)
+    assert "probe" in r["note"] and "append" in r["note"]
+
+
+def test_exec_per_thread_extension_charset_validated(spark, sf_dir, tmp_path):
+    """An extension the chunk-name regex can't parse (underscores, >10
+    chars) must fail at dump START — downstream it would break stream
+    announce and make the dump unrestorable."""
+    for bad in (".enc_v2", ".toolongext1", "enc", ".."):
+        with pytest.raises(ValueError, match="extension"):
+            dump(spark, sf_dir, DumpConfig(
+                output_dir=str(tmp_path / "x"), fmt="sql",
+                exec_per_thread="gzip -c", exec_per_thread_extension=bad,
+                filters=TableFilters(tables_list={"default.region"})))
+    # multi-segment alnum extensions are legal (.enc.v2)
+    m = dump(spark, sf_dir, DumpConfig(
+        output_dir=str(tmp_path / "ok"), fmt="sql",
+        exec_per_thread="gzip -c", exec_per_thread_extension=".enc.v2",
+        filters=TableFilters(tables_list={"default.region"})))
+    assert m.tables["region"].path.endswith(".00000.sql.enc.v2")
+
+
+def test_exec_per_thread_restore_decodes_once_per_table(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """source_df runs up to three times per table (schema, data, index
+    phases): the decode must run ONCE per chunk, not once per call."""
+    from mydumper_spark.sinks import exec_sink
+
+    out = str(tmp_path / "eptc")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, fmt="sql",
+        exec_per_thread="gzip -c", exec_per_thread_extension=".fgz",
+        filters=TableFilters(tables_list={"default.region"})))
+
+    calls = {"n": 0}
+    real = exec_sink.exec_decode_file
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(exec_sink, "exec_decode_file", counting)
+    results = restore(spark, out, str(tmp_path / "eptc_t"),
+                      parallelism=1, exec_per_thread="gzip -dc")
+    assert results["verify"] == {"region": True}
+    assert calls["n"] == 1  # one chunk, decoded exactly once
