@@ -188,7 +188,8 @@ def cmd_dump(args: argparse.Namespace) -> int:
         return 0
     if getattr(args, "stream", False):
         # post-dump sweep: whatever the overlap path didn't already send —
-        # schema/object artifacts, profile, the manifest (always last, the
+        # schema/object artifacts, profile, the manifests (INI metadata
+        # dead last, the
         # reference's final-metadata ordering). The JSON summary moves to
         # stderr so stdout stays pure protocol bytes. Incremental dumps
         # (--since) take this path for everything.

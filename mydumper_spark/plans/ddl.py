@@ -286,10 +286,15 @@ def descriptor_from_create_table(ddl: str) -> dict:
         if m := _PK_RE.match(line):
             desc["primary_key"] = _cols_list(m["cols"])
         elif m := _UNIQUE_RE.match(line):
-            desc["uniques"].append({
+            u = {
                 "name": m["name"] or m["bname"] or "",
                 "columns": _cols_list(m["cols"]),
-            })
+            }
+            # prefix lengths matter for uniques exactly as for plain keys
+            # (UNIQUE KEY (`txt`(32)) on TEXT — MySQL error 1170 without)
+            if subs := _sub_parts(m["cols"]):
+                u["sub_parts"] = subs
+            desc["uniques"].append(u)
         elif m := _FK_RE.match(line):
             ref = m["ref"].replace("`", "")
             fk = {
@@ -341,7 +346,17 @@ def restore_statements(qualified_table: str, descriptor: dict,
     out: dict[str, list[str]] = {"index": [], "constraint": [], "skipped": []}
     for u in descriptor.get("uniques", []):
         name = u["name"] or "uq_" + "_".join(u["columns"])
-        cols = ", ".join(q(c) for c in u["columns"])
+        usubs = u.get("sub_parts") or [None] * len(u["columns"])
+        if dialect == "mysql":
+            cols = ", ".join(
+                f"{q(c)}({sp})" if sp is not None else q(c)
+                for c, sp in zip(u["columns"], usubs))
+        else:
+            cols = ", ".join(q(c) for c in u["columns"])
+            if any(sp is not None for sp in usubs):
+                out["skipped"].append(
+                    f"unique {name}: prefix length(s) dropped — dialect "
+                    f"{dialect!r} indexes whole columns")
         out["index"].append(
             f"CREATE UNIQUE INDEX {q(name)} ON {qualified_table} ({cols})")
     for ix in descriptor.get("indexes", []):

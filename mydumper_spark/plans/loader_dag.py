@@ -98,6 +98,7 @@ class LoaderDag:
                  parallelism: int = 1,
                  phase_caps: "dict[Phase, int] | None" = None):
         self.jobs: list[LoadJob] = []
+        self._keys: set[tuple[str, Phase]] = set()
         self.state: dict[str, TableState] = {}
         self.results: dict[tuple[str, Phase], _JobResult] = {}
         self.resume_log = resume_log if resume_log is not None else set()  # L11
@@ -111,6 +112,17 @@ class LoaderDag:
         self.phase_caps = phase_caps or {}
 
     def add(self, job: LoadJob) -> None:
+        # the phase queue (`remaining` in run) and the results map are
+        # keyed by (table, phase): a second job under the same key would
+        # silently shadow the first — data missing behind a success
+        # report. Loud here, where the mistake is made.
+        key = (job.table, job.phase)
+        if key in self._keys:
+            raise ValueError(
+                f"duplicate load job {job.table!r} in phase "
+                f"{job.phase.name}: the phase queue is keyed by name and "
+                "would silently drop one of them")
+        self._keys.add(key)
         self.jobs.append(job)
         self.state.setdefault(job.table, TableState.NOT_CREATED)
 
@@ -220,6 +232,10 @@ def split_create_table(ddl: str) -> tuple[str, list[str], list[str]]:
     1440-1509). Works on the generic `KEY ...` / `CONSTRAINT ...` lines of
     MySQL-style DDL; bare lines are preserved verbatim."""
     lines = [ln.rstrip(", \t") for ln in ddl.strip().splitlines()]
+    if len(lines) < 2:
+        # compact single-line DDL: head and tail would be the SAME line,
+        # duplicating the whole statement — nothing to split, return as-is
+        return ddl.strip(), [], []
     head, tail = lines[0], lines[-1]
     body = lines[1:-1]
     keep, keys, constraints = [], [], []

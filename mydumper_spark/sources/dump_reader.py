@@ -85,14 +85,29 @@ def read_dump_table(
             .option("nullValue", fmt.null_value)
             .csv(dat)
         )
+    # reference-style chunked .dat (db.table.NNNNN.dat): typed csv read
+    # over exactly this table's chunks
+    dat_chunks = _reference_chunks(root, table, "data_dat")
+    if dat_chunks:
+        fmt = fmt or CsvFormat()
+        if schema is None:
+            schema = _schema_from_sidecar(root, table)
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return (
+            r.option("sep", fmt.fields_terminated_by)
+            .option("quote", fmt.fields_enclosed_by)
+            .option("escape", fmt.fields_escaped_by)
+            .option("lineSep", fmt.lines_terminated_by)
+            .option("header", str(fmt.header).lower())
+            .option("nullValue", fmt.null_value)
+            .csv(dat_chunks)
+        )
     # .sql INSERT dump: either our write_insert_sql dir ({table}.sql/) or
     # reference-style per-chunk files (db.table.NNNN.sql) in the root
     sql_dir = os.path.join(root, f"{table}.sql")
-    chunked = [
-        os.path.join(root, f)
-        for f in sorted(os.listdir(root))
-        if (c := classify(f)) and c[0] == "data_sql" and c[1]["table"] == table
-    ]
+    chunked = _reference_chunks(root, table, "data_sql")
     target = sql_dir if os.path.isdir(sql_dir) else chunked
     if not target:
         raise FileNotFoundError(f"no parquet/.dat/.sql data for table {table!r} in {root}")
@@ -106,6 +121,27 @@ def read_dump_table(
     return read_insert_sql(spark, target, schema)
 
 
+def _reference_chunks(root: str, table: str, kind: str) -> list[str]:
+    """This table's reference-layout chunk files (``db.table.NNNNN.*``),
+    db-AWARE: a qualified name ('db.table') matches exactly its database's
+    chunks; a bare name must be unambiguous — two databases holding
+    same-named tables raise instead of silently unioning their rows."""
+    matches: list[tuple[str, str]] = []
+    for f in sorted(os.listdir(root)):
+        c = classify(f)
+        if not c or c[0] != kind:
+            continue
+        qual = f"{c[1]['db']}.{c[1]['table']}"
+        if qual == table or c[1]["table"] == table:
+            matches.append((c[1]["db"], os.path.join(root, f)))
+    dbs = {db for db, _ in matches}
+    if len(dbs) > 1:
+        raise ValueError(
+            f"table name {table!r} is ambiguous in {root}: chunks exist "
+            f"in databases {sorted(dbs)} — qualify the name as 'db.table'")
+    return [p for _, p in matches]
+
+
 def _schema_from_sidecar(root: str, table: str) -> str | None:
     """Derive the Spark schema from the reference's sibling
     ``db.table-schema.sql`` CREATE TABLE file, when one exists — the typed
@@ -113,22 +149,44 @@ def _schema_from_sidecar(root: str, table: str) -> str | None:
     (it executes the schema file before loading data chunks)."""
     from mydumper_spark.plans.ddl import schema_from_create_table
 
+    hits: list[tuple[str, str]] = []
     for f in sorted(os.listdir(root)):
         c = classify(f)
-        if c and c[0] == "table_schema" and c[1]["table"] == table:
-            with open(os.path.join(root, f), encoding="utf-8") as fh:
-                return schema_from_create_table(fh.read())
+        if c and c[0] == "table_schema":
+            qual = f"{c[1]['db']}.{c[1]['table']}"
+            if qual == table or c[1]["table"] == table:
+                hits.append((c[1]["db"], os.path.join(root, f)))
+    if len({db for db, _ in hits}) > 1:
+        # same-named tables in two databases: picking whichever sorts
+        # first would silently type one table with the other's schema
+        raise ValueError(
+            f"schema for {table!r} is ambiguous in {root}: qualify the "
+            f"name as 'db.table' ({sorted(db for db, _ in hits)})")
+    for _, path in hits:
+        with open(path, encoding="utf-8") as fh:
+            return schema_from_create_table(fh.read())
     return None
 
 
 def read_dump_dir(spark: SparkSession, root: str) -> dict[str, DataFrame]:
-    """Discover every table in a dump dir (S12 intake walk)."""
+    """Discover every table in a dump dir (S12 intake walk): engine-layout
+    ``{table}.parquet``/``{table}.dat`` artifacts AND reference-layout
+    chunk files (``db.table.NNNNN.sql``/``.dat`` — grouped per table, not
+    one bogus table per chunk)."""
     out: dict[str, DataFrame] = {}
+    ref_tables: set[str] = set()
     for name in sorted(os.listdir(root)):
-        if name.endswith(".parquet"):
+        c = classify(name)
+        if c and c[0] in ("data_sql", "data_dat"):
+            # reference layout: chunks group under the QUALIFIED name
+            ref_tables.add(f"{c[1]['db']}.{c[1]['table']}")
+        elif name.endswith(".parquet"):
             out[name[: -len(".parquet")]] = spark.read.parquet(os.path.join(root, name))
         elif name.endswith(".dat"):
             t = name[: -len(".dat")]
             if t not in out:
                 out[t] = read_dump_table(spark, root, t)
+    for t in sorted(ref_tables):
+        if t not in out:
+            out[t] = read_dump_table(spark, root, t)
     return out

@@ -36,11 +36,25 @@ def stream_directory(out: BinaryIO, root: str, delete: bool = False,
     sweep then carries only the dump-wide artifacts (schema DDL, objects,
     profile, manifest). Returns file count."""
     skip = {os.path.abspath(p) for p in (exclude or ())}
+
+    def _rank(p: str) -> int:
+        # data files first, then manifests/partials, then the FINAL
+        # 'metadata' file dead last — the reference consumer treats its
+        # arrival as the dump-complete signal (mydumper_stream.c final-
+        # metadata ordering), so framing it mid-stream (it sorts before
+        # 'zdb.*' alphabetically) would let the consumer finalize early
+        base = os.path.basename(p)
+        if base == "metadata":
+            return 2
+        if base.startswith("_") or base.startswith("metadata."):
+            return 1
+        return 0
+
     names = sorted(
         (p for p in (os.path.join(dp, f)
                      for dp, _, fs in os.walk(root) for f in fs)
          if os.path.abspath(p) not in skip),
-        key=lambda p: (os.path.basename(p).startswith("_"), p),
+        key=lambda p: (_rank(p), p),
     )
     for path in names:
         with open(path, "rb") as f:
@@ -52,19 +66,42 @@ def stream_directory(out: BinaryIO, root: str, delete: bool = False,
 
 
 def read_frames(inp: BinaryIO) -> Iterator[tuple[str, bytes]]:
-    """ST2 consumer: parse frames back into (relative filename, payload)."""
-    buf = inp.read()
-    pos = 0
-    while pos < len(buf):
-        if not buf.startswith(HEADER_PREFIX, pos):
-            raise ValueError(f"bad frame header at offset {pos}")
-        eol = buf.index(b"\n", pos + len(HEADER_PREFIX))
-        header = buf[pos + len(HEADER_PREFIX): eol].decode()
-        filename, size_s = header.rsplit(" ", 1)
-        size = int(size_s)
-        start = eol + 1
-        yield filename, buf[start: start + size]
-        pos = start + size
+    """ST2 consumer: parse frames back into (relative filename, payload).
+
+    INCREMENTAL: each frame yields as soon as its bytes arrive — restore
+    genuinely overlaps the producer's dump (the protocol's whole point)
+    and memory stays O(largest single file), never O(whole stream);
+    slurping the pipe would both serialize the pipeline behind producer
+    EOF and OOM on dumps larger than driver RAM."""
+
+    def _read_exact(n: int) -> bytes:
+        chunks = []
+        got = 0
+        while got < n:
+            b = inp.read(n - got)
+            if not b:
+                raise ValueError(
+                    f"truncated frame payload ({got} of {n} bytes)")
+            chunks.append(b)
+            got += len(b)
+        return b"".join(chunks)
+
+    while True:
+        lead = inp.read(len(HEADER_PREFIX))
+        if not lead:
+            return
+        if lead != HEADER_PREFIX:
+            raise ValueError(f"bad frame header {lead!r}")
+        hdr = bytearray()
+        while True:  # headers are tiny (one path + one size)
+            c = inp.read(1)
+            if not c:
+                raise ValueError("truncated frame header")
+            if c == b"\n":
+                break
+            hdr += c
+        filename, size_s = hdr.decode().rsplit(" ", 1)
+        yield filename, _read_exact(int(size_s))
 
 
 def restore_directory(inp: BinaryIO, root: str) -> int:

@@ -256,7 +256,13 @@ def exact_verify_candidates(
     from mydumper_spark.operators.dedup import shingles
 
     cand = (
-        candidates.where(F.col("prior_doc").isNotNull())
+        candidates.where(F.col("prior_doc").isNotNull()
+                         # at-least-once redelivery: a doc re-probing a
+                         # bucket it already anchors proposes ITSELF as
+                         # prior_doc — a bogus (x, x, 1.0) "pair" that a
+                         # downstream group-builder would read as the doc
+                         # duplicating itself
+                         & (F.col("prior_doc") != F.col("doc_id")))
         .select(
             F.least("doc_id", "prior_doc").alias("id_a"),
             F.greatest("doc_id", "prior_doc").alias("id_b"),

@@ -68,9 +68,16 @@ def stream_restore(
     manifest = Manifest()
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("append").parquet(target_dir)
+        # IDEMPOTENT on micro-batch replay: foreachBatch is at-least-once
+        # (a crash between the write's commit and the checkpoint record
+        # re-delivers the batch), so each batch owns a deterministic
+        # partition dir and a replay OVERWRITES its own output instead of
+        # appending duplicates. The batch column doubles as ingest
+        # lineage; the manifest records the logical schema without it.
+        batch.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"batch={batch_id}"))
         manifest.tables.clear()
-        loaded = batch.sparkSession.read.parquet(target_dir)
+        loaded = batch.sparkSession.read.parquet(target_dir).drop("batch")
         manifest.add_table(loaded, os.path.basename(target_dir.rstrip("/")), target_dir)
         write_manifest(manifest, target_dir, partial=True)  # ST4
 
@@ -111,7 +118,10 @@ def snapshot_dump(
     link = os.path.join(ring_root, "LAST_DUMP")
     if os.path.islink(link) or os.path.exists(link):
         os.remove(link)
-    os.symlink(slot, link)
+    # symlink target relative to the LINK'S directory, not the CWD: a
+    # relative ring_root would otherwise produce ring/LAST_DUMP →
+    # ring/ring/0 (dangling); the bare slot index is correct from any CWD
+    os.symlink(str(idx), link)
     return slot
 
 

@@ -1036,8 +1036,11 @@ def test_cli_stream_dump_restore_pipe(tmp_path):
 
     # producer/consumer overlap wire order: every table DATA frame was
     # pushed by the per-table completion callback, so all of them precede
-    # every dump-wide artifact (schema DDL, metadata) and the manifest is
-    # the final frame (the reference's final-metadata contract)
+    # every dump-wide artifact (schema DDL, manifests) — and the INI
+    # 'metadata' file is the FINAL frame: a reference myloader consumer
+    # treats its arrival as the dump-complete signal (mydumper_stream.c
+    # final-metadata ordering), so it must never frame mid-stream just
+    # because it sorts before 'z*' data files alphabetically
     import io
 
     from mydumper_spark.streaming.protocol import read_frames
@@ -1048,7 +1051,8 @@ def test_cli_stream_dump_restore_pipe(tmp_path):
                 if fn.endswith(("-schema.sql", ".ini")) or fn == "metadata"]
     assert data_pos and wide_pos
     assert max(data_pos) < min(wide_pos)
-    assert names[-1] == "_manifest.json"
+    assert names[-1] == "metadata"
+    assert "_manifest.json" in names
 
     landing = str(tmp_path / "landing")
     target = str(tmp_path / "target")

@@ -2337,3 +2337,151 @@ def test_exec_per_thread_restore_decodes_once_per_table(
                       parallelism=1, exec_per_thread="gzip -dc")
     assert results["verify"] == {"region": True}
     assert calls["n"] == 1  # one chunk, decoded exactly once
+
+
+def test_read_dump_table_db_aware_chunk_matching(spark, tmp_path):
+    """Reference-layout chunks for SAME-NAMED tables in two databases must
+    never silently union: a bare name is a loud ambiguity error, the
+    qualified 'db.table' name reads exactly its own chunks; read_dump_dir
+    groups chunks per table (not one bogus table per chunk) and discovers
+    .sql tables."""
+    root = tmp_path
+    (root / "a.users-schema.sql").write_text(
+        "CREATE TABLE `users` (\n  `id` int NOT NULL,\n  `v` varchar(10)\n);")
+    (root / "b.users-schema.sql").write_text(
+        "CREATE TABLE `users` (\n  `id` int NOT NULL,\n  `v` varchar(10)\n);")
+    (root / "a.users.00000.sql").write_text(
+        "INSERT INTO `users` VALUES (1,'a1'),(2,'a2');\n")
+    (root / "a.users.00001.sql").write_text(
+        "INSERT INTO `users` VALUES (3,'a3');\n")
+    (root / "b.users.00000.sql").write_text(
+        "INSERT INTO `users` VALUES (9,'b9');\n")
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        read_dump_table(spark, str(root), "users")
+    a = read_dump_table(spark, str(root), "a.users")
+    assert sorted((r["id"], r["v"]) for r in a.collect()) == [
+        (1, "a1"), (2, "a2"), (3, "a3")]
+    b = read_dump_table(spark, str(root), "b.users")
+    assert [(r["id"], r["v"]) for r in b.collect()] == [(9, "b9")]
+
+    tables = read_dump_dir(spark, str(root))
+    assert set(tables) == {"a.users", "b.users"}
+    assert tables["a.users"].count() == 3 and tables["b.users"].count() == 1
+
+    # chunked reference .dat: grouped per table, typed via the DDL sidecar
+    root2 = tmp_path / "dat"
+    root2.mkdir()
+    (root2 / "d.t-schema.sql").write_text(
+        "CREATE TABLE `t` (\n  `id` int NOT NULL,\n  `v` varchar(10)\n);")
+    (root2 / "d.t.00000.dat").write_text('1,"x"\n2,"y"\n')
+    (root2 / "d.t.00001.dat").write_text('3,"z"\n')
+    tables2 = read_dump_dir(spark, str(root2))
+    assert set(tables2) == {"d.t"}
+    assert sorted((r["id"], r["v"]) for r in tables2["d.t"].collect()) == [
+        (1, "x"), (2, "y"), (3, "z")]
+
+
+def test_stream_restore_rerun_is_idempotent(spark, customer, tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch must OVERWRITE
+    its own batch partition, never append duplicates — re-running the whole
+    restore over the same landing dir (fresh checkpoint = every batch
+    replays) leaves the row count unchanged."""
+    from mydumper_spark.streaming import stream_restore
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    customer.write.parquet(landing)
+    q = stream_restore(spark, landing, target, str(tmp_path / "ck1"),
+                       customer.schema, available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(target).count()
+    assert n1 == customer.count()
+    q2 = stream_restore(spark, landing, target, str(tmp_path / "ck2"),
+                        customer.schema, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == n1  # replay ≠ duplicates
+
+
+def test_snapshot_ring_symlink_is_cwd_independent(spark, customer, tmp_path):
+    """LAST_DUMP's target is relative to the LINK'S directory (the bare
+    slot index), never a CWD-dependent path: the old os.symlink(slot, …)
+    with a relative ring_root produced ring/LAST_DUMP → ring/ring/0
+    (dangling). Pin the link target itself and that it resolves from ANY
+    working directory."""
+    from mydumper_spark.streaming import snapshot_dump
+
+    ring = str(tmp_path / "ring")
+    snapshot_dump(customer.limit(3), ring, snapshot_count=2)
+    last = os.path.join(ring, "LAST_DUMP")
+    assert os.path.islink(last)
+    assert os.readlink(last) == "0"  # bare index, not a path
+    here = os.getcwd()
+    try:
+        os.chdir("/")  # resolution must not depend on the process CWD
+        assert os.path.isdir(os.path.realpath(last))
+    finally:
+        os.chdir(here)
+    assert spark.read.parquet(os.path.realpath(last)).count() == 3
+
+
+def test_split_create_table_single_line():
+    """Compact one-line DDL: head and tail are the same line — the split
+    must return the statement once, not duplicated."""
+    bare, keys, cons = split_create_table("CREATE TABLE t (a int)")
+    assert bare == "CREATE TABLE t (a int)"
+    assert keys == [] and cons == []
+
+
+def test_loader_dag_duplicate_job_is_loud():
+    """Two jobs under one (table, phase) key would silently shadow each
+    other in the phase queue — adding the second is a loud error."""
+    dag = LoaderDag()
+    dag.add(LoadJob("t", Phase.DATA, lambda: None))
+    dag.add(LoadJob("t", Phase.INDEX, lambda: None))  # other phase: fine
+    with pytest.raises(ValueError, match="duplicate load job"):
+        dag.add(LoadJob("t", Phase.DATA, lambda: None))
+
+
+def test_unique_key_prefix_lengths_roundtrip():
+    """UNIQUE KEY prefix lengths (`txt`(32) on TEXT) survive into the
+    descriptor and the mysql-dialect CREATE UNIQUE INDEX — without them
+    MySQL rejects TEXT/BLOB unique keys (error 1170); non-mysql dialects
+    record the drop as a skip note."""
+    from mydumper_spark.plans.ddl import (
+        descriptor_from_create_table, restore_statements,
+    )
+
+    ddl = (
+        "CREATE TABLE `t` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `txt` text,\n"
+        "  PRIMARY KEY (`id`),\n"
+        "  UNIQUE KEY `uq_txt` (`txt`(32)),\n"
+        "  KEY `k_txt` (`txt`(16))\n"
+        ") ENGINE=InnoDB;"
+    )
+    desc = descriptor_from_create_table(ddl)
+    assert desc["uniques"][0]["sub_parts"] == [32]
+    my = restore_statements("`t`", desc, "mysql")
+    assert any("`uq_txt` ON `t` (`txt`(32))" in s for s in my["index"])
+    an = restore_statements('"t"', desc, "ansi")
+    assert any("uq_txt" in s and "(32)" not in s for s in an["index"])
+    assert any("unique uq_txt" in s for s in an["skipped"])
+
+
+def test_streaming_verify_drops_self_pairs(spark):
+    """An at-least-once redelivery can propose (doc, doc) when a document
+    re-probes a bucket it already anchors — the verifier must drop
+    self-pairs instead of emitting a bogus (x, x, 1.0) near-duplicate."""
+    from mydumper_spark.streaming.stateful import exact_verify_candidates
+
+    store = spark.createDataFrame(
+        [(7, "the quick brown fox jumps"), (8, "the quick brown fox jumped")],
+        "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(7, 7), (8, 7), (9, None)], "doc_id long, prior_doc long")
+    pairs = exact_verify_candidates(cand, store, jaccard_threshold=0.1)
+    rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert (7, 7) not in rows
+    assert rows == [(7, 8)]
