@@ -217,6 +217,21 @@ class ParquetCatalog:
         return self.spark.read.parquet(meta.path)
 
 
+def _rget(row, key: str):
+    """Case-insensitive Row field access: MySQL returns information_schema
+    labels in their defined UPPER case, DuckDB lowercase, and
+    Row.__getitem__ is case-sensitive — aliases cover our own queries but
+    driver/dialect quirks (and future unaliased columns) must not crash
+    discovery."""
+    d = row.asDict()
+    if key in d:
+        return d[key]
+    for k, v in d.items():
+        if k.lower() == key:
+            return v
+    return None
+
+
 def _guess_primary_key(schema: T.StructType) -> list[str]:
     for f in schema.fields:
         if re.search(r"(^id$|_id$|key$)", f.name, re.I):
@@ -270,34 +285,48 @@ class JdbcCatalog:
         filters = filters or TableFilters()
         type_pred = ("table_type IN ('BASE TABLE', 'VIEW')"
                      if include_views else "table_type = 'BASE TABLE'")
+        # lowercase aliases: MySQL returns information_schema labels in
+        # their defined (UPPER) case and Row access is case-sensitive —
+        # unaliased r["table_schema"] would crash discovery on MySQL
         rows = None
         if self.mysql_like:  # ENGINE feeds the P9 --ignore-engines gate
             try:
                 rows = self._q(
-                    "SELECT table_schema, table_name, table_type, engine "
-                    "FROM information_schema.tables "
+                    "SELECT table_schema AS table_schema, "
+                    "table_name AS table_name, table_type AS table_type, "
+                    "engine AS engine FROM information_schema.tables "
                     f"WHERE {type_pred}"
                 ).collect()
             except Exception:
-                # dialect guess was wrong about the ENGINE column — degrade
-                # to the ANSI shape rather than failing discovery
+                # the ENGINE shape failed — but only a SUCCESSFUL ANSI
+                # retry is dialect evidence; a transient failure (network
+                # blip) must not permanently downgrade identifier quoting
+                # to double quotes against a backtick server
+                rows = self._q(
+                    "SELECT table_schema AS table_schema, "
+                    "table_name AS table_name, table_type AS table_type "
+                    f"FROM information_schema.tables WHERE {type_pred}"
+                ).collect()
                 self.mysql_like = False
         if rows is None:
             rows = self._q(
-                "SELECT table_schema, table_name, table_type "
+                "SELECT table_schema AS table_schema, "
+                "table_name AS table_name, table_type AS table_type "
                 f"FROM information_schema.tables WHERE {type_pred}"
             ).collect()
         out: list[TableMeta] = []
         for row in sorted(rows,
-                          key=lambda r: (r["table_schema"], r["table_name"])):
+                          key=lambda r: (_rget(r, "table_schema"),
+                                         _rget(r, "table_name"))):
+            engine_val = _rget(row, "engine") if self.mysql_like else None
             meta = TableMeta(
-                database=row["table_schema"],
-                name=row["table_name"],
+                database=_rget(row, "table_schema"),
+                name=_rget(row, "table_name"),
                 path=None,
-                engine=(row["engine"] if self.mysql_like
-                        and "engine" in row and row["engine"] else "jdbc"),
-                primary_key=KNOWN_PRIMARY_KEYS.get(row["table_name"], []),
-                is_view=(row["table_type"] == "VIEW"),
+                engine=engine_val or "jdbc",
+                primary_key=KNOWN_PRIMARY_KEYS.get(
+                    _rget(row, "table_name"), []),
+                is_view=(_rget(row, "table_type") == "VIEW"),
             )
             if not filters.admits(meta):
                 continue

@@ -80,18 +80,40 @@ def min_max(df: DataFrame, column: str):
 
 def _quote(v) -> str:
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # escape BOTH the quote and the backslash: predicate strings are
+        # parsed by Spark SQL (F.expr) and MySQL-family servers, and both
+        # treat backslash as a string-literal escape — an unescaped
+        # backslash would shift the boundary value ('a\\b' → 'ab')
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     return str(v)
 
 
 def _ranges_to_predicates(column: str, bounds: list, include_null_first: bool) -> list[str]:
-    """Build disjoint range predicates [b0,b1), [b1,b2), ... [bn-1,bn]."""
+    """Build disjoint range predicates: (-inf,b1), [b1,b2), ... [bn-1,+inf).
+
+    The END chunks are deliberately UNBOUNDED (`< b1` / `>= b(n-1)`), not
+    clamped to the observed MIN/MAX. This is what makes the plan
+    loss-proof under escaping/collation drift: every chunk's comparisons
+    are evaluated by ONE engine, and chunk i's ``< X`` is exactly the
+    complement of chunk i+1's ``>= X`` IN THAT ENGINE — so every row
+    falls in exactly one chunk no matter how the engine parses the
+    literal or orders the collation. Clamped ends instead silently DROP
+    any row the evaluating engine orders outside the planner's [lo, hi]
+    (e.g. a case-insensitive server collation vs the planner's binary
+    sort, or rows written after planning). Per-chunk row counts may
+    differ from the plan under such drift; coverage never does. Same end
+    shape Spark's own JDBC partitioner uses (first/last stride
+    unbounded)."""
     preds: list[str] = []
     n = len(bounds) - 1
     for i in range(n):
         lo, hi = bounds[i], bounds[i + 1]
-        if i == n - 1:
-            p = f"{column} >= {_quote(lo)} AND {column} <= {_quote(hi)}"
+        if n == 1:
+            p = "1=1" if not include_null_first else f"{column} IS NOT NULL"
+        elif i == 0:
+            p = f"{column} < {_quote(hi)}"
+        elif i == n - 1:
+            p = f"{column} >= {_quote(lo)}"
         else:
             p = f"{column} >= {_quote(lo)} AND {column} < {_quote(hi)}"
         if i == 0 and include_null_first:
@@ -328,20 +350,12 @@ def adaptive_replan(
 def to_jdbc_options(
     plan: ChunkPlan, url: str, table: str, properties: dict[str, str] | None = None
 ) -> dict:
-    """Render a plan as ``spark.read.jdbc`` arguments. Integer plans with
-    contiguous boundaries map to partitionColumn/lowerBound/upperBound (Spark
-    generates the same disjoint ranges); everything else ships the predicate
-    array verbatim — one JDBC partition per predicate, exactly the reference's
-    one-SELECT-per-chunk execution (mydumper_write.c:1035-1108)."""
+    """Render a plan as ``spark.read.jdbc`` arguments: the predicate array
+    verbatim — one JDBC partition per predicate, exactly the reference's
+    one-SELECT-per-chunk execution (mydumper_write.c:1035-1108). Integer
+    plans ship their predicates too (NOT partitionColumn/lowerBound/
+    upperBound): Spark regenerates UNIFORM strides from the bounds, which
+    would throw away the equi-depth quantile boundaries the planner paid a
+    scan for — the skew the plan exists to remove would come right back."""
     props = {"fetchsize": "10000", **(properties or {})}
-    if plan.strategy == "integer" and plan.boundaries:
-        return {
-            "url": url,
-            "table": table,
-            "column": plan.column,
-            "lowerBound": int(plan.boundaries[0]),
-            "upperBound": int(plan.boundaries[-1]) + 1,
-            "numPartitions": plan.num_chunks,
-            "properties": props,
-        }
     return {"url": url, "table": table, "predicates": list(plan.predicates), "properties": props}

@@ -49,6 +49,13 @@ def _lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _bt(name: str) -> str:
+    """Backtick-quoted identifier with doubling — a table/db named a`b (or
+    a crafted x`.`y) must neither break the statement nor read a DIFFERENT
+    object's DDL."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 def _get(row, *names):
     """Field access across engines that return different cases for
     information_schema column names through JDBC."""
@@ -104,7 +111,8 @@ def _mysql_foreign_keys(query, db: str, table: str) -> list[dict]:
     semantics change, not a cosmetic one."""
     rows = query(
         "SELECT constraint_name AS cname, column_name AS col, "
-        "ordinal_position AS pos, referenced_table_name AS rtable, "
+        "ordinal_position AS pos, referenced_table_schema AS rschema, "
+        "referenced_table_name AS rtable, "
         "referenced_column_name AS rcol "
         "FROM information_schema.key_column_usage "
         f"WHERE table_schema = {_lit(db)} AND table_name = {_lit(table)} "
@@ -124,9 +132,18 @@ def _mysql_foreign_keys(query, db: str, table: str) -> list[dict]:
         rules = {}  # engines without the view: actions default server-side
     fks: dict[str, dict] = {}
     for r in rows:
+        # CROSS-database FK: qualify ref_table with its schema whenever it
+        # differs from the table's own — an unqualified REFERENCES would
+        # bind to a same-named table in the WRONG database on restore
+        try:
+            rschema = _get(r, "rschema")
+        except KeyError:
+            rschema = None  # engines without the referenced_* extension
+        rtable = _get(r, "rtable")
+        ref = f"{rschema}.{rtable}" if rschema and rschema != db else rtable
         fk = fks.setdefault(_get(r, "cname"), {
             "name": _get(r, "cname"), "columns": [],
-            "ref_table": _get(r, "rtable"), "ref_columns": [],
+            "ref_table": ref, "ref_columns": [],
         })
         fk["columns"].append((int(_get(r, "pos")), _get(r, "col")))
         fk["ref_columns"].append((int(_get(r, "pos")), _get(r, "rcol")))
@@ -225,32 +242,34 @@ def _compose_raw(db: str, table: str, descriptor: dict,
     the raw artifact when no server-native DDL text is obtainable."""
     lines = list(column_lines or [])
     if descriptor.get("primary_key"):
-        cols = ",".join(f"`{c}`" for c in descriptor["primary_key"])
+        cols = ",".join(_bt(c) for c in descriptor["primary_key"])
         lines.append(f"PRIMARY KEY ({cols})")
     for u in descriptor.get("uniques", []):
-        cols = ",".join(f"`{c}`" for c in u["columns"])
-        lines.append(f"UNIQUE KEY `{u['name']}` ({cols})")
+        cols = ",".join(_bt(c) for c in u["columns"])
+        lines.append(f"UNIQUE KEY {_bt(u['name'])} ({cols})")
     for ix in descriptor.get("indexes", []):
         subs = ix.get("sub_parts") or [None] * len(ix["columns"])
         cols = ",".join(
-            f"`{c}`({sp})" if sp is not None else f"`{c}`"
+            f"{_bt(c)}({sp})" if sp is not None else _bt(c)
             for c, sp in zip(ix["columns"], subs))
         kind = ("UNIQUE KEY" if ix.get("unique")
                 else f"{ix['type']} KEY" if ix.get("type")
                 else "KEY")
-        lines.append(f"{kind} `{ix['name']}` ({cols})")
+        lines.append(f"{kind} {_bt(ix['name'])} ({cols})")
     for fk in descriptor.get("foreign_keys", []):
-        cols = ",".join(f"`{c}`" for c in fk["columns"])
-        rcols = ",".join(f"`{c}`" for c in fk["ref_columns"])
-        fkl = (f"CONSTRAINT `{fk['name']}` FOREIGN KEY ({cols}) "
-               f"REFERENCES `{fk['ref_table']}` ({rcols})")
+        cols = ",".join(_bt(c) for c in fk["columns"])
+        rcols = ",".join(_bt(c) for c in fk["ref_columns"])
+        # ref_table may be schema-qualified (cross-database FK)
+        rt = ".".join(_bt(p_) for p_ in str(fk["ref_table"]).split("."))
+        fkl = (f"CONSTRAINT {_bt(fk['name'])} FOREIGN KEY ({cols}) "
+               f"REFERENCES {rt} ({rcols})")
         if fk.get("on_delete"):
             fkl += f" ON DELETE {fk['on_delete']}"
         if fk.get("on_update"):
             fkl += f" ON UPDATE {fk['on_update']}"
         lines.append(fkl)
     body = ",\n  ".join(lines)
-    return f"CREATE TABLE `{table}` (\n  {body}\n);"
+    return f"CREATE TABLE {_bt(table)} (\n  {body}\n);"
 
 
 def _capture_mysql(query, db: str, table: str, conn=None) -> SchemaArtifact:
@@ -266,7 +285,8 @@ def _capture_mysql(query, db: str, table: str, conn=None) -> SchemaArtifact:
     raw = None
     if conn is not None:
         try:
-            rows = conn.execute(f"SHOW CREATE TABLE `{db}`.`{table}`")
+            rows = conn.execute(
+                f"SHOW CREATE TABLE {_bt(db)}.{_bt(table)}")
             if rows:
                 raw = rows[0][1]
         except Exception:

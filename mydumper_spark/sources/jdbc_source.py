@@ -78,6 +78,12 @@ class JdbcSourceConfig:
             )
         elif self.consistent_snapshot:
             props["sessionInitStatement"] = CONSISTENT_SNAPSHOT_INIT
+            if scheme in ("mysql", "mariadb"):
+                # the snapshot init is a 3-statement compound; Connector/J
+                # and MariaDB-J reject multi-statement strings unless
+                # allowMultiQueries is on — without it EVERY partition
+                # open would fail on a real MySQL/MariaDB server
+                props["allowMultiQueries"] = "true"
         props.update(self.extra)
         return props
 
@@ -101,16 +107,10 @@ def build_jdbc_reader_args(
     )
     if plan is None or not plan.predicates:
         return {"url": cfg.url, "table": base, "properties": props}
-    if plan.strategy == "integer" and plan.boundaries:
-        return {
-            "url": cfg.url,
-            "table": base,
-            "column": plan.column,
-            "lowerBound": int(plan.boundaries[0]),
-            "upperBound": int(plan.boundaries[-1]) + 1,
-            "numPartitions": plan.num_chunks,
-            "properties": props,
-        }
+    # ALWAYS the predicate array, one JDBC partition per chunk — mapping
+    # integer plans to lowerBound/upperBound would make Spark regenerate
+    # uniform strides, discarding the equi-depth boundaries (and any
+    # adaptive bisection) the planner computed against skew
     return {"url": cfg.url, "table": base, "predicates": list(plan.predicates), "properties": props}
 
 
@@ -118,8 +118,27 @@ def gtid_check_sql() -> tuple[str, str]:
     """The pair of driver-side probes for S11 GTID-equality verification."""
     return (
         "SELECT @@global.gtid_executed",
-        "SELECT BINLOG_GTID_POS(@@gtid_binlog_pos)",  # MariaDB variant
+        # MariaDB variant: the position variable read directly —
+        # BINLOG_GTID_POS(file, offset) is a 2-arg converter, calling it
+        # on the GTID string is an arity error on every probe
+        "SELECT @@gtid_binlog_pos",
     )
+
+
+def _release_conns(conns: list) -> None:
+    """Best-effort rollback + close of fence connections (their open
+    REPEATABLE-READ transactions pin the source's undo horizon)."""
+    for conn in conns:
+        try:
+            conn.execute("ROLLBACK")
+        except Exception:
+            pass
+        close = getattr(conn, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:
+                pass
 
 
 class SnapshotError(RuntimeError):
@@ -208,17 +227,7 @@ class DumpFence:
         return self.control.execute(self.probe_sql)[0][0] == self.result.gtid
 
     def _release_conns(self, conns: list) -> None:
-        for conn in conns:
-            try:
-                conn.execute("ROLLBACK")
-            except Exception:
-                pass
-            close = getattr(conn, "close", None)
-            if callable(close):
-                try:
-                    close()
-                except Exception:
-                    pass
+        _release_conns(conns)
 
     def release_workers(self) -> None:
         """Roll back and close the worker snapshots (their open
@@ -278,9 +287,16 @@ def snapshot_fence_for_dump(
     )
     control = connection_factory()
     workers = [connection_factory() for _ in range(num_workers)]
-    res = establish_consistent_snapshot(
-        control, workers, max_attempts=max_attempts, probe_sql=probe
-    )
+    try:
+        res = establish_consistent_snapshot(
+            control, workers, max_attempts=max_attempts, probe_sql=probe
+        )
+    except BaseException:
+        # the documented expected-failure path (busy primary exhausts the
+        # attempts): the fence must not leak num_workers+1 connections
+        # with open REPEATABLE-READ transactions pinning the undo horizon
+        _release_conns([control, *workers])
+        raise
     fence = DumpFence(result=res, control=control, workers=workers,
                       probe_sql=probe)
     # the workers' snapshots were only needed to PROVE settleability at the

@@ -79,9 +79,9 @@ def _capture_views(query, product: ServerProduct, conn=None) -> list[SchemaObjec
     out = []
     for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name"))):
         db, name = _get(r, "db"), _get(r, "name")
-        raw = _show_one(conn, f"SHOW CREATE VIEW `{db}`.`{name}`", 1)
+        raw = _show_one(conn, f"SHOW CREATE VIEW {_bt(db)}.{_bt(name)}", 1)
         if raw is None:
-            raw = f"CREATE VIEW `{name}` AS {(_get(r, 'body') or '').strip()};"
+            raw = f"CREATE VIEW {_bt(name)} AS {(_get(r, 'body') or '').strip()};"
         out.append(SchemaObject("view", db, name, raw.strip()))
     return out
 
@@ -99,11 +99,11 @@ def _capture_triggers(query, conn=None) -> list[SchemaObject]:
     out = []
     for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name"))):
         db, name = _get(r, "db"), _get(r, "name")
-        raw = _show_one(conn, f"SHOW CREATE TRIGGER `{db}`.`{name}`", 2)
+        raw = _show_one(conn, f"SHOW CREATE TRIGGER {_bt(db)}.{_bt(name)}", 2)
         if raw is None:
             raw = (
-                f"CREATE TRIGGER `{name}` {_get(r, 'timing')} {_get(r, 'ev')} "
-                f"ON `{_get(r, 'tbl')}` FOR EACH ROW {_get(r, 'body')};"
+                f"CREATE TRIGGER {_bt(name)} {_get(r, 'timing')} {_get(r, 'ev')} "
+                f"ON {_bt(_get(r, 'tbl'))} FOR EACH ROW {_get(r, 'body')};"
             )
         out.append(SchemaObject("trigger", db, name, raw.strip(),
                                 table=_get(r, "tbl")))
@@ -115,39 +115,60 @@ def _routine_params(query, db: str, name: str) -> str:
     FUNCTION's return slot and is skipped) — information_schema.routines has
     the body but not the signature, the reason mydumper uses SHOW CREATE."""
     try:
+        # dtd_identifier carries the FULL type text ("varchar(64)") —
+        # data_type alone ("varchar") composes an invalid parameter list
+        # for length-typed params on replay
         rows = query(
             "SELECT ordinal_position AS pos, parameter_mode AS mode, "
-            "parameter_name AS pname, data_type AS dt "
+            "parameter_name AS pname, dtd_identifier AS dt "
             "FROM information_schema.parameters "
             f"WHERE specific_schema = {_lit(db)} "
             f"AND specific_name = {_lit(name)}"
         )
     except Exception:
-        return ""
+        try:  # engines without DTD_IDENTIFIER: bare data_type beats nothing
+            rows = query(
+                "SELECT ordinal_position AS pos, parameter_mode AS mode, "
+                "parameter_name AS pname, data_type AS dt "
+                "FROM information_schema.parameters "
+                f"WHERE specific_schema = {_lit(db)} "
+                f"AND specific_name = {_lit(name)}"
+            )
+        except Exception:
+            return ""
     parts = []
     for r in sorted(rows, key=lambda r: int(_get(r, "pos"))):
         if not int(_get(r, "pos")):  # position 0: function RETURNS slot
             continue
         mode = _get(r, "mode") or "IN"
-        parts.append(f"{mode} `{_get(r, 'pname')}` {_get(r, 'dt')}")
+        parts.append(f"{mode} {_bt(_get(r, 'pname'))} {_get(r, 'dt')}")
     return ", ".join(parts)
 
 
 def _capture_routines(query, conn=None) -> list[SchemaObject]:
-    rows = query(
-        "SELECT routine_schema AS db, routine_name AS name, "
-        "routine_type AS rtype, routine_definition AS body, "
-        "data_type AS ret FROM information_schema.routines"
-    )
+    try:
+        # dtd_identifier: the full RETURNS type text ("varchar(64)"),
+        # same rationale as _routine_params
+        rows = query(
+            "SELECT routine_schema AS db, routine_name AS name, "
+            "routine_type AS rtype, routine_definition AS body, "
+            "dtd_identifier AS ret FROM information_schema.routines"
+        )
+    except Exception:
+        rows = query(
+            "SELECT routine_schema AS db, routine_name AS name, "
+            "routine_type AS rtype, routine_definition AS body, "
+            "data_type AS ret FROM information_schema.routines"
+        )
     out = []
     for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name"))):
         db, name, rtype = _get(r, "db"), _get(r, "name"), _get(r, "rtype")
-        raw = _show_one(conn, f"SHOW CREATE {rtype} `{db}`.`{name}`", 2)
+        raw = _show_one(conn, f"SHOW CREATE {rtype} {_bt(db)}.{_bt(name)}", 2)
         if raw is None:
             params = _routine_params(query, db, name)
             returns = (f" RETURNS {_get(r, 'ret')}"
                        if rtype == "FUNCTION" and _get(r, "ret") else "")
-            raw = (f"CREATE {rtype} `{name}`({params}){returns}\n"
+            raw = (f"CREATE {rtype} {_bt(name)}({params}){returns}\n"
                    f"{(_get(r, 'body') or '').strip()};")
         out.append(SchemaObject("routine", db, name, raw.strip()))
     return out
@@ -163,13 +184,13 @@ def _capture_events(query, conn=None) -> list[SchemaObject]:
     out = []
     for r in sorted(rows, key=lambda r: (_get(r, "db"), _get(r, "name"))):
         db, name = _get(r, "db"), _get(r, "name")
-        raw = _show_one(conn, f"SHOW CREATE EVENT `{db}`.`{name}`", 3)
+        raw = _show_one(conn, f"SHOW CREATE EVENT {_bt(db)}.{_bt(name)}", 3)
         if raw is None:
             if _get(r, "etype") == "RECURRING":
                 sched = f"EVERY {_get(r, 'iv')} {_get(r, 'ifld')}"
             else:
                 sched = f"AT '{_get(r, 'at')}'"
-            raw = (f"CREATE EVENT `{name}` ON SCHEDULE {sched} DO "
+            raw = (f"CREATE EVENT {_bt(name)} ON SCHEDULE {sched} DO "
                    f"{(_get(r, 'body') or '').strip()};")
         out.append(SchemaObject("event", db, name, raw.strip()))
     return out

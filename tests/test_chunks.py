@@ -77,11 +77,14 @@ def test_adaptive_replan_splits_fat_chunks(orders):
 
 
 def test_jdbc_options_integer(orders):
+    """Integer plans ship their PREDICATES (one per chunk), never
+    lowerBound/upperBound: Spark would regenerate uniform strides from
+    the bounds, discarding the equi-depth quantile boundaries."""
     plan = plan_integer_chunks(orders, "o_orderkey", num_chunks=4)
     opts = to_jdbc_options(plan, "jdbc:mysql://h/db", "orders")
-    assert opts["column"] == "o_orderkey"
-    assert opts["numPartitions"] == plan.num_chunks
-    assert opts["lowerBound"] <= opts["upperBound"]
+    assert "lowerBound" not in opts and "column" not in opts
+    assert len(opts["predicates"]) == plan.num_chunks
+    assert opts["predicates"] == plan.predicates
 
 
 def test_jdbc_options_predicates(customer):
@@ -266,7 +269,10 @@ def test_fence_for_dump_mariadb_probe_spelling():
         _dialect(ServerProduct.MARIADB, 10, 3, 0), fac, num_workers=1
     )
     assert res is not None
-    assert all("BINLOG_GTID_POS" in s for s in control.log)
+    # the position VARIABLE read directly — BINLOG_GTID_POS(file, offset)
+    # is a 2-arg converter; calling it on the GTID string is an arity
+    # error on every MariaDB probe
+    assert all(s == "SELECT @@gtid_binlog_pos" for s in control.log)
 
 
 def test_fence_for_dump_skips_non_mysql_and_snapshot_everywhere():
@@ -334,3 +340,88 @@ def test_pick_chunk_column_profile_beats_name_heuristic(spark, tmp_path):
     ]
     assert pick_chunk_column(meta, profile=prof) == "status_id"
     assert load_profiles(str(tmp_path / "nope")) == {}
+
+
+def test_range_predicates_unbounded_ends_and_backslash_quoting(spark):
+    """Chunk plans are loss-proof by construction: the first/last chunks
+    are UNBOUNDED (`< b1` / `>= b(n-1)`), so every row falls in exactly
+    one chunk no matter how the evaluating engine parses literals or
+    orders its collation — clamped ends would silently drop rows the
+    server orders outside the planner's [min, max]. Backslashes in
+    boundary values are escaped for backslash-escaping lexers (Spark,
+    MySQL)."""
+    from mydumper_spark.planner.chunks import (
+        _quote, _ranges_to_predicates, chunk_counts, plan_string_chunks,
+    )
+
+    preds = _ranges_to_predicates("c", ["b", "m", "t"], False)
+    assert preds[0] == "c < 'm'"            # no >= 'b' clamp
+    assert preds[-1] == "c >= 'm'"          # no <= 't' clamp
+    assert _quote("a\\b") == "'a\\\\b'"
+    assert _quote("o'x") == "'o''x'"
+
+    # rows OUTSIDE the planned boundaries (simulating collation drift or
+    # post-plan writes) still land in exactly one chunk
+    df = spark.createDataFrame(
+        [("B",), ("a",), ("m",), ("z",)], "c string")
+    counts = chunk_counts(df, type("P", (), {
+        "predicates": _ranges_to_predicates("c", ["a", "m"], False)})())
+    assert sum(counts) == 4                  # nothing lost, nothing doubled
+
+    plan = plan_string_chunks(df, "c", num_chunks=2)
+    assert sum(chunk_counts(df, plan)) == 4
+
+
+def test_mysql_props_allow_multi_queries_for_snapshot_init():
+    """The consistent-snapshot sessionInitStatement is a 3-statement
+    compound; Connector/J and MariaDB-J reject multi-statement strings
+    unless allowMultiQueries is set — without it every partition open
+    fails on a real server. Single-statement inits (TiDB) don't need it,
+    and non-MySQL schemes must not receive unknown properties."""
+    from mydumper_spark.sources.jdbc_source import JdbcSourceConfig
+
+    p = JdbcSourceConfig(url="jdbc:mysql://h/db",
+                         consistent_snapshot=True).properties()
+    assert "CONSISTENT SNAPSHOT" in p["sessionInitStatement"]
+    assert p["allowMultiQueries"] == "true"
+
+    p2 = JdbcSourceConfig(url="jdbc:mysql://h/db", consistent_snapshot=True,
+                          tidb_snapshot="2024-01-01 00:00:00").properties()
+    assert ";" not in p2["sessionInitStatement"]
+    assert "allowMultiQueries" not in p2
+
+    p3 = JdbcSourceConfig(url="jdbc:duckdb:/x", consistent_snapshot=False
+                          ).properties()
+    assert "allowMultiQueries" not in p3 and "sessionInitStatement" not in p3
+
+
+def test_snapshot_fence_releases_connections_on_failure():
+    """A fence that exhausts its attempts must roll back and CLOSE every
+    connection it opened — leaked REPEATABLE-READ transactions pin the
+    source's undo horizon on exactly the busy-primary path where the
+    fence fails."""
+    import pytest
+
+    from mydumper_spark.sources.jdbc_source import (
+        SnapshotError, snapshot_fence_for_dump,
+    )
+    from mydumper_spark.sources.server_detect import ServerProduct
+
+    class _ClosableConn(_ProbeConn):
+        def __init__(self, gtids):
+            super().__init__(gtids)
+            self.closed = False
+
+        def close(self):
+            self.closed = True
+
+    control = _ClosableConn([f"uuid:1-{i}" for i in range(100)])
+    workers = [_ClosableConn(["x"]), _ClosableConn(["x"])]
+    fac = _Factory([control] + workers)
+    with pytest.raises(SnapshotError):
+        snapshot_fence_for_dump(
+            _dialect(ServerProduct.MYSQL, 8, 0, 30), fac, num_workers=2,
+            max_attempts=2)
+    assert control.closed and all(w.closed for w in workers)
+    for w in workers:
+        assert "ROLLBACK" in w.log

@@ -1447,6 +1447,10 @@ def test_capture_mysql_subparts_types_and_fk_actions():
             return [{"cname": "fk_lang", "ur": "CASCADE", "dr": "SET NULL"}]
         if "key_column_usage" in s:
             return [{"cname": "fk_lang", "col": "lang_id", "pos": 1,
+                     "rschema": "app",
+                     "rtable": "language", "rcol": "language_id"},
+                    {"cname": "fk_ext", "col": "ext_id", "pos": 1,
+                     "rschema": "shared",
                      "rtable": "language", "rcol": "language_id"}]
         if "information_schema.statistics" in s:
             return [
@@ -1467,12 +1471,18 @@ def test_capture_mysql_subparts_types_and_fk_actions():
     assert "sub_parts" not in ixs["ft_body"]
     assert ixs["ft_body"]["type"] == "FULLTEXT"
     assert "type" not in ixs["ix_prefix"]          # BTREE is the default
-    fk = d["foreign_keys"][0]
+    fks = {f["name"]: f for f in d["foreign_keys"]}
+    fk = fks["fk_lang"]
     assert fk["on_update"] == "CASCADE" and fk["on_delete"] == "SET NULL"
-    # the composed -schema.sql artifact renders all three faithfully
+    # same-db reference stays bare; CROSS-db reference carries its schema
+    # (an unqualified REFERENCES would bind to the wrong database)
+    assert fk["ref_table"] == "language"
+    assert fks["fk_ext"]["ref_table"] == "shared.language"
+    # the composed -schema.sql artifact renders all of it faithfully
     assert "`txt`(32)" in art.raw_sql
     assert "FULLTEXT KEY `ft_body`" in art.raw_sql
     assert "ON DELETE SET NULL ON UPDATE CASCADE" in art.raw_sql
+    assert "REFERENCES `shared`.`language`" in art.raw_sql
 
 
 def test_capture_sequences_mariadb_composed_and_verbatim():
