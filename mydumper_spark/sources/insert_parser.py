@@ -123,6 +123,13 @@ def parse_tuples(line: str) -> list[list[str | None]]:
                 i += 1
                 continue
             if ch == "'":
+                # drop a charset-introducer prefix (`_binary 'x'`,
+                # `_utf8mb4'x'` — mydumper_write.c:698-699 emits the
+                # _binary form without --hex-blob): MySQL grammar allows
+                # only an introducer or whitespace before a quoted
+                # literal, and leaking it into the value corrupts it
+                if buf and "".join(buf).strip().startswith("_"):
+                    buf = []
                 in_str = True
                 quoted = True
                 i += 1
@@ -162,7 +169,22 @@ def typed_from_strings(df: DataFrame, schema: T.StructType | str) -> DataFrame:
     for f in schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, T.BinaryType):
-            cols.append(F.unhex(F.regexp_replace(c, "^0x", "")).alias(f.name))
+            # two wire forms (mydumper_write.c:386-388, 684-699):
+            # --hex-blob 0xHEX decodes exactly; the quoted `_binary '…'`
+            # form re-encodes the unescaped string's codepoints as
+            # latin-1 bytes — exact for the escape-matrix output as long
+            # as the dump's raw bytes survived the utf-8 text read (a
+            # quoted binary value with bytes >0x7F is already lossy at
+            # spark.read.text; --hex-blob is the fidelity path, which is
+            # why our own sql-format writer always hex-encodes binary).
+            # Treating EVERY value as hex corrupted quoted forms to
+            # NULL/garbage.
+            hexish = c.rlike("^0[xX][0-9A-Fa-f]*$")
+            cols.append(
+                F.when(c.isNull(), F.lit(None).cast("binary"))
+                .when(hexish, F.unhex(F.regexp_replace(c, "^0[xX]", "")))
+                .otherwise(F.encode(c, "ISO-8859-1"))
+                .alias(f.name))
         else:
             cols.append(c.cast(f.dataType).alias(f.name))
     return df.select(*cols)

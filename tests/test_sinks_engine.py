@@ -2495,3 +2495,33 @@ def test_streaming_verify_drops_self_pairs(spark):
     rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     assert (7, 7) not in rows
     assert rows == [(7, 8)]
+
+
+def test_insert_parser_binary_forms_and_introducers(spark):
+    """Both reference binary wire forms decode (mydumper_write.c:386-388,
+    684-699): --hex-blob 0xHEX exactly, and the quoted `_binary '…'` form
+    via latin-1 re-encode — previously EVERY binary value went through
+    unhex, silently corrupting quoted forms; charset introducers must not
+    leak into the value text."""
+    from mydumper_spark.sources.insert_parser import (
+        parse_tuples, read_insert_sql,
+    )
+
+    # introducer prefixes are grammar, not value content
+    assert parse_tuples("(1,_binary 'abc')") == [["1", "abc"]]
+    assert parse_tuples("(2,_utf8mb4'héllo')") == [["2", "héllo"]]
+
+    import os
+    p = os.path.join(str(spark.conf.get("spark.sql.warehouse.dir"))
+                     .removeprefix("file:"), "bin_forms.sql")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        f.write("INSERT INTO `t` VALUES "
+                "(1,0xDEADBEEF),(2,_binary 'abc'),(3,NULL),"
+                "(4,_binary 'a\\tb');\n")
+    df = read_insert_sql(spark, p, "id int, payload binary")
+    got = {r["id"]: (bytes(r["payload"]) if r["payload"] is not None
+                     else None)
+           for r in df.collect()}
+    assert got == {1: b"\xde\xad\xbe\xef", 2: b"abc", 3: None,
+                   4: b"a\tb"}
