@@ -684,6 +684,120 @@ WHERE cum <= (SELECT sum(n_tokens) // 4 FROM scored)
 """
 
 
+def x_diversity_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity signals (text.diversity_stats, unit='char'):
+    Simpson collision index, distinct-char ratio, modal-char share and
+    longest same-char run per document, all as exact-rational integer ppm
+    — the gibberish / keyboard-mash detectors. Zero shuffles (per-row
+    sorted-array run lengths in whole-stage codegen); the oracle rebuilds
+    the run-length machinery from first principles with DuckDB list
+    lambdas and must match bit-exact."""
+    from mydumper_spark.operators.text import diversity_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return diversity_stats(docs, unit="char")
+
+
+def _diversity_sql(units_expr: str) -> str:
+    # run lengths of the sorted unit list, rebuilt from first principles
+    # with list lambdas: run starts = positions whose element differs from
+    # its predecessor; run length = next start − this start
+    starts = ("list_filter(range(1, len({a})+1), "
+              "i -> i = 1 OR {a}[i] <> {a}[i-1])")
+    runs = ("list_transform(list_zip(" + starts + ", "
+            "list_concat((" + starts + ")[2:], [len({a})+1])), "
+            "p -> CAST(p[2] - p[1] AS BIGINT))")
+    return f"""
+WITH u AS (
+  SELECT doc_id, {units_expr} AS cs FROM documents
+),
+b AS (SELECT doc_id, cs, list_sort(cs) AS srt FROM u),
+r AS (
+  SELECT doc_id,
+         CAST(coalesce(len(cs), 0) AS BIGINT) AS n_units,
+         CASE WHEN cs IS NULL THEN NULL
+              ELSE {runs.format(a="srt")} END AS runs,
+         CASE WHEN cs IS NULL THEN NULL
+              ELSE list_max({runs.format(a="cs")}) END AS max_run
+  FROM b
+)
+SELECT doc_id, n_units,
+       CASE WHEN n_units > 0 THEN CAST(len(runs) AS BIGINT) END
+         AS distinct_units,
+       CASE WHEN n_units > 0
+            THEN (CAST(len(runs) AS BIGINT) * 1000000) // n_units END
+         AS distinct_ppm,
+       CASE WHEN n_units > 0
+            THEN (list_max(runs) * 1000000) // n_units END AS top_unit_ppm,
+       CASE WHEN n_units > 0
+            THEN CAST((list_sum(list_transform(runs, x -> x*x)) * 1000000)
+                      // (n_units * n_units) AS BIGINT) END AS simpson_ppm,
+       CASE WHEN n_units > 0 THEN max_run END AS max_run
+FROM r
+"""
+
+
+_DIVERSITY_CHARS_SQL = _diversity_sql(
+    "CASE WHEN text IS NULL OR len(text) = 0 THEN NULL "
+    "ELSE string_split(text, '') END")
+
+
+def x_diversity_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-diversity signals (text.diversity_stats, unit='token'): the
+    same exact-rational Simpson/distinct/modal/run metrics over whitespace
+    words (the dedup-family tokenizer) — distinct-token ratio is the
+    classic templated-page detector, max_run catches token-stutter spam.
+    Same zero-shuffle plan; same first-principles DuckDB replay."""
+    from mydumper_spark.operators.text import diversity_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return diversity_stats(docs, unit="token")
+
+
+_DIVERSITY_TOKENS_SQL = _diversity_sql(
+    "CASE WHEN text IS NULL OR len(trim(lower(text))) = 0 THEN NULL "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+
+
+def x_repeat_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-epoch materialization (sampling.repeat_by_weight): turn
+    per-document mixing weights into physical repeated rows — here the
+    classic rare-language upsampling (non-'en' docs ×2.5, 'en' ×1). Copy
+    counts are floor(w/1e6) plus a deterministic md5-coin Bernoulli for
+    the fraction, so the DuckDB oracle regenerates the IDENTICAL copy set
+    via generate_series — no rand() anywhere. Zero shuffles: the fan-out
+    is one scan-side explode(sequence(1, n))."""
+    from mydumper_spark.operators.sampling import repeat_by_weight
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1_000_000))
+        .otherwise(F.lit(2_500_000)).cast("bigint").alias("weight_ppm"),
+    )
+    return repeat_by_weight(w, seed=7).select("doc_id", "weight_ppm", "epoch")
+
+
+_REPEAT_BY_WEIGHT_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 2500000 END AS BIGINT)
+           AS weight_ppm
+  FROM documents
+),
+c AS (
+  SELECT doc_id, weight_ppm,
+         weight_ppm // 1000000
+         + CASE WHEN CAST(('0x' || substr(md5('repeat:7:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                     < weight_ppm % 1000000 THEN 1 ELSE 0 END AS n
+  FROM w
+)
+SELECT doc_id, weight_ppm, CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
+FROM c
+"""
+
+
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document counting stats (token/punct/digit/upper/space)."""
     from mydumper_spark.operators.text import add_text_stats
@@ -5078,6 +5192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_soft_dedup_weights": x_soft_dedup_weights,
         "x_budget_select": x_budget_select,
         "x_budget_select_by_lang": x_budget_select_by_lang,
+        "x_diversity_chars": x_diversity_chars,
+        "x_diversity_tokens": x_diversity_tokens,
+        "x_repeat_by_weight": x_repeat_by_weight,
         "x_text_stats": x_text_stats,
         "x_lang_id": x_lang_id,
         "x_lang_confusion": x_lang_confusion,
@@ -5223,6 +5340,9 @@ def oracle_sql() -> dict[str, str]:
         "x_soft_dedup_weights": _SOFT_DEDUP_SQL,
         "x_budget_select": _BUDGET_SELECT_SQL,
         "x_budget_select_by_lang": _BUDGET_BY_LANG_SQL,
+        "x_diversity_chars": _DIVERSITY_CHARS_SQL,
+        "x_diversity_tokens": _DIVERSITY_TOKENS_SQL,
+        "x_repeat_by_weight": _REPEAT_BY_WEIGHT_SQL,
         "x_budget_select_string_ids": _BUDGET_STRING_SQL,
         "x_text_stats": _TEXT_STATS_SQL,
         "x_lang_id": _lang_sql(),

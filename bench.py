@@ -74,6 +74,13 @@ BENCH_QUERIES = [
     # boundary groups resolved together — benched so a regression to the
     # skew-prone window-partitioned-by-lang form is visible
     "x_budget_select_by_lang",
+    # char-diversity signals (Simpson/distinct/run-length family): must
+    # stay a pure scan-side projection — benched so an accidental
+    # explode/exchange in the run-length machinery is visible
+    "x_diversity_chars",
+    # weighted-epoch materialization: scan-side explode fan-out only —
+    # benched so the copy-count expression never grows a shuffle
+    "x_repeat_by_weight",
 ]
 
 

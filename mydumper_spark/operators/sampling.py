@@ -707,3 +707,56 @@ def budget_select_by_group(
     edge_sel = (edge.withColumn("_cum", F.sum(toks).over(w))
                 .filter(F.col("_cum") <= rem_col).drop("_cum"))
     return above.unionByName(full).unionByName(edge_sel)
+
+
+def repeat_by_weight(
+    df: DataFrame,
+    weight_ppm_col: str = "weight_ppm",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch_col: str = "epoch",
+    max_copies: int = 64,
+) -> DataFrame:
+    """Materialize a weighted corpus as physical rows: each document
+    appears ``weight_ppm // 1e6`` times plus one more with probability
+    ``(weight_ppm % 1e6) / 1e6`` — the step that turns mixing WEIGHTS
+    (soft_dedup_weights' ppm column, a rare-language upsampling factor, a
+    DoReMi domain weight) into the repeated-epoch dataset a trainer
+    actually reads. The fractional coin is ``sample_hash('repeat:seed:'
+    || id) % 1e6`` — a pure function of (seed, id), so re-runs, other
+    partitionings, and the DuckDB oracle produce the identical copy set
+    (no rand(): the repo-wide determinism rule). Output rows carry
+    ``epoch_col`` = 1..n, so downstream shuffles can keep copies apart.
+
+    Scale shape: zero shuffles — copy count is a scan-side expression and
+    the fan-out is one ``explode(sequence(1, n))`` per row (rows with
+    n = 0 vanish through the empty array, an intentional integer-exact
+    Bernoulli drop for weights < 1e6). Output size is Σ weights — the
+    trainer's epoch budget, not an amplification surprise; ``max_copies``
+    hard-fails (scan-side assert, no extra pass) on weights so large one
+    bad row would fan out into a hot partition.
+    """
+    w = F.col(weight_ppm_col).cast("bigint")
+    coin = F.pmod(
+        sample_hash(F.concat(F.lit(f"repeat:{int(seed)}:"),
+                             F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    n = (F.expr(f"CAST({weight_ppm_col} AS BIGINT) DIV 1000000")
+         + F.when(coin < w % 1_000_000, F.lit(1)).otherwise(F.lit(0))
+         ).cast("bigint")
+    # assert_true is NULL on pass; folding it through coalesce forces
+    # per-row evaluation without a separate validation pass over the data
+    guarded = F.coalesce(
+        F.assert_true(
+            (w >= 0) & (n <= F.lit(int(max_copies))),
+            F.concat(F.lit(f"repeat_by_weight: copy count exceeds "
+                           f"max_copies={int(max_copies)} (weight_ppm="),
+                     w.cast("string"), F.lit(")")),
+        ).cast("bigint"),
+        n,
+    )
+    epochs = F.when(guarded >= 1,
+                    F.sequence(F.lit(1).cast("bigint"), guarded)
+                    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    return df.withColumn(epoch_col, F.explode(epochs))

@@ -984,3 +984,99 @@ def ngram_lm_score(
             .otherwise(F.lit(0)).cast("bigint").alias("lm_score_ppm"),
         )
     )
+
+
+def diversity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "char",
+) -> DataFrame:
+    """Lexical-diversity signals per document, integer-exact (ppm):
+    Simpson collision index, distinct-unit ratio, top-unit share, and
+    longest same-unit run — the standard gibberish / keyboard-mash /
+    boilerplate detectors (a spam page repeating one token has
+    simpson_ppm near 1e6; natural text sits far lower).
+
+    ``unit="char"`` works over codepoints, ``unit="token"`` over
+    whitespace words (same tokenizer as the dedup/shingle family).
+    Output per doc: ``n_units``, ``distinct_units``, ``distinct_ppm``
+    (= distinct/n), ``top_unit_ppm`` (modal unit share), ``simpson_ppm``
+    (= Σ cᵢ² / n² — the collision probability, an EXACT rational unlike
+    Shannon entropy, so the ppm floor is bit-identical across engines:
+    the repo-wide no-float rule), ``max_run`` (longest consecutive
+    repeat in the ORIGINAL order). Empty/NULL text → n_units 0, metrics
+    NULL.
+
+    Scale shape: pure per-row array expressions in whole-stage codegen —
+    zero shuffles, zero joins; the per-unit counts come from run lengths
+    of the per-row SORTED unit array (sort-within-value, never across
+    rows), so nothing explodes and nothing exchanges. Memory is O(doc
+    length) per row, the same bound every shingle/winnow operator in
+    this module already carries.
+    """
+    if unit == "char":
+        from pyspark.sql import types as T  # noqa: F401
+
+        units = F.when(
+            F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0,
+            F.split(F.col(text_col), ""),
+        )
+    elif unit == "token":
+        from mydumper_spark.operators.dedup import tokens
+
+        t = tokens(F.col(text_col))
+        units = F.when(F.size(t) > 0, t)
+    else:
+        raise ValueError(f"unit must be 'char' or 'token', got {unit!r}")
+
+    def run_lengths(arr: Column) -> Column:
+        # boundaries of equal-element runs: 1-based start positions, then
+        # length = next start − this start. Index lambdas read the BOUND
+        # array column (projected below), so each element is O(1) — the
+        # no-CSE-into-lambda rule winnow_from_hashes documents.
+        starts = F.filter(
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda i: (i == 1) | (F.get(arr, i - 1) != F.get(arr, i - 2)),
+        )
+        ends = F.concat(
+            F.slice(starts, 2, F.size(starts)), F.array(F.size(arr) + 1)
+        )
+        return F.zip_with(starts, ends, lambda a, b: (b - a).cast("bigint"))
+
+    # stage 1: bind the unit arrays once (no CSE into lambda scopes),
+    # then materialize run lengths; stage 2 does the exact-integer ppm
+    # arithmetic over named columns (DIV needs SQL-expression form)
+    bound = df.select(
+        F.col(id_col), units.alias("__u"), F.array_sort(units).alias("__s")
+    )
+    staged = bound.select(
+        F.col(id_col),
+        F.coalesce(F.size("__u"), F.lit(0)).cast("bigint").alias("n_units"),
+        run_lengths(F.col("__s")).alias("__runs"),
+        F.array_max(run_lengths(F.col("__u"))).alias("max_run"),
+    ).select(
+        F.col(id_col),
+        "n_units",
+        F.size("__runs").cast("bigint").alias("distinct_units"),
+        F.array_max("__runs").alias("__top"),
+        F.aggregate(
+            "__runs", F.lit(0).cast("bigint"), lambda acc, r: acc + r * r
+        ).alias("__sumsq"),
+        "max_run",
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_units",
+        F.when(F.col("n_units") > 0, F.col("distinct_units"))
+        .alias("distinct_units"),
+        F.expr("CASE WHEN n_units > 0 THEN "
+               "(distinct_units * 1000000) DIV n_units END")
+        .alias("distinct_ppm"),
+        F.expr("CASE WHEN n_units > 0 THEN "
+               "(__top * 1000000) DIV n_units END").alias("top_unit_ppm"),
+        F.expr("CASE WHEN n_units > 0 THEN "
+               "(__sumsq * 1000000) DIV (n_units * n_units) END")
+        .alias("simpson_ppm"),
+        F.when(F.col("n_units") > 0, F.col("max_run")).alias("max_run"),
+    )

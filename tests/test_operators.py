@@ -2288,3 +2288,79 @@ def test_int_kth_root_huge_values():
         assert _int_kth_root(x, k) == base
         assert _int_kth_root(x - 1, k) == base - 1
         assert _int_kth_root(x + 1, k) == base
+
+
+# -- diversity stats + weighted-epoch materialization (round 10) -------------
+
+
+def test_diversity_stats_char_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1, "banana"), (2, ""), (3, None), (4, "aaab"), (5, "x x x yy")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            tx.diversity_stats(df, unit="char").collect()}
+    # banana: counts a=3 b=1 n=2 → sumsq 14, n=6
+    assert rows[1]["n_units"] == 6
+    assert rows[1]["distinct_units"] == 3
+    assert rows[1]["distinct_ppm"] == 500_000
+    assert rows[1]["top_unit_ppm"] == 500_000
+    assert rows[1]["simpson_ppm"] == 14 * 1_000_000 // 36
+    assert rows[1]["max_run"] == 1
+    # aaab: longest run 3, sumsq 9+1
+    assert rows[4]["max_run"] == 3
+    assert rows[4]["simpson_ppm"] == 10 * 1_000_000 // 16
+    # empty and NULL text: n_units 0, every metric NULL
+    for d in (2, 3):
+        assert rows[d]["n_units"] == 0
+        assert rows[d]["distinct_units"] is None
+        assert rows[d]["simpson_ppm"] is None
+        assert rows[d]["max_run"] is None
+
+
+def test_diversity_stats_token_unit_and_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x yy"), (2, "the quick fox")], "doc_id int, text string")
+    out = tx.diversity_stats(df, unit="token")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_units"] == 4 and rows[1]["max_run"] == 3
+    assert rows[1]["top_unit_ppm"] == 750_000
+    assert rows[2]["distinct_ppm"] == 1_000_000
+    # zero-shuffle contract: per-row expressions only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_repeat_by_weight_deterministic_fanout(spark):
+    from mydumper_spark.operators.sampling import repeat_by_weight
+
+    w = spark.createDataFrame(
+        [(1, 2_500_000), (2, 1_000_000), (3, 400_000), (4, 0)],
+        "doc_id int, weight_ppm bigint",
+    )
+    out1 = repeat_by_weight(w, seed=7).collect()
+    out2 = repeat_by_weight(w, seed=7).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # pure fn
+    by_id: dict[int, list[int]] = {}
+    for r in out1:
+        by_id.setdefault(r["doc_id"], []).append(r["epoch"])
+    # integer part always materializes; epochs are 1..n
+    assert sorted(by_id[1])[:2] == [1, 2] and len(by_id[1]) in (2, 3)
+    assert by_id[2] == [1]          # exactly 1.0 → one copy, no coin
+    assert 4 not in by_id           # weight 0 → dropped
+    assert len(by_id.get(3, [])) in (0, 1)  # fractional coin
+    # the coin is seed-sensitive: across seeds the fractional doc flips
+    picks = {s: len(repeat_by_weight(
+        w.where("doc_id = 3"), seed=s).collect()) for s in range(12)}
+    assert set(picks.values()) == {0, 1}
+
+
+def test_repeat_by_weight_max_copies_guard(spark):
+    import pytest as _pytest
+
+    from mydumper_spark.operators.sampling import repeat_by_weight
+
+    w = spark.createDataFrame([(1, 99_000_000)], "doc_id int, weight_ppm bigint")
+    with _pytest.raises(Exception, match="max_copies"):
+        repeat_by_weight(w, max_copies=8).collect()
+    assert len(repeat_by_weight(w, max_copies=99).collect()) == 99
