@@ -425,3 +425,42 @@ def test_snapshot_fence_releases_connections_on_failure():
     assert control.closed and all(w.closed for w in workers)
     for w in workers:
         assert "ROLLBACK" in w.log
+
+
+def test_string_chunk_coverage_hostile_values_cross_engine(spark):
+    """Randomized loss-proof check with hostile boundary values (quotes,
+    backslashes, unicode, SQL metacharacters), evaluated by BOTH lexer
+    families: Spark (backslash-escaping, like MySQL) and DuckDB (ANSI —
+    backslash is a plain character). The unbounded-ends design means the
+    union of chunk predicates must tile the table exactly in EITHER
+    engine even where the two parse the same boundary literal to
+    different values (sizes may drift; coverage may not)."""
+    import random
+
+    import duckdb
+
+    from mydumper_spark.planner.chunks import plan_string_chunks
+
+    rng = random.Random(2)
+    hostile = ["a'b", 'a"b', "a\\b", "a\\'b", "", " ", "ключ", "émile",
+               "NULL", "a%b", "\\", "''", "\\\\'", "zz", "ZZ"]
+    con = duckdb.connect()
+    for trial in range(4):
+        vals = rng.sample(hostile, k=rng.randint(3, len(hostile)))
+        rows = [(i, rng.choice(vals) + str(rng.randint(0, 9)))
+                for i in range(40)]
+        rows += [(100 + j, v) for j, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id bigint, k string")
+        plan = plan_string_chunks(df, "k", num_chunks=rng.randint(2, 5))
+        # Spark-evaluated
+        total = df.count()
+        assert sum(df.where(F.expr(p)).count()
+                   for p in plan.predicates) == total, plan.predicates
+        # DuckDB-evaluated (ANSI backslash semantics)
+        pdf = df.toPandas()
+        con.register("t", pdf)
+        covered = sum(
+            con.execute(f"SELECT count(*) FROM t WHERE {p}").fetchone()[0]
+            for p in plan.predicates)
+        con.unregister("t")
+        assert covered == total, plan.predicates

@@ -2364,3 +2364,61 @@ def test_repeat_by_weight_max_copies_guard(spark):
     with _pytest.raises(Exception, match="max_copies"):
         repeat_by_weight(w, max_copies=8).collect()
     assert len(repeat_by_weight(w, max_copies=99).collect()) == 99
+
+
+def test_budget_select_randomized_vs_naive_all_edges(spark):
+    """Seeded randomized sweep of BOTH budget selectors against a
+    driver-side naive running-sum oracle, with every edge class the
+    individual tests cover SEPARATELY composed together: string AND
+    numeric ids, NULL scores, NULL groups, zero-token docs, zero budgets,
+    duplicate scores. Catches interaction bugs between the edge
+    handlers (the round-9/10 defect class: each edge was right alone)."""
+    import random
+    import uuid
+
+    from mydumper_spark.operators.sampling import (
+        budget_select,
+        budget_select_by_group,
+    )
+
+    def naive(rows, budget):
+        o = sorted(rows, key=lambda r: (
+            -(r[1] if r[1] is not None else -(10 ** 18)), r[0]))
+        out, cum = [], 0
+        for r in o:
+            cum += r[2]
+            if cum <= budget:
+                out.append(r)
+        return sorted(out)
+
+    rng = random.Random(0)
+    for trial in range(6):
+        string_ids = trial % 2 == 0
+        rows, seen = [], set()
+        for _ in range(rng.randint(8, 80)):
+            did = (uuid.UUID(int=rng.getrandbits(128)).hex if string_ids
+                   else rng.randint(0, 10 ** 9))
+            if did in seen:
+                continue
+            seen.add(did)
+            rows.append((did, rng.choice([None, 0, 1, 2, 3, 4, 5]),
+                         rng.choice([0, 0, 1, 2, 5, 17]),
+                         rng.choice(["en", "fr", None])))
+        schema = (("doc_id string" if string_ids else "doc_id bigint")
+                  + ", score bigint, n_tokens bigint, lang string")
+        df = spark.createDataFrame(rows, schema)
+        budget = rng.randint(0, max(sum(r[2] for r in rows), 1))
+        got = sorted(tuple(r) for r in budget_select(
+            df, "score", "n_tokens", budget=budget).collect())
+        assert got == [tuple(r) for r in naive(rows, budget)], (
+            trial, budget)
+
+        budgets = {g: rng.randint(
+            0, max(sum(r[2] for r in rows if r[3] == g), 1))
+            for g in {r[3] for r in rows}}
+        got2 = sorted(tuple(r) for r in budget_select_by_group(
+            df, "lang", "score", "n_tokens", budgets=budgets).collect())
+        want2 = sorted(
+            t for g, b in budgets.items()
+            for t in naive([r for r in rows if r[3] == g], b))
+        assert got2 == [tuple(r) for r in want2], (trial, budgets)
