@@ -2525,3 +2525,80 @@ def test_insert_parser_binary_forms_and_introducers(spark):
            for r in df.collect()}
     assert got == {1: b"\xde\xad\xbe\xef", 2: b"abc", 3: None,
                    4: b"a\tb"}
+
+
+def test_sql_format_roundtrip_randomized_hostile_types(spark, tmp_path):
+    """Seeded randomized fmt="sql" dump→verify→restore roundtrip over the
+    full fidelity matrix at once: NUL/SUB/newline/quote/backslash/emoji
+    strings, random binary, decimals, timestamps, dates, booleans, exact
+    binary-fraction doubles, NULLs everywhere — across INSERT/IGNORE/
+    REPLACE modes, statement/file rotation and gzip. The fixed-case tests
+    sample this matrix one axis at a time; real dumps compose all of it
+    in one file."""
+    import datetime
+    import decimal
+    import random
+    import string as _string
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(3)
+    hostile = ["", "NULL", "a'b", 'a"b', "a\\b", "line\nbreak", "tab\there",
+               "nul\x00byte", "\x1a sub", "ключ émile 中文", "0x41", "),(",
+               "'; DROP TABLE x; --", "\\'", "\r\n", "🙂emoji"]
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("big", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BinaryType()),
+        T.StructField("d", T.DecimalType(12, 2)),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("dt", T.DateType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("f", T.DoubleType()),
+    ])
+
+    def rand_row(i):
+        return (
+            i,
+            rng.choice([None, rng.randint(-2**62, 2**62)]),
+            (rng.choice([None] + hostile) if rng.random() < 0.7 else
+             "".join(rng.choices(_string.printable, k=rng.randint(0, 30)))),
+            rng.choice([None, bytes(rng.getrandbits(8)
+                                    for _ in range(rng.randint(0, 12)))]),
+            rng.choice([None,
+                        decimal.Decimal(rng.randint(-10**10, 10**10)) / 100]),
+            rng.choice([None, datetime.datetime(2020, 1, 1)
+                        + datetime.timedelta(seconds=rng.randint(0, 10**8))]),
+            rng.choice([None, datetime.date(2020, 1, 1)
+                        + datetime.timedelta(days=rng.randint(0, 3000))]),
+            rng.choice([None, True, False]),
+            # exact binary fractions: float fidelity without repr ties
+            rng.choice([None, float(rng.randint(-1000, 1000)) / 8]),
+        )
+
+    for trial in range(2):
+        rows = [rand_row(i) for i in range(rng.randint(50, 150))]
+        src = str(tmp_path / f"src{trial}")
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(src, "t.parquet"))
+        out = str(tmp_path / f"dump{trial}")
+        cfg = DumpConfig(
+            output_dir=out, fmt="sql",
+            rows_per_statement=rng.choice([1, 7, 100]),
+            max_records_per_file=rng.choice([37, 1000]),
+            complete_insert=rng.random() < 0.5,
+            insert_mode=rng.choice(["INSERT", "INSERT IGNORE", "REPLACE"]),
+            csv_format=CsvFormat(
+                compression=rng.choice([None, "gzip"])),
+        )
+        dump(spark, src, cfg)
+        v = verify_manifest(spark, out)
+        assert all(r["ok"] for r in v.values()), (trial, v)
+        tgt = str(tmp_path / f"rest{trial}")
+        restore(spark, out, tgt, parallelism=2)
+        orig = spark.read.parquet(os.path.join(src, "t.parquet"))
+        back = spark.read.parquet(os.path.join(tgt, "t.parquet"))
+        assert orig.schema == back.schema
+        assert orig.exceptAll(back).count() == 0
+        assert back.exceptAll(orig).count() == 0
