@@ -798,6 +798,51 @@ FROM c
 """
 
 
+def x_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus datasheet (corpus.corpus_datasheet):
+    docs / empties / corpus-wide exact-dup membership / dup ppm / token
+    and char totals / mean tokens, all exact-rational integers. One
+    fingerprint exchange + one group aggregate; the oracle rebuilds the
+    same report from a window count over the normalized-text md5."""
+    from mydumper_spark.operators.corpus import corpus_datasheet
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text",
+                                                 "source", "lang")
+    return corpus_datasheet(docs)
+
+
+_CORPUS_DATASHEET_SQL = """
+WITH w AS (
+  SELECT *,
+         count(*) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         ) AS dup_count
+  FROM documents
+),
+d AS (
+  SELECT source, lang,
+         CASE WHEN text IS NULL OR len(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+         END AS toks,
+         coalesce(len(text), 0) AS chars,
+         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 1 ELSE 0
+         END AS empty,
+         CASE WHEN dup_count > 1 THEN 1 ELSE 0 END AS dup
+  FROM w
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(empty) AS BIGINT) AS n_empty,
+       CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+       CAST((sum(dup) * 1000000) // count(*) AS BIGINT) AS dup_ppm,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(toks) // count(*) AS BIGINT) AS mean_tokens,
+       CAST(sum(chars) AS BIGINT) AS total_chars
+FROM d
+GROUP BY source, lang
+"""
+
+
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document counting stats (token/punct/digit/upper/space)."""
     from mydumper_spark.operators.text import add_text_stats
@@ -5195,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_diversity_chars": x_diversity_chars,
         "x_diversity_tokens": x_diversity_tokens,
         "x_repeat_by_weight": x_repeat_by_weight,
+        "x_corpus_datasheet": x_corpus_datasheet,
         "x_text_stats": x_text_stats,
         "x_lang_id": x_lang_id,
         "x_lang_confusion": x_lang_confusion,
@@ -5343,6 +5389,7 @@ def oracle_sql() -> dict[str, str]:
         "x_diversity_chars": _DIVERSITY_CHARS_SQL,
         "x_diversity_tokens": _DIVERSITY_TOKENS_SQL,
         "x_repeat_by_weight": _REPEAT_BY_WEIGHT_SQL,
+        "x_corpus_datasheet": _CORPUS_DATASHEET_SQL,
         "x_budget_select_string_ids": _BUDGET_STRING_SQL,
         "x_text_stats": _TEXT_STATS_SQL,
         "x_lang_id": _lang_sql(),

@@ -541,3 +541,56 @@ def blocklist_filter(
         hits.alias("blocklist_hits"),
         (hits > 0).cast("int").alias("blocked"),
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Per-group corpus datasheet (Gebru et al. 2021 "Datasheets for
+    Datasets", the numbers section): for every (source, lang, ...) cell —
+    document count, empty-document count, CORPUS-WIDE exact-duplicate
+    membership (a doc mirrored across two sources counts as duplicated
+    in both groups — the cross-source leakage signal), duplicate ppm,
+    total/mean token counts and total characters. Exact-rational integers
+    throughout (ppm floors, DIV means — the repo-wide no-float rule), so
+    the report is bit-identical across engines and across runs.
+
+    Scale shape: one fingerprint count-aggregate + null-safe join back
+    (soft_dedup_weights' exchange, reused) and then ONE small aggregate
+    keyed by the group tuple — group cardinality is sources × languages,
+    driver-safe at any corpus size. Nothing else shuffles.
+    """
+    from mydumper_spark.operators.dedup import soft_dedup_weights, tokens
+
+    t = F.col(text_col)
+    weighted = soft_dedup_weights(df, text_col=text_col, id_col=id_col)
+    per_doc = weighted.select(
+        *[F.col(g) for g in group_cols],
+        F.coalesce(F.size(tokens(t)), F.lit(0)).cast("bigint")
+        .alias("__toks"),
+        F.coalesce(F.length(t), F.lit(0)).cast("bigint").alias("__chars"),
+        (t.isNull() | (F.length(F.trim(t)) == 0)).cast("bigint")
+        .alias("__empty"),
+        (F.col("dup_count") > 1).cast("bigint").alias("__dup"),
+    )
+    return (
+        per_doc.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__empty").alias("n_empty"),
+            F.sum("__dup").alias("n_dup_docs"),
+            F.sum("__toks").alias("total_tokens"),
+            F.sum("__chars").alias("total_chars"),
+        )
+        .select(
+            *group_cols,
+            "n_docs", "n_empty", "n_dup_docs",
+            F.expr("(n_dup_docs * 1000000) DIV n_docs").alias("dup_ppm"),
+            "total_tokens",
+            F.expr("total_tokens DIV n_docs").alias("mean_tokens"),
+            "total_chars",
+        )
+    )

@@ -110,11 +110,17 @@ def soft_dedup_weights(
     with_fp = df.withColumn("__fp", fp)
     counts = with_fp.groupBy("__fp").agg(
         F.count(F.lit(1)).alias("dup_count"))
+    # eqNullSafe: fingerprint(NULL text) is NULL, and a plain equi-join
+    # would DROP every NULL-text document (NULL == NULL is NULL) — data
+    # loss in an operator whose contract is "every document kept". The
+    # null-safe join matches the SQL-window oracle: all NULL-text docs
+    # form one family (same trap exact_dedup_incremental documents).
     return (
-        with_fp.join(counts, "__fp")
+        with_fp.join(counts.withColumnRenamed("__fp", "__fpc"),
+                     F.col("__fp").eqNullSafe(F.col("__fpc")))
         .withColumn("weight_ppm",
                     F.expr("1000000 div dup_count").cast("bigint"))
-        .drop("__fp")
+        .drop("__fp", "__fpc")
     )
 
 

@@ -131,6 +131,23 @@ def test_soft_dedup_weights_conserve_family_mass(spark):
     assert out[4] == (1, 1_000_000)
 
 
+def test_soft_dedup_weights_keeps_null_text_docs(spark):
+    """NULL-text documents must SURVIVE reweighting (the operator's
+    contract is every-document-kept): fingerprint(NULL) is NULL, and the
+    count join-back has to be null-safe or they silently vanish. They
+    form one family (the SQL-window oracle's PARTITION BY groups NULLs
+    together), distinct from the empty-string family."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["dup_count"], r["weight_ppm"])
+           for r in dd.soft_dedup_weights(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}       # NULL-text docs kept
+    assert out[2] == out[4] == (2, 500_000)  # one NULL family
+    assert out[5] == (1, 1_000_000)          # '' is its own family
+
+
 def test_cross_group_dup_matrix(spark):
     """The leakage matrix aggregates an edge set by unordered group pair:
     intra-source edges land on the diagonal, cross-source edges on one
@@ -2422,3 +2439,36 @@ def test_budget_select_randomized_vs_naive_all_edges(spark):
             t for g, b in budgets.items()
             for t in naive([r for r in rows if r[3] == g], b))
         assert got2 == [tuple(r) for r in want2], (trial, budgets)
+
+
+def test_corpus_datasheet_planted_values(spark):
+    """Datasheet numbers against a hand-computed fixture: corpus-wide dup
+    membership lands in BOTH groups of a cross-source mirror, NULL/empty
+    docs count as empty with zero tokens, and the ppm/mean arithmetic is
+    exact-integer."""
+    from mydumper_spark.operators.corpus import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "crawl", "en"),
+            (2, "one two three", "books", "en"),   # cross-source mirror
+            (3, "uno dos", "crawl", "es"),
+            (4, None, "crawl", "es"),               # NULL text → empty
+            (5, "  ", "books", "en"),               # blank → empty
+            (6, "four five six seven", "books", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {(r["source"], r["lang"]): r
+           for r in corpus_datasheet(df).collect()}
+    ce = out[("crawl", "en")]
+    assert (ce["n_docs"], ce["n_dup_docs"], ce["dup_ppm"]) == (1, 1, 1_000_000)
+    assert ce["total_tokens"] == 3 and ce["mean_tokens"] == 3
+    be = out[("books", "en")]
+    # books/en: mirror doc (dup), blank doc (empty), 4-token doc
+    assert (be["n_docs"], be["n_empty"], be["n_dup_docs"]) == (3, 1, 1)
+    assert be["dup_ppm"] == 1_000_000 // 3
+    assert be["total_tokens"] == 7 and be["mean_tokens"] == 7 // 3
+    cs = out[("crawl", "es")]
+    assert (cs["n_docs"], cs["n_empty"], cs["n_dup_docs"]) == (2, 1, 0)
+    assert cs["total_chars"] == 7  # 'uno dos' only; NULL counts 0 chars
