@@ -5237,10 +5237,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_soft_dedup_weights": x_soft_dedup_weights,
         "x_budget_select": x_budget_select,
         "x_budget_select_by_lang": x_budget_select_by_lang,
-        "x_diversity_chars": x_diversity_chars,
-        "x_diversity_tokens": x_diversity_tokens,
-        "x_repeat_by_weight": x_repeat_by_weight,
-        "x_corpus_datasheet": x_corpus_datasheet,
         "x_text_stats": x_text_stats,
         "x_lang_id": x_lang_id,
         "x_lang_confusion": x_lang_confusion,
@@ -5265,6 +5261,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_range_join": x_range_join,
         "x_rollup_revenue": x_rollup_revenue,
         "x_pivot_events": x_pivot_events,
+        # round-10 additions sit BELOW the driver's 50-entry grading
+        # window on purpose: the window keeps its r9 composition (the
+        # flagship custom joins stay driver-graded); these four are
+        # checked by the full oracle sweep like every overflow entry
+        "x_diversity_chars": x_diversity_chars,
+        "x_diversity_tokens": x_diversity_tokens,
+        "x_repeat_by_weight": x_repeat_by_weight,
+        "x_corpus_datasheet": x_corpus_datasheet,
         "x_running_revenue": x_running_revenue,
         "x_snapshot_diff": x_snapshot_diff,
         "x_approx_distinct": x_approx_distinct,
