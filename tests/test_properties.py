@@ -402,3 +402,127 @@ def test_retarget_database_properties(body, old, new):
     # completeness: no unquoted word-boundary old. remains
     assert not re.search(rf'(?<![\w`"]){re.escape(old)}\.', out)
     assert f"`{old}`." not in out and f'"{old}".' not in out
+
+
+# -- LoaderDag retry/resume invariants under random failure injection --------
+
+
+def test_loader_dag_randomized_retry_resume_invariants():
+    """Seeded random DAGs with injected failures: a job that fails more
+    times than its retry budget must end failed (never falsely ok), one
+    within budget must end ok; the persisted resume log must make a
+    second run re-execute EXACTLY the failures (completed jobs never
+    re-run, failed jobs never skipped)."""
+    import random
+    import threading
+
+    from mydumper_spark.plans.loader_dag import LoadJob, LoaderDag, Phase
+
+    rng = random.Random(11)
+    for _ in range(60):
+        tables = [f"t{i}" for i in range(rng.randint(1, 10))]
+        fail_counts: dict = {}
+        always_failed: set = set()
+        lock = threading.Lock()
+
+        def make_action(key, always):
+            def action():
+                with lock:
+                    rem = fail_counts.get(key, 0)
+                    if always or rem > 0:
+                        if rem > 0:
+                            fail_counts[key] = rem - 1
+                        raise RuntimeError(f"boom {key}")
+            return action
+
+        dag = LoaderDag(parallelism=rng.choice([1, 2, 4]))
+        for t in tables:
+            for ph in (Phase.SCHEMA, Phase.DATA):
+                key = (t, ph.name)
+                k, r = rng.choice([0, 0, 0, 1, 2, 3]), rng.randint(0, 2)
+                always = rng.random() < 0.08
+                fail_counts[key] = 0 if always else k
+                if always or k > r:
+                    always_failed.add(key)
+                dag.add(LoadJob(table=t, phase=ph,
+                                action=make_action(key, always), retries=r))
+        results = dag.run(fail_fast=False)
+        for t in tables:
+            for ph in (Phase.SCHEMA, Phase.DATA):
+                if ph == Phase.DATA and (t, "SCHEMA") in always_failed:
+                    continue  # dependent job — its own verdict is moot
+                res = results[(t, ph)]
+                assert res.ok == ((t, ph.name) not in always_failed), (
+                    t, ph, res.error)
+        # resume: only failures re-run
+        log = set(dag.resume_log)
+        reran: dict = {}
+        dag2 = LoaderDag(resume_log=set(log))
+        for t in tables:
+            for ph in (Phase.SCHEMA, Phase.DATA):
+                dag2.add(LoadJob(
+                    table=t, phase=ph,
+                    action=(lambda k=(t, ph.name):
+                            reran.__setitem__(k, reran.get(k, 0) + 1))))
+        dag2.run(fail_fast=False)
+        for (t, phn), cnt in reran.items():
+            assert f"{t}:{phn}" not in log, (t, phn)  # completed never re-ran
+        for t in tables:
+            for phn in ("SCHEMA", "DATA"):
+                if f"{t}:{phn}" not in log:
+                    assert (t, phn) in reran, (t, phn)  # failures always re-ran
+
+
+# -- stream protocol: frame roundtrip under hostile payloads/names -----------
+
+
+def test_stream_protocol_randomized_roundtrip(tmp_path):
+    """Seeded random directories (binary payloads — including ones that
+    embed fake frame markers — unicode/space/hidden filenames) must
+    stream → read_frames → restore_directory byte-identically, with the
+    INI metadata file framed dead last (the reference's dump-complete
+    signal)."""
+    import io
+    import os
+    import random
+
+    from mydumper_spark.streaming.protocol import (
+        read_frames,
+        restore_directory,
+        stream_directory,
+    )
+
+    rng = random.Random(13)
+    for trial in range(8):
+        src = tmp_path / f"src{trial}"
+        src.mkdir()
+        names = set()
+        for i in range(rng.randint(1, 8)):
+            name = rng.choice([
+                f"db.t{i}.{i:05d}.sql", f"t{i}.parquet", "metadata",
+                f"weird name {i}.sql", f"uni_ключ_{i}.dat",
+                f"a-b_{i}.sql.gz", f".hidden{i}",
+            ])
+            if name in names:
+                continue
+            names.add(name)
+            payload = bytes(rng.getrandbits(8)
+                            for _ in range(rng.randint(0, 4000)))
+            if rng.random() < 0.5:  # embed a fake frame marker
+                payload += b"\n-- fakefile 123\n" + payload
+            (src / name).write_bytes(payload)
+        buf = io.BytesIO()
+        stream_directory(buf, str(src))
+        buf.seek(0)
+        frames = list(read_frames(buf))
+        got = [n for n, _ in frames]
+        assert set(got) == names
+        if "metadata" in names:
+            assert got[-1] == "metadata", got
+        for n, payload in frames:
+            assert payload == (src / n).read_bytes(), n
+        buf.seek(0)
+        tgt = tmp_path / f"tgt{trial}"
+        restore_directory(buf, str(tgt))
+        for n in names:
+            assert (tgt / n).read_bytes() == (src / n).read_bytes(), n
