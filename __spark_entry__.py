@@ -4354,7 +4354,8 @@ def x_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_LINES_SQL = """
-WITH raw AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+WITH raw AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+             FROM documents),
 lines AS (
   SELECT doc_id, u.pos AS pos, u.line AS line FROM (
     SELECT doc_id,
@@ -4640,7 +4641,8 @@ def x_dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_PARAS_SQL = """
 WITH raw AS (
-  SELECT doc_id, string_split_regex(text, '\\n\\n+') AS ps FROM documents
+  SELECT doc_id, string_split_regex(coalesce(text, ''), '\\n\\n+') AS ps
+  FROM documents
 ),
 paras AS (
   SELECT doc_id, u.pos AS pos, u.line AS line FROM (

@@ -252,9 +252,14 @@ def dedup_paragraphs_global(
     :func:`dedup_lines_global`.
 
     Returns (id, clean_text, n_kept, n_removed)."""
+    # NULL text = empty page (the repo-wide rule): coalesce before the
+    # split, or posexplode(NULL) silently DROPS the document while an
+    # ''-text sibling survives as one empty paragraph
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\n\n+")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n\n+")
+        ).alias("pos", "line"),
     )
     ranked = _mark_first_occurrence(paras, id_col, "line", arbiter)
     return (
@@ -306,9 +311,14 @@ def dedup_lines_global(
 
     Returns (id, clean_text, n_kept, n_removed) with surviving lines
     rejoined in original order."""
+    # NULL text = empty page (the repo-wide rule): coalesce before the
+    # split — posexplode(NULL) would silently DROP the document while an
+    # ''-text sibling survives as one empty line
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     ranked = _mark_first_occurrence(lines, id_col, "line", arbiter)
     return (

@@ -1232,9 +1232,11 @@ def test_embedding_decontaminate_drops_eval_and_near(spark):
 def test_null_text_documents_pinned_behavior(spark):
     """NULL-text docs through the dedup/hygiene ops — pinned so the
     composition contract stays explicit: exact dedup keeps the null doc
-    (its own fingerprint group), sub-document dedup emits no row for it
-    (the prepare CLI's LEFT join carries it through), and quality is NULL
-    (so a --min-quality floor drops it — no text, no quality)."""
+    (its own fingerprint group), line dedup keeps it as an empty page
+    (NULL text = empty page, the repo-wide rule — round 10 closed the
+    inconsistency where '' survived but NULL silently vanished), and
+    quality is NULL (so a --min-quality floor drops it — no text, no
+    quality)."""
     from mydumper_spark.operators.corpus import dedup_lines_global
     from mydumper_spark.operators.dedup import exact_dedup
 
@@ -1243,7 +1245,9 @@ def test_null_text_documents_pinned_behavior(spark):
         "doc_id long, text string",
     )
     assert sorted(r["doc_id"] for r in exact_dedup(df).collect()) == [1, 2]
-    assert sorted(r["doc_id"] for r in dedup_lines_global(df).collect()) == [1, 3]
+    lines = {r["doc_id"]: r["clean_text"]
+             for r in dedup_lines_global(df).collect()}
+    assert sorted(lines) == [1, 2, 3] and lines[2] == ""
     q = {r["doc_id"]: r["quality"] for r in tx.quality_score(df).collect()}
     assert q[2] is None and q[1] is not None
 
@@ -2472,3 +2476,28 @@ def test_corpus_datasheet_planted_values(spark):
     cs = out[("crawl", "es")]
     assert (cs["n_docs"], cs["n_empty"], cs["n_dup_docs"]) == (2, 1, 0)
     assert cs["total_chars"] == 7  # 'uno dos' only; NULL counts 0 chars
+
+
+def test_dedup_lines_and_paragraphs_keep_null_text_docs(spark):
+    """NULL text = empty page (the repo-wide rule): the line/paragraph
+    dedup rebuilders must keep a NULL-text document as an empty-text row
+    — posexplode over a NULL split silently dropped it while an ''-text
+    sibling survived (found by this round's NULL-composition sweep).
+    dedup_token_blocks_global documents the opposite contract (empty
+    docs yield no row) and treats NULL and '' alike under it."""
+    from mydumper_spark.operators.corpus import (
+        dedup_lines_global,
+        dedup_paragraphs_global,
+        dedup_token_blocks_global,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nshared"), (2, None), (3, ""), (4, "shared\nb")],
+        "doc_id long, text string",
+    )
+    for fn in (dedup_lines_global, dedup_paragraphs_global):
+        out = {r["doc_id"]: r["clean_text"] for r in fn(df).collect()}
+        assert set(out) == {1, 2, 3, 4}, fn.__name__
+        assert out[2] == "" and out[3] == ""
+    blocks = {r["doc_id"] for r in dedup_token_blocks_global(df).collect()}
+    assert blocks == {1, 4}  # documented: empty/NULL docs yield no row
