@@ -378,13 +378,9 @@ def _read_written(spark: SparkSession, path: str, cfg: DumpConfig, schema):
     if cfg.fmt == "orc":
         return spark.read.orc(path)
     if cfg.fmt == "csv":
-        return spark.read.schema(schema).option(
-            "sep", cfg.csv_format.fields_terminated_by
-        ).option(
-            "quote", cfg.csv_format.fields_enclosed_by
-        ).option("escape", cfg.csv_format.fields_escaped_by).option(
-            "nullValue", cfg.csv_format.null_value
-        ).csv(path)
+        from mydumper_spark.sinks.writers import read_csv_typed
+
+        return read_csv_typed(spark, path, schema, cfg.csv_format)
     return spark.read.parquet(path)
 
 

@@ -316,19 +316,13 @@ def read_dumped_table(spark, entry: dict,
         schema = _sidecar_schema(path, ".dat")
         if schema is None:
             return None
-        from mydumper_spark.sinks.writers import CsvFormat
+        from mydumper_spark.sinks.writers import CsvFormat, read_csv_typed
 
-        fmt = CsvFormat(**(csv_dialect or {}))
-        return (
-            spark.read.schema(schema)
-            .option("sep", fmt.fields_terminated_by)
-            .option("quote", fmt.fields_enclosed_by)
-            .option("escape", fmt.fields_escaped_by)
-            .option("lineSep", fmt.lines_terminated_by)
-            .option("header", str(fmt.header).lower())
-            .option("nullValue", fmt.null_value)
-            .csv(path)
-        )
+        # manifests written before escaped_data existed mean the LEGACY
+        # raw form — default the missing key to False, never the
+        # dataclass default (which is for NEW writes)
+        fmt = CsvFormat(**{"escaped_data": False, **(csv_dialect or {})})
+        return read_csv_typed(spark, path, schema, fmt)
     return None
 
 

@@ -42,6 +42,70 @@ class CsvFormat:
     header: bool = False
     null_value: str = "\\N"  # mydumper_write.c:654-655 (LOAD DATA NULL form)
     compression: str | None = None  # None|gzip|zstd (K6)
+    #: backslash-double string DATA on write (the reference's LOAD-DATA
+    #: escape convention, mydumper_write.c m_escape): a literal value
+    #: equal to the NULL sentinel ('\N' text) stays distinguishable from
+    #: SQL NULL — the csv reader null-substitutes AFTER unquoting, so no
+    #: quoting scheme alone can preserve it. Readers halve the doubling
+    #: back. False = the legacy raw form; manifests written before this
+    #: field exist read as False (read_dumped_table defaults the missing
+    #: key), so old dumps keep their bytes' meaning.
+    escaped_data: bool = True
+
+
+def _escape_string_data(df: DataFrame) -> DataFrame:
+    """Backslash-double every string column (NULLs stay NULL — the writer
+    emits the sentinel for them). Scan-side codegen, zero shuffles."""
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.StringType):
+            c = F.replace(c, F.lit("\\"), F.lit("\\\\")).alias(f.name)
+        cols.append(c)
+    return df.select(*cols)
+
+
+def unescape_string_data(df: DataFrame) -> DataFrame:
+    """Inverse of :func:`_escape_string_data` after a typed csv read."""
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.StringType):
+            c = F.replace(c, F.lit("\\\\"), F.lit("\\")).alias(f.name)
+        cols.append(c)
+    return df.select(*cols)
+
+
+def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
+    """The ONE way back from a dialected csv/.dat dump: typed read with the
+    recorded dialect, multiLine on (the writer quotes embedded line
+    terminators; without multiLine the reader splits such rows — silent
+    corruption), whitespace preservation, and the escaped-data inverse
+    when the dialect says the writer doubled backslashes. multiLine makes
+    each FILE single-split; rotation (K5) already bounds file sizes, so
+    parallelism comes from file count — the same trade the reference
+    makes with one LOAD DATA per file."""
+    fmt = fmt or CsvFormat()
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    out = (
+        r.option("sep", fmt.fields_terminated_by)
+        .option("quote", fmt.fields_enclosed_by)
+        .option("escape", fmt.fields_escaped_by)
+        .option("lineSep", fmt.lines_terminated_by)
+        .option("header", str(fmt.header).lower())
+        .option("nullValue", fmt.null_value)
+        .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
+    return unescape_string_data(out) if fmt.escaped_data else out
 
 
 def write_csv(
@@ -53,6 +117,8 @@ def write_csv(
 ) -> None:
     """K2 + K5 + K6."""
     fmt = fmt or CsvFormat()
+    if fmt.escaped_data:
+        df = _escape_string_data(df)
     w = (
         df.write.mode("overwrite")
         .option("sep", fmt.fields_terminated_by)
@@ -62,6 +128,10 @@ def write_csv(
         .option("header", str(fmt.header).lower())
         .option("nullValue", fmt.null_value)
         .option("emptyValue", '""')  # '' vs NULL distinction (write.c:681-683)
+        # univocity TRIMS whitespace on write by default — ' pad ' would
+        # silently round-trip as 'pad'
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
     )
     if fmt.compression:
         w = w.option("compression", fmt.compression)

@@ -73,18 +73,9 @@ def read_dump_table(
 
                 with open(sidecar) as f:
                     schema = T.StructType.fromJson(json.load(f))
-        r = spark.read
-        if schema is not None:
-            r = r.schema(schema)
-        return (
-            r.option("sep", fmt.fields_terminated_by)
-            .option("quote", fmt.fields_enclosed_by)
-            .option("escape", fmt.fields_escaped_by)
-            .option("lineSep", fmt.lines_terminated_by)
-            .option("header", str(fmt.header).lower())
-            .option("nullValue", fmt.null_value)
-            .csv(dat)
-        )
+        from mydumper_spark.sinks.writers import read_csv_typed
+
+        return read_csv_typed(spark, dat, schema, fmt)
     # reference-style chunked .dat (db.table.NNNNN.dat): typed csv read
     # over exactly this table's chunks
     dat_chunks = _reference_chunks(root, table, "data_dat")
@@ -92,18 +83,9 @@ def read_dump_table(
         fmt = fmt or CsvFormat()
         if schema is None:
             schema = _schema_from_sidecar(root, table)
-        r = spark.read
-        if schema is not None:
-            r = r.schema(schema)
-        return (
-            r.option("sep", fmt.fields_terminated_by)
-            .option("quote", fmt.fields_enclosed_by)
-            .option("escape", fmt.fields_escaped_by)
-            .option("lineSep", fmt.lines_terminated_by)
-            .option("header", str(fmt.header).lower())
-            .option("nullValue", fmt.null_value)
-            .csv(dat_chunks)
-        )
+        from mydumper_spark.sinks.writers import read_csv_typed
+
+        return read_csv_typed(spark, dat_chunks, schema, fmt)
     # .sql INSERT dump: either our write_insert_sql dir ({table}.sql/) or
     # reference-style per-chunk files (db.table.NNNN.sql) in the root
     sql_dir = os.path.join(root, f"{table}.sql")

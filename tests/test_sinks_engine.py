@@ -2602,3 +2602,62 @@ def test_sql_format_roundtrip_randomized_hostile_types(spark, tmp_path):
         assert orig.schema == back.schema
         assert orig.exceptAll(back).count() == 0
         assert back.exceptAll(orig).count() == 0
+
+
+def test_csv_dialect_fidelity_hostile_values(spark, tmp_path):
+    """The csv dump dialect must round-trip the three classes the
+    univocity defaults silently corrupt: whitespace-padded strings (the
+    writer TRIMS by default), values containing the line terminator (the
+    reader splits rows without multiLine), and literal text equal to the
+    NULL sentinel '\\N' (null substitution happens after unquoting, so
+    only the reference's backslash-doubling — CsvFormat.escaped_data —
+    preserves it). NULL vs '' vs '\\N'-text stay three distinct values."""
+    from mydumper_spark.sinks.manifest import read_dumped_table
+
+    vals = [" pad ", "\\N", "line\nbreak", 'a"b', "a\\b", "", None,
+            "\r\n", "NULL", "tab\there"]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, s string")
+    df.write.parquet(os.path.join(src, "t.parquet"))
+    out = str(tmp_path / "d")
+    dump(spark, src, DumpConfig(output_dir=out, fmt="csv"))
+    import json as _json
+
+    with open(os.path.join(out, "_manifest.json")) as f:
+        doc = _json.load(f)
+    entry = doc["tables"]["t"]
+    back = read_dumped_table(
+        spark, entry, csv_dialect=doc["config"]["csv_dialect"])
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == {i: v for i, v in enumerate(vals)}
+    # restore reproduces the same set
+    tgt = str(tmp_path / "r")
+    restore(spark, out, tgt)
+    rt = {r["id"]: r["s"] for r in
+          spark.read.parquet(os.path.join(tgt, "t.parquet")).collect()}
+    assert rt == {i: v for i, v in enumerate(vals)}
+
+
+def test_csv_legacy_manifest_reads_raw_form(spark, tmp_path):
+    """A manifest whose csv_dialect predates escaped_data must read the
+    LEGACY raw bytes (no backslash halving): doubled backslashes written
+    by an old dump keep both characters."""
+    from mydumper_spark.sinks.manifest import read_dumped_table
+    from mydumper_spark.sinks.writers import CsvFormat, write_csv
+
+    path = str(tmp_path / "t.dat")
+    df = spark.createDataFrame([(1, "a\\\\b")], "id int, s string")
+    write_csv(df, path, CsvFormat(escaped_data=False))
+    import json as _json
+
+    sidecar = str(tmp_path / "t.schema.json")
+    with open(sidecar, "w") as f:
+        _json.dump(df.schema.jsonValue(), f)
+    entry = {"path": path}
+    # dialect dict WITHOUT the escaped_data key — the legacy manifest form
+    back = read_dumped_table(spark, entry, csv_dialect={
+        "fields_terminated_by": ",", "fields_enclosed_by": '"',
+        "fields_escaped_by": "\\", "lines_terminated_by": "\n",
+        "header": False, "null_value": "\\N", "compression": None})
+    assert back.collect()[0]["s"] == "a\\\\b"
