@@ -408,8 +408,19 @@ def write_load_data(
     """K3/K4: .dat payload dir + sibling load-statement file, mirroring
     ``build_load_data_statement`` (mydumper_write.c:515-547). ``dialect=
     "clickhouse"`` emits the K4 shape instead: ``INSERT INTO t FROM INFILE
-    '…' FORMAT CSV`` (mydumper_write.c:549-580, 630-640)."""
+    '…' FORMAT CSV`` (mydumper_write.c:549-580, 630-640).
+
+    Escaping note: the default ``CsvFormat.escaped_data`` backslash-
+    doubling matches MySQL's ``ESCAPED BY '\\\\'`` intake exactly (the
+    server halves it back on LOAD). ClickHouse ``FORMAT CSV`` has NO
+    backslash-escape semantics — pass ``CsvFormat(escaped_data=False)``
+    with ``dialect="clickhouse"`` (doubling is forced off below for the
+    K4 dialect so the emitted statement and payload always agree)."""
     fmt = fmt or CsvFormat()
+    if dialect == "clickhouse" and fmt.escaped_data:
+        from dataclasses import replace as _dc_replace
+
+        fmt = _dc_replace(fmt, escaped_data=False)
     data_path = os.path.join(root, f"{table}.dat")
     write_csv(df, data_path, fmt, max_records_per_file)
     # One statement per part file: MySQL/ClickHouse do not glob inside
