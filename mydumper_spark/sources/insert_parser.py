@@ -178,7 +178,12 @@ def typed_from_strings(df: DataFrame, schema: T.StructType | str) -> DataFrame:
             # spark.read.text; --hex-blob is the fidelity path, which is
             # why our own sql-format writer always hex-encodes binary).
             # Treating EVERY value as hex corrupted quoted forms to
-            # NULL/garbage.
+            # NULL/garbage. Residual ambiguity (accepted): a QUOTED
+            # binary value whose bytes spell a complete 0xHEX token
+            # ('0x41' as literal text) still decodes as hex — quoting is
+            # erased by parse_tuples before typing. Unreachable from our
+            # own dumps (the sql writer always hex-encodes binary) and
+            # vanishingly rare in foreign ones.
             hexish = c.rlike("^0[xX][0-9A-Fa-f]*$")
             cols.append(
                 F.when(c.isNull(), F.lit(None).cast("binary"))
