@@ -16,6 +16,13 @@ strings, doubled quotes, backslash escapes, NULL, 0x binary) that SQL
 built-ins can't express, so it runs as Arrow-batched ``mapInPandas`` —
 the sanctioned Python path — and everything after it (type casts, unhex)
 is back in codegen.
+
+Binary fidelity: when the target schema has binary columns the file is
+read byte-faithfully (latin-1 line reader — bytes↔codepoints 1:1), so a
+stock reference dump's quoted ``_binary '…'`` values with raw bytes >0x7F
+(mydumper_write.c:684-699, the default without --hex-blob) round-trip
+exactly, and parse_tuples' was-quoted bit guarantees a quoted literal
+``'0x41'`` is never mistaken for the hex wire form.
 """
 
 from __future__ import annotations
@@ -71,14 +78,20 @@ def _find_values_kw(s: str) -> int:
     return -1
 
 
-def parse_tuples(line: str) -> list[list[str | None]]:
+def parse_tuples(line: str, with_quoted: bool = False) -> list:
     """Parse every ``(v1, v2, …)`` tuple on one physical line.
 
     Accepts full statements (``INSERT … VALUES (…),(…);``), reference-style
     continuation lines that start at ``(``, and returns [] for anything else
     (comments, SET, DDL). Values come back as strings, with ``None`` for the
     unquoted NULL literal; unquoted tokens (numbers, 0xHEX) are passed
-    through verbatim for the typed cast to interpret."""
+    through verbatim for the typed cast to interpret.
+
+    With ``with_quoted=True`` each value is a ``(value, was_quoted)`` pair so
+    the typed cast can distinguish the reference's two binary wire forms
+    without guessing: an UNQUOTED ``0xHEX`` token (--hex-blob,
+    mydumper_write.c:386-388) hex-decodes, while a QUOTED value is always
+    literal bytes — even when it happens to spell ``'0x41'``."""
     s = line.strip()
     if not s or s.startswith(("/*", "--", "#")):
         return []
@@ -136,10 +149,11 @@ def parse_tuples(line: str) -> list[list[str | None]]:
                 continue
             if ch in ",)":
                 if quoted:
-                    vals.append("".join(buf))
+                    val = "".join(buf)
                 else:
                     tok = "".join(buf).strip()
-                    vals.append(None if tok.upper() == "NULL" else tok)
+                    val = None if tok.upper() == "NULL" else tok
+                vals.append((val, quoted) if with_quoted else val)
                 buf = []
                 quoted = False
                 i += 1
@@ -161,35 +175,57 @@ def _as_struct(schema: T.StructType | str) -> T.StructType:
     return T.StructType.fromDDL(schema)
 
 
-def typed_from_strings(df: DataFrame, schema: T.StructType | str) -> DataFrame:
+def typed_from_strings(
+    df: DataFrame,
+    schema: T.StructType | str,
+    quoted_cols: dict[str, str] | None = None,
+    latin1_text: bool = False,
+) -> DataFrame:
     """Cast the all-strings parse output to the target schema — plain
-    Catalyst casts; binary columns decode the reference's 0xHEX form."""
+    Catalyst casts; binary columns decode the reference's two wire forms
+    (mydumper_write.c:386-388 ``0xHEX`` under --hex-blob, :684-699 quoted
+    ``_binary '…'`` by default).
+
+    ``quoted_cols`` maps a binary field name to the boolean column carrying
+    parse_tuples' was-quoted bit: with it, a QUOTED value is always literal
+    bytes (a foreign dump's ``'0x41'`` stays the four characters ``0x41``)
+    and only an UNQUOTED ``0xHEX`` token hex-decodes — no guessing. Without
+    it (legacy callers) the old heuristic applies: values that spell a
+    complete ``0xHEX`` token decode as hex.
+
+    ``latin1_text=True`` says the source file was read byte-faithfully as
+    latin-1 (read_insert_sql does this whenever the schema has binary
+    columns): binary columns re-encode to their exact original bytes, and
+    string columns re-decode those bytes as the UTF-8 the dump actually
+    contains."""
     schema = _as_struct(schema)
+    quoted_cols = quoted_cols or {}
     cols = []
     for f in schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, T.BinaryType):
-            # two wire forms (mydumper_write.c:386-388, 684-699):
-            # --hex-blob 0xHEX decodes exactly; the quoted `_binary '…'`
-            # form re-encodes the unescaped string's codepoints as
-            # latin-1 bytes — exact for the escape-matrix output as long
-            # as the dump's raw bytes survived the utf-8 text read (a
-            # quoted binary value with bytes >0x7F is already lossy at
-            # spark.read.text; --hex-blob is the fidelity path, which is
-            # why our own sql-format writer always hex-encodes binary).
-            # Treating EVERY value as hex corrupted quoted forms to
-            # NULL/garbage. Residual ambiguity (accepted): a QUOTED
-            # binary value whose bytes spell a complete 0xHEX token
-            # ('0x41' as literal text) still decodes as hex — quoting is
-            # erased by parse_tuples before typing. Unreachable from our
-            # own dumps (the sql writer always hex-encodes binary) and
-            # vanishingly rare in foreign ones.
+            as_bytes = F.encode(c, "ISO-8859-1")
             hexish = c.rlike("^0[xX][0-9A-Fa-f]*$")
+            unhexed = F.unhex(F.regexp_replace(c, "^0[xX]", ""))
+            if f.name in quoted_cols:
+                q = F.col(quoted_cols[f.name])
+                cols.append(
+                    F.when(c.isNull(), F.lit(None).cast("binary"))
+                    .when(q, as_bytes)
+                    .when(hexish, unhexed)
+                    .otherwise(as_bytes)
+                    .alias(f.name))
+            else:
+                # legacy heuristic (no quoted bit): hex-looking values
+                # decode as hex — ambiguous for a quoted literal '0x41'
+                cols.append(
+                    F.when(c.isNull(), F.lit(None).cast("binary"))
+                    .when(hexish, unhexed)
+                    .otherwise(as_bytes)
+                    .alias(f.name))
+        elif latin1_text and isinstance(f.dataType, T.StringType):
             cols.append(
-                F.when(c.isNull(), F.lit(None).cast("binary"))
-                .when(hexish, F.unhex(F.regexp_replace(c, "^0[xX]", "")))
-                .otherwise(F.encode(c, "ISO-8859-1"))
-                .alias(f.name))
+                F.decode(F.encode(c, "ISO-8859-1"), "UTF-8").alias(f.name))
         else:
             cols.append(c.cast(f.dataType).alias(f.name))
     return df.select(*cols)
@@ -206,21 +242,47 @@ def read_insert_sql(
     schema = _as_struct(schema)
     names = [f.name for f in schema.fields]
     n_cols = len(names)
-    str_schema = T.StructType([T.StructField(nm, T.StringType(), True) for nm in names])
+    bin_idx = [i for i, f in enumerate(schema.fields)
+               if isinstance(f.dataType, T.BinaryType)]
+    quoted_cols = {names[i]: f"__q_{names[i]}" for i in bin_idx}
+    out_names = names + [quoted_cols[names[i]] for i in bin_idx]
+    str_schema = T.StructType(
+        [T.StructField(nm, T.StringType(), True) for nm in names]
+        + [T.StructField(quoted_cols[names[i]], T.BooleanType(), True)
+           for i in bin_idx])
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[list[str | None]] = []
+            rows: list[list] = []
             for line in pdf["value"]:
-                for tup in parse_tuples(line):
+                for tup in parse_tuples(line, with_quoted=True):
                     if len(tup) != n_cols:
                         raise ValueError(
                             f"INSERT tuple has {len(tup)} values, schema has "
                             f"{n_cols}: {line[:120]!r}"
                         )
-                    rows.append(tup)
-            yield pd.DataFrame(rows, columns=names, dtype=object)
+                    rows.append([v for v, _ in tup]
+                                + [tup[i][1] for i in bin_idx])
+            yield pd.DataFrame(rows, columns=out_names, dtype=object)
 
-    raw = spark.read.text(path)
+    if bin_idx:
+        # byte-faithful read: a stock reference dump (no --hex-blob) emits
+        # binary as quoted `_binary '…'` with raw bytes >0x7F on the wire
+        # (mydumper_write.c:684-699) — spark.read.text would mangle them
+        # through UTF-8. Latin-1 maps bytes↔codepoints 1:1 (reversible);
+        # the separator/quote bytes below are in mysql_real_escape_string's
+        # always-escaped set, so they never appear raw in a dump line and
+        # each physical line surfaces as exactly one row. String columns
+        # are re-decoded as UTF-8 in typed_from_strings.
+        raw = (spark.read.format("csv")
+               .option("sep", "\x1a")
+               .option("quote", "\x00")
+               .option("encoding", "ISO-8859-1")
+               .option("ignoreLeadingWhiteSpace", "false")
+               .option("ignoreTrailingWhiteSpace", "false")
+               .schema("value string").load(path))
+    else:
+        raw = spark.read.text(path)
     parsed = raw.mapInPandas(parse_batches, schema=str_schema)
-    return typed_from_strings(parsed, schema)
+    return typed_from_strings(parsed, schema, quoted_cols=quoted_cols,
+                              latin1_text=bool(bin_idx))

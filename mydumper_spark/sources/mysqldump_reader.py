@@ -215,8 +215,12 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                 data_fh.pop(oldest).close()
             # explicit utf-8: the locale-default encoding (C/POSIX in
             # containers/cron) would raise UnicodeEncodeError mid-split on
-            # non-ASCII INSERT data
-            fh = open(path, "a", encoding="utf-8")
+            # non-ASCII INSERT data. surrogateescape pairs with the input
+            # read below so raw binary bytes (a dump taken without
+            # --hex-blob emits quoted binary verbatim) pass through the
+            # split byte-for-byte instead of collapsing to U+FFFD
+            fh = open(path, "a", encoding="utf-8",
+                      errors="surrogateescape")
         data_fh[key] = fh  # re-insert = most recent (dict order)
         return fh
 
@@ -232,7 +236,8 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
         return key, db, bare
 
     try:
-        with open(path, encoding="utf-8", errors="replace") as fh:
+        with open(path, encoding="utf-8",
+                  errors="surrogateescape") as fh:
             for raw, first_line in _statements(fh):
                 gated = raw.lstrip().startswith("/*!")
                 # routing copy: strip every gate opener AND residual
@@ -267,7 +272,8 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                         entry["data_path"] = os.path.join(
                             out_dir, f"{key}.00000.sql")
                         open(entry["data_path"], "w",
-                             encoding="utf-8").close()  # truncate
+                             encoding="utf-8",
+                             errors="surrogateescape").close()  # truncate
                     # verbatim when single-line (the mysqldump norm: its
                     # escaping guarantees one statement per line). A
                     # statement that SPANS lines (pretty-printed input, or

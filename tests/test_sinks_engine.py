@@ -2527,6 +2527,72 @@ def test_insert_parser_binary_forms_and_introducers(spark):
                    4: b"a\tb"}
 
 
+def test_insert_parser_quoted_binary_byte_faithful(spark, tmp_path):
+    """Foreign-dump binary intake is honest (round 11): a stock reference
+    dump (no --hex-blob) emits binary as quoted `_binary '…'` with raw
+    bytes >0x7F on the wire (mydumper_write.c:684-699). The latin-1 line
+    reader + parse_tuples' was-quoted bit make that form round-trip
+    byte-exactly, kill the quoted-'0x41' hex ambiguity, and keep UTF-8
+    text columns readable alongside."""
+    from mydumper_spark.sources.insert_parser import (
+        parse_tuples, read_insert_sql,
+    )
+
+    # was-quoted bit: quoted '0x41' is literal text, unquoted 0x41 is hex
+    assert parse_tuples("(1,'0x41',0x41)", with_quoted=True) == [
+        [("1", False), ("0x41", True), ("0x41", False)]]
+
+    p = str(tmp_path / "foreign_bin.sql")
+    # raw wire bytes: invalid-UTF8 binary (\xff\xfe\x01), an escaped
+    # quote+backslash inside binary, a multibyte UTF-8 text column, and
+    # the '0x41' literal-text trap — exactly what mysql_real_escape_string
+    # emits (only \0 \n \r \\ ' " \x1a are escaped; high bytes are raw)
+    raw = (b"INSERT INTO `t` VALUES "
+           b"(1,_binary '\xff\xfe\x01ab','caf\xc3\xa9'),"
+           b"(2,_binary 'q\\'b\\\\s\x80','t\xe2\x82\xac'),"
+           b"(3,'0x41','plain'),"
+           b"(4,0x41FF,NULL);\n")
+    with open(p, "wb") as f:
+        f.write(raw)
+    df = read_insert_sql(spark, p, "id int, payload binary, txt string")
+    got = {r["id"]: ((bytes(r["payload"]) if r["payload"] is not None
+                      else None), r["txt"])
+           for r in df.collect()}
+    assert got == {
+        1: (b"\xff\xfe\x01ab", "café"),
+        2: (b"q'b\\s\x80", "t€"),
+        3: (b"0x41", "plain"),   # quoted ⇒ literal bytes, never unhexed
+        4: (b"\x41\xff", None),  # unquoted 0xHEX ⇒ the hex wire form
+    }
+
+
+def test_mysqldump_split_binary_byte_faithful(spark, tmp_path):
+    """The driver-side mysqldump split passes raw binary bytes through
+    byte-for-byte (surrogateescape in/out), so a foreign mysqldump with
+    quoted high-byte binary survives split → line-parallel parse →
+    typed DataFrame."""
+    from mydumper_spark.sources.insert_parser import read_insert_sql
+    from mydumper_spark.sources.mysqldump_reader import split_mysqldump
+
+    p = str(tmp_path / "foreign.sql")
+    # the INSERT line as mysqldump emits it: \0 escaped, \xff raw
+    raw = (b"CREATE DATABASE `bdb`;\nUSE `bdb`;\n"
+           b"CREATE TABLE `bt` (`id` int, `b` blob);\n"
+           b"INSERT INTO `bt` VALUES (1,_binary '\xff\\0ok'),(2,NULL);\n")
+    with open(p, "wb") as f:
+        f.write(raw)
+    out = str(tmp_path / "split")
+    os.makedirs(out, exist_ok=True)
+    res = split_mysqldump(p, out)
+    entry = res.tables["bdb.bt"]
+    with open(entry["data_path"], "rb") as f:
+        assert b"\xff\\0ok" in f.read()  # bytes survived the split
+    df = read_insert_sql(spark, entry["data_path"], "id int, b binary")
+    got = {r["id"]: (bytes(r["b"]) if r["b"] is not None else None)
+           for r in df.collect()}
+    assert got == {1: b"\xff\x00ok", 2: None}
+
+
 def test_sql_format_roundtrip_randomized_hostile_types(spark, tmp_path):
     """Seeded randomized fmt="sql" dump→verify→restore roundtrip over the
     full fidelity matrix at once: NUL/SUB/newline/quote/backslash/emoji
