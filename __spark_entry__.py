@@ -5266,7 +5266,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 additions sit BELOW the driver's 50-entry grading
         # window on purpose: the window keeps its r9 composition (the
         # flagship custom joins stay driver-graded); these four are
-        # checked by the full oracle sweep like every overflow entry
+        # checked by the full oracle sweep like every overflow entry.
+        # If the driver ever re-windows, these are the proving queries
+        # to promote first: x_diversity_chars (zero-Exchange per-row
+        # array analytics), x_repeat_by_weight (deterministic weighted
+        # epoch fanout), x_corpus_datasheet (one-pass per-group
+        # datasheet) — each oracle-exact and plan-pinned.
         "x_diversity_chars": x_diversity_chars,
         "x_diversity_tokens": x_diversity_tokens,
         "x_repeat_by_weight": x_repeat_by_weight,

@@ -130,6 +130,10 @@ def _build_dump_config(args: argparse.Namespace, output_dir: str):
         skip_triggers=getattr(args, "skip_triggers", False),
         skip_routines=getattr(args, "skip_routines", False),
         skip_events=getattr(args, "skip_events", False),
+        compact=getattr(args, "compact", False),
+        use_savepoints=getattr(args, "use_savepoints", False),
+        table_engine_for_view_dependency=getattr(
+            args, "table_engine_for_view_dependency", "MEMORY"),
     )
 
 
@@ -450,6 +454,7 @@ def cmd_restore(args: argparse.Namespace) -> int:
         drop_database=getattr(args, "drop_database", False),
         ignore_errors=getattr(args, "ignore_errors", False),
         dry_run=getattr(args, "dry_run", False),
+        show_warnings=getattr(args, "show_warnings", False),
     )
     print(json.dumps(results))
     if results.get("dry_run"):
@@ -1016,6 +1021,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's -G opt-in; we capture by default)")
     d.add_argument("--skip-routines", action="store_true",
                    help="don't capture routine DDL (inverse of -R)")
+    d.add_argument("--compact", action="store_true",
+                   help="less verbose output: drop metadata header/footer "
+                        "constructs (reference --compact)")
+    d.add_argument("--use-savepoints", action="store_true",
+                   help="accepted and recorded; Spark dumps hold no long "
+                        "per-table transaction, so there is nothing for "
+                        "savepoints to shrink (reference --use-savepoints)")
+    d.add_argument("--table-engine-for-view-dependency", default="MEMORY",
+                   metavar="ENGINE",
+                   help="engine for the stand-in CREATE TABLE written per "
+                        "view so foreign myloader resolves dependencies "
+                        "(reference flag; default MEMORY)")
     d.add_argument("--skip-events", action="store_true",
                    help="don't capture event DDL (inverse of -E)")
     d.add_argument("-t", "--threads", type=int)
@@ -1128,6 +1145,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dry-run", action="store_true",
                    help="build and print the full phase plan without "
                         "executing anything (reference --dry-run)")
+    r.add_argument("--show-warnings", action="store_true",
+                   help="emit a warning per imperfect-load condition "
+                        "(failed/skipped/unverifiable tables) in addition "
+                        "to the results map (myloader --show-warnings)")
     r.add_argument("-Q", "--quote-character", default=None, metavar="CHAR",
                    help="force identifier quoting for replayed DDL: ` "
                         "(backtick) or \" (ANSI) — myloader -Q; default "

@@ -63,6 +63,26 @@ class DumpConfig:
     exec_per_thread: str | None = None
     exec_per_thread_extension: str | None = None
     masquerade_filenames: bool = False  # T13 --masquerade-filename
+    #: --compact (reference mydumper_arguments.c:226): less verbose
+    #: output — drop the metadata file's comment header/footer and the
+    #: [myloader_session_variables] section. Our fmt="sql" chunks carry
+    #: no per-file headers to suppress (the reference's SQL_MODE header
+    #: is the other thing this flag gates, mydumper_common.c:411,422).
+    compact: bool = False
+    #: --use-savepoints (reference mydumper_arguments.c:243): in the
+    #: reference this wraps per-table metadata reads in SAVEPOINT /
+    #: ROLLBACK TO to shrink MDL windows. Spark dumps hold no long
+    #: transaction per table (each chunk is its own SELECT under the S11
+    #: snapshot fence), so the flag is accepted and RECORDED (manifest
+    #: config) but changes nothing — the fence already provides what
+    #: savepoints buy.
+    use_savepoints: bool = False
+    #: --table-engine-for-view-dependency (mydumper_arguments.c:415,
+    #: default MEMORY): engine named in the stand-in CREATE TABLE written
+    #: for each view (mydumper_jobs.c:520-545) so foreign myloader can
+    #: resolve view-on-view/table dependencies before the real CREATE
+    #: VIEW replays.
+    table_engine_for_view_dependency: str = "MEMORY"
     #: write a per-table per-column profile (_profile.json) alongside the
     #: manifest — rows/nulls/distincts/bounds from one extra aggregate per
     #: table (operators/profile.py; HLL distincts, scale-safe). Independent
@@ -451,6 +471,23 @@ def _capture_objects(cat, dialect, cfg: DumpConfig,
                 TableMeta(database=obj.database, name=obj.name)
             ):
                 continue
+            if obj.kind == "view":
+                # columns for the stand-in dependency table
+                # (--table-engine-for-view-dependency; the reference
+                # runs SHOW FIELDS, mydumper_jobs.c:517). Best-effort:
+                # a dialect without information_schema just skips the
+                # stand-in (our own restore never needs it — the DAG
+                # orders views after their bases).
+                try:
+                    obj.columns = [
+                        (r[0], r[1]) for r in cat._q(
+                            "SELECT column_name, data_type "
+                            "FROM information_schema.columns "
+                            f"WHERE table_schema = '{obj.database}' "
+                            f"AND table_name = '{obj.name}' "
+                            "ORDER BY ordinal_position").collect()]
+                except Exception:
+                    obj.columns = None
         elif obj.kind == "trigger":
             # a trigger's fate follows its base table's (the
             # reference files triggers per-table)
@@ -482,10 +519,17 @@ _OBJ_SUFFIX = {"view": "-schema-view.sql",
 
 
 def _write_object_artifacts(manifest: Manifest, schema_objects: list,
-                            fnames, output_dir: str) -> None:
+                            fnames, output_dir: str,
+                            view_dep_engine: str = "MEMORY") -> None:
     """Write each captured schema object's DDL artifact and record it in
     ``manifest.objects`` (phase-3 merge step, shared by ``dump`` and
-    ``dump_incremental``)."""
+    ``dump_incremental``).
+
+    For views with captured columns, also write the reference's stand-in
+    dependency table (``{view}-schema.sql`` holding ``CREATE TABLE IF NOT
+    EXISTS … ENGINE=<view_dep_engine>``, mydumper_jobs.c:520-545) so
+    foreign myloader can resolve view-on-view/table dependency order; our
+    own restore ignores it (the DAG orders views natively)."""
     import hashlib as _hashlib
 
     for okey, obj in schema_objects:
@@ -493,6 +537,16 @@ def _write_object_artifacts(manifest: Manifest, schema_objects: list,
         op = os.path.join(output_dir, f"{safe}{_OBJ_SUFFIX[obj.kind]}")
         with open(op, "w") as f:
             f.write(obj.raw_sql.rstrip("\n") + "\n")
+        if obj.kind == "view" and getattr(obj, "columns", None):
+            cols = ",\n".join(
+                "  `{}` {}".format(c.replace("`", "``"), t)
+                for c, t in obj.columns)
+            standin = os.path.join(output_dir, f"{safe}-schema.sql")
+            with open(standin, "w") as f:
+                f.write(
+                    "CREATE TABLE IF NOT EXISTS `{}`(\n{}\n) ENGINE={};\n"
+                    .format(obj.name.replace("`", "``"), cols,
+                            view_dep_engine))
         manifest.objects.append({
             "kind": obj.kind,
             "database": obj.database,
@@ -553,6 +607,8 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
     manifest = Manifest(fmt=cfg.fmt)
     if cfg.exec_per_thread:
         manifest.exec_per_thread_extension = cfg.exec_per_thread_extension
+    manifest.compact = cfg.compact
+    manifest.use_savepoints = cfg.use_savepoints
     if cfg.fmt == "csv":
         from dataclasses import asdict as _asdict
 
@@ -826,15 +882,14 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             if cfg.exec_per_thread:
                 # AFTER every consumer of the plain files (checksum +
                 # profile jobs both read `written` lazily): pipe each
-                # chunk through the filter, record chunk0's filtered name
-                from mydumper_spark.sinks.exec_sink import exec_filter_file
+                # chunk through the filter on a worker pool (the reference
+                # filters per writer thread), record chunk0's filtered name
+                from mydumper_spark.sinks.exec_sink import exec_filter_files
                 from mydumper_spark.sinks.manifest import sql_chunk_paths
 
-                filtered = [
-                    exec_filter_file(p, cfg.exec_per_thread,
-                                     cfg.exec_per_thread_extension)
-                    for p in sql_chunk_paths(path)
-                ]
+                filtered = exec_filter_files(
+                    sql_chunk_paths(path), cfg.exec_per_thread,
+                    cfg.exec_per_thread_extension)
                 path = filtered[0]
                 entry.path = path
             if cfg.table_done is not None:
@@ -878,8 +933,9 @@ def dump(spark: SparkSession, source_dir: str, cfg: DumpConfig) -> Manifest:
             manifest.tables[key] = entry
             if prof is not None:
                 profiles[key] = prof
-        _write_object_artifacts(manifest, schema_objects, fnames,
-                                cfg.output_dir)
+        _write_object_artifacts(
+            manifest, schema_objects, fnames, cfg.output_dir,
+            view_dep_engine=cfg.table_engine_for_view_dependency)
         if cfg.profile and profiles:
             with open(os.path.join(cfg.output_dir, "_profile.json"), "w") as f:
                 _json.dump(profiles, f, indent=1)
@@ -1022,6 +1078,7 @@ def restore(
     drop_database: bool = False,
     ignore_errors: bool = False,
     dry_run: bool = False,
+    show_warnings: bool = False,
 ) -> dict:
     """myloader inverse: DAG-ordered parallel load of a dump into either a
     target directory tree (parquet sink) or — when ``target_root`` is a
@@ -1665,6 +1722,36 @@ def restore(
                   and cs["rows"] == entry["rows"])
             checks[t] = None if (not ok and append_unverifiable) else ok
         results["verify"] = checks
+    # --show-warnings (myloader_arguments.c:145 / myloader_restore.c:530):
+    # the reference surfaces per-INSERT SQL warnings from the server; the
+    # Spark-side analogues of "the load finished but something was
+    # imperfect" are collected here either way, and the flag promotes them
+    # to real warnings.warn emissions.
+    warn_lines = []
+    for t, ok in results.get("load", {}).items():
+        if not ok:
+            warn_lines.append(
+                f"table {t}: data load FAILED"
+                + (" (continued past: --ignore-errors)" if ignore_errors
+                   else ""))
+    for t, ok in results.get("verify", {}).items():
+        if ok is None:
+            warn_lines.append(
+                f"table {t}: checksum unverifiable — APPEND onto a "
+                f"pre-existing table mixes prior rows into the hash")
+    for t in results.get("skipped_existing", ()):
+        warn_lines.append(f"table {t}: left untouched (--skip-existing)")
+    ddl_skips = results.get("ddl", {}).get("skipped", {})
+    for t, note in (ddl_skips.items()
+                    if isinstance(ddl_skips, dict) else ()):
+        warn_lines.append(f"table {t}: DDL skipped — {note}")
+    if warn_lines:
+        results["warnings"] = warn_lines
+        if show_warnings:
+            import warnings as _warnings
+
+            for line in warn_lines:
+                _warnings.warn(f"restore: {line}", stacklevel=2)
     return results
 
 
@@ -1719,6 +1806,8 @@ def dump_incremental(
             "filters fmt='sql' chunk files")
     cat, fence, dialect = _open_source(spark, source_dir, cfg)
     manifest = Manifest(fmt="parquet")
+    manifest.compact = cfg.compact
+    manifest.use_savepoints = cfg.use_savepoints
     manifest.parent_manifest = os.path.abspath(parent_dir)
     capture_conn = None
     try:
@@ -1879,8 +1968,9 @@ def dump_incremental(
             _attach_schema_artifact(entry, artifact, out_name,
                                     cfg.output_dir)
             manifest.tables[key] = entry
-        _write_object_artifacts(manifest, schema_objects, fnames,
-                                cfg.output_dir)
+        _write_object_artifacts(
+            manifest, schema_objects, fnames, cfg.output_dir,
+            view_dep_engine=cfg.table_engine_for_view_dependency)
     finally:
         if fence is not None:
             fence.release()

@@ -746,8 +746,19 @@ def repeat_by_weight(
          + F.when(coin < w % 1_000_000, F.lit(1)).otherwise(F.lit(0))
          ).cast("bigint")
     # assert_true is NULL on pass; folding it through coalesce forces
-    # per-row evaluation without a separate validation pass over the data
+    # per-row evaluation without a separate validation pass over the data.
+    # A NULL weight gets its own check FIRST — without it the range
+    # condition itself goes NULL, which assert_true treats as failure but
+    # with the max_copies message (and a NULL-concat'd, blank error text):
+    # a misleading diagnosis for what is missing input, not a fanout bomb.
     guarded = F.coalesce(
+        F.assert_true(
+            w.isNotNull(),
+            F.concat(F.lit("repeat_by_weight: NULL weight_ppm for "),
+                     F.col(id_col).cast("string"),
+                     F.lit(" — weights must be non-null (coalesce "
+                           "upstream to 0 to drop, 1000000 to keep)")),
+        ).cast("bigint"),
         F.assert_true(
             (w >= 0) & (n <= F.lit(int(max_copies))),
             F.concat(F.lit(f"repeat_by_weight: copy count exceeds "

@@ -1063,6 +1063,14 @@ def diversity_stats(
         ).alias("__sumsq"),
         "max_run",
     )
+    return _diversity_finalize(staged, id_col)
+
+
+def _diversity_finalize(staged: DataFrame, id_col: str) -> DataFrame:
+    """Stage 2 of diversity_stats: exact-integer ppm arithmetic over the
+    named intermediate columns (n_units, distinct_units, __top, __sumsq,
+    max_run). Split out so the overflow contract is unit-testable without
+    materializing multi-million-element unit arrays."""
     return staged.select(
         F.col(id_col),
         "n_units",
@@ -1073,8 +1081,14 @@ def diversity_stats(
         .alias("distinct_ppm"),
         F.expr("CASE WHEN n_units > 0 THEN "
                "(__top * 1000000) DIV n_units END").alias("top_unit_ppm"),
+        # decimal(38,0), not bigint: __sumsq approaches n_units² for a
+        # highly repetitive document, and n²·10⁶ crosses 2⁶³ near
+        # n ≈ 3.04M units — bigint would wrap silently (non-ANSI) while
+        # the DuckDB oracle promotes to HUGEINT. Decimal is exact to 38
+        # digits (n ≤ 2³¹ chars ⇒ ≤ 25 digits) and stays scan-side.
         F.expr("CASE WHEN n_units > 0 THEN "
-               "(__sumsq * 1000000) DIV (n_units * n_units) END")
+               "CAST((CAST(__sumsq AS DECIMAL(38,0)) * 1000000) DIV "
+               "(CAST(n_units AS DECIMAL(38,0)) * n_units) AS BIGINT) END")
         .alias("simpson_ppm"),
         F.when(F.col("n_units") > 0, F.col("max_run")).alias("max_run"),
     )

@@ -78,6 +78,20 @@ def exec_filter_file(path: str, command: str, extension: str,
     return out_path
 
 
+def exec_filter_files(paths: list[str], command: str, extension: str,
+                      max_workers: int = 4) -> list[str]:
+    """Run exec_filter_file over many chunk files on a worker pool — the
+    reference runs the filter per writer THREAD (set_pipe_backup), so a
+    multi-chunk table filters concurrently there too. Result order matches
+    ``paths`` (chunk0 first: its filtered name is the manifest path)."""
+    if not paths:
+        return []
+    workers = min(max_workers, len(paths))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(
+            lambda p: exec_filter_file(p, command, extension), paths))
+
+
 def exec_decode_file(path: str, command: str, strip_extension: str,
                      out_dir: str) -> str:
     """Restore-side inverse (myloader --exec-per-thread): pipe a filtered

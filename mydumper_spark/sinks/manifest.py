@@ -87,6 +87,10 @@ class Manifest:
     #: mydumper_daemon_thread.c:33-146); None for full dumps
     parent_manifest: str | None = None
     tables: dict[str, TableEntry] = field(default_factory=dict)
+    #: --compact / --use-savepoints (recorded flags; compact also trims
+    #: the reference-format metadata twin's header/footer constructs)
+    compact: bool = False
+    use_savepoints: bool = False
     #: non-table schema objects (views/triggers/routines/events) captured
     #: at dump time — [{kind, database, name, path, checksum, table?}] with
     #: ``path`` the DDL artifact (reference -schema-view.sql /
@@ -155,6 +159,12 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
             **({"exec_per_thread_extension":
                 manifest.exec_per_thread_extension}
                if manifest.exec_per_thread_extension else {}),
+            **({"compact": True} if manifest.compact else {}),
+            # recorded, not acted on: Spark dumps hold no long per-table
+            # transaction, so savepoints have nothing to shrink — the
+            # S11 snapshot fence provides the consistency they buy
+            **({"use_savepoints": True} if manifest.use_savepoints
+               else {}),
         },
         "started_at": manifest.started_at,
         "finished_at": manifest.finished_at,
@@ -217,7 +227,7 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
             for t, e in sorted(manifest.tables.items())
         ],
     )
-    text = format_metadata(ref)
+    text = format_metadata(ref, compact=manifest.compact)
     # `metadata` (no underscore prefix) would break a parquet directory read,
     # so the streaming partial flush (which writes INTO the live data dir)
     # only gets the underscore-prefixed twin; the dump root gets both.

@@ -45,13 +45,16 @@ class DumpMetadata:
     tables: list[TableMeta] = field(default_factory=list)
 
 
-def format_metadata(meta: DumpMetadata) -> str:
-    """Render the reference's metadata file text."""
-    out = [f"# Started dump at: {meta.started_at}"]
+def format_metadata(meta: DumpMetadata, compact: bool = False) -> str:
+    """Render the reference's metadata file text. ``compact`` is the
+    --compact analogue (mydumper_arguments.c:226 "disables header/footer
+    constructs"): drop the started/finished comment lines and the
+    session-variables section, keeping only the parseable payload."""
+    out = [] if compact else [f"# Started dump at: {meta.started_at}"]
     out.append(f"[config]\nquote-character = {meta.quote_character}")
     if meta.local_infile:
         out.append("local-infile = 1")
-    if meta.sql_mode is not None:
+    if meta.sql_mode is not None and not compact:
         out.append(f"\n[myloader_session_variables]\nSQL_MODE={meta.sql_mode} /*!40101")
     if meta.source:
         out.append("\n[source]")
@@ -75,7 +78,7 @@ def format_metadata(meta: DumpMetadata) -> str:
             out.append(f"data_checksum = {t.data_checksum}")
         if t.schema_checksum is not None:
             out.append(f"schema_checksum = {t.schema_checksum}")
-    if meta.finished_at:
+    if meta.finished_at and not compact:
         out.append(f"\n# Finished dump at: {meta.finished_at}")
     return "\n".join(out) + "\n"
 

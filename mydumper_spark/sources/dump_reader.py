@@ -41,6 +41,25 @@ def classify(filename: str) -> tuple[str, dict] | None:
     return None
 
 
+def _dialect_from_manifest(root: str) -> CsvFormat:
+    """Dialect for a convention-based (no explicit ``fmt``) .dat read.
+
+    If the dir carries a manifest with a recorded ``csv_dialect``, honor
+    it — with a missing ``escaped_data`` key meaning the LEGACY raw form
+    (same rule as read_dumped_table). A dir with NO dialect record at all
+    predates the escaped-data convention, so its bytes are raw: defaulting
+    to the dataclass's escaped_data=True here would silently halve every
+    consecutive backslash pair in old dumps."""
+    import json
+
+    try:
+        with open(os.path.join(root, "_manifest.json")) as f:
+            dialect = json.load(f).get("config", {}).get("csv_dialect")
+    except (OSError, ValueError):
+        dialect = None
+    return CsvFormat(**{"escaped_data": False, **(dialect or {})})
+
+
 def read_dump_table(
     spark: SparkSession,
     root: str,
@@ -61,7 +80,7 @@ def read_dump_table(
         return spark.read.parquet(pq)
     dat = os.path.join(root, f"{table}.dat")
     if os.path.exists(dat):
-        fmt = fmt or CsvFormat()
+        fmt = fmt or _dialect_from_manifest(root)
         if schema is None:
             # engine dumps write a schema sidecar next to the .dat — a
             # typed read beats inference (csv is stringly-typed on disk)
@@ -80,7 +99,7 @@ def read_dump_table(
     # over exactly this table's chunks
     dat_chunks = _reference_chunks(root, table, "data_dat")
     if dat_chunks:
-        fmt = fmt or CsvFormat()
+        fmt = fmt or _dialect_from_manifest(root)
         if schema is None:
             schema = _schema_from_sidecar(root, table)
         from mydumper_spark.sinks.writers import read_csv_typed

@@ -43,6 +43,9 @@ class SchemaObject:
     #: the trigger's fate to its table's, like the reference's per-table
     #: trigger files)
     table: str | None = None
+    #: for views: [(column_name, data_type)] for the stand-in dependency
+    #: table (--table-engine-for-view-dependency, mydumper_jobs.c:520-540)
+    columns: list | None = None
 
 
 def _show_one(conn, stmt: str, col: int):

@@ -767,6 +767,45 @@ def test_view_dump_restore_roundtrip_live(spark, tmp_path):
     assert rows == {"r0": 30, "r1": 30, "r2": 30}
 
 
+def test_view_standin_dependency_table_live(spark, tmp_path):
+    """--table-engine-for-view-dependency (round 11; mydumper_jobs.c:
+    520-545, default MEMORY): alongside the real CREATE VIEW artifact the
+    dump writes a stand-in `{view}-schema.sql` CREATE TABLE with the
+    view's columns and the configured engine, so foreign myloader can
+    resolve view dependencies before the real view replays. Our own
+    restore ignores the stand-in (the DAG orders views natively) — pinned
+    by the existing roundtrip tests."""
+    import duckdb
+
+    from mydumper_spark.engine import DumpConfig, dump
+
+    src = str(tmp_path / "standin_src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE t (id int, v varchar)")
+    con.execute("INSERT INTO t VALUES (1, 'a')")
+    con.execute("CREATE VIEW vt AS SELECT id, v FROM t")
+    con.execute("CHECKPOINT")
+    con.close()
+
+    out = str(tmp_path / "standin_default")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out, jdbc_properties=dict(DRIVER_PROPS)))
+    standin = open(os.path.join(out, "vt-schema.sql")).read()
+    assert standin.startswith("CREATE TABLE IF NOT EXISTS `vt`(")
+    assert "`id` INTEGER" in standin and "`v` VARCHAR" in standin
+    assert standin.rstrip().endswith("ENGINE=MEMORY;")
+    # the real view DDL is a separate artifact, untouched
+    assert open(os.path.join(out, "vt-schema-view.sql")).read().startswith(
+        "CREATE VIEW")
+
+    out2 = str(tmp_path / "standin_custom")
+    dump(spark, f"jdbc:duckdb:{src}",
+         DumpConfig(output_dir=out2, jdbc_properties=dict(DRIVER_PROPS),
+                    table_engine_for_view_dependency="InnoDB"))
+    assert open(os.path.join(out2, "vt-schema.sql")).read().rstrip().endswith(
+        "ENGINE=InnoDB;")
+
+
 def test_view_on_view_restore_order_independent_live(spark, tmp_path):
     """POST-phase dependency handling, live: a view chain whose CAPTURE
     order is the reverse of its CREATE order (the dependent view sorts

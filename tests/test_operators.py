@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mydumper_spark.operators.transform import TableTransform, apply_transform
@@ -2337,6 +2338,55 @@ def test_diversity_stats_char_hand_values(spark):
         assert rows[d]["distinct_units"] is None
         assert rows[d]["simpson_ppm"] is None
         assert rows[d]["max_run"] is None
+
+
+def test_diversity_stats_simpson_no_bigint_wrap(spark):
+    """simpson_ppm stays exact past the bigint wrap point (round 11):
+    for a one-character document of n units, sumsq = n², and n²·10⁶
+    crosses 2⁶³ near n ≈ 3.04M — plain bigint arithmetic wrapped to a
+    negative ppm while the DuckDB oracle promoted to HUGEINT. The
+    decimal(38,0) path returns the exact floor. Tested against the
+    extracted finalize stage (materializing a 3M-element unit array per
+    case would dominate the suite for no extra arithmetic coverage; the
+    end-to-end path at that size is exercised standalone in SCALE.md
+    notes), plus one end-to-end doc just past the wrap point."""
+    from mydumper_spark.operators.text import _diversity_finalize
+
+    n = 3_100_000  # n²·10⁶ ≈ 9.6e18 > 2⁶³−1 ≈ 9.22e18
+    staged = spark.createDataFrame(
+        [
+            (1, n, 1, n, n * n, n),          # single repeated unit
+            (2, n, 2, n - 1, (n - 1) ** 2 + 1, n - 1),  # near-degenerate
+            (3, 4, 2, 3, 10, 3),              # 'aaab' hand value
+        ],
+        "doc_id int, n_units bigint, distinct_units bigint, "
+        "__top bigint, __sumsq bigint, max_run bigint",
+    )
+    rows = {r["doc_id"]: r for r in
+            _diversity_finalize(staged, "doc_id").collect()}
+    assert rows[1]["simpson_ppm"] == 1_000_000
+    assert rows[2]["simpson_ppm"] == ((n - 1) ** 2 + 1) * 10**6 // (n * n)
+    assert rows[2]["simpson_ppm"] > 0  # the wrapped bigint went negative
+    assert rows[3]["simpson_ppm"] == 10 * 1_000_000 // 16
+
+    # end-to-end just past the wrap point (one doc, bounded memory)
+    m = 3_040_000
+    df = spark.range(1).coalesce(1).select(
+        F.lit(1).alias("doc_id"), F.repeat(F.lit("a"), m).alias("text"))
+    row = tx.diversity_stats(df, unit="char").collect()[0]
+    assert row["n_units"] == m and row["simpson_ppm"] == 1_000_000
+
+
+def test_repeat_by_weight_null_weight_loud(spark):
+    """A NULL weight_ppm is rejected with its own message (round 11) —
+    previously the NULL propagated into the max_copies assert, which
+    failed with a blank, misleading 'copy count exceeds' diagnosis."""
+    from mydumper_spark.operators.sampling import repeat_by_weight
+
+    w = spark.createDataFrame(
+        [(1, 1_000_000), (2, None)], "doc_id int, weight_ppm bigint")
+    with pytest.raises(Exception, match="NULL weight_ppm"):
+        repeat_by_weight(w, seed=7).collect()
 
 
 def test_diversity_stats_token_unit_and_plan(spark):

@@ -558,6 +558,42 @@ def test_streaming_minhash_buckets_cross_batch(spark, tmp_path):
     assert all(p is None for p in out2[3]), out2
 
 
+def test_read_dump_table_dat_dialect_resolution(spark, tmp_path):
+    """Convention-based .dat reads resolve their CSV dialect correctly
+    (round 11): a dir WITH a manifest honors its recorded csv_dialect
+    (escaped_data=True round-trips), while a manifest-less dir means a
+    legacy raw-form dump — consecutive backslash pairs keep their bytes'
+    meaning instead of being silently halved by the dataclass default."""
+    import json as _json
+
+    import shutil
+
+    df = spark.createDataFrame(
+        [(1, "a\\\\b"), (2, "c\\d"), (3, None)], "id int, s string")
+
+    # current engine dump: manifest records the escaped dialect
+    out = str(tmp_path / "cur")
+    src = str(tmp_path / "src")
+    df.write.parquet(os.path.join(src, "t.parquet"))
+    dump(spark, src, DumpConfig(output_dir=out, fmt="csv"))
+    back = read_dump_table(spark, out, "t")
+    assert {r["id"]: r["s"] for r in back.collect()} == {
+        1: "a\\\\b", 2: "c\\d", 3: None}
+    assert _json.load(open(os.path.join(out, "_manifest.json")))[
+        "config"]["csv_dialect"]["escaped_data"] is True
+
+    # legacy dir: same files, manifest stripped → raw-form read (no
+    # halving); the written .dat bytes carry DOUBLED backslashes, so the
+    # raw read surfaces them doubled — the legacy contract is "bytes mean
+    # what they say", not "guess the writer's escaping"
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(out, legacy)
+    os.remove(os.path.join(legacy, "_manifest.json"))
+    raw = read_dump_table(spark, legacy, "t")
+    assert {r["id"]: r["s"] for r in raw.collect()} == {
+        1: "a\\\\\\\\b", 2: "c\\\\d", 3: None}
+
+
 def test_reference_style_sql_gz_chunks(spark, tmp_path):
     """Compressed per-chunk dumps (reference -c/--compress → .sql.gz) read
     transparently through Spark's built-in gzip codec."""
@@ -2235,6 +2271,136 @@ def test_throttle_probe_failure_disables_not_wedges(spark, sf_dir, tmp_path):
     assert calls["n"] == 1  # dead after the first failure, not per table
 
 
+def test_compact_and_use_savepoints_flags(spark, sf_dir, tmp_path):
+    """--compact (mydumper_arguments.c:226) trims the reference-format
+    metadata twin's header/footer constructs while keeping it parseable;
+    --use-savepoints is accepted and RECORDED (Spark dumps hold no long
+    per-table transaction for savepoints to shrink — the S11 fence covers
+    what they buy). Both land in the manifest config (round 11)."""
+    import json as _json
+
+    from mydumper_spark.sinks.metadata_file import parse_metadata
+
+    out = str(tmp_path / "compactd")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out, compact=True, use_savepoints=True,
+        filters=TableFilters(tables_list={"default.region"})))
+    text = open(os.path.join(out, "metadata")).read()
+    assert "# Started dump at" not in text
+    assert "# Finished dump at" not in text
+    assert "myloader_session_variables" not in text
+    meta = parse_metadata(text)  # payload still parses
+    assert [t.table for t in meta.tables] == ["region"]
+    assert meta.tables[0].rows == 5
+    cfgdoc = _json.load(
+        open(os.path.join(out, "_manifest.json")))["config"]
+    assert cfgdoc["compact"] is True
+    assert cfgdoc["use_savepoints"] is True
+
+    # default: headers present, flags unrecorded (absent, not false)
+    out2 = str(tmp_path / "verbose")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out2,
+        filters=TableFilters(tables_list={"default.region"})))
+    text2 = open(os.path.join(out2, "metadata")).read()
+    assert text2.startswith("# Started dump at")
+    cfgdoc2 = _json.load(
+        open(os.path.join(out2, "_manifest.json")))["config"]
+    assert "compact" not in cfgdoc2 and "use_savepoints" not in cfgdoc2
+
+
+def test_restore_show_warnings(spark, sf_dir, tmp_path):
+    """--show-warnings (myloader_arguments.c:145): imperfect-load
+    conditions are always collected into results['warnings'] and the flag
+    promotes them to warnings.warn emissions (round 11)."""
+    import warnings as _warnings
+
+    out = str(tmp_path / "swdump")
+    dump(spark, sf_dir, DumpConfig(
+        output_dir=out,
+        filters=TableFilters(tables_list={"default.region"})))
+    target = str(tmp_path / "swtarget")
+    clean = restore(spark, out, target, parallelism=1)
+    assert clean["verify"] == {"region": True}
+    assert "warnings" not in clean  # a perfect load stays quiet
+
+    # second restore with APPEND onto the now-populated target: the
+    # checksum goes honestly unverifiable — an imperfect-load condition
+    # worth surfacing
+    from mydumper_spark.plans.loader_dag import PurgeMode
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        res = restore(spark, out, target, parallelism=1,
+                      purge=PurgeMode.APPEND, show_warnings=True)
+    assert res["verify"] == {"region": None}
+    assert any("unverifiable" in w for w in res["warnings"])
+    assert any("unverifiable" in str(w.message) for w in caught)
+
+    # without the flag: collected, not emitted
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        res2 = restore(spark, out, target, parallelism=1,
+                       purge=PurgeMode.APPEND)
+    assert any("unverifiable" in w for w in res2["warnings"])
+    assert not any("unverifiable" in str(w.message) for w in caught2)
+
+
+def test_exec_per_thread_multi_chunk_parallel(spark, sf_dir, tmp_path):
+    """A multi-chunk table's --exec-per-thread filter runs on a worker
+    pool (round 11; the reference filters per writer thread): every chunk
+    is re-extensioned, the manifest path is chunk0's filtered name, at
+    least two filter processes overlapped in time, and the restore
+    round-trips."""
+    import json as _json
+    import os
+
+    log = str(tmp_path / "spans.log")
+    script = str(tmp_path / "slowfilt.py")
+    with open(script, "w") as f:
+        f.write(
+            "import sys, time, os\n"
+            "t0 = time.monotonic()\n"
+            "data = sys.stdin.buffer.read()\n"
+            "time.sleep(0.4)\n"
+            "sys.stdout.buffer.write(data)\n"
+            "sys.stdout.buffer.flush()\n"
+            f"with open({log!r}, 'a') as lg:\n"
+            "    lg.write(f'{t0} {time.monotonic()}\\n')\n")
+    out = str(tmp_path / "eptmc")
+    # rows_per_statement=100 × maxRecordsPerFile=400 rows → 4 statements
+    # per file → orders(1500 rows at sf0.001) rotates into ≥4 chunks
+    manifest = dump(spark, sf_dir, DumpConfig(
+        output_dir=out, fmt="sql", rows_per_statement=100,
+        max_records_per_file=400,
+        exec_per_thread=f"python3 {script}",
+        exec_per_thread_extension=".filt",
+        filters=TableFilters(tables_list={"default.orders"})))
+    entry = manifest.tables["orders"]
+    assert entry.path.endswith(".00000.sql.filt")
+    chunks = sorted(f for f in os.listdir(out)
+                    if f.startswith("orders.") and ".sql" in f)
+    n_chunks = len([c for c in chunks if c.endswith(".filt")])
+    assert n_chunks >= 4
+    assert not [c for c in chunks if c.endswith(".sql")]  # originals gone
+
+    # at least two filter invocations overlapped (pooled, not serial)
+    spans = [tuple(map(float, ln.split())) for ln in open(log)]
+    assert len(spans) == n_chunks
+    overlap = any(
+        a0 < b1 and b0 < a1
+        for i, (a0, a1) in enumerate(spans)
+        for (b0, b1) in spans[i + 1:])
+    assert overlap, f"filters ran serially: {spans}"
+
+    results = restore(spark, out, str(tmp_path / "eptmc_r"),
+                      parallelism=1, exec_per_thread="cat")
+    assert results["verify"] == {"orders": True}
+    got = spark.read.parquet(str(tmp_path / "eptmc_r" / "orders.parquet"))
+    orig = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert got.count() == orig.count()
+
+
 def test_incremental_dump_gates_throttle_and_rejects_exec_per_thread(
         spark, sf_dir, tmp_path):
     """dump_incremental shares --disk-limits/--throttle backpressure with
@@ -2668,6 +2834,65 @@ def test_sql_format_roundtrip_randomized_hostile_types(spark, tmp_path):
         assert orig.schema == back.schema
         assert orig.exceptAll(back).count() == 0
         assert back.exceptAll(orig).count() == 0
+
+
+def test_exec_per_thread_stream_restore_campaign(spark, tmp_path):
+    """Seeded campaign over the round-10 seam no prior fuzz drove
+    end-to-end: --exec-per-thread filtered chunks crossing the --stream
+    wire protocol, then restore-side decode (round 11). Each round:
+    hostile-value table → fmt=sql multi-chunk dump piped through a filter
+    (gzip, and a self-inverse XOR whose output is dense in high bytes and
+    embedded fake frame markers) → stream_directory frames → restore from
+    the re-materialized dir WITH the inverse command → value-exact
+    compare."""
+    import io
+    import random
+
+    from mydumper_spark.streaming.protocol import (
+        restore_directory, stream_directory,
+    )
+
+    xor = str(tmp_path / "xorfilt.py")
+    with open(xor, "w") as f:
+        # XOR 0x5A is self-inverse (encode == decode command) and maps
+        # the SQL text's '\n-- ' framing-marker bytes into high bytes —
+        # and vice versa: ordinary text XORs INTO byte runs that spell
+        # fake frame markers, actively attacking the wire parser
+        f.write("import sys\n"
+                "data = sys.stdin.buffer.read()\n"
+                "sys.stdout.buffer.write(bytes(b ^ 0x5A for b in data))\n")
+
+    hostile = ["", "a'b", 'a"b', "a\\b", "line\nbreak", "tab\there",
+               "\\N", "0x41", "-- filename 99", "é€漢", None]
+    rng = random.Random(1107)
+    filters = [("gzip -c", "gzip -dc", ".gz"),
+               (f"python3 {xor}", f"python3 {xor}", ".xor")]
+    for rnd in range(3):
+        cmd, inv, ext = filters[rnd % len(filters)]
+        rows = [(i, rng.choice(hostile), rng.randrange(10**6))
+                for i in range(rng.randrange(120, 400))]
+        df = spark.createDataFrame(rows, "id int, s string, v bigint")
+        src = str(tmp_path / f"c{rnd}_src")
+        df.write.parquet(os.path.join(src, "t.parquet"))
+        out = str(tmp_path / f"c{rnd}_dump")
+        dump(spark, src, DumpConfig(
+            output_dir=out, fmt="sql",
+            rows_per_statement=rng.choice([7, 50]),
+            max_records_per_file=rng.choice([60, 150]),
+            exec_per_thread=cmd, exec_per_thread_extension=ext))
+        # wire crossing: frame every file (filtered chunks are binary,
+        # gzip/XOR bytes freely contain fake "\n-- name size" markers)
+        buf = io.BytesIO()
+        n = stream_directory(buf, out)
+        recv = str(tmp_path / f"c{rnd}_recv")
+        assert restore_directory(io.BytesIO(buf.getvalue()), recv) == n
+        target = str(tmp_path / f"c{rnd}_tgt")
+        results = restore(spark, recv, target, parallelism=1,
+                          exec_per_thread=inv)
+        assert results["verify"] == {"t": True}, f"round {rnd}"
+        back = spark.read.parquet(os.path.join(target, "t.parquet"))
+        assert back.exceptAll(df).count() == 0
+        assert df.exceptAll(back).count() == 0
 
 
 def test_csv_dialect_fidelity_hostile_values(spark, tmp_path):

@@ -97,9 +97,25 @@ def type_mismatches(scols, sdtypes, dcols, duck_schema):
     return diffs
 
 
+def _host_load() -> str:
+    """One-line host-contention snapshot (same rationale as bench.py's
+    inline ``host`` record): sweep timings are self-diagnosing — a slow
+    run on a loaded host is contention, not regression."""
+    try:
+        with open("/proc/loadavg") as f:
+            l1, l5, l15 = f.read().split()[:3]
+        import os as _os
+
+        return (f"host: loadavg [{l1}, {l5}, {l15}], "
+                f"ncpu {_os.cpu_count()}")
+    except Exception:
+        return "host: (unavailable)"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    print(_host_load())
 
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
@@ -174,6 +190,7 @@ def main():
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
     print("all queries match the oracle")
+    print(_host_load())
 
 
 if __name__ == "__main__":
