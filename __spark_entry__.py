@@ -2799,6 +2799,93 @@ WHERE cosine_sim >= 0.44
 """
 
 
+def x_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype pruning (SemDeDup / D4 family): per-vector cosine to its
+    own label's MEAN embedding, pruning the quarter most prototypical of
+    each label — **oracle-backed exactly**: cross-row float averaging is
+    not engine-portable, so the centroid never materializes as floats —
+    values quantize to integer ppm, per-dimension sums stay DECIMAL(38,0)
+    (DuckDB HUGEINT), and the count cancels out of the cosine
+    algebraically (cos(v, s/n) = Σvs / (√Σv²·√Σs²)). One tiny exchange
+    for the sums, a 10-row broadcast back, per-row folds, one window."""
+    from mydumper_spark.operators.similarity import centroid_prune
+
+    return centroid_prune(_t(spark, sf_dir, "embeddings"))
+
+
+_CENTROID_PRUNE_SQL = """
+WITH vppm AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS HUGEINT)) AS v
+  FROM embeddings
+),
+expl AS (
+  SELECT label, generate_subscripts(v,1) AS pos, unnest(v) AS val FROM vppm
+),
+cent AS (SELECT label, pos, sum(val) AS s FROM expl GROUP BY label, pos),
+carr AS (
+  SELECT label, list(s ORDER BY pos) AS sarr,
+         list_sum(list_transform(list(s ORDER BY pos), x -> x*x)) AS sumsq_s
+  FROM cent GROUP BY label
+),
+scored AS (
+  SELECT p.vec_id, p.label,
+         round(CAST(list_sum(list_transform(list_zip(p.v, c.sarr),
+                                            z -> z[1]*z[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(p.v, x -> x*x))
+                            AS DOUBLE))
+                  * sqrt(CAST(c.sumsq_s AS DOUBLE))), 6) AS centroid_cos
+  FROM vppm p JOIN carr c USING (label)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY centroid_cos DESC, vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM scored
+)
+SELECT vec_id, label, centroid_cos,
+       rn > (n * 250000) // 1000000 AS keep
+FROM ranked
+"""
+
+
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor (vec_id % 97 = 0,
+    a bounded training batch), the 5 most cosine-similar corpus vectors
+    carrying a DIFFERENT label — the boundary-hugging negatives in-batch
+    sampling can't see. One corpus pass: numpy GEMM per Arrow batch with
+    the label mask applied BEFORE the local top-k (cosine_topk_batch's
+    shape); the oracle replays the masked all-pairs ranking."""
+    from mydumper_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.where("vec_id % 97 = 0"), k=5)
+
+
+_HARD_NEG_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS anchor_id, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, e.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM embeddings a JOIN embeddings e ON a.label <> e.label
+  WHERE a.vec_id % 97 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine_sim DESC, vec_id) rn
+  FROM scored
+)
+SELECT anchor_id, vec_id, cosine_sim FROM ranked WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-2 query widening: deeper TPC-H-shaped join/agg/window coverage.
 # Same plan discipline as q1-q6: dims broadcast, money through integer cents
@@ -5252,6 +5339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_multimodal_features": x_multimodal_features,
         "x_ngram_jaccard": x_ngram_jaccard,
         "x_embedding_pairs_exact": x_embedding_pairs_exact,
+        "x_centroid_prune": x_centroid_prune,
+        "x_hard_negatives": x_hard_negatives,
         "x_sample_bernoulli": x_sample_bernoulli,
         "x_source_cap": x_source_cap,
         "x_corpus_mix": x_corpus_mix,
@@ -5416,6 +5505,8 @@ def oracle_sql() -> dict[str, str]:
         "x_multimodal_features": _MULTIMODAL_SQL,
         "x_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "x_embedding_pairs_exact": _EMB_EXACT_SQL,
+        "x_centroid_prune": _CENTROID_PRUNE_SQL,
+        "x_hard_negatives": _HARD_NEG_SQL,
         "x_sample_bernoulli": _sample_bernoulli_sql(),
         "x_source_cap": _source_cap_sql(),
         "x_corpus_mix": _corpus_mix_sql(),

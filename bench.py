@@ -81,6 +81,14 @@ BENCH_QUERIES = [
     # weighted-epoch materialization: scan-side explode fan-out only —
     # benched so the copy-count expression never grows a shuffle
     "x_repeat_by_weight",
+    # exact-integer centroid cosine + prototype pruning: one tiny
+    # (label,pos) exchange + broadcast back + per-row folds + one window
+    # — benched so the centroid path never regresses to pairwise work
+    "x_centroid_prune",
+    # label-masked GEMM hard-negative mining: one Arrow corpus pass,
+    # candidate window only — benched so the mask stays inside the local
+    # top-k (masking after would re-rank the whole corpus)
+    "x_hard_negatives",
 ]
 
 

@@ -1551,3 +1551,175 @@ def sq8_index_staleness(
         "retrain_recommended": bool(
             clip_ppm > clip_ppm_max or utilization < min_range_utilization),
     }
+
+
+def centroid_distance(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-vector cosine to its own group's MEAN embedding, computed
+    engine-portably exact — the similarity signal behind prototype
+    pruning (SemDeDup's within-cluster redundancy, Abbas et al. 2023, and
+    D4's dense-region pruning, Tirumala et al. 2023).
+
+    Cross-row float averaging is NOT cross-engine reproducible (sum order
+    differs), so the centroid never materializes as floats: each value
+    quantizes to integer ppm, the centroid numerator is an exact
+    DECIMAL(38,0) per-dimension SUM, and the count cancels out of the
+    cosine algebraically —
+
+        cos(v, s/n) = Σ vᵢsᵢ / (√(Σ vᵢ²) · √(Σ sᵢ²))
+
+    — leaving only correctly-rounded sqrt/div on identical exact
+    integers in both engines (DuckDB mirrors with HUGEINT).
+
+    Scale shape: one exchange of (label, pos, ppm) for the centroid sums
+    (dim × n tiny rows, map-side combined), one broadcast join back
+    (#labels rows), per-row fold for the dot — no window, no pairwise
+    work. Returns (id, label, centroid_cos)."""
+    from pyspark.sql import types as T
+
+    dec = T.DecimalType(38, 0)
+    vppm = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(dec))
+    base = embeddings.select(
+        F.col(id_col), F.col(label_col), vppm.alias("__v"))
+    cent = (base.select(label_col, F.posexplode("__v").alias("pos", "val"))
+            .groupBy(label_col, "pos")
+            .agg(F.sum("val").cast(dec).alias("s")))
+    carr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st["s"]).alias("__s"))
+    carr = carr.select(
+        label_col, "__s",
+        F.aggregate("__s", F.lit(0).cast(dec),
+                    lambda acc, x: acc + x * x).alias("__sumsq_s"))
+    joined = base.join(F.broadcast(carr), on=label_col)
+    dot = F.aggregate(
+        F.zip_with("__v", "__s", lambda a, b: a * b),
+        F.lit(0).cast(dec), lambda acc, x: acc + x)
+    sumsq_v = F.aggregate(
+        F.transform("__v", lambda x: x * x),
+        F.lit(0).cast(dec), lambda acc, x: acc + x)
+    return joined.select(
+        F.col(id_col), F.col(label_col),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(sumsq_v.cast("double"))
+               * F.sqrt(F.col("__sumsq_s").cast("double"))),
+            6).alias("centroid_cos"))
+
+
+def centroid_prune(
+    embeddings: DataFrame,
+    prune_ppm: int = 250_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Prototype pruning over :func:`centroid_distance`: within each
+    group, mark the ``prune_ppm``/1e6 fraction of vectors MOST similar to
+    the group mean as redundant (``keep = false``) — the D4 recipe
+    (dense cluster interiors teach the least); the exact-integer
+    ``(n · prune_ppm) DIV 1e6`` cutoff and (cos desc, id) tie order make
+    the kept set engine-portable.
+
+    Scale shape: centroid_distance's plan plus ONE window partitioned by
+    label. A label spanning a large corpus shard makes that window the
+    cost center — at that scale swap the exact rank for an approximate
+    score quantile cutoff (the budget_select trade, sampling.py)."""
+    from pyspark.sql.window import Window
+
+    scored = centroid_distance(embeddings, id_col, vec_col, label_col)
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("centroid_cos").desc(), F.col(id_col).asc())
+    wn = Window.partitionBy(label_col)
+    return (scored
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .select(
+                id_col, label_col, "centroid_cos",
+                (F.col("__rn") > F.expr(
+                    f"(__n * {int(prune_ppm)}) DIV 1000000"))
+                .alias("keep")))
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the k
+    corpus vectors MOST cosine-similar among those carrying a DIFFERENT
+    label — the negatives that sit closest to the decision boundary
+    (in-batch negatives are easy; hard ones come from a corpus sweep).
+
+    Same GEMM shape as :func:`cosine_topk_batch` (one corpus pass, numpy
+    matrix product per Arrow batch, local top-k per anchor, global
+    window over ~partitions×k candidates) with the label mask applied
+    BEFORE the local top-k — masking after would let same-label rows
+    consume candidate slots. Anchors are driver-collected (a training
+    batch, bounded); scores round to 6 decimals and tie-break by id, so
+    the ranking is engine-portable. Returns (anchor_id, vec_id,
+    cosine_sim), k rows per anchor (fewer if the corpus lacks k
+    off-label rows)."""
+    import numpy as np
+
+    arows = anchors.select(id_col, vec_col, label_col).collect()
+    aids = np.array([r[id_col] for r in arows], dtype=np.int64)
+    alab = np.array([r[label_col] for r in arows], dtype=np.int64)
+    am = np.array([[float(x) for x in r[vec_col]] for r in arows],
+                  dtype=np.float64)
+    anorm = np.sqrt((am * am).sum(axis=1))
+    if np.any(anorm == 0.0):
+        bad = aids[anorm == 0.0].tolist()
+        raise ValueError(
+            f"zero-norm anchor vector(s): {bad} — cosine undefined")
+    schema = f"anchor_id bigint, {id_col} bigint, cosine_sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labs = pdf[label_col].to_numpy(dtype=np.int64)
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            nz = vnorm != 0.0
+            if not nz.all():
+                ids, labs, v, vnorm = ids[nz], labs[nz], v[nz], vnorm[nz]
+            if len(ids) == 0:
+                continue
+            sims = np.round(
+                (v @ am.T) / (vnorm[:, None] * anorm[None, :]), 6)
+            out_a, out_id, out_s = [], [], []
+            for ai in range(len(aids)):
+                col = sims[:, ai]
+                ok = labs != alab[ai]          # the mask IS the operator
+                if not ok.any():
+                    continue
+                cids, csims = ids[ok], col[ok]
+                order = np.lexsort((cids, -csims))[:k]
+                out_a.extend([aids[ai]] * len(order))
+                out_id.extend(cids[order])
+                out_s.extend(csims[order])
+            yield pd.DataFrame(
+                {"anchor_id": out_a, id_col: out_id, "cosine_sim": out_s})
+
+    cand = embeddings.select(id_col, vec_col, label_col).mapInPandas(
+        score, schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))

@@ -2576,3 +2576,60 @@ def test_corpus_datasheet_plan_shape(spark):
     final = plan.split("== Initial Plan ==")[0]  # adaptive dumps both
     assert "Window" not in final and "Cartesian" not in final
     assert len(re.findall(r"Exchange hashpartitioning", final)) <= 4
+
+
+# -- centroid pruning + hard-negative mining (round 11) ----------------------
+
+
+def test_centroid_prune_semantics(spark):
+    """Hand-checkable geometry: two labels, one with an obvious prototype
+    cluster. The vector closest to its label mean prunes first; the
+    outlier survives; prune count = floor(n·ppm/1e6) per label."""
+    rows = [
+        # label 0: three near-identical + one opposite-direction outlier
+        (1, [1.0, 0.0], 0), (2, [0.99, 0.01], 0), (3, [0.98, 0.02], 0),
+        (4, [-1.0, 0.0], 0),
+        # label 1: two vectors, floor(2·0.5) = 1 pruned
+        (10, [0.0, 1.0], 1), (11, [1.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in
+           sim.centroid_prune(df, prune_ppm=500_000).collect()}
+    l0_pruned = [v for v in (1, 2, 3, 4) if not out[v]["keep"]]
+    assert len(l0_pruned) == 2  # floor(4·0.5)
+    assert 4 not in l0_pruned   # the outlier always survives
+    assert out[4]["centroid_cos"] < 0 < out[2]["centroid_cos"]
+    assert sum(not out[v]["keep"] for v in (10, 11)) == 1
+
+    # determinism under repartition (the exact-integer centroid's point)
+    a = sorted(map(tuple, sim.centroid_prune(df.repartition(7)).collect()))
+    b = sorted(map(tuple, sim.centroid_prune(df.coalesce(1)).collect()))
+    assert a == b
+
+
+def test_hard_negative_topk_masks_before_ranking(spark):
+    """The label mask applies BEFORE the local top-k: a same-label vector
+    more similar than every off-label one must not consume a slot, and
+    each anchor gets exactly min(k, #off-label) rows."""
+    rows = [
+        (0, [1.0, 0.0], 0),            # anchor
+        (1, [0.999, 0.001], 0),        # same label, nearest overall
+        (2, [0.9, 0.1], 1),
+        (3, [0.5, 0.5], 1),
+        (4, [0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sim.hard_negative_topk(df, df.where("vec_id = 0"), k=2).collect()
+    got = [(r["anchor_id"], r["vec_id"]) for r in out]
+    assert got == [(0, 2), (0, 3)]  # ranked off-label; vec 1 never appears
+    # k larger than the off-label pool: all 3, no padding
+    out3 = sim.hard_negative_topk(df, df.where("vec_id = 0"), k=9).collect()
+    assert [r["vec_id"] for r in out3] == [2, 3, 4]
+
+
+def test_hard_negative_topk_zero_norm_anchor_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0), (1, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="zero-norm anchor"):
+        sim.hard_negative_topk(df, df.where("vec_id = 0"), k=1)

@@ -374,3 +374,21 @@ def test_round10_plan_shapes(spark):
     assert "rangepartitioning" not in plan, plan
     # the ordering expression must not smuggle in a Python UDF
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_round11_plan_shapes(spark):
+    """Round-11 operators keep their promised shapes. centroid_prune:
+    no cartesian/nested-loop anywhere (the centroid path is aggregate +
+    broadcast join + fold, never pairwise), the join back is a broadcast,
+    and no global sort. hard_negatives: the corpus pass is one Arrow
+    stage; the only shuffle is the ~partitions×k candidate window."""
+    plan = _plan(entry.queries()["x_centroid_prune"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+    plan2 = _plan(entry.queries()["x_hard_negatives"](spark, SF))
+    assert "CartesianProduct" not in plan2, plan2
+    assert plan2.count("ArrowEvalPython") <= 1  # the one sanctioned GEMM
+    assert "rangepartitioning" not in plan2.lower(), plan2
