@@ -2724,12 +2724,26 @@ def test_insert_parser_quoted_binary_byte_faithful(spark, tmp_path):
     got = {r["id"]: ((bytes(r["payload"]) if r["payload"] is not None
                       else None), r["txt"])
            for r in df.collect()}
-    assert got == {
+    expected = {
         1: (b"\xff\xfe\x01ab", "café"),
         2: (b"q'b\\s\x80", "t€"),
         3: (b"0x41", "plain"),   # quoted ⇒ literal bytes, never unhexed
         4: (b"\x41\xff", None),  # unquoted 0xHEX ⇒ the hex wire form
     }
+    assert got == expected
+
+    # same bytes through a reference -c compressed chunk (.sql.gz): the
+    # latin-1 line reader must compose with the codec transparently
+    import gzip as _gzip
+
+    pz = str(tmp_path / "mydb.t.00001.sql.gz")
+    with open(pz, "wb") as f:
+        f.write(_gzip.compress(raw))
+    dfz = read_insert_sql(spark, pz, "id int, payload binary, txt string")
+    gotz = {r["id"]: ((bytes(r["payload"]) if r["payload"] is not None
+                       else None), r["txt"])
+            for r in dfz.collect()}
+    assert gotz == expected
 
 
 def test_mysqldump_split_binary_byte_faithful(spark, tmp_path):
@@ -2757,6 +2771,79 @@ def test_mysqldump_split_binary_byte_faithful(spark, tmp_path):
     got = {r["id"]: (bytes(r["b"]) if r["b"] is not None else None)
            for r in df.collect()}
     assert got == {1: b"\xff\x00ok", 2: None}
+
+
+def test_foreign_binary_intake_randomized(spark, tmp_path):
+    """Round-11 fuzz program: randomized FOREIGN-dump intake over the
+    exact wire form a stock mydumper (no --hex-blob) emits for binary —
+    `_binary '<mysql_real_escape_string bytes>'` with raw high bytes
+    (mydumper_write.c:684-699: only \\0 \\n \\r \\\\ ' \" \\x1a escape;
+    everything else, including invalid-UTF8, is verbatim). Renders the
+    dump byte-for-byte the reference way, reads through the latin-1
+    binary-safe path, and compares value-exact — including the quoted
+    '0xHEX'-spelling trap, empty binary (the reference's bare '' form),
+    NULLs, and a gzip round."""
+    import gzip as _gzip
+    import random
+
+    from mydumper_spark.sources.insert_parser import read_insert_sql
+
+    esc = {0x00: b"\\0", 0x0A: b"\\n", 0x0D: b"\\r", 0x5C: b"\\\\",
+           0x27: b"\\'", 0x22: b'\\"', 0x1A: b"\\Z"}
+
+    def mysql_escape(bs: bytes) -> bytes:
+        return b"".join(esc.get(b, bytes([b])) for b in bs)
+
+    rng = random.Random(1111)
+    texts = ["", "plain", "q'q", 'd"d', "back\\slash", "nl\nnl", "t\tt",
+             "café € 漢", "\\N", "0x41", "sub\x1ame"]
+    for rnd in range(4):
+        rows = []
+        for i in range(rng.randrange(40, 120)):
+            if rng.random() < 0.15:
+                b = None
+            elif rng.random() < 0.15:
+                b = bytes()  # reference emits bare ''
+            elif rng.random() < 0.2:
+                # the trap: bytes that SPELL a hex token must stay text
+                b = b"0x" + bytes(rng.choice(b"0123456789abcdefABCDEF")
+                                  for _ in range(rng.randrange(0, 8)))
+            else:
+                b = bytes(rng.randrange(256)
+                          for _ in range(rng.randrange(1, 40)))
+            t = rng.choice(texts) if rng.random() < 0.9 else None
+            rows.append((i, b, t))
+        # render the INSERT the reference way, raw bytes on the wire
+        line = bytearray(b"INSERT INTO `t` VALUES ")
+        for j, (i, b, t) in enumerate(rows):
+            if j:
+                line += b","
+            line += b"(%d," % i
+            if b is None:
+                line += b"NULL"
+            elif len(b) == 0:
+                line += b"''"
+            else:
+                line += b"_binary '" + mysql_escape(b) + b"'"
+            line += b","
+            if t is None:
+                line += b"NULL"
+            else:
+                line += b"'" + mysql_escape(t.encode("utf-8")) + b"'"
+            line += b")"
+        line += b";\n"
+        p = str(tmp_path / (f"fb{rnd}.sql" + (".gz" if rnd == 3 else "")))
+        payload = _gzip.compress(bytes(line)) if rnd == 3 else bytes(line)
+        with open(p, "wb") as f:
+            f.write(payload)
+        df = read_insert_sql(spark, p, "id int, b binary, t string")
+        got = {r["id"]: ((bytes(r["b"]) if r["b"] is not None else None),
+                         r["t"])
+               for r in df.collect()}
+        want = {i: (b, t) for i, b, t in rows}
+        bad = [(k, got.get(k), want[k]) for k in want
+               if got.get(k) != want[k]]
+        assert not bad, f"round {rnd}: first mismatches {bad[:3]}"
 
 
 def test_sql_format_roundtrip_randomized_hostile_types(spark, tmp_path):
