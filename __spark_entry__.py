@@ -2831,16 +2831,22 @@ carr AS (
 ),
 scored AS (
   SELECT p.vec_id, p.label,
-         round(CAST(list_sum(list_transform(list_zip(p.v, c.sarr),
-                                            z -> z[1]*z[2])) AS DOUBLE)
-               / (sqrt(CAST(list_sum(list_transform(p.v, x -> x*x))
-                            AS DOUBLE))
-                  * sqrt(CAST(c.sumsq_s AS DOUBLE))), 6) AS centroid_cos
+         CASE WHEN list_sum(list_transform(p.v, x -> x*x)) > 0
+                   AND c.sumsq_s > 0
+              THEN round(CAST(list_sum(list_transform(list_zip(p.v, c.sarr),
+                                                      z -> z[1]*z[2]))
+                              AS DOUBLE)
+                         / (sqrt(CAST(list_sum(list_transform(p.v,
+                                                              x -> x*x))
+                                      AS DOUBLE))
+                            * sqrt(CAST(c.sumsq_s AS DOUBLE))), 6)
+         END AS centroid_cos
   FROM vppm p JOIN carr c USING (label)
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY label
-                               ORDER BY centroid_cos DESC, vec_id) AS rn,
+                               ORDER BY centroid_cos DESC NULLS LAST,
+                                        vec_id) AS rn,
          count(*) OVER (PARTITION BY label) AS n
   FROM scored
 )
@@ -2876,6 +2882,10 @@ WITH scored AS (
            6) AS cosine_sim
   FROM embeddings a JOIN embeddings e ON a.label <> e.label
   WHERE a.vec_id % 97 = 0
+    -- zero-norm corpus rows have no defined cosine; the operator
+    -- filters them before the GEMM, so the oracle must too
+    AND list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) > 0
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY anchor_id

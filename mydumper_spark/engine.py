@@ -478,16 +478,26 @@ def _capture_objects(cat, dialect, cfg: DumpConfig,
                 # a dialect without information_schema just skips the
                 # stand-in (our own restore never needs it — the DAG
                 # orders views after their bases).
-                try:
-                    obj.columns = [
-                        (r[0], r[1]) for r in cat._q(
-                            "SELECT column_name, data_type "
-                            "FROM information_schema.columns "
-                            f"WHERE table_schema = '{obj.database}' "
-                            f"AND table_name = '{obj.name}' "
-                            "ORDER BY ordinal_position").collect()]
-                except Exception:
-                    obj.columns = None
+                db_lit = obj.database.replace("'", "''")
+                nm_lit = obj.name.replace("'", "''")
+                where = (f"WHERE table_schema = '{db_lit}' "
+                         f"AND table_name = '{nm_lit}' "
+                         "ORDER BY ordinal_position")
+                obj.columns = None
+                # COLUMN_TYPE carries the full type (varchar(20)); MySQL
+                # has it, DuckDB/ANSI only expose DATA_TYPE — try the
+                # complete form first so the stand-in DDL is valid for
+                # its one consumer (foreign myloader against MySQL)
+                for tcol in ("column_type", "data_type"):
+                    try:
+                        obj.columns = [
+                            (r[0], r[1]) for r in cat._q(
+                                f"SELECT column_name, {tcol} "
+                                "FROM information_schema.columns "
+                                + where).collect()]
+                        break
+                    except Exception:
+                        continue
         elif obj.kind == "trigger":
             # a trigger's fate follows its base table's (the
             # reference files triggers per-table)
@@ -535,7 +545,11 @@ def _write_object_artifacts(manifest: Manifest, schema_objects: list,
     for okey, obj in schema_objects:
         safe = fnames.filename_for(okey)
         op = os.path.join(output_dir, f"{safe}{_OBJ_SUFFIX[obj.kind]}")
-        with open(op, "w") as f:
+        # surrogateescape: mysqldump-sourced object DDL may carry raw
+        # non-UTF-8 bytes preserved by the splitter's byte-faithful read;
+        # a strict write would abort the whole artifact pass on them
+        with open(op, "w", encoding="utf-8",
+                  errors="surrogateescape") as f:
             f.write(obj.raw_sql.rstrip("\n") + "\n")
         if obj.kind == "view" and getattr(obj, "columns", None):
             cols = ",\n".join(
@@ -552,7 +566,8 @@ def _write_object_artifacts(manifest: Manifest, schema_objects: list,
             "database": obj.database,
             "name": obj.name,
             "path": op,
-            "checksum": _hashlib.md5(obj.raw_sql.encode()).hexdigest(),
+            "checksum": _hashlib.md5(
+                obj.raw_sql.encode("utf-8", "surrogateescape")).hexdigest(),
             **({"table": obj.table} if obj.table else {}),
         })
 
@@ -1735,16 +1750,23 @@ def restore(
                 + (" (continued past: --ignore-errors)" if ignore_errors
                    else ""))
     for t, ok in results.get("verify", {}).items():
-        if ok is None:
+        if ok is False and results.get("load", {}).get(t, True):
+            # loaded fine but the target hash disagrees with the
+            # manifest — detected corruption, the condition most worth
+            # shouting about (load failures are reported above)
+            warn_lines.append(
+                f"table {t}: checksum MISMATCH against the manifest")
+        elif ok is None:
             warn_lines.append(
                 f"table {t}: checksum unverifiable — APPEND onto a "
                 f"pre-existing table mixes prior rows into the hash")
     for t in results.get("skipped_existing", ()):
         warn_lines.append(f"table {t}: left untouched (--skip-existing)")
     ddl_skips = results.get("ddl", {}).get("skipped", {})
-    for t, note in (ddl_skips.items()
-                    if isinstance(ddl_skips, dict) else ()):
-        warn_lines.append(f"table {t}: DDL skipped — {note}")
+    for t, notes in (ddl_skips.items()
+                     if isinstance(ddl_skips, dict) else ()):
+        joined = "; ".join(notes) if isinstance(notes, list) else notes
+        warn_lines.append(f"table {t}: DDL skipped — {joined}")
     if warn_lines:
         results["warnings"] = warn_lines
         if show_warnings:

@@ -755,7 +755,8 @@ def repeat_by_weight(
         F.assert_true(
             w.isNotNull(),
             F.concat(F.lit("repeat_by_weight: NULL weight_ppm for "),
-                     F.col(id_col).cast("string"),
+                     F.coalesce(F.col(id_col).cast("string"),
+                                F.lit("<null id>")),
                      F.lit(" — weights must be non-null (coalesce "
                            "upstream to 0 to drop, 1000000 to keep)")),
         ).cast("bigint"),

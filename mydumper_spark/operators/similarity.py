@@ -1605,13 +1605,20 @@ def centroid_distance(
     sumsq_v = F.aggregate(
         F.transform("__v", lambda x: x * x),
         F.lit(0).cast(dec), lambda acc, x: acc + x)
+    # zero-norm guard, mirrored verbatim in the oracle SQL: a zero
+    # vector (or an all-zero centroid) has no defined cosine — emit NULL
+    # on both engines instead of letting IEEE NaN/Inf diverge between
+    # Spark and DuckDB ordering semantics
+    denom_ok = (sumsq_v > 0) & (F.col("__sumsq_s") > 0)
     return joined.select(
         F.col(id_col), F.col(label_col),
-        F.round(
-            dot.cast("double")
-            / (F.sqrt(sumsq_v.cast("double"))
-               * F.sqrt(F.col("__sumsq_s").cast("double"))),
-            6).alias("centroid_cos"))
+        F.when(
+            denom_ok,
+            F.round(
+                dot.cast("double")
+                / (F.sqrt(sumsq_v.cast("double"))
+                   * F.sqrt(F.col("__sumsq_s").cast("double"))),
+                6)).alias("centroid_cos"))
 
 
 def centroid_prune(
@@ -1635,8 +1642,11 @@ def centroid_prune(
     from pyspark.sql.window import Window
 
     scored = centroid_distance(embeddings, id_col, vec_col, label_col)
+    # NULLS LAST explicitly: zero-norm vectors (NULL cosine) rank least
+    # prototypical on both engines (Spark desc defaults nulls-last,
+    # DuckDB defaults the same — pinned rather than assumed)
     w = Window.partitionBy(label_col).orderBy(
-        F.col("centroid_cos").desc(), F.col(id_col).asc())
+        F.col("centroid_cos").desc_nulls_last(), F.col(id_col).asc())
     wn = Window.partitionBy(label_col)
     return (scored
             .withColumn("__rn", F.row_number().over(w))

@@ -57,7 +57,14 @@ def _dialect_from_manifest(root: str) -> CsvFormat:
             dialect = json.load(f).get("config", {}).get("csv_dialect")
     except (OSError, ValueError):
         dialect = None
-    return CsvFormat(**{"escaped_data": False, **(dialect or {})})
+    # keep only keys this version's CsvFormat knows: a NEWER writer may
+    # have recorded extra dialect fields, and a TypeError here would turn
+    # the best-effort read into a crash
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(CsvFormat)}
+    dialect = {k: v for k, v in (dialect or {}).items() if k in known}
+    return CsvFormat(**{"escaped_data": False, **dialect})
 
 
 def read_dump_table(

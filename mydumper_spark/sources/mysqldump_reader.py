@@ -258,7 +258,8 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                         res.databases.append(db)
                     with open(os.path.join(out_dir,
                                            f"{db}-schema-create.sql"),
-                              "w", encoding="utf-8") as f:
+                              "w", encoding="utf-8",
+                              errors="surrogateescape") as f:
                         f.write(s + ";\n")  # gate-free, replayable form
                     continue
                 m = _RE_INSERT.match(s)
@@ -303,7 +304,8 @@ def split_mysqldump(path: str, out_dir: str) -> SplitResult:
                     entry["schema_path"] = os.path.join(
                         out_dir, f"{key}-schema.sql")
                     with open(entry["schema_path"], "w",
-                              encoding="utf-8") as f:
+                              encoding="utf-8",
+                              errors="surrogateescape") as f:
                         f.write(entry["create_sql"] + "\n")
                     continue
                 mv = _RE_VIEW.match(s)

@@ -387,3 +387,27 @@ def test_import_mysqldump_randomized_multischema_hostile(spark, tmp_path):
         got = {tuple(r) for r in
                spark.read.parquet(os.path.join(tgt, cands[0])).collect()}
         assert got == want, (db, t, list(got ^ want)[:4])
+
+
+def test_split_mysqldump_non_utf8_ddl_survives(tmp_path):
+    """A latin1-encoded foreign dump whose DDL carries raw non-UTF-8
+    bytes (COMMENT 'café' as 0xE9) must split without crashing and keep
+    the bytes byte-for-byte (round 11: surrogateescape pairs the input
+    read with every artifact write — a strict utf-8 write would raise
+    UnicodeEncodeError on the lone surrogate and abort the split)."""
+    from mydumper_spark.sources.mysqldump_reader import split_mysqldump
+
+    p = str(tmp_path / "latin1.sql")
+    raw = (b"CREATE DATABASE `ld`;\nUSE `ld`;\n"
+           b"CREATE TABLE `t` (`id` int COMMENT 'caf\xe9');\n"
+           b"INSERT INTO `t` VALUES (1);\n"
+           b"CREATE VIEW `v` AS SELECT id FROM t; -- vue caf\xe9\n")
+    with open(p, "wb") as f:
+        f.write(raw)
+    out = str(tmp_path / "split")
+    os.makedirs(out, exist_ok=True)
+    res = split_mysqldump(p, out)
+    entry = res.tables["ld.t"]
+    with open(entry["schema_path"], "rb") as f:
+        assert b"caf\xe9" in f.read()  # DDL bytes preserved, not U+FFFD
+    assert [o["name"] for o in res.objects] == ["v"]

@@ -2627,6 +2627,36 @@ def test_hard_negative_topk_masks_before_ranking(spark):
     assert [r["vec_id"] for r in out3] == [2, 3, 4]
 
 
+def test_centroid_and_hard_negative_zero_norm_rows(spark):
+    """Zero-norm corpus rows (no defined cosine) behave identically on
+    both engines: centroid_distance emits NULL for them (and for an
+    all-zero centroid) and they rank least prototypical (NULLS LAST);
+    hard_negative_topk drops them from candidacy — both guards are
+    mirrored verbatim in the oracle SQL."""
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+        (3, [0.0, 0.0], 0),               # zero vector
+        (10, [0.0, 0.0], 1), (11, [0.0, 0.0], 1),  # all-zero centroid
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: r for r in sim.centroid_distance(df).collect()}
+    assert got[3]["centroid_cos"] is None
+    assert got[10]["centroid_cos"] is None  # zero centroid: NULL too
+    assert got[1]["centroid_cos"] is not None
+    pruned = {r["vec_id"]: r for r in
+              sim.centroid_prune(df, prune_ppm=500_000).collect()}
+    assert pruned[3]["keep"]  # NULLS LAST: the zero row never prunes
+
+    # anchor vec 1 (label 0); the only off-label candidate is the zero
+    # vector vec 10 — the operator (and the oracle's mirrored filter)
+    # drop it rather than rank a NaN cosine, so no negatives come back
+    hn = sim.hard_negative_topk(
+        df.where("label <> 1 or vec_id = 10"),
+        df.where("vec_id = 1"), k=5).collect()
+    assert hn == []
+
+
 def test_hard_negative_topk_zero_norm_anchor_raises(spark):
     df = spark.createDataFrame(
         [(0, [0.0, 0.0], 0), (1, [1.0, 0.0], 1)],

@@ -2345,6 +2345,24 @@ def test_restore_show_warnings(spark, sf_dir, tmp_path):
     assert any("unverifiable" in w for w in res2["warnings"])
     assert not any("unverifiable" in str(w.message) for w in caught2)
 
+    # checksum MISMATCH (loaded fine, hash disagrees with the manifest —
+    # simulated by corrupting the recorded checksum): the most serious
+    # condition must surface through --show-warnings too
+    import json as _json
+
+    mpath = os.path.join(out, "_manifest.json")
+    doc = _json.load(open(mpath))
+    doc["tables"]["region"]["data_checksum"] = "0"
+    with open(mpath, "w") as f:
+        _json.dump(doc, f)
+    with _warnings.catch_warnings(record=True) as caught3:
+        _warnings.simplefilter("always")
+        res3 = restore(spark, out, str(tmp_path / "swtarget2"),
+                       parallelism=1, show_warnings=True)
+    assert res3["verify"] == {"region": False}
+    assert any("checksum MISMATCH" in w for w in res3["warnings"])
+    assert any("checksum MISMATCH" in str(w.message) for w in caught3)
+
 
 def test_exec_per_thread_multi_chunk_parallel(spark, sf_dir, tmp_path):
     """A multi-chunk table's --exec-per-thread filter runs on a worker
