@@ -5349,8 +5349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_multimodal_features": x_multimodal_features,
         "x_ngram_jaccard": x_ngram_jaccard,
         "x_embedding_pairs_exact": x_embedding_pairs_exact,
-        "x_centroid_prune": x_centroid_prune,
-        "x_hard_negatives": x_hard_negatives,
         "x_sample_bernoulli": x_sample_bernoulli,
         "x_source_cap": x_source_cap,
         "x_corpus_mix": x_corpus_mix,
@@ -5370,8 +5368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to promote first: x_diversity_chars (zero-Exchange per-row
         # array analytics), x_repeat_by_weight (deterministic weighted
         # epoch fanout), x_corpus_datasheet (one-pass per-group
-        # datasheet) — each oracle-exact and plan-pinned.
+        # datasheet) — each oracle-exact and plan-pinned. The round-11
+        # pair (x_centroid_prune, x_hard_negatives) follows the same
+        # policy: below the window, proven by the full sweep + bench.
         "x_diversity_chars": x_diversity_chars,
+        "x_centroid_prune": x_centroid_prune,
+        "x_hard_negatives": x_hard_negatives,
         "x_diversity_tokens": x_diversity_tokens,
         "x_repeat_by_weight": x_repeat_by_weight,
         "x_corpus_datasheet": x_corpus_datasheet,
