@@ -747,24 +747,28 @@ def repeat_by_weight(
          ).cast("bigint")
     # assert_true is NULL on pass; folding it through coalesce forces
     # per-row evaluation without a separate validation pass over the data.
-    # A NULL weight gets its own check FIRST — without it the range
-    # condition itself goes NULL, which assert_true treats as failure but
-    # with the max_copies message (and a NULL-concat'd, blank error text):
-    # a misleading diagnosis for what is missing input, not a fanout bomb.
+    # ONE assert covers both contracts: the isNotNull conjunct keeps the
+    # condition FALSE (not NULL) for a NULL weight — without it the range
+    # check itself goes NULL, which assert_true treats as failure but
+    # with the max_copies message (and a NULL-concat'd, blank error
+    # text): a misleading diagnosis for missing input — and the CASE in
+    # the message names the actual offense.
     guarded = F.coalesce(
         F.assert_true(
-            w.isNotNull(),
-            F.concat(F.lit("repeat_by_weight: NULL weight_ppm for "),
-                     F.coalesce(F.col(id_col).cast("string"),
-                                F.lit("<null id>")),
-                     F.lit(" — weights must be non-null (coalesce "
-                           "upstream to 0 to drop, 1000000 to keep)")),
-        ).cast("bigint"),
-        F.assert_true(
-            (w >= 0) & (n <= F.lit(int(max_copies))),
-            F.concat(F.lit(f"repeat_by_weight: copy count exceeds "
-                           f"max_copies={int(max_copies)} (weight_ppm="),
-                     w.cast("string"), F.lit(")")),
+            w.isNotNull() & (w >= 0) & (n <= F.lit(int(max_copies))),
+            F.when(
+                w.isNull(),
+                F.concat(
+                    F.lit("repeat_by_weight: NULL weight_ppm for "),
+                    F.coalesce(F.col(id_col).cast("string"),
+                               F.lit("<null id>")),
+                    F.lit(" — weights must be non-null (coalesce "
+                          "upstream to 0 to drop, 1000000 to keep)")),
+            ).otherwise(
+                F.concat(
+                    F.lit(f"repeat_by_weight: copy count exceeds "
+                          f"max_copies={int(max_copies)} (weight_ppm="),
+                    w.cast("string"), F.lit(")"))),
         ).cast("bigint"),
         n,
     )

@@ -155,6 +155,16 @@ def test_insert_parser_inverts_escaping(rows):
     want = [[v if v is None else str(v) for v in row] for row in rows]
     assert got == want
 
+    # the with_quoted variant is the same parse plus a flag — stripping
+    # the flags must reproduce the default output exactly, and the flag
+    # must be True iff the literal was rendered quoted (strings; ints
+    # and NULL are bare)
+    flagged = parse_tuples(stmt, with_quoted=True)
+    assert [[v for v, _ in tup] for tup in flagged] == want
+    for row, tup in zip(rows, flagged):
+        for v, (_, q) in zip(row, tup):
+            assert q == isinstance(v, str)
+
 
 # -- corpus chunking/packing boundary arithmetic ------------------------------
 #
