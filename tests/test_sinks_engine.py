@@ -1846,7 +1846,7 @@ def test_sql_format_dump_roundtrip_exact(spark, sf_dir, tmp_path):
     assert back.exceptAll(orig).count() == 0
 
 
-def test_sql_format_statement_size_byte_cap(spark):
+def test_sql_format_statement_size_byte_cap(spark, tmp_path):
     """-s/--statement-size caps every emitted statement by BYTES exactly
     (at least one tuple per statement), losing no rows."""
     from mydumper_spark.sinks.writers import insert_statements_stream
@@ -1861,8 +1861,7 @@ def test_sql_format_statement_size_byte_cap(spark):
     lines = [r["statement"] for r in stmts.collect()]
     assert len(lines) > 5  # the byte cap actually split
     assert all(len(line.encode()) <= 120 for line in lines)
-    p = "/tmp/claude-0/stmt_cap.sql"
-    os.makedirs(os.path.dirname(p), exist_ok=True)
+    p = str(tmp_path / "stmt_cap.sql")
     with open(p, "w") as f:
         f.write("\n".join(lines) + "\n")
     back = read_insert_sql(spark, p, df.schema)
@@ -2030,7 +2029,7 @@ def test_sql_format_gzip_compression_roundtrip(spark, sf_dir, tmp_path):
     assert back.exceptAll(orig).count() == 0 and orig.exceptAll(back).count() == 0
 
 
-def test_dump_object_capture_skip_gates():
+def test_dump_object_capture_skip_gates(tmp_path):
     """--skip-triggers/--skip-routines/--skip-events gate per-kind object
     capture (the honest inverse of the reference's -G/-R/-E opt-ins: our
     default captures everything)."""
@@ -2069,7 +2068,7 @@ def test_dump_object_capture_skip_gates():
     dialect = SimpleNamespace(product=ServerProduct.MYSQL)
 
     def kinds(**flags):
-        cfg = DumpConfig(output_dir="/tmp/claude-0/unused", **flags)
+        cfg = DumpConfig(output_dir=str(tmp_path / "unused"), **flags)
         return {o.kind for _, o in _capture_objects(
             cat, dialect, cfg, {"orders"}, False, None)}
 
