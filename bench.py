@@ -134,6 +134,18 @@ def main():
         # minute inside weeks of idle history)
         "host": _host_load(cpu0),
     }
+    # machine-visible contention verdict (round 12): every disputed bench
+    # episode (r7→r8, r8→r9, r11) was adjudicated after the fact from the
+    # same evidence this computes — steal% over the timed loop and the
+    # run queue vs core count. A flagged record means "re-run on a quieter
+    # host before comparing", so a dirty number can never masquerade as a
+    # regression again.
+    host = result["host"]
+    steal = host.get("cpu_pct", {}).get("steal", 0.0)
+    load1 = (host.get("loadavg") or [0.0])[0]
+    ncpu = host.get("ncpu") or os.cpu_count() or 1
+    if steal > 1.0 or load1 > ncpu / 8:
+        result["contended"] = True
     print(json.dumps(result))
     spark.stop()
 

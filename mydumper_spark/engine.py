@@ -539,24 +539,39 @@ def _write_object_artifacts(manifest: Manifest, schema_objects: list,
     dependency table (``{view}-schema.sql`` holding ``CREATE TABLE IF NOT
     EXISTS … ENGINE=<view_dep_engine>``, mydumper_jobs.c:520-545) so
     foreign myloader can resolve view-on-view/table dependency order; our
-    own restore ignores it (the DAG orders views natively)."""
+    own restore ignores it (the DAG orders views natively).
+
+    Every view's real ``-schema-view.sql`` artifact opens with the
+    reference's preamble ``DROP TABLE IF EXISTS … ; DROP VIEW IF EXISTS …``
+    (mydumper_jobs.c:578-579): foreign myloader replays the stand-in
+    CREATE TABLE first, and without the DROP TABLE line the subsequent
+    CREATE VIEW fails with "Table already exists". Our own restore strips
+    the preamble and issues its own target-qualified drops."""
     import hashlib as _hashlib
 
     for okey, obj in schema_objects:
         safe = fnames.filename_for(okey)
         op = os.path.join(output_dir, f"{safe}{_OBJ_SUFFIX[obj.kind]}")
+        body = obj.raw_sql.rstrip("\n") + "\n"
+        if obj.kind == "view" and not body.upper().startswith("DROP "):
+            bt_name = obj.name.replace("`", "``")
+            body = (f"DROP TABLE IF EXISTS `{bt_name}`;\n"
+                    f"DROP VIEW IF EXISTS `{bt_name}`;\n" + body)
         # surrogateescape: mysqldump-sourced object DDL may carry raw
         # non-UTF-8 bytes preserved by the splitter's byte-faithful read;
         # a strict write would abort the whole artifact pass on them
         with open(op, "w", encoding="utf-8",
                   errors="surrogateescape") as f:
-            f.write(obj.raw_sql.rstrip("\n") + "\n")
+            f.write(body)
         if obj.kind == "view" and getattr(obj, "columns", None):
             cols = ",\n".join(
                 "  `{}` {}".format(c.replace("`", "``"), t)
                 for c, t in obj.columns)
             standin = os.path.join(output_dir, f"{safe}-schema.sql")
-            with open(standin, "w") as f:
+            # utf-8 + surrogateescape like every artifact write: a
+            # non-ASCII view/column name must not abort under C locales
+            with open(standin, "w", encoding="utf-8",
+                      errors="surrogateescape") as f:
                 f.write(
                     "CREATE TABLE IF NOT EXISTS `{}`(\n{}\n) ENGINE={};\n"
                     .format(obj.name.replace("`", "``"), cols,
@@ -567,7 +582,7 @@ def _write_object_artifacts(manifest: Manifest, schema_objects: list,
             "name": obj.name,
             "path": op,
             "checksum": _hashlib.md5(
-                obj.raw_sql.encode("utf-8", "surrogateescape")).hexdigest(),
+                body.encode("utf-8", "surrogateescape")).hexdigest(),
             **({"table": obj.table} if obj.table else {}),
         })
 
@@ -1354,7 +1369,7 @@ def restore(
                     import tempfile
 
                     from mydumper_spark.sinks.exec_sink import (
-                        exec_decode_file,
+                        exec_decode_files,
                     )
                     from mydumper_spark.sinks.manifest import (
                         _SQL_CHUNK_RE,
@@ -1364,11 +1379,12 @@ def restore(
                     scratch = tempfile.mkdtemp(prefix="mydumper_ept_")
                     atexit.register(_shutil.rmtree, scratch,
                                     ignore_errors=True)
-                    decoded = [
-                        exec_decode_file(p, exec_per_thread, filt_ext,
-                                         scratch)
-                        for p in sql_chunk_paths(src_path)
-                    ]
+                    # pooled decode, the dump side's exec_filter_files
+                    # inverse: chunks overlap instead of serializing on
+                    # the driver; decoded[0] stays the manifest path
+                    decoded = exec_decode_files(
+                        sql_chunk_paths(src_path), exec_per_thread,
+                        filt_ext, scratch)
                     prefix = _SQL_CHUNK_RE.sub(
                         "", os.path.basename(src_path))
                     side = os.path.join(os.path.dirname(src_path),
@@ -1597,6 +1613,16 @@ def restore(
 
                 with open(o["path"]) as f:
                     raw = skip_definer(f.read()).strip()
+                # a view artifact opens with the reference preamble
+                # DROP TABLE IF EXISTS…; DROP VIEW IF EXISTS…
+                # (mydumper_jobs.c:578-579 — ours and genuine dumps
+                # alike): strip it, the drops below re-issue it with the
+                # TARGET-qualified name ddl_executor needs
+                import re as _re
+
+                raw = _re.sub(
+                    r"^(?:DROP\s+(?:TABLE|VIEW)\s+IF\s+EXISTS[^;]*;\s*)+",
+                    "", raw, flags=_re.IGNORECASE).strip()
                 qn = quote_ident(o["name"], dialect)
                 if target_database is not None:  # myloader -B: everything
                     qn = f"{quote_ident(target_database, dialect)}.{qn}"
@@ -1615,7 +1641,21 @@ def restore(
                 if drop_kw is None:  # routine: PROCEDURE vs FUNCTION is
                     drop_kw = ("FUNCTION" if raw.upper().startswith(
                         "CREATE FUNCTION") else "PROCEDURE")
-                ddl_executor(f"DROP {drop_kw} IF EXISTS {qn}")
+                if o["kind"] == "view":
+                    # the name may exist as the stand-in dependency TABLE
+                    # (a foreign dump's {view}-schema.sql replayed as a
+                    # table) or as a prior VIEW — never both, and engines
+                    # (DuckDB, MySQL) error on a type-mismatched DROP even
+                    # with IF EXISTS, so try each and let the wrong-typed
+                    # one fail
+                    for stmt in (f"DROP TABLE IF EXISTS {qn}",
+                                 f"DROP VIEW IF EXISTS {qn}"):
+                        try:
+                            ddl_executor(stmt)
+                        except Exception:
+                            pass
+                else:
+                    ddl_executor(f"DROP {drop_kw} IF EXISTS {qn}")
                 if o["kind"] == "sequence":
                     # CREATE SEQUENCE + the SETVAL position statement ride
                     # in one artifact, ';\n'-separated (never split other

@@ -764,6 +764,15 @@ def repeat_by_weight(
                                F.lit("<null id>")),
                     F.lit(" — weights must be non-null (coalesce "
                           "upstream to 0 to drop, 1000000 to keep)")),
+            ).when(
+                w < 0,
+                F.concat(
+                    F.lit("repeat_by_weight: negative weight_ppm="),
+                    w.cast("string"),
+                    F.lit(" for "),
+                    F.coalesce(F.col(id_col).cast("string"),
+                               F.lit("<null id>")),
+                    F.lit(" — weights are non-negative ppm counts")),
             ).otherwise(
                 F.concat(
                     F.lit(f"repeat_by_weight: copy count exceeds "

@@ -116,6 +116,23 @@ def exec_decode_file(path: str, command: str, strip_extension: str,
     return out_path
 
 
+def exec_decode_files(paths: list[str], command: str, strip_extension: str,
+                      out_dir: str, max_workers: int = 4) -> list[str]:
+    """Pooled ``exec_decode_file`` over a table's chunk files — the exact
+    restore-side inverse of ``exec_filter_files`` (myloader decodes per
+    worker thread too): a 50-chunk filtered table must not decode one
+    chunk at a time on the driver before the load starts. Result order
+    matches ``paths`` (chunk0 first: its decoded name is the manifest
+    path the typed read anchors on)."""
+    if not paths:
+        return []
+    workers = min(max_workers, len(paths))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(
+            lambda p: exec_decode_file(p, command, strip_extension,
+                                       out_dir), paths))
+
+
 def masquerade_table_name(table: str, salt: str = "") -> str:
     """T13: stable hashed output name for a table."""
     return "t_" + hashlib.sha256((salt + table).encode()).hexdigest()[:16]

@@ -87,8 +87,9 @@ class Manifest:
     #: mydumper_daemon_thread.c:33-146); None for full dumps
     parent_manifest: str | None = None
     tables: dict[str, TableEntry] = field(default_factory=dict)
-    #: --compact / --use-savepoints (recorded flags; compact also trims
-    #: the reference-format metadata twin's header/footer constructs)
+    #: --compact / --use-savepoints (recorded flags; compact is a
+    #: metadata NO-OP — the reference only gates the per-chunk SQL_MODE
+    #: header, mydumper_common.c:411,422, and our chunks carry none)
     compact: bool = False
     use_savepoints: bool = False
     #: non-table schema objects (views/triggers/routines/events) captured

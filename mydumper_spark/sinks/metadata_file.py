@@ -46,15 +46,24 @@ class DumpMetadata:
 
 
 def format_metadata(meta: DumpMetadata, compact: bool = False) -> str:
-    """Render the reference's metadata file text. ``compact`` is the
-    --compact analogue (mydumper_arguments.c:226 "disables header/footer
-    constructs"): drop the started/finished comment lines and the
-    session-variables section, keeping only the parseable payload."""
-    out = [] if compact else [f"# Started dump at: {meta.started_at}"]
+    """Render the reference's metadata file text.
+
+    ``compact`` (mydumper_arguments.c:226) is accepted for signature
+    stability but is a NO-OP here: the reference's flag only suppresses
+    the per-chunk ``SET SQL_MODE`` header inside SQL files
+    (mydumper_common.c:411,422) — the metadata file's Started/Finished
+    lines and ``[myloader_session_variables]`` section are written
+    unconditionally (mydumper_start_dump.c:1161,1181,1717), and trimming
+    them here made foreign myloader silently lose SQL_MODE session
+    restoration. Our SQL chunks carry no per-file SQL_MODE header, so
+    compact changes no artifact; it is still recorded in the manifest
+    config for parity."""
+    del compact
+    out = [f"# Started dump at: {meta.started_at}"]
     out.append(f"[config]\nquote-character = {meta.quote_character}")
     if meta.local_infile:
         out.append("local-infile = 1")
-    if meta.sql_mode is not None and not compact:
+    if meta.sql_mode is not None:
         out.append(f"\n[myloader_session_variables]\nSQL_MODE={meta.sql_mode} /*!40101")
     if meta.source:
         out.append("\n[source]")
@@ -78,7 +87,7 @@ def format_metadata(meta: DumpMetadata, compact: bool = False) -> str:
             out.append(f"data_checksum = {t.data_checksum}")
         if t.schema_checksum is not None:
             out.append(f"schema_checksum = {t.schema_checksum}")
-    if meta.finished_at and not compact:
+    if meta.finished_at:
         out.append(f"\n# Finished dump at: {meta.finished_at}")
     return "\n".join(out) + "\n"
 

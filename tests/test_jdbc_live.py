@@ -728,7 +728,13 @@ def test_view_dump_restore_roundtrip_live(spark, tmp_path):
     views = [o for o in manifest.objects if o["kind"] == "view"]
     assert [v["name"] for v in views] == ["region_totals"]
     art = open(views[0]["path"]).read()
-    assert art.startswith("CREATE VIEW") and "region_totals" in art
+    # reference preamble (mydumper_jobs.c:578-579): foreign myloader
+    # replays the stand-in CREATE TABLE first; without these drops the
+    # real CREATE VIEW fails with "Table already exists"
+    assert art.startswith("DROP TABLE IF EXISTS `region_totals`;\n"
+                          "DROP VIEW IF EXISTS `region_totals`;\n"
+                          "CREATE VIEW")
+    assert "region_totals" in art
     doc = json.load(open(os.path.join(out, "_manifest.json")))
     assert doc["objects"][0]["name"] == "region_totals"
     assert doc["objects"][0]["checksum"]
@@ -794,8 +800,10 @@ def test_view_standin_dependency_table_live(spark, tmp_path):
     assert standin.startswith("CREATE TABLE IF NOT EXISTS `vt`(")
     assert "`id` INTEGER" in standin and "`v` VARCHAR" in standin
     assert standin.rstrip().endswith("ENGINE=MEMORY;")
-    # the real view DDL is a separate artifact, untouched
+    # the real view DDL is a separate artifact, opening with the
+    # stand-in-clearing preamble (mydumper_jobs.c:578-579)
     assert open(os.path.join(out, "vt-schema-view.sql")).read().startswith(
+        "DROP TABLE IF EXISTS `vt`;\nDROP VIEW IF EXISTS `vt`;\n"
         "CREATE VIEW")
 
     out2 = str(tmp_path / "standin_custom")
@@ -804,6 +812,39 @@ def test_view_standin_dependency_table_live(spark, tmp_path):
                     table_engine_for_view_dependency="InnoDB"))
     assert open(os.path.join(out2, "vt-schema.sql")).read().rstrip().endswith(
         "ENGINE=InnoDB;")
+
+    # the preamble's consumer scenario, live: a loader that replayed the
+    # stand-in first holds a TABLE named vt — the POST-phase view replay
+    # must clear it (DROP TABLE) before CREATE VIEW, or it fails with
+    # "already exists" (the exact foreign-myloader regression)
+    from mydumper_spark.engine import restore
+
+    target = str(tmp_path / "standin_target.duckdb")
+    con = duckdb.connect(target)
+    con.execute("CREATE TABLE vt (id INTEGER, v VARCHAR)")  # the stand-in
+    con.execute("CHECKPOINT")
+    con.close()
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        try:
+            c.execute(sql)
+            c.execute("CHECKPOINT")
+        finally:
+            c.close()
+
+    results = restore(
+        spark, out, f"jdbc:duckdb:{target}", parallelism=1,
+        jdbc_properties=dict(DRIVER_PROPS), ddl_executor=ddl_executor,
+        jdbc_num_partitions=1)
+    assert results["ddl"]["post"] == {"view:vt": True}
+    con = duckdb.connect(target)
+    assert con.execute("SELECT id, v FROM vt").fetchall() == [(1, "a")]
+    is_view = con.execute(
+        "SELECT count(*) FROM duckdb_views() WHERE view_name = 'vt'"
+    ).fetchone()[0]
+    con.close()
+    assert is_view == 1  # vt is the VIEW again, not the stand-in table
 
 
 def test_view_on_view_restore_order_independent_live(spark, tmp_path):

@@ -2389,6 +2389,18 @@ def test_repeat_by_weight_null_weight_loud(spark):
         repeat_by_weight(w, seed=7).collect()
 
 
+def test_repeat_by_weight_negative_weight_named(spark):
+    """A negative weight_ppm names its own offense (round 12) — it used
+    to share the max_copies branch, whose 'copy count exceeds' message
+    misdiagnosed a sign error as a fan-out overflow."""
+    from mydumper_spark.operators.sampling import repeat_by_weight
+
+    w = spark.createDataFrame(
+        [(1, 1_000_000), (2, -5)], "doc_id int, weight_ppm bigint")
+    with pytest.raises(Exception, match="negative weight_ppm=-5"):
+        repeat_by_weight(w, seed=7).collect()
+
+
 def test_diversity_stats_token_unit_and_plan(spark):
     df = spark.createDataFrame(
         [(1, "x x x yy"), (2, "the quick fox")], "doc_id int, text string")

@@ -2271,11 +2271,15 @@ def test_throttle_probe_failure_disables_not_wedges(spark, sf_dir, tmp_path):
 
 
 def test_compact_and_use_savepoints_flags(spark, sf_dir, tmp_path):
-    """--compact (mydumper_arguments.c:226) trims the reference-format
-    metadata twin's header/footer constructs while keeping it parseable;
-    --use-savepoints is accepted and RECORDED (Spark dumps hold no long
-    per-table transaction for savepoints to shrink — the S11 fence covers
-    what they buy). Both land in the manifest config (round 11)."""
+    """--compact (mydumper_arguments.c:226) must NOT touch the metadata
+    twin: the reference's flag only suppresses the per-chunk SQL_MODE
+    header (mydumper_common.c:411,422) while the metadata Started/
+    Finished lines are written unconditionally (mydumper_start_dump.c:
+    1161,1181) — round 11 trimmed them, which lost foreign myloader's
+    SQL_MODE session restoration (round-12 fix). --use-savepoints is
+    accepted and RECORDED (Spark dumps hold no long per-table transaction
+    for savepoints to shrink — the S11 fence covers what they buy). Both
+    land in the manifest config (round 11)."""
     import json as _json
 
     from mydumper_spark.sinks.metadata_file import parse_metadata
@@ -2285,10 +2289,9 @@ def test_compact_and_use_savepoints_flags(spark, sf_dir, tmp_path):
         output_dir=out, compact=True, use_savepoints=True,
         filters=TableFilters(tables_list={"default.region"})))
     text = open(os.path.join(out, "metadata")).read()
-    assert "# Started dump at" not in text
-    assert "# Finished dump at" not in text
-    assert "myloader_session_variables" not in text
-    meta = parse_metadata(text)  # payload still parses
+    assert text.startswith("# Started dump at")  # unaffected by compact
+    assert "# Finished dump at" in text
+    meta = parse_metadata(text)
     assert [t.table for t in meta.tables] == ["region"]
     assert meta.tables[0].rows == 5
     cfgdoc = _json.load(
@@ -2416,6 +2419,21 @@ def test_exec_per_thread_multi_chunk_parallel(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(tmp_path / "eptmc_r" / "orders.parquet"))
     orig = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert got.count() == orig.count()
+
+    # restore twin (round 12): the DECODE side pools too — a slow decode
+    # command's per-chunk spans must overlap, not serialize on the driver
+    open(log, "w").close()  # reuse the span logger for decode spans
+    results2 = restore(spark, out, str(tmp_path / "eptmc_r2"),
+                       parallelism=1,
+                       exec_per_thread=f"python3 {script}")
+    assert results2["verify"] == {"orders": True}
+    dspans = [tuple(map(float, ln.split())) for ln in open(log)]
+    assert len(dspans) == n_chunks
+    doverlap = any(
+        a0 < b1 and b0 < a1
+        for i, (a0, a1) in enumerate(dspans)
+        for (b0, b1) in dspans[i + 1:])
+    assert doverlap, f"decodes ran serially: {dspans}"
 
 
 def test_incremental_dump_gates_throttle_and_rejects_exec_per_thread(
