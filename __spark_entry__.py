@@ -2896,6 +2896,58 @@ SELECT anchor_id, vec_id, cosine_sim FROM ranked WHERE rn <= 5
 """
 
 
+def x_hard_negatives_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hard_negative_topk over STRING ids and STRING labels — the
+    labeled-corpus norm (round 12: the operator previously coerced both
+    to int64 and crashed on exactly this shape). Ids become 'd<vec_id>',
+    labels 'L<label % 3>'; ties therefore break in STRING order ('d10' <
+    'd2'), which the oracle replays, proving the ranking is type-honest
+    end-to-end, not an int ranking in disguise."""
+    from mydumper_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    semb = emb.select(
+        F.concat(F.lit("d"), F.col("vec_id").cast("string"))
+        .alias("vec_id"),
+        "embedding",
+        F.concat(F.lit("L"), (F.col("label") % 3).cast("string"))
+        .alias("label"))
+    anchors = semb.where(
+        F.substring("vec_id", 2, 100).cast("bigint") % 97 == 0)
+    return hard_negative_topk(semb, anchors, k=5)
+
+
+_HARD_NEG_STR_SQL = """
+WITH s AS (
+  SELECT 'd' || CAST(vec_id AS VARCHAR) AS vec_id, embedding,
+         'L' || CAST(label % 3 AS VARCHAR) AS label,
+         vec_id AS orig_id
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS anchor_id, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, e.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM s a JOIN s e ON a.label <> e.label
+  WHERE a.orig_id % 97 = 0
+    AND list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine_sim DESC, vec_id) rn
+  FROM scored
+)
+SELECT anchor_id, vec_id, cosine_sim FROM ranked WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-2 query widening: deeper TPC-H-shaped join/agg/window coverage.
 # Same plan discipline as q1-q6: dims broadcast, money through integer cents
@@ -5374,6 +5426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_diversity_chars": x_diversity_chars,
         "x_centroid_prune": x_centroid_prune,
         "x_hard_negatives": x_hard_negatives,
+        "x_hard_negatives_str": x_hard_negatives_str,
         "x_diversity_tokens": x_diversity_tokens,
         "x_repeat_by_weight": x_repeat_by_weight,
         "x_corpus_datasheet": x_corpus_datasheet,
@@ -5519,6 +5572,7 @@ def oracle_sql() -> dict[str, str]:
         "x_embedding_pairs_exact": _EMB_EXACT_SQL,
         "x_centroid_prune": _CENTROID_PRUNE_SQL,
         "x_hard_negatives": _HARD_NEG_SQL,
+        "x_hard_negatives_str": _HARD_NEG_STR_SQL,
         "x_sample_bernoulli": _sample_bernoulli_sql(),
         "x_source_cap": _source_cap_sql(),
         "x_corpus_mix": _corpus_mix_sql(),

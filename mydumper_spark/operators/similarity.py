@@ -1627,6 +1627,7 @@ def centroid_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    exact: bool = True,
 ) -> DataFrame:
     """Prototype pruning over :func:`centroid_distance`: within each
     group, mark the ``prune_ppm``/1e6 fraction of vectors MOST similar to
@@ -1635,27 +1636,81 @@ def centroid_prune(
     ``(n · prune_ppm) DIV 1e6`` cutoff and (cos desc, id) tie order make
     the kept set engine-portable.
 
-    Scale shape: centroid_distance's plan plus ONE window partitioned by
-    label. A label spanning a large corpus shard makes that window the
-    cost center — at that scale swap the exact rank for an approximate
-    score quantile cutoff (the budget_select trade, sampling.py)."""
+    Scale shape, ``exact=True``: centroid_distance's plan plus ONE window
+    partitioned by label. A label spanning a large corpus shard makes
+    that window the cost center — every web corpus has a dominant label.
+
+    ``exact=False`` (round 12) is the promised approximate
+    score-quantile cutoff for that skew (the budget_select trade,
+    sampling.py): the cosine is already quantized to 6 decimals, so a
+    (label, cos_ppm) COUNT histogram — map-side combined, cardinality
+    bounded by labels × 2e6 ppm buckets, never corpus size — locates
+    each label's threshold bucket on the driver, and pruning becomes a
+    broadcast join + scan-side comparison: NO window, NO per-label sort
+    of the corpus. The boundary bucket is KEPT whole, so the approx arm
+    under-prunes by at most that one bucket's population (zero when the
+    label's cosines are tie-free at 1e-6 granularity — then both arms
+    agree row-for-row, which the parity test pins); within-bucket id
+    tie-breaks are the only semantics it gives up. NULL cosines
+    (zero-norm rows) are never pruned by either arm."""
     from pyspark.sql.window import Window
 
     scored = centroid_distance(embeddings, id_col, vec_col, label_col)
-    # NULLS LAST explicitly: zero-norm vectors (NULL cosine) rank least
-    # prototypical on both engines (Spark desc defaults nulls-last,
-    # DuckDB defaults the same — pinned rather than assumed)
-    w = Window.partitionBy(label_col).orderBy(
-        F.col("centroid_cos").desc_nulls_last(), F.col(id_col).asc())
-    wn = Window.partitionBy(label_col)
-    return (scored
-            .withColumn("__rn", F.row_number().over(w))
-            .withColumn("__n", F.count(F.lit(1)).over(wn))
-            .select(
-                id_col, label_col, "centroid_cos",
-                (F.col("__rn") > F.expr(
-                    f"(__n * {int(prune_ppm)}) DIV 1000000"))
-                .alias("keep")))
+    if exact:
+        # NULLS LAST explicitly: zero-norm vectors (NULL cosine) rank
+        # least prototypical on both engines (Spark desc defaults
+        # nulls-last, DuckDB defaults the same — pinned, not assumed)
+        w = Window.partitionBy(label_col).orderBy(
+            F.col("centroid_cos").desc_nulls_last(), F.col(id_col).asc())
+        wn = Window.partitionBy(label_col)
+        return (scored
+                .withColumn("__rn", F.row_number().over(w))
+                .withColumn("__n", F.count(F.lit(1)).over(wn))
+                .select(
+                    id_col, label_col, "centroid_cos",
+                    (F.col("__rn") > F.expr(
+                        f"(__n * {int(prune_ppm)}) DIV 1000000"))
+                    .alias("keep")))
+
+    cppm = F.round(F.col("centroid_cos") * 1_000_000, 0).cast("bigint")
+    scored = scored.withColumn("__cppm", cppm)
+    hist = (scored.groupBy(label_col, "__cppm")
+            .agg(F.count(F.lit(1)).alias("c")).collect())
+    per_label: dict = {}
+    for r in hist:
+        per_label.setdefault(r[label_col], []).append(
+            (r["__cppm"], int(r["c"])))
+    thr_rows = []
+    for lab, rows in per_label.items():
+        n = sum(c for _, c in rows)
+        target = (n * int(prune_ppm)) // 1_000_000
+        nn = sorted(((p, c) for p, c in rows if p is not None),
+                    reverse=True)
+        # walk buckets from most prototypical down; the bucket the
+        # target splits is KEPT (under-prune, never over-prune)
+        cum, thr = 0, None
+        for p, c in nn:
+            if cum + c > target:
+                thr = p
+                break
+            cum += c
+        if thr is None:
+            # target swallows every non-NULL bucket (prune_ppm=1e6):
+            # prune them all; NULL cosines still survive below
+            thr = (nn[-1][0] - 1) if nn else 0
+        thr_rows.append((lab, int(thr)))
+    spark = embeddings.sparkSession
+    ltype = dict(scored.dtypes)[label_col]
+    thr_df = spark.createDataFrame(
+        thr_rows, f"__lab {ltype}, __thr bigint")
+    joined = scored.join(
+        F.broadcast(thr_df),
+        F.col(label_col).eqNullSafe(F.col("__lab")), "left")
+    return joined.select(
+        id_col, label_col, "centroid_cos",
+        F.when(F.col("__cppm").isNull(), F.lit(True))
+        .otherwise(~(F.col("__cppm") > F.col("__thr")))
+        .alias("keep"))
 
 
 def hard_negative_topk(
@@ -1665,6 +1720,7 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_anchors: int = 65_536,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each anchor vector, the k
     corpus vectors MOST cosine-similar among those carrying a DIFFERENT
@@ -1675,16 +1731,42 @@ def hard_negative_topk(
     matrix product per Arrow batch, local top-k per anchor, global
     window over ~partitions×k candidates) with the label mask applied
     BEFORE the local top-k — masking after would let same-label rows
-    consume candidate slots. Anchors are driver-collected (a training
-    batch, bounded); scores round to 6 decimals and tie-break by id, so
-    the ranking is engine-portable. Returns (anchor_id, vec_id,
+    consume candidate slots. Scores round to 6 decimals and tie-break by
+    id, so the ranking is engine-portable. Returns (anchor_id, vec_id,
     cosine_sim), k rows per anchor (fewer if the corpus lacks k
-    off-label rows)."""
+    off-label rows).
+
+    Ids and labels keep their INPUT Spark types end-to-end (string doc
+    ids and string labels are the labeled-corpus norm — round 12; the
+    int64 coercion this replaces crashed on them): the output schema is
+    derived from the inputs, the mask compares native values, and
+    tie-breaks follow codepoint order for strings on both engines.
+    Corpus rows with a NULL id or NULL label are EXCLUDED — an unknown
+    label cannot be certified a different label; anchors with NULL
+    id/label raise (the caller owns its training batch).
+
+    Anchors are driver-collected (a training batch, bounded by contract);
+    ``max_anchors`` enforces that contract loudly instead of letting a
+    whole-corpus anchors frame OOM the driver — and the anchor matrix is
+    also the per-task broadcast cost, so the cap protects executors too."""
     import numpy as np
 
-    arows = anchors.select(id_col, vec_col, label_col).collect()
-    aids = np.array([r[id_col] for r in arows], dtype=np.int64)
-    alab = np.array([r[label_col] for r in arows], dtype=np.int64)
+    arows = (anchors.select(id_col, vec_col, label_col)
+             .limit(int(max_anchors) + 1).collect())
+    if len(arows) > max_anchors:
+        raise ValueError(
+            f"hard_negative_topk: anchors exceed max_anchors="
+            f"{int(max_anchors)} — anchors are a driver-collected "
+            "training batch, not a corpus; mine in batches or raise "
+            "max_anchors explicitly if the driver can hold them")
+    bad_null = [r[id_col] for r in arows
+                if r[id_col] is None or r[label_col] is None]
+    if bad_null:
+        raise ValueError(
+            f"hard_negative_topk: anchor rows with NULL id/label "
+            f"(ids {bad_null[:5]}) — anchors must be fully labeled")
+    aids = np.array([r[id_col] for r in arows], dtype=object)
+    alab = np.array([r[label_col] for r in arows], dtype=object)
     am = np.array([[float(x) for x in r[vec_col]] for r in arows],
                   dtype=np.float64)
     anorm = np.sqrt((am * am).sum(axis=1))
@@ -1692,7 +1774,10 @@ def hard_negative_topk(
         bad = aids[anorm == 0.0].tolist()
         raise ValueError(
             f"zero-norm anchor vector(s): {bad} — cosine undefined")
-    schema = f"anchor_id bigint, {id_col} bigint, cosine_sim double"
+    atypes = dict(anchors.dtypes)
+    ctypes = dict(embeddings.dtypes)
+    schema = (f"anchor_id {atypes[id_col]}, {id_col} {ctypes[id_col]}, "
+              "cosine_sim double")
 
     def score(batches):
         import pandas as pd
@@ -1700,13 +1785,18 @@ def hard_negative_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            labs = pdf[label_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=object)
+            labs = pdf[label_col].to_numpy(dtype=object)
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vnorm = np.sqrt((v * v).sum(axis=1))
-            nz = vnorm != 0.0
-            if not nz.all():
-                ids, labs, v, vnorm = ids[nz], labs[nz], v[nz], vnorm[nz]
+            # drop zero-norm (cosine undefined) and NULL-id/label rows
+            # (a row whose label is unknown cannot be proven off-label)
+            keep = ((vnorm != 0.0)
+                    & np.array([x is not None for x in ids])
+                    & np.array([x is not None for x in labs]))
+            if not keep.all():
+                ids, labs, v, vnorm = (ids[keep], labs[keep], v[keep],
+                                       vnorm[keep])
             if len(ids) == 0:
                 continue
             sims = np.round(

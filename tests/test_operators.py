@@ -2675,3 +2675,126 @@ def test_hard_negative_topk_zero_norm_anchor_raises(spark):
         "vec_id long, embedding array<float>, label int")
     with pytest.raises(ValueError, match="zero-norm anchor"):
         sim.hard_negative_topk(df, df.where("vec_id = 0"), k=1)
+
+
+def test_centroid_prune_approx_parity_and_plan(spark):
+    """centroid_prune(exact=False) — the approximate score-quantile
+    cutoff the round-11 docstring promised for skewed labels (round 12):
+    on tie-free cosines it agrees with the exact arm row-for-row; with
+    ties it under-prunes by at most the boundary bucket (pruned set is a
+    SUBSET of the exact arm's); prune_ppm=1e6 prunes every non-NULL
+    cosine while zero-norm rows survive both arms; and the plan carries
+    NO window — pruning is a histogram aggregate + broadcast join +
+    scan-side comparison."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1)],
+             i % 3) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    exact = {r["vec_id"]: r["keep"]
+             for r in sim.centroid_prune(df, prune_ppm=400_000).collect()}
+    approx = {r["vec_id"]: r["keep"]
+              for r in sim.centroid_prune(
+                  df, prune_ppm=400_000, exact=False).collect()}
+    assert set(exact) == set(approx)
+    # random floats → tie-free at 1e-6 ppm granularity → exact agreement
+    assert exact == approx
+
+    # tie case: every same-label cosine identical → ONE boundary bucket;
+    # the approx arm keeps it whole (prunes nothing), exact prunes by id
+    tied = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int")
+    e2 = {r["vec_id"]: r["keep"]
+          for r in sim.centroid_prune(tied, prune_ppm=500_000).collect()}
+    a2 = {r["vec_id"]: r["keep"]
+          for r in sim.centroid_prune(
+              tied, prune_ppm=500_000, exact=False).collect()}
+    assert sum(not k for k in e2.values()) == 5   # exact: 5 pruned
+    assert all(a2.values())                       # approx: bucket kept
+    pruned_a2 = {v for v, k in a2.items() if not k}
+    assert pruned_a2 <= {v for v, k in e2.items() if not k}
+
+    # prune_ppm=1e6: every non-NULL cosine pruned, zero-norm rows kept
+    withzero = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    a3 = {r["vec_id"]: r["keep"]
+          for r in sim.centroid_prune(
+              withzero, prune_ppm=1_000_000, exact=False).collect()}
+    assert a3 == {1: False, 2: False, 3: True}
+
+    # plan pin: the approx arm has no Window (no per-label corpus sort)
+    plan = (sim.centroid_prune(df, exact=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    exact_plan = (sim.centroid_prune(df)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" in exact_plan  # the arm being replaced really has one
+
+
+def test_hard_negative_topk_anchor_cap_raises(spark):
+    """The driver-side anchor collect is guarded (round 12): an anchors
+    frame past max_anchors fails loudly instead of silently OOMing the
+    driver — the 'anchors are a training batch' contract moved from the
+    docstring into code."""
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)], i % 2) for i in range(20)],
+        "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="max_anchors"):
+        sim.hard_negative_topk(df, df, k=1, max_anchors=10)
+    # at or under the cap: runs
+    assert sim.hard_negative_topk(
+        df, df.limit(10), k=1, max_anchors=10).count() == 10
+
+
+def test_hard_negative_topk_hostile_string_ids_and_labels(spark):
+    """String/hostile ids and labels (round 12 — the int64 coercion this
+    replaces crashed on them): quotes, high bytes, empty strings, and
+    NULLs flow through the Arrow closure; NULL-label corpus rows are
+    excluded (unknown label can't be certified off-label), NULL-label
+    anchors raise, and ties break in string order, verified against a
+    brute-force python computation."""
+    import itertools
+    import math
+
+    rows = [
+        ("d'quote", [1.0, 0.0], "L\"a"),
+        ("d2", [0.9, 0.1], "Lβ"),          # high-byte label
+        ("d10", [0.9, 0.1], "Lβ"),         # tie with d2: string order
+        ("", [0.5, 0.5], "L\"a"),          # empty id
+        ("dnull", [0.4, 0.6], None),       # NULL label: excluded
+        (None, [0.3, 0.7], "Lβ"),          # NULL id: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<float>, label string")
+    anchors = df.where("vec_id = 'd''quote'")
+    out = sim.hard_negative_topk(df, anchors, k=3).collect()
+    got = [(r["anchor_id"], r["vec_id"], r["cosine_sim"]) for r in out]
+
+    # brute force: off-label, non-null, cosine desc then id asc
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b))
+        return round(num / den, 6)
+
+    expect = sorted(
+        ((cand_id, cos([1.0, 0.0], v))
+         for cand_id, v, lab in rows
+         if cand_id is not None and lab is not None and lab != "L\"a"),
+        key=lambda t: (-t[1], t[0]))[:3]
+    assert got == [("d'quote", cid, s) for cid, s in expect]
+    assert [g[1] for g in got] == ["d10", "d2"]  # string-order tie-break
+
+    # schema follows the inputs: string ids in, string ids out
+    out_df = sim.hard_negative_topk(df, anchors, k=1)
+    assert dict(out_df.dtypes) == {
+        "anchor_id": "string", "vec_id": "string", "cosine_sim": "double"}
+
+    # NULL-label anchors violate the caller contract loudly
+    with pytest.raises(ValueError, match="NULL id/label"):
+        sim.hard_negative_topk(df, df.where("vec_id = 'dnull'"), k=1)
