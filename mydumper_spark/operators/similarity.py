@@ -660,11 +660,21 @@ def cosine_topk_batch(
     rows, never corpus×Q. Scores round to 6 decimals before ranking, and
     ties rank by id, so the result is engine-portable.
 
-    Returns (query_id, vec_id, cosine_sim) with k rows per query."""
+    Returns (query_id, vec_id, cosine_sim) with k rows per query.
+
+    Ids keep their INPUT Spark types end-to-end (round 12, with
+    hard_negative_topk): string doc ids flow through the Arrow closure
+    and tie-break in string order on both engines; corpus rows with a
+    NULL id are excluded (their identity is the output), NULL query ids
+    raise."""
     import numpy as np
 
     qrows = queries.select(q_id_col, q_vec_col).collect()
-    qids = np.array([r[q_id_col] for r in qrows], dtype=np.int64)
+    if any(r[q_id_col] is None for r in qrows):
+        raise ValueError(
+            f"cosine_topk_batch: NULL {q_id_col} in queries — query ids "
+            "name the output rows and must be non-null")
+    qids = np.array([r[q_id_col] for r in qrows], dtype=object)
     qm = np.array([[float(x) for x in r[q_vec_col]] for r in qrows],
                   dtype=np.float64)
     qnorm = np.sqrt((qm * qm).sum(axis=1))
@@ -674,7 +684,9 @@ def cosine_topk_batch(
     if np.any(qnorm == 0.0):
         bad = qids[qnorm == 0.0].tolist()
         raise ValueError(f"zero-norm query vector(s): {bad} — cosine undefined")
-    schema = f"{q_id_col} bigint, {id_col} bigint, cosine_sim double"
+    schema = (f"{q_id_col} {dict(queries.dtypes)[q_id_col]}, "
+              f"{id_col} {dict(embeddings.dtypes)[id_col]}, "
+              "cosine_sim double")
 
     def score(batches):
         import pandas as pd
@@ -682,10 +694,11 @@ def cosine_topk_batch(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=object)
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vnorm = np.sqrt((v * v).sum(axis=1))
-            nz = vnorm != 0.0
+            nz = (vnorm != 0.0) & np.array(
+                [x is not None for x in ids])
             if not nz.all():
                 ids, v, vnorm = ids[nz], v[nz], vnorm[nz]
             if len(ids) == 0:
@@ -992,10 +1005,15 @@ def semantic_dedup_batch(
     assigned = _semantic_cells(embeddings, n_cells, id_col, vec_col,
                                centroids, max_cell)
 
+    id_type = dict(embeddings.dtypes)[id_col]
+
     def drop_in_cell(pdf):
         import pandas as pd
 
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        # object dtype: ids keep their input type (string doc ids are
+        # the corpus norm, round 12); "earlier" = smaller in the id's
+        # own order, same rule both engines use
+        ids = pdf[id_col].to_numpy(dtype=object)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         v = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
@@ -1022,7 +1040,7 @@ def semantic_dedup_batch(
     dropped = (
         assigned.select("__cell", id_col, vec_col)
         .groupBy("__cell")
-        .applyInPandas(drop_in_cell, f"{id_col} bigint")
+        .applyInPandas(drop_in_cell, f"{id_col} {id_type}")
     )
     return embeddings.join(dropped, id_col, "left_anti")
 
@@ -1068,7 +1086,9 @@ def embedding_decontaminate(
         for pdf in batches:
             if pdf.empty or keep_all:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # object dtype: ids pass through in their input type
+            # (string doc ids are the corpus norm, round 12)
+            ids = pdf[id_col].to_numpy(dtype=object)
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vnorm = np.sqrt((v * v).sum(axis=1))
             nz = vnorm != 0.0
@@ -1083,7 +1103,7 @@ def embedding_decontaminate(
                 yield pd.DataFrame({id_col: hit})
 
     dropped = embeddings.select(id_col, vec_col).mapInPandas(
-        contaminated, f"{id_col} bigint"
+        contaminated, f"{id_col} {dict(embeddings.dtypes)[id_col]}"
     )
     return embeddings.join(dropped, id_col, "left_anti")
 

@@ -325,6 +325,46 @@ def test_batch_cosine_topk_zero_norm_guard(spark, embeddings):
         sim.cosine_topk_batch(corpus, zq, k=5)
 
 
+def test_string_ids_flow_through_gemm_operators(spark):
+    """String doc ids through the GEMM family (round 12 — all three
+    previously coerced ids to int64 and crashed): cosine_topk_batch
+    ranks and tie-breaks in string order, semantic_dedup_gemm's
+    "earlier survivor" rule follows string order, and
+    embedding_decontaminate's dropped-id pass-through keeps the type.
+    NULL corpus ids are excluded; NULL query ids raise."""
+    rows = [
+        ("d'1", [1.0, 0.0]), ("d10", [0.9, 0.1]), ("d2", [0.9, 0.1]),
+        ("", [0.5, 0.5]), (None, [0.4, 0.6]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id string, embedding array<float>")
+    qs = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, query_vec array<float>")
+    got = sim.cosine_topk_batch(corpus, qs, k=3).collect()
+    # ties at 0.9/0.1 break in STRING order: 'd10' < 'd2'
+    assert [r["vec_id"] for r in got] == ["d'1", "d10", "d2"]
+    assert all(r["query_id"] == "q1" for r in got)
+    nullq = spark.createDataFrame(
+        [(None, [1.0, 0.0])], "query_id string, query_vec array<float>")
+    with pytest.raises(ValueError, match="NULL query_id"):
+        sim.cosine_topk_batch(corpus, nullq, k=1)
+
+    # semantic_dedup_batch (the GEMM twin): 'd10' and 'd2' are
+    # near-identical; the string-earlier one ('d10') survives
+    dd = corpus.where("vec_id IS NOT NULL")
+    kept = {r["vec_id"] for r in sim.semantic_dedup_batch(
+        dd, threshold=0.999, n_cells=1).collect()}
+    assert "d10" in kept and "d2" not in kept
+
+    # decontaminate: eval vec [1,0] removes only 'd'1' (cos 1.0 ≥
+    # 0.999; the 0.9/0.1 rows sit at cos ≈ 0.9939 and survive)
+    ev = spark.createDataFrame(
+        [("e1", [1.0, 0.0])], "vec_id string, embedding array<float>")
+    surv = {r["vec_id"] for r in sim.embedding_decontaminate(
+        dd, ev, threshold=0.999).collect()}
+    assert "d'1" not in surv and "d10" in surv and "" in surv
+
+
 def test_pq_adc_matches_explicit_reconstruction(embeddings):
     """The ADC score of a candidate equals the python-computed sum of
     per-subspace squared distances from the query to the candidate's
