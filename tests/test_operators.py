@@ -2776,6 +2776,76 @@ def test_centroid_prune_approx_parity_and_plan(spark):
     assert "Window" in exact_plan  # the arm being replaced really has one
 
 
+def test_embedding_ops_hostile_label_fuzz(spark):
+    """Seeded randomized campaign over the string-id/string-label
+    embedding surface (round 12 — the pattern that caught the CSV and
+    NULL-text corruption classes in r10): hostile ids and labels
+    (quotes, backslashes, high bytes, emoji, empty strings) with NULLs
+    and zero-norm vectors mixed in. hard_negative_topk is checked
+    against a brute-force python ranking; centroid_prune's approx arm
+    must agree with the exact arm on tie-free cosines (hostile labels
+    exercise the eqNullSafe broadcast join and the NULL label group);
+    repartitioning must not change either result."""
+    import math
+    import random
+
+    pool = ["L'q", 'L"d', "L\\b", "Lβ中", "L🙂", ""]
+    rng = random.Random(12)
+
+    for trial in range(2):
+        rows = []
+        for i in range(60):
+            vid = rng.choice(["d'", 'd"', "dβ", "d\\", "d🙂"]) + str(i)
+            lab = rng.choice(pool + [None])
+            vec = [rng.uniform(-1, 1) for _ in range(3)]
+            if rng.random() < 0.05:
+                vec = [0.0, 0.0, 0.0]
+            rows.append((vid, vec, lab))
+        rows.append((None, [1.0, 0.0, 0.0], pool[0]))  # NULL id row
+        df = spark.createDataFrame(
+            rows, "vec_id string, embedding array<float>, label string")
+
+        # --- hard_negative_topk vs brute force ---
+        valid = [(i, v, l) for i, v, l in rows
+                 if i is not None and l is not None
+                 and any(x != 0.0 for x in v)]
+        anchors_py = valid[:4]
+        anchors = df.where(
+            F.col("vec_id").isin([a[0] for a in anchors_py]))
+        got = {}
+        for r in sim.hard_negative_topk(df, anchors, k=3).collect():
+            got.setdefault(r["anchor_id"], []).append(
+                (r["vec_id"], r["cosine_sim"]))
+
+        def cos(a, b):
+            num = sum(float(x) * float(y) for x, y in zip(a, b))
+            den = (math.sqrt(sum(float(x)**2 for x in a))
+                   * math.sqrt(sum(float(x)**2 for x in b)))
+            return round(num / den, 6)
+
+        for aid, avec, alab in anchors_py:
+            cand = sorted(
+                ((cid, cos(avec, cv)) for cid, cv, cl in valid
+                 if cl != alab),
+                key=lambda t: (-t[1], t[0]))[:3]
+            assert got.get(aid, []) == cand, (trial, aid)
+
+        # repartitioning must not move the ranking (ties break by id)
+        got2 = {}
+        for r in sim.hard_negative_topk(
+                df.repartition(7), anchors, k=3).collect():
+            got2.setdefault(r["anchor_id"], []).append(
+                (r["vec_id"], r["cosine_sim"]))
+        assert got == got2
+
+        # --- centroid_prune: approx == exact on tie-free cosines ---
+        exact = {r["vec_id"]: r["keep"] for r in sim.centroid_prune(
+            df, prune_ppm=300_000).collect()}
+        approx = {r["vec_id"]: r["keep"] for r in sim.centroid_prune(
+            df.repartition(5), prune_ppm=300_000, exact=False).collect()}
+        assert exact == approx, trial
+
+
 def test_hard_negative_topk_anchor_cap_raises(spark):
     """The driver-side anchor collect is guarded (round 12): an anchors
     frame past max_anchors fails loudly instead of silently OOMing the
