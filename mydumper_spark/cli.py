@@ -1022,8 +1022,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--skip-routines", action="store_true",
                    help="don't capture routine DDL (inverse of -R)")
     d.add_argument("--compact", action="store_true",
-                   help="less verbose output: drop metadata header/footer "
-                        "constructs (reference --compact)")
+                   help="accepted and manifest-recorded for reference "
+                        "parity; a no-op here — the reference flag only "
+                        "suppresses the per-chunk SQL_MODE header, which "
+                        "these chunks never carry")
     d.add_argument("--use-savepoints", action="store_true",
                    help="accepted and recorded; Spark dumps hold no long "
                         "per-table transaction, so there is nothing for "

@@ -63,11 +63,12 @@ class DumpConfig:
     exec_per_thread: str | None = None
     exec_per_thread_extension: str | None = None
     masquerade_filenames: bool = False  # T13 --masquerade-filename
-    #: --compact (reference mydumper_arguments.c:226): less verbose
-    #: output — drop the metadata file's comment header/footer and the
-    #: [myloader_session_variables] section. Our fmt="sql" chunks carry
-    #: no per-file headers to suppress (the reference's SQL_MODE header
-    #: is the other thing this flag gates, mydumper_common.c:411,422).
+    #: --compact (reference mydumper_arguments.c:226): accepted and
+    #: manifest-recorded; a NO-OP on artifacts — the reference flag only
+    #: suppresses the per-chunk SQL_MODE header (mydumper_common.c:
+    #: 411,422), which our fmt="sql" chunks never carry, and the
+    #: metadata file is written unconditionally there (round-12 fix:
+    #: trimming metadata lost foreign SQL_MODE session restoration).
     compact: bool = False
     #: --use-savepoints (reference mydumper_arguments.c:243): in the
     #: reference this wraps per-table metadata reads in SAVEPOINT /
@@ -513,6 +514,20 @@ def _capture_objects(cat, dialect, cfg: DumpConfig,
                 continue
         out.append((okey, obj))
     return out
+
+
+#: strip the reference view-artifact preamble (DROP TABLE IF EXISTS…;
+#: DROP VIEW IF EXISTS…; — mydumper_jobs.c:578-579). The identifier may
+#: be backtick-quoted and contain ';', so quoted segments are consumed
+#: atomically — a hostile view name cannot truncate the strip mid-name.
+_VIEW_PREAMBLE_RE = __import__("re").compile(
+    r"^(?:DROP\s+(?:TABLE|VIEW)\s+IF\s+EXISTS"
+    r"(?:`(?:[^`]|``)*`|[^;`])*;\s*)+",
+    __import__("re").IGNORECASE)
+
+
+def _strip_view_preamble(raw: str) -> str:
+    return _VIEW_PREAMBLE_RE.sub("", raw).strip()
 
 
 #: reference artifact naming (mydumper_jobs.c): views get -schema-view.sql,
@@ -1618,11 +1633,7 @@ def restore(
                 # (mydumper_jobs.c:578-579 — ours and genuine dumps
                 # alike): strip it, the drops below re-issue it with the
                 # TARGET-qualified name ddl_executor needs
-                import re as _re
-
-                raw = _re.sub(
-                    r"^(?:DROP\s+(?:TABLE|VIEW)\s+IF\s+EXISTS[^;]*;\s*)+",
-                    "", raw, flags=_re.IGNORECASE).strip()
+                raw = _strip_view_preamble(raw)
                 qn = quote_ident(o["name"], dialect)
                 if target_database is not None:  # myloader -B: everything
                     qn = f"{quote_ident(target_database, dialect)}.{qn}"
@@ -1645,15 +1656,21 @@ def restore(
                     # the name may exist as the stand-in dependency TABLE
                     # (a foreign dump's {view}-schema.sql replayed as a
                     # table) or as a prior VIEW — never both, and engines
-                    # (DuckDB, MySQL) error on a type-mismatched DROP even
-                    # with IF EXISTS, so try each and let the wrong-typed
-                    # one fail
+                    # (DuckDB, MySQL) error on a type-mismatched DROP
+                    # even with IF EXISTS, so at most ONE of the pair can
+                    # legitimately fail. Both failing means a real fault
+                    # (connection loss, missing DROP privilege) — re-raise
+                    # it rather than letting CREATE fail with a
+                    # misleading "already exists"
+                    errs = []
                     for stmt in (f"DROP TABLE IF EXISTS {qn}",
                                  f"DROP VIEW IF EXISTS {qn}"):
                         try:
                             ddl_executor(stmt)
-                        except Exception:
-                            pass
+                        except Exception as e:
+                            errs.append(e)
+                    if len(errs) == 2:
+                        raise errs[-1]
                 else:
                     ddl_executor(f"DROP {drop_kw} IF EXISTS {qn}")
                 if o["kind"] == "sequence":

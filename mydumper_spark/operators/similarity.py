@@ -697,8 +697,7 @@ def cosine_topk_batch(
             ids = pdf[id_col].to_numpy(dtype=object)
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vnorm = np.sqrt((v * v).sum(axis=1))
-            nz = (vnorm != 0.0) & np.array(
-                [x is not None for x in ids])
+            nz = vnorm != 0.0
             if not nz.all():
                 ids, v, vnorm = ids[nz], v[nz], vnorm[nz]
             if len(ids) == 0:
@@ -716,7 +715,13 @@ def cosine_topk_batch(
                 {q_id_col: out_q, id_col: out_id, "cosine_sim": out_s}
             )
 
-    candidates = embeddings.select(id_col, vec_col).mapInPandas(score, schema)
+    # NULL-id exclusion happens DECLARATIVELY, before Arrow: a nullable
+    # int column reaches pandas as float64 with NaN (where an `is None`
+    # check silently passes and large ids lose precision); filtering in
+    # the plan keeps the column's dtype intact through the closure
+    candidates = (embeddings.select(id_col, vec_col)
+                  .where(F.col(id_col).isNotNull())
+                  .mapInPandas(score, schema))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(q_id_col).orderBy(
@@ -924,6 +929,24 @@ def _semantic_cells(
     centroids: list[list[float]] | None,
     max_cell: int | None,
 ) -> DataFrame:
+    # NULL ids are load-bearing failures here, not excludable rows: the
+    # dedup twins drop duplicates via an id anti-join, which never
+    # matches NULL — a NULL-id duplicate would silently survive. The
+    # assert folds into the id column itself (repeat_by_weight's
+    # pattern: assert_true is NULL on pass, coalesce restores the id),
+    # so it rides the existing scan and Catalyst cannot prune it.
+    ic = F.col(id_col)
+    id_type = dict(embeddings.dtypes)[id_col]
+    embeddings = embeddings.withColumn(
+        id_col,
+        F.coalesce(
+            F.assert_true(
+                ic.isNotNull(),
+                F.lit(f"semantic_dedup: NULL {id_col} — row identity "
+                      "drives the duplicate anti-join (a NULL-id "
+                      "duplicate would silently survive); fill or drop "
+                      "NULL ids upstream")).cast(id_type),
+            ic))
     assigned, cents = ivf_assign_cells(embeddings, n_cells, id_col, vec_col,
                                        centroids)
     if max_cell is not None:
@@ -1086,6 +1109,17 @@ def embedding_decontaminate(
         for pdf in batches:
             if pdf.empty or keep_all:
                 continue
+            if pdf[id_col].isna().any():
+                # identity drives the anti-join, which never matches
+                # NULL: a contaminated NULL-id row would silently
+                # SURVIVE decontamination — the one failure mode a
+                # contamination gate must not have. pd.isna catches
+                # both None (string ids) and the NaN a nullable int
+                # column becomes through Arrow.
+                raise ValueError(
+                    f"embedding_decontaminate: NULL {id_col} in corpus "
+                    "— row identity drives the drop anti-join; fill or "
+                    "drop NULL ids upstream")
             # object dtype: ids pass through in their input type
             # (string doc ids are the corpus norm, round 12)
             ids = pdf[id_col].to_numpy(dtype=object)
@@ -1671,8 +1705,12 @@ def centroid_prune(
     under-prunes by at most that one bucket's population (zero when the
     label's cosines are tie-free at 1e-6 granularity — then both arms
     agree row-for-row, which the parity test pins); within-bucket id
-    tie-breaks are the only semantics it gives up. NULL cosines
-    (zero-norm rows) are never pruned by either arm."""
+    tie-breaks are the only semantics it gives up. NULL-cosine
+    (zero-norm) rows: the approx arm NEVER prunes them; the exact arm
+    ranks them last (NULLS LAST) and so reaches them only when the
+    cutoff exceeds the label's non-NULL count (prune_ppm near 1e6 on a
+    zero-norm-heavy label) — the one documented divergence beyond the
+    boundary bucket, pinned in the parity test."""
     from pyspark.sql.window import Window
 
     scored = centroid_distance(embeddings, id_col, vec_col, label_col)
@@ -1809,11 +1847,7 @@ def hard_negative_topk(
             labs = pdf[label_col].to_numpy(dtype=object)
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vnorm = np.sqrt((v * v).sum(axis=1))
-            # drop zero-norm (cosine undefined) and NULL-id/label rows
-            # (a row whose label is unknown cannot be proven off-label)
-            keep = ((vnorm != 0.0)
-                    & np.array([x is not None for x in ids])
-                    & np.array([x is not None for x in labs]))
+            keep = vnorm != 0.0  # zero-norm: cosine undefined
             if not keep.all():
                 ids, labs, v, vnorm = (ids[keep], labs[keep], v[keep],
                                        vnorm[keep])
@@ -1835,8 +1869,15 @@ def hard_negative_topk(
             yield pd.DataFrame(
                 {"anchor_id": out_a, id_col: out_id, "cosine_sim": out_s})
 
-    cand = embeddings.select(id_col, vec_col, label_col).mapInPandas(
-        score, schema)
+    # NULL id/label exclusion happens DECLARATIVELY, before Arrow: a
+    # nullable int column reaches pandas as float64 with NaN — an
+    # `is None` check in the closure silently passes NaN, certifying an
+    # unknown label as off-label, and round-trips large ids lossily.
+    # Filtering in the plan keeps both columns' dtypes intact.
+    cand = (embeddings.select(id_col, vec_col, label_col)
+            .where(F.col(id_col).isNotNull()
+                   & F.col(label_col).isNotNull())
+            .mapInPandas(score, schema))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("anchor_id").orderBy(

@@ -2758,7 +2758,10 @@ def test_centroid_prune_approx_parity_and_plan(spark):
     pruned_a2 = {v for v, k in a2.items() if not k}
     assert pruned_a2 <= {v for v, k in e2.items() if not k}
 
-    # prune_ppm=1e6: every non-NULL cosine pruned, zero-norm rows kept
+    # prune_ppm=1e6: the approx arm prunes every non-NULL cosine and
+    # keeps zero-norm rows; the exact arm's rank REACHES the NULLS-LAST
+    # tail at this extreme — the one documented divergence beyond the
+    # boundary bucket (centroid_prune docstring, round 12)
     withzero = spark.createDataFrame(
         [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 0.0], 0)],
         "vec_id long, embedding array<float>, label int")
@@ -2766,6 +2769,10 @@ def test_centroid_prune_approx_parity_and_plan(spark):
           for r in sim.centroid_prune(
               withzero, prune_ppm=1_000_000, exact=False).collect()}
     assert a3 == {1: False, 2: False, 3: True}
+    e3 = {r["vec_id"]: r["keep"]
+          for r in sim.centroid_prune(
+              withzero, prune_ppm=1_000_000).collect()}
+    assert e3 == {1: False, 2: False, 3: False}  # exact prunes the tail
 
     # plan pin: the approx arm has no Window (no per-label corpus sort)
     plan = (sim.centroid_prune(df, exact=False)
@@ -2774,6 +2781,60 @@ def test_centroid_prune_approx_parity_and_plan(spark):
     exact_plan = (sim.centroid_prune(df)
                   ._jdf.queryExecution().executedPlan().toString())
     assert "Window" in exact_plan  # the arm being replaced really has one
+
+
+def test_gemm_null_exclusion_is_declarative_for_int_columns(spark):
+    """Review fix (round 12): a nullable INT id/label column reaches the
+    Arrow closure as float64 with NaN — an `is None` check passes NaN,
+    certifying an unknown label as off-label and round-tripping large
+    ids lossily. NULL exclusion therefore happens in the Spark plan, and
+    these pin the int path: a NULL int label never mines as a negative,
+    a NULL bigint corpus id never reaches the top-k, and a large id
+    (> 2^53, unrepresentable in float64) survives exactly."""
+    big = (1 << 60) + 7  # would corrupt through float64
+    rows = [(big, [1.0, 0.0], 1), (2, [0.9, 0.1], 2),
+            (3, [0.8, 0.2], None),      # NULL label
+            (None, [0.95, 0.05], 2)]    # NULL id
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    anchors = df.where(f"vec_id = {big}")
+    got = [(r["vec_id"], r["cosine_sim"]) for r in
+           sim.hard_negative_topk(df, anchors, k=5).collect()]
+    assert got and [g[0] for g in got] == [2]  # NULL id+label excluded
+
+    qs = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id long, query_vec array<float>")
+    topk = [r["vec_id"] for r in
+            sim.cosine_topk_batch(df, qs, k=4).collect()]
+    assert None not in topk and big in topk  # exact id, no NaN row
+    assert topk[0] == big                    # big id ranks first intact
+
+
+def test_dedup_and_decontaminate_null_ids_raise_loudly(spark):
+    """Review fix (round 12): semantic_dedup's duplicate drop and
+    embedding_decontaminate's contaminated drop are id anti-joins, which
+    never match NULL — a NULL-id duplicate/contaminated row would
+    silently SURVIVE. Both operators fail loudly and name the contract
+    instead (both twins share semantic_dedup's scan-side assert)."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), (None, [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<float>")
+    with pytest.raises(Exception, match="semantic_dedup: NULL vec_id"):
+        sim.semantic_dedup(df, threshold=0.99, n_cells=1).collect()
+    with pytest.raises(Exception, match="semantic_dedup: NULL vec_id"):
+        sim.semantic_dedup_batch(df, threshold=0.99, n_cells=1).collect()
+    ev = spark.createDataFrame(
+        [("e", [1.0, 0.0])], "vec_id string, embedding array<float>")
+    with pytest.raises(Exception,
+                       match="embedding_decontaminate: NULL vec_id"):
+        sim.embedding_decontaminate(df, ev, threshold=0.9).collect()
+    # int ids with NULL (the NaN-through-Arrow shape) raise too
+    dfi = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception,
+                       match="embedding_decontaminate: NULL vec_id"):
+        sim.embedding_decontaminate(dfi, ev, threshold=0.9).collect()
 
 
 def test_embedding_ops_hostile_label_fuzz(spark):

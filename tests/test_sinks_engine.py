@@ -2270,6 +2270,33 @@ def test_throttle_probe_failure_disables_not_wedges(spark, sf_dir, tmp_path):
     assert calls["n"] == 1  # dead after the first failure, not per table
 
 
+def test_strip_view_preamble_hostile_identifiers():
+    """The restore-side preamble strip consumes backtick-quoted segments
+    atomically (review fix, round 12): a view name containing ';' or
+    doubled backticks must not truncate the strip mid-name and leave a
+    garbage fragment prepended to the CREATE VIEW handed to the
+    executor."""
+    from mydumper_spark.engine import _strip_view_preamble
+
+    assert _strip_view_preamble(
+        "DROP TABLE IF EXISTS `v`;\nDROP VIEW IF EXISTS `v`;\n"
+        "CREATE VIEW `v` AS SELECT 1") == "CREATE VIEW `v` AS SELECT 1"
+    # hostile: ';' inside the quoted identifier
+    assert _strip_view_preamble(
+        "DROP TABLE IF EXISTS `a;b`;\nDROP VIEW IF EXISTS `a;b`;\n"
+        "CREATE VIEW `a;b` AS SELECT 1") == "CREATE VIEW `a;b` AS SELECT 1"
+    # hostile: doubled backticks and a stray unquoted token
+    assert _strip_view_preamble(
+        "DROP VIEW IF EXISTS `x``;y`;\nCREATE VIEW `x``;y` AS SELECT 2"
+    ) == "CREATE VIEW `x``;y` AS SELECT 2"
+    # no preamble: untouched
+    assert _strip_view_preamble(
+        "CREATE VIEW v AS SELECT 1") == "CREATE VIEW v AS SELECT 1"
+    # a DROP inside the view BODY is not a preamble and survives
+    body = "CREATE VIEW v AS SELECT 'DROP TABLE IF EXISTS t;' AS s"
+    assert _strip_view_preamble(body) == body
+
+
 def test_compact_and_use_savepoints_flags(spark, sf_dir, tmp_path):
     """--compact (mydumper_arguments.c:226) must NOT touch the metadata
     twin: the reference's flag only suppresses the per-chunk SQL_MODE
