@@ -5423,6 +5423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # datasheet) — each oracle-exact and plan-pinned. The round-11
         # pair (x_centroid_prune, x_hard_negatives) follows the same
         # policy: below the window, proven by the full sweep + bench.
+        # Round 12 adds x_hard_negatives_str (string ids + labels,
+        # codepoint tie order replayed in DuckDB) right behind them.
         "x_diversity_chars": x_diversity_chars,
         "x_centroid_prune": x_centroid_prune,
         "x_hard_negatives": x_hard_negatives,

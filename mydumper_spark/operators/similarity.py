@@ -1710,7 +1710,14 @@ def centroid_prune(
     ranks them last (NULLS LAST) and so reaches them only when the
     cutoff exceeds the label's non-NULL count (prune_ppm near 1e6 on a
     zero-norm-heavy label) — the one documented divergence beyond the
-    boundary bucket, pinned in the parity test."""
+    boundary bucket, pinned in the parity test.
+
+    Pick the arm by label shape: the approx histogram collect is
+    O(labels × distinct cos_ppm) ≤ labels × 2e6 — corpus-size-
+    independent but label-cardinality-linear — so it is the arm for FEW
+    dominant labels (the skew case the window chokes on); with very
+    many small labels the per-label window is already balanced and
+    exact stays the right default."""
     from pyspark.sql.window import Window
 
     scored = centroid_distance(embeddings, id_col, vec_col, label_col)
