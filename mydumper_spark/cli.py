@@ -508,6 +508,22 @@ def cmd_import_mysqldump(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_import_dump_dir(args: argparse.Namespace) -> int:
+    from mydumper_spark.engine import import_mydumper_dir
+
+    spark = _session(args.threads)
+    m = import_mydumper_dir(spark, args.dir, args.outputdir,
+                            checksum=not getattr(args, "no_checksum",
+                                                 False))
+    print(json.dumps({
+        "tables": {k: e.rows for k, e in m.tables.items()},
+        "objects": [f"{o['kind']}:{o['name']}" for o in m.objects],
+        **({"row_mismatches": m.source_info["row_mismatches"]}
+           if "row_mismatches" in m.source_info else {}),
+    }))
+    return 0
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Table-by-table diff between two dump directories: per-table counts of
     added/deleted/changed primary keys (operators/diff.py). The PK column is
@@ -1182,6 +1198,18 @@ def build_parser() -> argparse.ArgumentParser:
     im.add_argument("--no-checksum", action="store_true")
     im.add_argument("-t", "--threads", type=int)
     im.set_defaults(fn=cmd_import_mysqldump)
+
+    idd = sub.add_parser(
+        "import-dump-dir",
+        help="adopt a GENUINE mydumper dump directory (metadata + "
+             "db.table-schema.sql + NNNNN.sql chunks) as a first-class "
+             "dump dir — zero-copy (hardlink) intake; restore/verify/"
+             "diff/--since all work on the result")
+    idd.add_argument("dir", help="mydumper dump directory")
+    idd.add_argument("-o", "--outputdir", required=True)
+    idd.add_argument("--no-checksum", action="store_true")
+    idd.add_argument("-t", "--threads", type=int)
+    idd.set_defaults(fn=cmd_import_dump_dir)
 
     f = sub.add_parser("diff", help="added/deleted/changed rows between two dumps")
     f.add_argument("--old", required=True, help="older dump directory")

@@ -1088,6 +1088,193 @@ def import_mysqldump(spark: SparkSession, dumpfile: str, out_dir: str,
     return manifest
 
 
+#: genuine-dump object artifacts by filename suffix (mydumper_jobs.c
+#: naming); post files hold MANY routines/events in one artifact and are
+#: recorded-not-replayed (splitting them is unsafe: routine bodies
+#: legitimately contain ';')
+_IMPORT_OBJ_SUFFIX = (("-schema-view.sql", "view"),
+                      ("-schema-triggers.sql", "trigger"),
+                      ("-schema-sequence.sql", "sequence"))
+
+
+def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
+                        checksum: bool = True) -> Manifest:
+    """myloader ``-d <dir>`` analogue: adopt a GENUINE mydumper dump
+    directory (metadata + ``db.table-schema.sql`` + ``db.table.NNNNN.sql``
+    chunks + view/trigger artifacts, myloader_process_filename.c layout)
+    as a first-class dump dir — after which every existing consumer works
+    on it unchanged: ``verify``, ``restore`` (with -s, -B, --no-data,
+    purge modes), ``diff``, ``dump --since`` chains. The switching user's
+    first workflow: their existing backups load without the reference.
+
+    The source directory is never written to; chunk and schema artifacts
+    hardlink into ``out_dir`` (same filesystem — free) with a copy
+    fallback, rows are typed/counted/checksummed DISTRIBUTED through the
+    line-parallel INSERT parser, and the manifest is synthesized. View
+    stand-in ``{view}-schema.sql`` files (identified by their sibling
+    ``-schema-view.sql``, or metadata ``is_view``) never become tables;
+    the real view artifact keeps its reference DROP preamble, which our
+    restore strips and re-issues target-qualified. ``db-schema-post.sql``
+    routine/event bundles are recorded in ``source_info`` (import
+    manually) — one artifact holds many ';'-bodied routines, which a
+    one-statement executor cannot replay safely."""
+    import shutil as _shutil
+    from types import SimpleNamespace
+
+    from mydumper_spark.plans.ddl import (
+        descriptor_from_create_table,
+        schema_from_create_table,
+    )
+    from mydumper_spark.sinks.exec_sink import FilenameRegistry
+    from mydumper_spark.sinks.manifest import build_entry
+    from mydumper_spark.sinks.metadata_file import parse_metadata
+    from mydumper_spark.sources.dump_reader import classify, read_dump_table
+
+    src = os.path.abspath(src_dir)
+    out = os.path.abspath(out_dir)
+    if src == out:
+        raise ValueError(
+            "import_mydumper_dir: out_dir must differ from src_dir — the "
+            "source dump stays pristine (hardlink/copy intake)")
+    os.makedirs(out, exist_ok=True)
+
+    def adopt(name: str) -> str:
+        dst = os.path.join(out, name)
+        if not os.path.exists(dst):
+            try:
+                os.link(os.path.join(src, name), dst)
+            except OSError:  # cross-device: fall back to a real copy
+                _shutil.copy2(os.path.join(src, name), dst)
+        return dst
+
+    meta = None
+    for mf in ("metadata", "metadata.partial"):
+        mp = os.path.join(src, mf)
+        if os.path.exists(mp):
+            with open(mp, encoding="utf-8", errors="surrogateescape") as f:
+                meta = parse_metadata(f.read())
+            break
+    meta_flags = {}
+    if meta is not None:
+        for t in meta.tables:
+            meta_flags[f"{t.database}.{t.table}"] = t
+
+    files = sorted(os.listdir(src))
+    chunk_tables: set[tuple[str, str]] = set()
+    schema_files: dict[tuple[str, str], str] = {}
+    objects: list = []            # SimpleNamespace(kind, database, name, …)
+    post_files: list[str] = []
+    databases: list[str] = []
+    for f in files:
+        for suffix, kind in _IMPORT_OBJ_SUFFIX:
+            if f.endswith(suffix):
+                base = f[: -len(suffix)]
+                db, _, name = base.partition(".")
+                if not name:  # un-qualified single-schema artifact
+                    db, name = "", base
+                with open(os.path.join(src, f), encoding="utf-8",
+                          errors="surrogateescape") as fh:
+                    raw = fh.read().strip()
+                objects.append(SimpleNamespace(
+                    kind=kind, database=db, name=name, raw_sql=raw,
+                    table=name if kind == "trigger" else None,
+                    columns=None))
+                break
+        else:
+            c = classify(f)
+            if not c:
+                if f.endswith("-schema-post.sql") or f.endswith(
+                        "-schema-ev-post.sql"):
+                    post_files.append(f)
+                continue
+            kind, g = c
+            if kind == "schema_create":
+                databases.append(g["db"])
+            elif kind == "table_schema":
+                schema_files[(g["db"], g["table"])] = f
+            elif kind in ("data_sql", "data_dat"):
+                chunk_tables.add((g["db"], g["table"]))
+
+    view_names = {(o.database, o.name) for o in objects if o.kind == "view"}
+    seq_names = {(o.database, o.name) for o in objects
+                 if o.kind == "sequence"}
+    multi_db = len({db for db, _ in set(schema_files) | chunk_tables}) > 1
+
+    manifest = Manifest(fmt="sql")
+    manifest.source_info = {
+        "imported_from": "mydumper_dir",
+        "source_dir": src,
+        **({"databases": ",".join(sorted(set(databases)))}
+           if databases else {}),
+        **({"post_files_import_manually": ",".join(sorted(post_files))}
+           if post_files else {}),
+    }
+    row_mismatches: list[str] = []
+    for (db, table) in sorted(set(schema_files) | chunk_tables):
+        qual = f"{db}.{table}"
+        mt = meta_flags.get(qual)
+        if ((db, table) in view_names or (db, table) in seq_names
+                or (mt is not None and (mt.is_view or mt.is_sequence))):
+            continue  # stand-in / sequence state: object, never a table
+        key = qual if multi_db else table
+        sf = schema_files.get((db, table))
+        if sf is None:
+            raise ValueError(
+                f"mydumper dir has data chunks for {qual!r} but no "
+                f"{qual}-schema.sql — cannot type the rows")
+        adopt(sf)
+        with open(os.path.join(src, sf), encoding="utf-8",
+                  errors="surrogateescape") as fh:
+            create_sql = fh.read()
+        schema = schema_from_create_table(create_sql)
+        chunk0 = None
+        for f in files:
+            c = classify(f)
+            if c and c[0] in ("data_sql", "data_dat") \
+                    and (c[1]["db"], c[1]["table"]) == (db, table):
+                p = adopt(f)
+                chunk0 = p if chunk0 is None else chunk0
+        if chunk0 is not None:
+            df = read_dump_table(spark, out, qual, schema=schema)
+        else:  # schema-only table
+            df = spark.createDataFrame([], schema)
+            chunk0 = os.path.join(out, f"{qual}.00000.sql")
+            open(chunk0, "w").close()
+        with open(os.path.join(out, f"{key}.schema.json"), "w") as f:
+            f.write(df.schema.json())
+        entry = build_entry(df, key, manifest.algorithm, path=chunk0,
+                            database=db if multi_db else None,
+                            checksum=checksum)
+        if (mt is not None and mt.rows >= 0 and checksum
+                and mt.rows != entry.rows):
+            row_mismatches.append(
+                f"{qual}: metadata says {mt.rows}, chunks hold "
+                f"{entry.rows}")
+        _attach_schema_artifact(
+            entry,
+            SimpleNamespace(
+                raw_sql=create_sql,
+                descriptor=descriptor_from_create_table(create_sql)),
+            key, out)
+        manifest.tables[key] = entry
+    if row_mismatches:
+        # a truncated/foreign-edited dump must not import silently clean
+        manifest.source_info["row_mismatches"] = "; ".join(row_mismatches)
+        import warnings as _warnings
+
+        _warnings.warn(
+            "import_mydumper_dir: chunk row counts disagree with the "
+            f"dump's own metadata — {manifest.source_info['row_mismatches']}")
+    _write_object_artifacts(
+        manifest,
+        [((f"{o.database}.{o.name}" if multi_db and o.database
+           else o.name), o) for o in objects],
+        FilenameRegistry(), out)
+    manifest.finish()
+    write_manifest(manifest, out)
+    return manifest
+
+
 def plan_for_table(spark: SparkSession, meta: TableMeta, df: DataFrame,
                    num_chunks: int | None,
                    profile: list[dict] | None = None) -> ChunkPlan:

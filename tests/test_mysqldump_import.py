@@ -411,3 +411,144 @@ def test_split_mysqldump_non_utf8_ddl_survives(tmp_path):
     with open(entry["schema_path"], "rb") as f:
         assert b"caf\xe9" in f.read()  # DDL bytes preserved, not U+FFFD
     assert [o["name"] for o in res.objects] == ["v"]
+
+
+def test_import_mydumper_dir_end_to_end(spark, tmp_path):
+    """import_mydumper_dir (round 12 — the myloader -d analogue): a
+    hand-built GENUINE mydumper layout (metadata, db-schema-create.sql,
+    db.table-schema.sql, NNNNN.sql INSERT chunks, a view stand-in +
+    real view artifact with the reference DROP preamble, a schema-only
+    table, a db-schema-post.sql routine bundle) imports zero-copy into a
+    first-class dump dir: the stand-in never becomes a table, chunks
+    type/count/checksum through the INSERT parser, metadata row counts
+    cross-check, and restore replays it into DuckDB — view included."""
+    import duckdb
+
+    from mydumper_spark.engine import import_mydumper_dir, restore
+
+    src = tmp_path / "genuine"
+    src.mkdir()
+    (src / "metadata").write_text(
+        "# Started dump at: 2024-01-01 00:00:00\n"
+        "[config]\nquote-character = BACKTICK\n\n"
+        "[`shop`.`customer`]\nreal_table_name=customer\nrows = 3\n\n"
+        "[`shop`.`empty_t`]\nreal_table_name=empty_t\nrows = 0\n\n"
+        "# Finished dump at: 2024-01-01 00:01:00\n")
+    (src / "shop-schema-create.sql").write_text(
+        "CREATE DATABASE /*!32312 IF NOT EXISTS*/ `shop`;\n")
+    (src / "shop.customer-schema.sql").write_text(
+        "CREATE TABLE `customer` (\n"
+        "  `id` int NOT NULL,\n  `name` varchar(40),\n"
+        "  `bal` decimal(10,2),\n  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n")
+    (src / "shop.customer.00000.sql").write_text(
+        "INSERT INTO `customer` VALUES "
+        "(1,'Ann; \\'q\\'',10.50),(2,'Bob',NULL);\n")
+    (src / "shop.customer.00001.sql").write_text(
+        "INSERT INTO `customer` VALUES (3,'semi;colon',0.00);\n")
+    (src / "shop.empty_t-schema.sql").write_text(
+        "CREATE TABLE `empty_t` (`k` bigint NOT NULL);\n")
+    # view: stand-in CREATE TABLE + real artifact with the DROP preamble
+    (src / "shop.rich-schema.sql").write_text(
+        "CREATE TABLE IF NOT EXISTS `rich`(\n`id` int,\n`bal` decimal"
+        "\n) ENGINE=MEMORY;\n")
+    # preamble backticked exactly as mydumper writes it (the strip must
+    # consume it); the CREATE body is dialect-neutral so the DuckDB
+    # target can replay it (a backticked body is MySQL DDL for a MySQL
+    # target — dialect translation of view bodies is out of scope)
+    (src / "shop.rich-schema-view.sql").write_text(
+        "DROP TABLE IF EXISTS `rich`;\nDROP VIEW IF EXISTS `rich`;\n"
+        "CREATE VIEW rich AS SELECT id, bal FROM customer "
+        "WHERE bal > 1;\n")
+    (src / "shop-schema-post.sql").write_text(
+        "CREATE PROCEDURE p1() BEGIN SELECT 1; END;\n")
+
+    out = str(tmp_path / "adopted")
+    m = import_mydumper_dir(spark, str(src), out)
+    # tables: data + schema-only; the stand-in is NOT a table
+    assert set(m.tables) == {"customer", "empty_t"}
+    assert m.tables["customer"].rows == 3
+    assert m.tables["customer"].data_checksum
+    assert m.tables["empty_t"].rows == 0
+    assert [(o["kind"], o["name"]) for o in m.objects] == [("view", "rich")]
+    assert "shop-schema-post.sql" in m.source_info[
+        "post_files_import_manually"]
+    assert "row_mismatches" not in m.source_info
+    # zero-copy: adopted chunks are hardlinks of the source files
+    assert os.path.samefile(str(src / "shop.customer.00000.sql"),
+                            os.path.join(out, "shop.customer.00000.sql"))
+
+    # the adopted dir restores like any native dump — view included
+    target = str(tmp_path / "t.duckdb")
+
+    def ddl_executor(sql):
+        c = duckdb.connect(target)
+        try:
+            c.execute(sql)
+            c.execute("CHECKPOINT")
+        finally:
+            c.close()
+
+    results = restore(spark, out, f"jdbc:duckdb:{target}", parallelism=1,
+                      jdbc_properties={"driver": "org.duckdb.DuckDBDriver"},
+                      ddl_executor=ddl_executor, jdbc_num_partitions=1)
+    assert results["load"]["customer"] is True
+    assert results["verify"]["customer"] is True
+    assert results["ddl"]["post"] == {"view:rich": True}
+    con = duckdb.connect(target)
+    assert con.execute(
+        "SELECT name FROM customer ORDER BY id").fetchall() == [
+        ("Ann; 'q'",), ("Bob",), ("semi;colon",)]
+    assert con.execute("SELECT count(*) FROM empty_t").fetchone() == (0,)
+    assert con.execute(
+        "SELECT id FROM rich ORDER BY id").fetchall() == [(1,)]
+    con.close()
+    # source dir untouched (no sidecars, no manifest leaked into it)
+    assert sorted(os.listdir(str(src))) == [
+        "metadata", "shop-schema-create.sql", "shop-schema-post.sql",
+        "shop.customer-schema.sql", "shop.customer.00000.sql",
+        "shop.customer.00001.sql", "shop.empty_t-schema.sql",
+        "shop.rich-schema-view.sql", "shop.rich-schema.sql"]
+
+
+def test_import_mydumper_dir_row_mismatch_warns(spark, tmp_path):
+    """A truncated/edited genuine dump (metadata rows != chunk rows) must
+    not import silently clean: the mismatch lands in source_info AND a
+    warning fires."""
+    import warnings as _warnings
+
+    from mydumper_spark.engine import import_mydumper_dir
+
+    src = tmp_path / "trunc"
+    src.mkdir()
+    (src / "metadata").write_text(
+        "[config]\nquote-character = BACKTICK\n\n"
+        "[`shop`.`t`]\nreal_table_name=t\nrows = 5\n")
+    (src / "shop.t-schema.sql").write_text(
+        "CREATE TABLE `t` (`id` int NOT NULL);\n")
+    (src / "shop.t.00000.sql").write_text(
+        "INSERT INTO `t` VALUES (1),(2);\n")
+    with _warnings.catch_warnings(record=True) as got:
+        _warnings.simplefilter("always")
+        m = import_mydumper_dir(spark, str(src), str(tmp_path / "o"))
+    assert "metadata says 5, chunks hold 2" in m.source_info[
+        "row_mismatches"]
+    assert any("row counts disagree" in str(w.message) for w in got)
+
+
+def test_import_dump_dir_cli(spark, tmp_path, capsys):
+    from mydumper_spark.cli import main
+
+    src = tmp_path / "g2"
+    src.mkdir()
+    (src / "metadata").write_text(
+        "[config]\nquote-character = BACKTICK\n\n"
+        "[`s`.`t`]\nreal_table_name=t\nrows = 2\n")
+    (src / "s.t-schema.sql").write_text(
+        "CREATE TABLE `t` (`id` int NOT NULL);\n")
+    (src / "s.t.00000.sql").write_text("INSERT INTO `t` VALUES (1),(2);\n")
+    out = str(tmp_path / "g2out")
+    rc = main(["import-dump-dir", str(src), "-o", out])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["tables"] == {"t": 2} and "row_mismatches" not in doc
