@@ -1227,20 +1227,47 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                   errors="surrogateescape") as fh:
             create_sql = fh.read()
         schema = schema_from_create_table(create_sql)
-        chunk0 = None
+        sql_chunks: list[str] = []
+        dat_chunks: list[str] = []
         for f in files:
             c = classify(f)
             if c and c[0] in ("data_sql", "data_dat") \
                     and (c[1]["db"], c[1]["table"]) == (db, table):
-                p = adopt(f)
-                chunk0 = p if chunk0 is None else chunk0
-        if chunk0 is not None:
+                (dat_chunks if c[0] == "data_dat"
+                 else sql_chunks).append(adopt(f))
+        if dat_chunks:
+            # --load-data/--csv dump: rows live in the .dat chunks; the
+            # same-numbered .sql siblings hold LOAD DATA statements, not
+            # data — an INSERT parse of those would count ZERO rows
+            # silently. The statement itself records the dialect
+            # (FIELDS/LINES clauses), which the manifest then carries
+            # for every later typed read (restore, verify, diff).
+            from mydumper_spark.sinks.writers import (
+                csvformat_from_load_data,
+            )
+
+            stmt = ""
+            if sql_chunks:
+                with open(sql_chunks[0], encoding="utf-8",
+                          errors="surrogateescape") as fh:
+                    stmt = fh.read(4096)
+            fmt = csvformat_from_load_data(stmt)
+            if manifest.csv_dialect is None:
+                from dataclasses import asdict as _asdict
+
+                manifest.csv_dialect = _asdict(fmt)
+            chunk0 = dat_chunks[0]
+            df = read_dump_table(spark, out, qual, fmt=fmt, schema=schema)
+        elif sql_chunks:
+            chunk0 = sql_chunks[0]
             df = read_dump_table(spark, out, qual, schema=schema)
         else:  # schema-only table
             df = spark.createDataFrame([], schema)
             chunk0 = os.path.join(out, f"{qual}.00000.sql")
             open(chunk0, "w").close()
-        with open(os.path.join(out, f"{key}.schema.json"), "w") as f:
+        # sidecar named after the chunk prefix (db.table), the name every
+        # chunk-path schema lookup derives (manifest._sidecar_schema)
+        with open(os.path.join(out, f"{qual}.schema.json"), "w") as f:
             f.write(df.schema.json())
         entry = build_entry(df, key, manifest.algorithm, path=chunk0,
                             database=db if multi_db else None,

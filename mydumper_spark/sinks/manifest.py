@@ -323,6 +323,23 @@ def read_dumped_table(spark, entry: dict,
         if schema is None:
             return None
         return spark.read.schema(schema).json(path)
+    if _DAT_CHUNK_RE.search(path):
+        # reference-layout chunked .dat (db.table.NNNNN.dat[.gz] — a
+        # genuine --load-data/--csv dump adopted by import_mydumper_dir):
+        # the typed read must span EVERY sibling chunk, not just the
+        # recorded chunk0 — a one-file read would silently load a
+        # fraction of the table
+        m = _DAT_CHUNK_RE.search(path)
+        tail = m.group(0)
+        if tail[tail.index(".dat") + len(".dat"):] not in _NATIVE_SQL_EXTS:
+            return None
+        schema = _sidecar_schema(path, tail)
+        if schema is None:
+            return None
+        from mydumper_spark.sinks.writers import CsvFormat, read_csv_typed
+
+        fmt = CsvFormat(**{"escaped_data": False, **(csv_dialect or {})})
+        return read_csv_typed(spark, dat_chunk_paths(path), schema, fmt)
     if path.endswith(".dat"):
         schema = _sidecar_schema(path, ".dat")
         if schema is None:
@@ -341,6 +358,8 @@ def read_dumped_table(spark, entry: dict,
 #: the reference's db.table.NNNNN.sql rotation, -c compression (.gz/.zst),
 #: or an --exec-per-thread filter extension, myloader_process_filename.c)
 _SQL_CHUNK_RE = re.compile(r"\.\d{5}\.sql(\.[A-Za-z0-9]{1,10})*$")
+#: .dat twin (reference --load-data/--csv chunk rotation)
+_DAT_CHUNK_RE = re.compile(r"\.\d{5}\.dat(\.[A-Za-z0-9]{1,10})*$")
 #: extra extensions the engine can read back NATIVELY (Spark text codecs);
 #: anything else means the dump went through --exec-per-thread and needs
 #: the user's decode command (engine.restore exec_per_thread=…)
@@ -352,20 +371,30 @@ def is_sql_chunk(path: str) -> bool:
     return bool(_SQL_CHUNK_RE.search(path))
 
 
+def _chunk_paths(chunk0: str, chunk_re: "re.Pattern", kind: str) -> list:
+    d, base = os.path.split(chunk0)
+    prefix = chunk_re.sub("", base)
+    # siblings carry chunk0's exact extension tail (.sql / .sql.gz /
+    # .sql.<filter-ext>) — matching ANY tail here could mix a filtered
+    # and an unfiltered generation of the same dump dir
+    tail = chunk_re.search(base).group(0)
+    ext = tail[tail.index(kind) + len(kind):]
+    pat = re.compile(re.escape(prefix) + r"\.\d{5}" + re.escape(kind)
+                     + re.escape(ext) + "$")
+    return sorted(os.path.join(d, f) for f in os.listdir(d) if pat.match(f))
+
+
 def sql_chunk_paths(chunk0: str) -> list[str]:
     """Every sibling chunk of a fmt="sql" dump, from its recorded first
     chunk — listdir + regex, not glob (masqueraded/odd table names must
     not be glob-interpreted)."""
-    d, base = os.path.split(chunk0)
-    prefix = _SQL_CHUNK_RE.sub("", base)
-    # siblings carry chunk0's exact extension tail (.sql / .sql.gz /
-    # .sql.<filter-ext>) — matching ANY tail here could mix a filtered
-    # and an unfiltered generation of the same dump dir
-    tail = _SQL_CHUNK_RE.search(base).group(0)
-    ext = tail[tail.index(".sql") + len(".sql"):]
-    pat = re.compile(re.escape(prefix) + r"\.\d{5}\.sql"
-                     + re.escape(ext) + "$")
-    return sorted(os.path.join(d, f) for f in os.listdir(d) if pat.match(f))
+    return _chunk_paths(chunk0, _SQL_CHUNK_RE, ".sql")
+
+
+def dat_chunk_paths(chunk0: str) -> list[str]:
+    """Every sibling chunk of a reference-layout .dat dump (the
+    --load-data/--csv twin of :func:`sql_chunk_paths`)."""
+    return _chunk_paths(chunk0, _DAT_CHUNK_RE, ".dat")
 
 
 def _sidecar_schema(path: str, suffix: str):

@@ -51,6 +51,14 @@ class CsvFormat:
     #: field exist read as False (read_dumped_table defaults the missing
     #: key), so old dumps keep their bytes' meaning.
     escaped_data: bool = True
+    #: genuine mydumper --load-data payloads backslash-escape control
+    #: bytes IN the data (m_escape: \n \r \t \0 \b \Z \\) and MySQL's
+    #: LOAD DATA decodes them on load — Spark's csv escape option only
+    #: unquotes, it never decodes control sequences. True (set by
+    #: import_mydumper_dir's dialect recovery) applies the LOAD DATA
+    #: decode after the typed read. Mutually exclusive with
+    #: escaped_data (ours is a quoting convention, this is MySQL's).
+    load_data_escapes: bool = False
 
 
 def _escape_string_data(df: DataFrame) -> DataFrame:
@@ -80,6 +88,83 @@ def unescape_string_data(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def decode_load_data_escapes(df: DataFrame) -> DataFrame:
+    """MySQL LOAD DATA escape decode over every string column (\\n \\t
+    \\r \\\\ → their bytes), applied after a typed csv read of a genuine
+    --load-data payload. Single logical pass: literal backslash pairs
+    park on a NUL sentinel first — raw NUL cannot appear in the escaped
+    stream (the writer escaped it to \\0), so the sentinel is
+    collision-free — then each escape decodes, then the sentinel
+    restores the backslash LAST, so a decoded '\\' can never re-trigger
+    an escape. Scan-side codegen, zero shuffles.
+
+    Deliberately NOT decoded: \\0 \\b \\Z — decoding \\0 to a real NUL
+    would collide with the sentinel (and NUL/backspace/SUB bytes in
+    text corpora are vanishingly rare); those three sequences keep
+    their escaped spelling, a documented fidelity bound of the intake."""
+    from pyspark.sql import types as T
+
+    pairs = [("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r")]
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.StringType):
+            c = F.replace(c, F.lit("\\\\"), F.lit("\x00"))
+            for src, dst in pairs:
+                c = F.replace(c, F.lit(src), F.lit(dst))
+            c = F.replace(c, F.lit("\x00"), F.lit("\\")).alias(f.name)
+        cols.append(c)
+    return df.select(*cols)
+
+
+def _read_load_data_unquoted(spark, path, schema, fmt: CsvFormat):
+    """Typed read of a genuine unquoted --load-data payload. Spark's csv
+    tokenizer cannot read this form: with no enclosure, an embedded
+    field terminator is escaped as ``<esc><terminator-byte>``
+    (m_escape_char_with_char, mydumper_write.c:668) and univocity's
+    escape option only unquotes — the raw terminator byte still splits
+    the field. So: read text lines on the line terminator, park the
+    escape pairs on NUL-prefixed sentinels (raw NUL cannot appear — the
+    writer escaped it to ``\\0``), split on the now-unambiguous
+    terminator, then decode per field and cast to the schema. All
+    scan-side codegen."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):  # DDL-string schema, like spark.read
+        schema = T.StructType.fromDDL(schema)
+    esc = fmt.fields_escaped_by or "\\"
+    term = fmt.fields_terminated_by
+    lines = (spark.read.option("lineSep", fmt.lines_terminated_by)
+             .text(path))
+    c = F.col("value")
+    c = F.replace(c, F.lit(esc + esc), F.lit("\x00P"))
+    c = F.replace(c, F.lit(esc + term), F.lit("\x00T"))
+    import re as _re
+
+    fields = F.split(c, _re.escape(term), -1)
+    cols = []
+    for i, fld in enumerate(schema.fields):
+        v = F.element_at(fields, i + 1)
+        # the NULL sentinel is the exact unquoted field <esc>N
+        v = F.when(v == F.lit(esc + "N"),
+                   F.lit(None).cast("string")).otherwise(v)
+        # mysql_real_escape two-char sequences (\n \r \t \' \"); the
+        # parked sentinels restore LAST so decoded bytes can't re-fire
+        for src, dst in ((esc + "n", "\n"), (esc + "r", "\r"),
+                         (esc + "t", "\t"), (esc + "'", "'"),
+                         (esc + '"', '"')):
+            v = F.replace(v, F.lit(src), F.lit(dst))
+        v = F.replace(v, F.lit("\x00T"), F.lit(term))
+        v = F.replace(v, F.lit("\x00P"), F.lit(esc))
+        if isinstance(fld.dataType, T.BinaryType):
+            # blobs travel as bare hex (mysql_hex_string, no 0x prefix)
+            v = F.unhex(v)
+        else:
+            v = v.cast(fld.dataType)
+        cols.append(v.alias(fld.name))
+    return lines.select(*cols)
+
+
 def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
     """The ONE way back from a dialected csv/.dat dump: typed read with the
     recorded dialect, multiLine on (the writer quotes embedded line
@@ -88,8 +173,15 @@ def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
     when the dialect says the writer doubled backslashes. multiLine makes
     each FILE single-split; rotation (K5) already bounds file sizes, so
     parallelism comes from file count — the same trade the reference
-    makes with one LOAD DATA per file."""
+    makes with one LOAD DATA per file.
+
+    A genuine unquoted --load-data dialect (``load_data_escapes`` with
+    no enclosure) routes to :func:`_read_load_data_unquoted` — the csv
+    tokenizer cannot honor its escape-the-terminator convention."""
     fmt = fmt or CsvFormat()
+    if getattr(fmt, "load_data_escapes", False) \
+            and not fmt.fields_enclosed_by:
+        return _read_load_data_unquoted(spark, path, schema, fmt)
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
@@ -105,7 +197,44 @@ def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
         .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )
-    return unescape_string_data(out) if fmt.escaped_data else out
+    if fmt.escaped_data:
+        return unescape_string_data(out)
+    if getattr(fmt, "load_data_escapes", False):
+        return decode_load_data_escapes(out)
+    return out
+
+
+def csvformat_from_load_data(stmt: str) -> CsvFormat:
+    """Recover the dialect a genuine mydumper ``--load-data``/``--csv``
+    dump used, from the LOAD DATA statement it wrote next to each .dat
+    chunk (build_load_data_statement, mydumper_write.c:515-547) — the
+    intake inverse of :func:`write_load_data`. Clauses not present fall
+    back to the reference's LOAD_DATA defaults (tab-separated, no
+    enclosure, backslash escape, newline lines — mydumper_write.c:283-
+    312). Genuine payloads are raw csv-escaped bytes, never our
+    escaped_data doubling convention, so that stays False."""
+    import re as _re
+
+    def _unesc(s: str) -> str:
+        return (s.replace("\\\\", "\x00").replace("\\t", "\t")
+                 .replace("\\n", "\n").replace("\\r", "\r")
+                 .replace("\\'", "'").replace("\x00", "\\"))
+
+    def clause(pattern: str, default: str) -> str:
+        m = _re.search(pattern + r"\s+'((?:[^'\\]|\\.)*)'", stmt,
+                       _re.IGNORECASE)
+        return _unesc(m.group(1)) if m else default
+
+    return CsvFormat(
+        fields_terminated_by=clause(r"FIELDS\s+TERMINATED\s+BY", "\t"),
+        fields_enclosed_by=clause(r"ENCLOSED\s+BY", ""),
+        fields_escaped_by=clause(r"ESCAPED\s+BY", "\\"),
+        lines_terminated_by=clause(r"LINES(?:\s+STARTING\s+BY\s+"
+                                   r"'(?:[^'\\]|\\.)*')?\s+TERMINATED\s+BY",
+                                   "\n"),
+        escaped_data=False,
+        load_data_escapes=True,
+    )
 
 
 def write_csv(

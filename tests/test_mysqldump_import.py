@@ -432,6 +432,7 @@ def test_import_mydumper_dir_end_to_end(spark, tmp_path):
         "# Started dump at: 2024-01-01 00:00:00\n"
         "[config]\nquote-character = BACKTICK\n\n"
         "[`shop`.`customer`]\nreal_table_name=customer\nrows = 3\n\n"
+        "[`shop`.`ld`]\nreal_table_name=ld\nrows = 4\n\n"
         "[`shop`.`empty_t`]\nreal_table_name=empty_t\nrows = 0\n\n"
         "# Finished dump at: 2024-01-01 00:01:00\n")
     (src / "shop-schema-create.sql").write_text(
@@ -462,11 +463,31 @@ def test_import_mydumper_dir_end_to_end(spark, tmp_path):
         "WHERE bal > 1;\n")
     (src / "shop-schema-post.sql").write_text(
         "CREATE PROCEDURE p1() BEGIN SELECT 1; END;\n")
+    # a --load-data table: the same-numbered .sql holds the LOAD DATA
+    # statement (NOT rows), the .dat chunks hold tab-separated payload
+    # with mysql_real_escape two-char sequences (\n), the escaped
+    # terminator (backslash + real tab), escaped backslashes, and \N
+    (src / "shop.ld-schema.sql").write_text(
+        "CREATE TABLE `ld` (\n  `id` int NOT NULL,\n"
+        "  `txt` varchar(60),\n  `amt` decimal(8,2)\n) ENGINE=InnoDB;\n")
+    (src / "shop.ld.00000.sql").write_text(
+        "LOAD DATA LOCAL INFILE 'shop.ld.00000.dat' REPLACE INTO TABLE "
+        "`ld` CHARACTER SET utf8mb4 FIELDS TERMINATED BY '\\t' "
+        "ENCLOSED BY '' ESCAPED BY '\\\\' LINES TERMINATED BY '\\n' "
+        "(`id`,`txt`,`amt`);\n")
+    (src / "shop.ld.00000.dat").write_text(
+        "1\tline\\nbreak\t10.50\n"
+        "2\ttab\\\there\t0.25\n"
+        "3\tback\\\\slash\t\\N\n")
+    (src / "shop.ld.00001.dat").write_text("4\tplain\t1.00\n")
 
     out = str(tmp_path / "adopted")
     m = import_mydumper_dir(spark, str(src), out)
     # tables: data + schema-only; the stand-in is NOT a table
-    assert set(m.tables) == {"customer", "empty_t"}
+    assert set(m.tables) == {"customer", "empty_t", "ld"}
+    assert m.tables["ld"].rows == 4  # both .dat chunks; .sql stmt != rows
+    assert m.csv_dialect["fields_terminated_by"] == "\t"
+    assert m.csv_dialect["load_data_escapes"] is True
     assert m.tables["customer"].rows == 3
     assert m.tables["customer"].data_checksum
     assert m.tables["empty_t"].rows == 0
@@ -493,6 +514,7 @@ def test_import_mydumper_dir_end_to_end(spark, tmp_path):
                       jdbc_properties={"driver": "org.duckdb.DuckDBDriver"},
                       ddl_executor=ddl_executor, jdbc_num_partitions=1)
     assert results["load"]["customer"] is True
+    assert results["load"]["ld"] is True and results["verify"]["ld"] is True
     assert results["verify"]["customer"] is True
     assert results["ddl"]["post"] == {"view:rich": True}
     con = duckdb.connect(target)
@@ -500,6 +522,11 @@ def test_import_mydumper_dir_end_to_end(spark, tmp_path):
         "SELECT name FROM customer ORDER BY id").fetchall() == [
         ("Ann; 'q'",), ("Bob",), ("semi;colon",)]
     assert con.execute("SELECT count(*) FROM empty_t").fetchone() == (0,)
+    ld = dict(con.execute("SELECT id, txt FROM ld ORDER BY id").fetchall())
+    assert ld == {1: "line\nbreak", 2: "tab\there", 3: "back\\slash",
+                  4: "plain"}
+    assert con.execute(
+        "SELECT amt FROM ld WHERE id = 3").fetchone() == (None,)
     assert con.execute(
         "SELECT id FROM rich ORDER BY id").fetchall() == [(1,)]
     con.close()
@@ -508,7 +535,9 @@ def test_import_mydumper_dir_end_to_end(spark, tmp_path):
         "metadata", "shop-schema-create.sql", "shop-schema-post.sql",
         "shop.customer-schema.sql", "shop.customer.00000.sql",
         "shop.customer.00001.sql", "shop.empty_t-schema.sql",
-        "shop.rich-schema-view.sql", "shop.rich-schema.sql"]
+        "shop.ld-schema.sql", "shop.ld.00000.dat", "shop.ld.00000.sql",
+        "shop.ld.00001.dat", "shop.rich-schema-view.sql",
+        "shop.rich-schema.sql"]
 
 
 def test_import_mydumper_dir_row_mismatch_warns(spark, tmp_path):
@@ -552,3 +581,23 @@ def test_import_dump_dir_cli(spark, tmp_path, capsys):
     assert rc == 0
     doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert doc["tables"] == {"t": 2} and "row_mismatches" not in doc
+
+
+def test_csvformat_from_load_data_clauses():
+    """The LOAD DATA dialect recovery parses non-default clauses (the
+    --csv shape: comma + double-quote enclosure) and decodes escaped
+    clause values; absent clauses fall back to the reference LOAD_DATA
+    defaults (mydumper_write.c:283-312)."""
+    from mydumper_spark.sinks.writers import csvformat_from_load_data
+
+    f = csvformat_from_load_data(
+        "LOAD DATA LOCAL INFILE 'x.dat' INTO TABLE `t` CHARACTER SET "
+        "utf8mb4 FIELDS TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY "
+        "'\\\\' LINES STARTING BY '' TERMINATED BY '\\n' (`a`,`b`);")
+    assert (f.fields_terminated_by, f.fields_enclosed_by,
+            f.fields_escaped_by, f.lines_terminated_by) == (
+        ",", '"', "\\", "\n")
+    assert f.load_data_escapes and not f.escaped_data
+    d = csvformat_from_load_data("")  # no statement: LOAD_DATA defaults
+    assert (d.fields_terminated_by, d.fields_enclosed_by,
+            d.lines_terminated_by) == ("\t", "", "\n")
