@@ -1213,6 +1213,19 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
     for (db, table) in sorted(set(schema_files) | chunk_tables):
         qual = f"{db}.{table}"
         mt = meta_flags.get(qual)
+        if (mt is not None and mt.is_sequence
+                and (db, table) not in seq_names
+                and (db, table) in schema_files):
+            # genuine MariaDB sequence: the metadata flags it and its
+            # CREATE SEQUENCE DDL lives in the plain -schema.sql
+            # artifact (no -sequence suffix in genuine layout) — record
+            # it as a POST-phase object, never a data table
+            with open(os.path.join(src, schema_files[(db, table)]),
+                      encoding="utf-8", errors="surrogateescape") as fh:
+                objects.append(SimpleNamespace(
+                    kind="sequence", database=db, name=table,
+                    raw_sql=fh.read().strip(), table=None, columns=None))
+            seq_names.add((db, table))
         if ((db, table) in view_names or (db, table) in seq_names
                 or (mt is not None and (mt.is_view or mt.is_sequence))):
             continue  # stand-in / sequence state: object, never a table

@@ -601,3 +601,39 @@ def test_csvformat_from_load_data_clauses():
     d = csvformat_from_load_data("")  # no statement: LOAD_DATA defaults
     assert (d.fields_terminated_by, d.fields_enclosed_by,
             d.lines_terminated_by) == ("\t", "", "\n")
+
+
+def test_import_mydumper_dir_sequences_and_gz_chunks(spark, tmp_path):
+    """Genuine-layout refinements (round 12): a MariaDB sequence —
+    metadata is_sequence + CREATE SEQUENCE in the plain -schema.sql —
+    becomes a POST-phase object (it was silently dropped before), and
+    gzip-compressed chunks (-c dumps) import through Spark's native
+    codec."""
+    import gzip
+
+    from mydumper_spark.engine import import_mydumper_dir
+
+    src = tmp_path / "gseq"
+    src.mkdir()
+    (src / "metadata").write_text(
+        "[config]\nquote-character = BACKTICK\n\n"
+        "[`s`.`t`]\nreal_table_name=t\nrows = 3\n\n"
+        "[`s`.`seq1`]\nreal_table_name=seq1\nrows = 0\nis_sequence = 1\n")
+    (src / "s.t-schema.sql").write_text(
+        "CREATE TABLE `t` (\n  `id` int NOT NULL\n);\n")
+    with gzip.open(src / "s.t.00000.sql.gz", "wt") as f:
+        f.write("INSERT INTO `t` VALUES (1),(2);\n")
+    with gzip.open(src / "s.t.00001.sql.gz", "wt") as f:
+        f.write("INSERT INTO `t` VALUES (3);\n")
+    (src / "s.seq1-schema.sql").write_text(
+        "CREATE SEQUENCE `seq1` START WITH 7 INCREMENT BY 1;\n"
+        "DO SETVAL(`seq1`, 41, 0);\n")
+
+    m = import_mydumper_dir(spark, str(src), str(tmp_path / "gout"))
+    assert set(m.tables) == {"t"}          # the sequence is NOT a table
+    assert m.tables["t"].rows == 3         # both .gz chunks parsed
+    assert m.tables["t"].path.endswith(".00000.sql.gz")
+    assert [(o["kind"], o["name"]) for o in m.objects] == [
+        ("sequence", "seq1")]
+    with open(m.objects[0]["path"]) as f:
+        assert "CREATE SEQUENCE" in f.read()
