@@ -1097,6 +1097,53 @@ _IMPORT_OBJ_SUFFIX = (("-schema-view.sql", "view"),
                       ("-schema-sequence.sql", "sequence"))
 
 
+def _split_trigger_artifact(raw: str) -> "list[tuple[str, str]]":
+    """A genuine ``db.table-schema-triggers.sql`` holds ALL of one
+    table's triggers; split it at CREATE TRIGGER boundaries and name
+    each piece by ITS trigger (the restore DROP must target the
+    trigger's name, not the table's). Falls back to the whole artifact
+    under a parse-proof name when no CREATE TRIGGER is found."""
+    import re as _re
+
+    bounds = [m.start() for m in _re.finditer(
+        r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\b", raw,
+        _re.IGNORECASE)]
+    if not bounds:
+        return [("__unparsed_triggers", raw)]
+    out = []
+    for i, b in enumerate(bounds):
+        stmt = raw[b: bounds[i + 1] if i + 1 < len(bounds) else len(raw)]
+        stmt = stmt.strip().rstrip(";").strip()
+        m = _re.search(r"TRIGGER\s+(?:`((?:[^`]|``)*)`|(\S+))", stmt,
+                       _re.IGNORECASE)
+        name = (m.group(1).replace("``", "`") if m and m.group(1)
+                else (m.group(2) if m else f"__trigger_{i}"))
+        out.append((name, stmt))
+    return out
+
+
+def _read_statement_head(path: str, n: int = 4096) -> str:
+    """First bytes of a chunk's LOAD DATA statement file, compression-
+    aware: a ``-c`` dump's statement sibling is ``.sql.gz`` — a plain
+    read would hand gzip bytes to the dialect regexes, which then fall
+    back to tab defaults SILENTLY (wrong dialect, garbage rows)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt", encoding="utf-8",
+                       errors="surrogateescape") as fh:
+            return fh.read(n)
+    if path.endswith(".zst"):
+        # no zstd codec in this environment (PARITY env notes): better
+        # a loud stop than a silently-wrong tab-default dialect
+        raise ValueError(
+            f"cannot read the LOAD DATA dialect from {path!r}: .zst "
+            "needs a zstd codec this environment lacks — decompress "
+            "the statement files first")
+    with open(path, encoding="utf-8", errors="surrogateescape") as fh:
+        return fh.read(n)
+
+
 def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                         checksum: bool = True) -> Manifest:
     """myloader ``-d <dir>`` analogue: adopt a GENUINE mydumper dump
@@ -1138,12 +1185,20 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
             "source dump stays pristine (hardlink/copy intake)")
     os.makedirs(out, exist_ok=True)
 
-    def adopt(name: str) -> str:
+    def adopt(name: str, link: bool = True) -> str:
+        """Hardlink (data chunks — zero-copy) or copy (files a later
+        pipeline step may REWRITE: a hardlinked schema artifact shares
+        its inode with the source, and _attach_schema_artifact's 'w'
+        open would truncate the user's only copy through the link —
+        the round-12 review's live repro)."""
         dst = os.path.join(out, name)
         if not os.path.exists(dst):
-            try:
-                os.link(os.path.join(src, name), dst)
-            except OSError:  # cross-device: fall back to a real copy
+            if link:
+                try:
+                    os.link(os.path.join(src, name), dst)
+                except OSError:  # cross-device: fall back to a copy
+                    _shutil.copy2(os.path.join(src, name), dst)
+            else:
                 _shutil.copy2(os.path.join(src, name), dst)
         return dst
 
@@ -1165,6 +1220,7 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
     objects: list = []            # SimpleNamespace(kind, database, name, …)
     post_files: list[str] = []
     databases: list[str] = []
+    chunks_by_table: dict = {}  # (db, table) -> {"sql": [...], "dat": [...]}
     for f in files:
         for suffix, kind in _IMPORT_OBJ_SUFFIX:
             if f.endswith(suffix):
@@ -1175,10 +1231,20 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                 with open(os.path.join(src, f), encoding="utf-8",
                           errors="surrogateescape") as fh:
                     raw = fh.read().strip()
-                objects.append(SimpleNamespace(
-                    kind=kind, database=db, name=name, raw_sql=raw,
-                    table=name if kind == "trigger" else None,
-                    columns=None))
+                if kind == "trigger":
+                    # a genuine trigger artifact is named after the
+                    # TABLE and can hold MANY CREATE TRIGGER statements
+                    # — one object per trigger, under the TRIGGER's own
+                    # name, or restore's DROP targets the wrong name and
+                    # a DAG retry dies on "already exists"
+                    for tname, stmt in _split_trigger_artifact(raw):
+                        objects.append(SimpleNamespace(
+                            kind="trigger", database=db, name=tname,
+                            raw_sql=stmt, table=name, columns=None))
+                else:
+                    objects.append(SimpleNamespace(
+                        kind=kind, database=db, name=name, raw_sql=raw,
+                        table=None, columns=None))
                 break
         else:
             c = classify(f)
@@ -1194,6 +1260,9 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                 schema_files[(g["db"], g["table"])] = f
             elif kind in ("data_sql", "data_dat"):
                 chunk_tables.add((g["db"], g["table"]))
+                chunks_by_table.setdefault(
+                    (g["db"], g["table"]), {"sql": [], "dat": []})[
+                    "dat" if kind == "data_dat" else "sql"].append(f)
 
     view_names = {(o.database, o.name) for o in objects if o.kind == "view"}
     seq_names = {(o.database, o.name) for o in objects
@@ -1235,19 +1304,17 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
             raise ValueError(
                 f"mydumper dir has data chunks for {qual!r} but no "
                 f"{qual}-schema.sql — cannot type the rows")
-        adopt(sf)
+        # COPY, never link: _attach_schema_artifact rewrites this path
+        # in multi-db mode (out_name == the genuine filename) and a
+        # hardlink would truncate the source through the shared inode
+        adopt(sf, link=False)
         with open(os.path.join(src, sf), encoding="utf-8",
                   errors="surrogateescape") as fh:
             create_sql = fh.read()
         schema = schema_from_create_table(create_sql)
-        sql_chunks: list[str] = []
-        dat_chunks: list[str] = []
-        for f in files:
-            c = classify(f)
-            if c and c[0] in ("data_sql", "data_dat") \
-                    and (c[1]["db"], c[1]["table"]) == (db, table):
-                (dat_chunks if c[0] == "data_dat"
-                 else sql_chunks).append(adopt(f))
+        tchunks = chunks_by_table.get((db, table), {"sql": [], "dat": []})
+        sql_chunks = [adopt(f) for f in tchunks["sql"]]
+        dat_chunks = [adopt(f) for f in tchunks["dat"]]
         if dat_chunks:
             # --load-data/--csv dump: rows live in the .dat chunks; the
             # same-numbered .sql siblings hold LOAD DATA statements, not
@@ -1259,11 +1326,7 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                 csvformat_from_load_data,
             )
 
-            stmt = ""
-            if sql_chunks:
-                with open(sql_chunks[0], encoding="utf-8",
-                          errors="surrogateescape") as fh:
-                    stmt = fh.read(4096)
+            stmt = _read_statement_head(sql_chunks[0]) if sql_chunks else ""
             fmt = csvformat_from_load_data(stmt)
             if manifest.csv_dialect is None:
                 from dataclasses import asdict as _asdict
@@ -1285,7 +1348,10 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
         entry = build_entry(df, key, manifest.algorithm, path=chunk0,
                             database=db if multi_db else None,
                             checksum=checksum)
-        if (mt is not None and mt.rows >= 0 and checksum
+        # rows are counted even under --no-checksum (build_entry always
+        # records them), so the truncation cross-check never gates on
+        # the checksum flag — review fix, round 12
+        if (mt is not None and mt.rows >= 0
                 and mt.rows != entry.rows):
             row_mismatches.append(
                 f"{qual}: metadata says {mt.rows}, chunks hold "

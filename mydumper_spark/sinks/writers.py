@@ -117,45 +117,66 @@ def decode_load_data_escapes(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def _read_load_data_unquoted(spark, path, schema, fmt: CsvFormat):
-    """Typed read of a genuine unquoted --load-data payload. Spark's csv
-    tokenizer cannot read this form: with no enclosure, an embedded
-    field terminator is escaped as ``<esc><terminator-byte>``
-    (m_escape_char_with_char, mydumper_write.c:668) and univocity's
-    escape option only unquotes — the raw terminator byte still splits
-    the field. So: read text lines on the line terminator, park the
-    escape pairs on NUL-prefixed sentinels (raw NUL cannot appear — the
-    writer escaped it to ``\\0``), split on the now-unambiguous
-    terminator, then decode per field and cast to the schema. All
-    scan-side codegen."""
+def _read_load_data_payload(spark, path, schema, fmt: CsvFormat):
+    """Typed read of a genuine --load-data/--csv payload, escape
+    semantics owned END-TO-END. Spark's csv tokenizer cannot read this
+    convention: with no enclosure an embedded field terminator is
+    escaped as ``<esc><terminator-byte>`` (m_escape_char_with_char,
+    mydumper_write.c:668) and the raw byte still splits the field; with
+    an enclosure, univocity's own escape handling collapses ``\\\\``
+    BEFORE our decode sees it, making a literal backslash-before-n
+    indistinguishable from an encoded newline (double-decode — the
+    round-12 review's live repro). So: read text lines on the line
+    terminator, park the escape pairs on NUL-prefixed sentinels (raw
+    NUL cannot appear — the writer escaped it to ``\\0``), split on the
+    now-unambiguous terminator, strip the enclosure (the writer wraps
+    non-numeric fields only; the strip requires BOTH ends), decode the
+    mysql_real_escape two-char sequences, restore the sentinels LAST so
+    decoded bytes can never re-fire, and cast to the schema. All
+    scan-side codegen.
+
+    ``ESCAPED BY ''`` (escaping explicitly off) skips parking and
+    decode entirely — decoding sequences that were never written is
+    corruption. The NULL sentinel stays the literal two bytes ``\\N``
+    either way: the writer emits it unconditionally
+    (write_load_data_column_into_string, mydumper_write.c:656)."""
     from pyspark.sql import types as T
 
     if isinstance(schema, str):  # DDL-string schema, like spark.read
         schema = T.StructType.fromDDL(schema)
-    esc = fmt.fields_escaped_by or "\\"
+    esc = fmt.fields_escaped_by
     term = fmt.fields_terminated_by
+    quote = fmt.fields_enclosed_by
     lines = (spark.read.option("lineSep", fmt.lines_terminated_by)
              .text(path))
     c = F.col("value")
-    c = F.replace(c, F.lit(esc + esc), F.lit("\x00P"))
-    c = F.replace(c, F.lit(esc + term), F.lit("\x00T"))
+    if esc:
+        c = F.replace(c, F.lit(esc + esc), F.lit("\x00P"))
+        c = F.replace(c, F.lit(esc + term), F.lit("\x00T"))
     import re as _re
 
     fields = F.split(c, _re.escape(term), -1)
     cols = []
     for i, fld in enumerate(schema.fields):
         v = F.element_at(fields, i + 1)
-        # the NULL sentinel is the exact unquoted field <esc>N
-        v = F.when(v == F.lit(esc + "N"),
+        # the NULL sentinel: the writer's unconditional literal \N
+        v = F.when(v == F.lit("\\N"),
                    F.lit(None).cast("string")).otherwise(v)
-        # mysql_real_escape two-char sequences (\n \r \t \' \"); the
-        # parked sentinels restore LAST so decoded bytes can't re-fire
-        for src, dst in ((esc + "n", "\n"), (esc + "r", "\r"),
-                         (esc + "t", "\t"), (esc + "'", "'"),
-                         (esc + '"', '"')):
-            v = F.replace(v, F.lit(src), F.lit(dst))
-        v = F.replace(v, F.lit("\x00T"), F.lit(term))
-        v = F.replace(v, F.lit("\x00P"), F.lit(esc))
+        if quote:
+            # strip the enclosure pair (numeric/hex fields go unwrapped
+            # — both-ends check leaves them alone); inner quote bytes
+            # are still escaped at this point, so the ends are the pair
+            v = F.when(
+                (F.length(v) >= 2) & v.startswith(quote)
+                & v.endswith(quote),
+                v.substr(F.lit(2), F.length(v) - 2)).otherwise(v)
+        if esc:
+            for src, dst in ((esc + "n", "\n"), (esc + "r", "\r"),
+                             (esc + "t", "\t"), (esc + "'", "'"),
+                             (esc + '"', '"')):
+                v = F.replace(v, F.lit(src), F.lit(dst))
+            v = F.replace(v, F.lit("\x00T"), F.lit(term))
+            v = F.replace(v, F.lit("\x00P"), F.lit(esc))
         if isinstance(fld.dataType, T.BinaryType):
             # blobs travel as bare hex (mysql_hex_string, no 0x prefix)
             v = F.unhex(v)
@@ -175,13 +196,17 @@ def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
     parallelism comes from file count — the same trade the reference
     makes with one LOAD DATA per file.
 
-    A genuine unquoted --load-data dialect (``load_data_escapes`` with
-    no enclosure) routes to :func:`_read_load_data_unquoted` — the csv
-    tokenizer cannot honor its escape-the-terminator convention."""
+    A genuine --load-data/--csv dialect with ESCAPING active
+    (``load_data_escapes`` + non-empty escape char) routes to
+    :func:`_read_load_data_payload` — the csv tokenizer cannot honor
+    the escape-the-terminator convention, and with an enclosure its own
+    escape handling double-decodes. An escapes-OFF enclosed dialect
+    (``ESCAPED BY ''`` + quotes) stays on the csv tokenizer: there the
+    quotes alone protect embedded terminators and nothing was escaped."""
     fmt = fmt or CsvFormat()
     if getattr(fmt, "load_data_escapes", False) \
-            and not fmt.fields_enclosed_by:
-        return _read_load_data_unquoted(spark, path, schema, fmt)
+            and (fmt.fields_escaped_by or not fmt.fields_enclosed_by):
+        return _read_load_data_payload(spark, path, schema, fmt)
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
