@@ -740,3 +740,23 @@ def test_load_data_payload_escape_matrix(spark, tmp_path):
     got2 = {r["id"]: r["v"] for r in
             read_csv_typed(spark, [p2], sch, fmt2).collect()}
     assert got2 == {1: "raw\\nstays", 2: None}
+
+
+def test_split_trigger_artifact_shapes():
+    """_split_trigger_artifact unit pins: DEFINER-wrapped and bare
+    CREATE TRIGGER statements split under their own (backtick-unescaped)
+    names; an artifact with no parseable CREATE TRIGGER falls back to
+    one whole-artifact object instead of vanishing."""
+    from mydumper_spark.engine import _split_trigger_artifact
+
+    two = _split_trigger_artifact(
+        "CREATE DEFINER=`r`@`h` TRIGGER `a``b` BEFORE INSERT ON `t` "
+        "FOR EACH ROW SET @x = 1;\n"
+        "CREATE TRIGGER plain AFTER UPDATE ON `t` FOR EACH ROW "
+        "SET @y = 2;\n")
+    assert [n for n, _ in two] == ["a`b", "plain"]
+    assert all(s.startswith("CREATE") and not s.endswith(";")
+               for _, s in two)
+    fb = _split_trigger_artifact("-- comment only, nothing to replay")
+    assert fb == [("__unparsed_triggers",
+                   "-- comment only, nothing to replay")]
