@@ -418,11 +418,16 @@ def _attach_schema_artifact(entry, artifact, out_name: str,
     from mydumper_spark.plans.ddl import descriptor_is_empty
 
     sp = os.path.join(output_dir, f"{out_name}-schema.sql")
-    with open(sp, "w") as f:
+    # utf-8 + surrogateescape, mirroring _write_object_artifacts: a
+    # genuine/mysqldump CREATE TABLE may carry raw non-UTF-8 bytes
+    # (latin-1 comments/defaults) preserved by the intake's
+    # byte-faithful surrogateescape read — a strict write would abort
+    # the whole import on the first such table
+    with open(sp, "w", encoding="utf-8", errors="surrogateescape") as f:
         f.write(artifact.raw_sql.rstrip("\n") + "\n")
     entry.schema_sql_path = sp
     entry.schema_sql_checksum = _hashlib.md5(
-        artifact.raw_sql.encode()).hexdigest()
+        artifact.raw_sql.encode("utf-8", "surrogateescape")).hexdigest()
     if not descriptor_is_empty(artifact.descriptor):
         entry.schema_def = artifact.descriptor
 
@@ -1097,17 +1102,76 @@ _IMPORT_OBJ_SUFFIX = (("-schema-view.sql", "view"),
                       ("-schema-sequence.sql", "sequence"))
 
 
+def _sql_toplevel_mask(raw: str) -> "list[bool]":
+    """Per-character mask: True where the byte sits OUTSIDE every MySQL
+    string literal ('…'/"…" with backslash escapes and '' doubling),
+    quoted identifier (`…` with `` doubling), line comment (-- / #) and
+    plain block comment (/*…*/). Executable version comments (``/*!``)
+    stay True — MySQL runs their contents, so statement boundaries
+    inside them are real. Unterminated regions mask to end-of-input
+    (never guess a boundary inside a broken literal)."""
+    mask = [True] * len(raw)
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if raw[j] == "\\" and j + 1 < n:
+                    j += 2
+                elif raw[j] == ch:
+                    if j + 1 < n and raw[j + 1] == ch:
+                        j += 2  # '' doubling
+                    else:
+                        break
+                else:
+                    j += 1
+            mask[i:min(j + 1, n)] = [False] * (min(j + 1, n) - i)
+            i = j + 1
+        elif ch == "`":
+            j = i + 1
+            while j < n:
+                if raw[j] == "`":
+                    if j + 1 < n and raw[j + 1] == "`":
+                        j += 2
+                    else:
+                        break
+                else:
+                    j += 1
+            mask[i:min(j + 1, n)] = [False] * (min(j + 1, n) - i)
+            i = j + 1
+        elif ch == "#" or raw.startswith("--", i):
+            j = raw.find("\n", i)
+            j = n if j < 0 else j
+            mask[i:j] = [False] * (j - i)
+            i = j
+        elif raw.startswith("/*", i) and not raw.startswith("/*!", i):
+            j = raw.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            mask[i:j] = [False] * (j - i)
+            i = j
+        else:
+            i += 1
+    return mask
+
+
 def _split_trigger_artifact(raw: str) -> "list[tuple[str, str]]":
     """A genuine ``db.table-schema-triggers.sql`` holds ALL of one
-    table's triggers; split it at CREATE TRIGGER boundaries and name
-    each piece by ITS trigger (the restore DROP must target the
-    trigger's name, not the table's). Falls back to the whole artifact
-    under a parse-proof name when no CREATE TRIGGER is found."""
+    table's triggers; split it at TOP-LEVEL CREATE TRIGGER boundaries —
+    a trigger body quoting the literal string 'CREATE TRIGGER' (or
+    carrying it in a comment) must not split mid-statement, so matches
+    inside quotes/comments are rejected via :func:`_sql_toplevel_mask`
+    (the reference's splitter is statement-aware the same way,
+    myloader_process_filename.c). Each piece is named by ITS trigger
+    (the restore DROP must target the trigger's name, not the table's).
+    Falls back to the whole artifact under a parse-proof name when no
+    CREATE TRIGGER is found."""
     import re as _re
 
+    top = _sql_toplevel_mask(raw)
     bounds = [m.start() for m in _re.finditer(
         r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\b", raw,
-        _re.IGNORECASE)]
+        _re.IGNORECASE) if top[m.start()]]
     if not bounds:
         return [("__unparsed_triggers", raw)]
     out = []

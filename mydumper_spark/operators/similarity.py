@@ -1694,14 +1694,16 @@ def centroid_prune(
     partitioned by label. A label spanning a large corpus shard makes
     that window the cost center — every web corpus has a dominant label.
 
-    ``exact=False`` (round 12) is the promised approximate
-    score-quantile cutoff for that skew (the budget_select trade,
-    sampling.py): the cosine is already quantized to 6 decimals, so a
-    (label, cos_ppm) COUNT histogram — map-side combined, cardinality
-    bounded by labels × 2e6 ppm buckets, never corpus size — locates
-    each label's threshold bucket on the driver, and pruning becomes a
-    broadcast join + scan-side comparison: NO window, NO per-label sort
-    of the corpus. The boundary bucket is KEPT whole, so the approx arm
+    ``exact=False`` (round 12; fully distributed round 13) is the
+    promised approximate score-quantile cutoff for that skew (the
+    budget_select trade, sampling.py): the cosine is already quantized
+    to 6 decimals, so a (label, cos_ppm) COUNT histogram — map-side
+    combined, cardinality bounded by labels × 2e6 ppm buckets, never
+    corpus size — locates each label's threshold bucket via a
+    cumulative-sum window over the HISTOGRAM rows (nothing ever
+    materializes on the driver), and pruning becomes a broadcast join
+    + scan-side comparison: NO window and NO per-label sort ever
+    touches corpus rows. The boundary bucket is KEPT whole, so the approx arm
     under-prunes by at most that one bucket's population (zero when the
     label's cosines are tie-free at 1e-6 granularity — then both arms
     agree row-for-row, which the parity test pins); within-bucket id
@@ -1712,12 +1714,12 @@ def centroid_prune(
     zero-norm-heavy label) — the one documented divergence beyond the
     boundary bucket, pinned in the parity test.
 
-    Pick the arm by label shape: the approx histogram collect is
-    O(labels × distinct cos_ppm) ≤ labels × 2e6 — corpus-size-
-    independent but label-cardinality-linear — so it is the arm for FEW
-    dominant labels (the skew case the window chokes on); with very
-    many small labels the per-label window is already balanced and
-    exact stays the right default."""
+    Pick the arm by label shape: the approx histogram is
+    O(labels × distinct cos_ppm) ≤ labels × 2e6 rows — corpus-size-
+    independent — and its threshold walk shuffles ONLY those rows, so
+    it is the arm for FEW dominant labels (the skew case the corpus
+    window chokes on); with very many small labels the per-label window
+    is already balanced and exact stays the right default."""
     from pyspark.sql.window import Window
 
     scored = centroid_distance(embeddings, id_col, vec_col, label_col)
@@ -1739,35 +1741,49 @@ def centroid_prune(
 
     cppm = F.round(F.col("centroid_cos") * 1_000_000, 0).cast("bigint")
     scored = scored.withColumn("__cppm", cppm)
+    # the threshold walk is a per-label cumulative sum over the (label,
+    # cos_ppm) COUNT histogram — an already-tiny aggregate (≤ labels ×
+    # 2e6 rows, corpus-size-independent), so it runs DISTRIBUTED: a
+    # window over the histogram DataFrame, never a driver collect (a
+    # "few dominant labels" corpus with dense cosines would otherwise
+    # materialize millions of Rows on the driver — round-12 verdict #1).
+    # Shuffled: histogram rows only. The walk, declaratively: descending
+    # by bucket, the threshold is the FIRST bucket whose inclusive
+    # running count exceeds target = (n · prune_ppm) DIV 1e6 — i.e. the
+    # MAX such bucket — and that boundary bucket is KEPT whole
+    # (under-prune, never over-prune). n counts NULL-cosine rows too
+    # (they are part of the label's population; the exact arm ranks
+    # them last the same way).
+    from pyspark.sql.window import Window as _W
+
     hist = (scored.groupBy(label_col, "__cppm")
-            .agg(F.count(F.lit(1)).alias("c")).collect())
-    per_label: dict = {}
-    for r in hist:
-        per_label.setdefault(r[label_col], []).append(
-            (r["__cppm"], int(r["c"])))
-    thr_rows = []
-    for lab, rows in per_label.items():
-        n = sum(c for _, c in rows)
-        target = (n * int(prune_ppm)) // 1_000_000
-        nn = sorted(((p, c) for p, c in rows if p is not None),
-                    reverse=True)
-        # walk buckets from most prototypical down; the bucket the
-        # target splits is KEPT (under-prune, never over-prune)
-        cum, thr = 0, None
-        for p, c in nn:
-            if cum + c > target:
-                thr = p
-                break
-            cum += c
-        if thr is None:
-            # target swallows every non-NULL bucket (prune_ppm=1e6):
-            # prune them all; NULL cosines still survive below
-            thr = (nn[-1][0] - 1) if nn else 0
-        thr_rows.append((lab, int(thr)))
-    spark = embeddings.sparkSession
-    ltype = dict(scored.dtypes)[label_col]
-    thr_df = spark.createDataFrame(
-        thr_rows, f"__lab {ltype}, __thr bigint")
+            .agg(F.count(F.lit(1)).alias("__c")))
+    # per-label population via a window over the SAME histogram rows —
+    # a window partition groups NULL labels together (a string-`on`
+    # join would silently drop them), and no extra exchange: the
+    # cumulative-sum window below shares the label partitioning
+    hist = hist.withColumn(
+        "__n", F.sum("__c").over(_W.partitionBy(label_col)))
+    wcum = (_W.partitionBy(label_col).orderBy(F.col("__cppm").desc())
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow))
+    nn = (hist.where(F.col("__cppm").isNotNull())
+          .withColumn("__cum", F.sum("__c").over(wcum))
+          .withColumn(
+              "__over",
+              F.col("__cum") > F.expr(
+                  f"(__n * {int(prune_ppm)}) DIV 1000000")))
+    thr_df = (nn.groupBy(label_col)
+              .agg(
+                  F.max(F.when(F.col("__over"), F.col("__cppm")))
+                  .alias("__hit"),
+                  F.min("__cppm").alias("__min"))
+              # no bucket exceeds target (prune_ppm→1e6 swallows every
+              # non-NULL bucket): prune them all; NULL cosines still
+              # survive via the isNull arm below
+              .select(
+                  F.col(label_col).alias("__lab"),
+                  F.coalesce("__hit", F.col("__min") - 1)
+                  .alias("__thr")))
     joined = scored.join(
         F.broadcast(thr_df),
         F.col(label_col).eqNullSafe(F.col("__lab")), "left")

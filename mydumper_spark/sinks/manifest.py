@@ -336,22 +336,35 @@ def read_dumped_table(spark, entry: dict,
         schema = _sidecar_schema(path, tail)
         if schema is None:
             return None
-        from mydumper_spark.sinks.writers import CsvFormat, read_csv_typed
+        from mydumper_spark.sinks.writers import read_csv_typed
 
-        fmt = CsvFormat(**{"escaped_data": False, **(csv_dialect or {})})
-        return read_csv_typed(spark, dat_chunk_paths(path), schema, fmt)
+        return read_csv_typed(spark, dat_chunk_paths(path), schema,
+                              _dialect_format(csv_dialect))
     if path.endswith(".dat"):
         schema = _sidecar_schema(path, ".dat")
         if schema is None:
             return None
-        from mydumper_spark.sinks.writers import CsvFormat, read_csv_typed
+        from mydumper_spark.sinks.writers import read_csv_typed
 
-        # manifests written before escaped_data existed mean the LEGACY
-        # raw form — default the missing key to False, never the
-        # dataclass default (which is for NEW writes)
-        fmt = CsvFormat(**{"escaped_data": False, **(csv_dialect or {})})
-        return read_csv_typed(spark, path, schema, fmt)
+        return read_csv_typed(spark, path, schema,
+                              _dialect_format(csv_dialect))
     return None
+
+
+def _dialect_format(csv_dialect: dict | None):
+    """Recorded-dialect → CsvFormat for a .dat read, forward-compatibly:
+    keep only keys THIS version's CsvFormat declares (a NEWER writer may
+    have recorded extra dialect fields — dump_reader.py applies the same
+    filter — and a TypeError here would turn restore/verify of its dump
+    into a crash), and default a missing ``escaped_data`` to the LEGACY
+    raw form, never the dataclass default (which is for NEW writes)."""
+    import dataclasses
+
+    from mydumper_spark.sinks.writers import CsvFormat
+
+    known = {f.name for f in dataclasses.fields(CsvFormat)}
+    kept = {k: v for k, v in (csv_dialect or {}).items() if k in known}
+    return CsvFormat(**{"escaped_data": False, **kept})
 
 
 #: chunk suffix of a fmt="sql" data file ({out_name}.NNNNN.sql[.ext…] —

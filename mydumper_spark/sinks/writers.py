@@ -149,10 +149,26 @@ def _read_load_data_payload(spark, path, schema, fmt: CsvFormat):
     quote = fmt.fields_enclosed_by
     lines = (spark.read.option("lineSep", fmt.lines_terminated_by)
              .text(path))
+    if getattr(fmt, "header", False):
+        # --include-header dumps (IGNORE 1 LINES): the reference writes
+        # one deterministic header line per chunk file — every column
+        # name enclosed, terminator-joined (initialize_load_data_header,
+        # mydumper_write.c:582-595) — and there is no per-file
+        # first-line primitive in a distributed text scan, so drop lines
+        # EQUAL to the reconstructed header. A data row would have to
+        # reproduce the entire header byte-for-byte to be lost — a
+        # documented fidelity bound of the intake.
+        hdr = term.join(f"{quote}{f.name}{quote}" for f in schema.fields)
+        lines = lines.filter(F.col("value") != F.lit(hdr))
     c = F.col("value")
     if esc:
+        # the reference escapes only the terminator's FIRST byte
+        # (m_escape_char_with_char(*fields_terminated_by, …),
+        # mydumper_write.c:668) — a multi-char --fields-terminated-by
+        # still writes esc+term[0] per embedded occurrence, so parking
+        # the full terminator string would never match
         c = F.replace(c, F.lit(esc + esc), F.lit("\x00P"))
-        c = F.replace(c, F.lit(esc + term), F.lit("\x00T"))
+        c = F.replace(c, F.lit(esc + term[0]), F.lit("\x00T"))
     import re as _re
 
     fields = F.split(c, _re.escape(term), -1)
@@ -175,7 +191,7 @@ def _read_load_data_payload(spark, path, schema, fmt: CsvFormat):
                              (esc + "t", "\t"), (esc + "'", "'"),
                              (esc + '"', '"')):
                 v = F.replace(v, F.lit(src), F.lit(dst))
-            v = F.replace(v, F.lit("\x00T"), F.lit(term))
+            v = F.replace(v, F.lit("\x00T"), F.lit(term[0]))
             v = F.replace(v, F.lit("\x00P"), F.lit(esc))
         if isinstance(fld.dataType, T.BinaryType):
             # blobs travel as bare hex (mysql_hex_string, no 0x prefix)
@@ -224,8 +240,12 @@ def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
     )
     if fmt.escaped_data:
         return unescape_string_data(out)
-    if getattr(fmt, "load_data_escapes", False):
-        return decode_load_data_escapes(out)
+    # the only load_data_escapes dialect that reaches this branch is
+    # escapes-OFF enclosed (ESCAPED BY '' + quotes — everything else
+    # routed to _read_load_data_payload above): nothing was escaped on
+    # write, so nothing decodes — running decode_load_data_escapes here
+    # would turn a literal two-byte '\n' into a real newline, matching
+    # neither the writer nor _read_load_data_payload's escapes-off arm
     return out
 
 
@@ -250,7 +270,20 @@ def csvformat_from_load_data(stmt: str) -> CsvFormat:
                        _re.IGNORECASE)
         return _unesc(m.group(1)) if m else default
 
+    # --include-header dumps append IGNORE 1 LINES (mydumper_write.c:
+    # 531-532): each chunk's first line is column names, not data —
+    # ingesting it silently mints a bogus row per chunk (string columns
+    # get the names, numerics cast NULL). The reference only ever emits
+    # 1; any other count is a foreign statement we cannot honor.
+    ign = _re.search(r"IGNORE\s+(\d+)\s+LINES", stmt, _re.IGNORECASE)
+    if ign and ign.group(1) != "1":
+        raise ValueError(
+            f"LOAD DATA statement asks IGNORE {ign.group(1)} LINES — "
+            "only the reference's IGNORE 1 LINES header form is "
+            "supported")
+
     return CsvFormat(
+        header=bool(ign),
         fields_terminated_by=clause(r"FIELDS\s+TERMINATED\s+BY", "\t"),
         fields_enclosed_by=clause(r"ENCLOSED\s+BY", ""),
         fields_escaped_by=clause(r"ESCAPED\s+BY", "\\"),

@@ -760,3 +760,166 @@ def test_split_trigger_artifact_shapes():
     fb = _split_trigger_artifact("-- comment only, nothing to replay")
     assert fb == [("__unparsed_triggers",
                    "-- comment only, nothing to replay")]
+
+
+def test_load_data_payload_round13_fixes(spark, tmp_path):
+    """Round-13 advice fixes over the .dat intake, pinned:
+    (1) escapes-OFF + ENCLOSED dialect (the one load_data_escapes shape
+        that stays on the csv tokenizer) decodes NOTHING — a literal
+        two-byte '\\n' inside quotes survives the read byte-for-byte;
+    (2) a multi-character --fields-terminated-by dump escapes only the
+        terminator's FIRST byte (mydumper_write.c:668) and the payload
+        reader parks/unparks exactly that byte."""
+    from pyspark.sql import types as T
+
+    from mydumper_spark.sinks.writers import CsvFormat, read_csv_typed
+
+    sch = T.StructType([T.StructField("id", T.IntegerType()),
+                        T.StructField("v", T.StringType())])
+    # (1) ESCAPED BY '' + quotes: nothing was escaped on write, so the
+    # reader must not decode — the old code ran decode_load_data_escapes
+    # here and silently minted a real newline from the two bytes \ n
+    p1 = str(tmp_path / "noescq.00000.dat")
+    with open(p1, "w") as f:
+        f.write('1,"lit\\nstays"\n2,\\N\n')
+    fmt1 = CsvFormat(fields_terminated_by=",", fields_enclosed_by='"',
+                     fields_escaped_by="", escaped_data=False,
+                     load_data_escapes=True)
+    got1 = {r["id"]: r["v"] for r in
+            read_csv_typed(spark, [p1], sch, fmt1).collect()}
+    assert got1 == {1: "lit\\nstays", 2: None}
+
+    # (2) term='||': the writer escapes each '|' as esc+'|' — never
+    # esc+'||' — so 'a|b' is 'a\|b' and 'c||d' is 'c\|\|d' on disk
+    p2 = str(tmp_path / "mterm.00000.dat")
+    with open(p2, "w") as f:
+        f.write('1||a\\|b\n2||c\\|\\|d\n3||\\N\n')
+    fmt2 = CsvFormat(fields_terminated_by="||", fields_enclosed_by="",
+                     fields_escaped_by="\\", escaped_data=False,
+                     load_data_escapes=True)
+    got2 = {r["id"]: r["v"] for r in
+            read_csv_typed(spark, [p2], sch, fmt2).collect()}
+    assert got2 == {1: "a|b", 2: "c||d", 3: None}
+
+
+def test_load_data_header_ignore_lines(spark, tmp_path):
+    """--include-header dumps (IGNORE 1 LINES, mydumper_write.c:531-532):
+    the dialect recovery flips header on, the payload reader drops the
+    reconstructed header line (enclosed names, terminator-joined —
+    initialize_load_data_header, write.c:582-595) from EVERY chunk, the
+    csv-tokenizer route drops it natively, and a foreign IGNORE n>1
+    raises loudly instead of ingesting garbage."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from mydumper_spark.sinks.writers import (
+        CsvFormat,
+        csvformat_from_load_data,
+        read_csv_typed,
+    )
+
+    stmt = ("LOAD DATA LOCAL INFILE 'x.dat' INTO TABLE `t` FIELDS "
+            "TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY '\\\\' "
+            "LINES TERMINATED BY '\\n' IGNORE 1 LINES (`id`,`v`);")
+    fmt = csvformat_from_load_data(stmt)
+    assert fmt.header is True
+    with _pytest.raises(ValueError, match="IGNORE 7 LINES"):
+        csvformat_from_load_data(stmt.replace("IGNORE 1", "IGNORE 7"))
+
+    sch = T.StructType([T.StructField("id", T.IntegerType()),
+                        T.StructField("v", T.StringType())])
+    # payload route (escape active): header line per chunk file
+    p1 = str(tmp_path / "hdr.00000.dat")
+    with open(p1, "w") as f:
+        f.write('"id","v"\n1,"a"\n')
+    p2 = str(tmp_path / "hdr.00001.dat")
+    with open(p2, "w") as f:
+        f.write('"id","v"\n2,"b\\nc"\n')
+    got = {r["id"]: r["v"] for r in
+           read_csv_typed(spark, [p1, p2], sch, fmt).collect()}
+    assert got == {1: "a", 2: "b\nc"}
+
+    # csv-tokenizer route (escapes off + quotes): Spark's own header
+    # machinery drops the first line per file
+    p3 = str(tmp_path / "hdr2.00000.dat")
+    with open(p3, "w") as f:
+        f.write('"id","v"\n3,"z"\n')
+    fmt2 = CsvFormat(fields_terminated_by=",", fields_enclosed_by='"',
+                     fields_escaped_by="", escaped_data=False,
+                     load_data_escapes=True, header=True)
+    assert [(r["id"], r["v"]) for r in
+            read_csv_typed(spark, [p3], sch, fmt2).collect()] == [(3, "z")]
+
+
+def test_split_mysqldump_non_utf8_ddl_survives(spark, tmp_path):
+    """A genuine old-MySQL dump can carry raw latin-1 bytes in CREATE
+    TABLE comments/defaults; the splitter reads them byte-faithfully
+    (surrogateescape) and _attach_schema_artifact must write and
+    checksum them the same way — a strict UTF-8 encode aborted the
+    whole import on the first such table (round-13 advice)."""
+    p = tmp_path / "latin1.sql"
+    p.write_bytes(
+        b"CREATE TABLE `caf` (\n  `id` int NOT NULL,\n  `n` varchar(10)"
+        b" DEFAULT NULL COMMENT 'caf\xe9 cr\xe8me'\n) ENGINE=InnoDB;\n"
+        b"INSERT INTO `caf` VALUES (1,'x');\n")
+    out = tmp_path / "l1out"
+    m = import_mysqldump(spark, str(p), str(out))
+    assert m.tables["caf"].rows == 1
+    art = m.tables["caf"].schema_sql_path
+    raw = open(art, "rb").read()
+    assert b"caf\xe9 cr\xe8me" in raw          # bytes round-tripped
+    assert m.tables["caf"].schema_sql_checksum  # checksum computed
+
+
+def test_split_trigger_artifact_quote_aware():
+    """A trigger body quoting 'CREATE TRIGGER' (single/double quotes,
+    line and block comments) must not split mid-statement — only
+    top-level boundaries count; executable /*! version comments still
+    do (MySQL runs their contents)."""
+    from mydumper_spark.engine import _split_trigger_artifact
+
+    raw = (
+        "CREATE TRIGGER `a` BEFORE INSERT ON `t` FOR EACH ROW "
+        "SET NEW.note = 'audit: CREATE TRIGGER was here \\' quoted';\n"
+        "-- line comment: CREATE TRIGGER not a boundary\n"
+        "# hash comment: CREATE TRIGGER not a boundary\n"
+        "/* block: CREATE TRIGGER not a boundary */\n"
+        'CREATE TRIGGER `b` AFTER UPDATE ON `t` FOR EACH ROW '
+        'SET @m = "dquotes CREATE TRIGGER", @k = 1;\n')
+    got = _split_trigger_artifact(raw)
+    assert [n for n, _ in got] == ["a", "b"]
+    assert "CREATE TRIGGER was here" in got[0][1]   # body kept whole
+    # a backtick identifier containing the phrase is not a boundary
+    one = _split_trigger_artifact(
+        "CREATE TRIGGER `weird CREATE TRIGGER name` BEFORE DELETE ON "
+        "`t` FOR EACH ROW SET @x = 1;\n")
+    assert [n for n, _ in one] == ["weird CREATE TRIGGER name"]
+
+
+def test_dat_read_ignores_future_dialect_keys(spark, tmp_path):
+    """A NEWER engine version may record extra csv_dialect keys; the
+    .dat branches of read_dumped_table must degrade gracefully (drop
+    unknown keys — dump_reader's rule) instead of TypeError-ing the
+    restore/verify read (round-12 verdict #2)."""
+    from pyspark.sql import types as T
+
+    from mydumper_spark.sinks.manifest import read_dumped_table
+
+    sch = T.StructType([T.StructField("id", T.IntegerType()),
+                        T.StructField("v", T.StringType())])
+    chunk = tmp_path / "s.t.00000.dat"
+    chunk.write_text("1,x\n2,\\N\n")
+    (tmp_path / "s.t.schema.json").write_text(sch.json())
+    dialect = {"fields_terminated_by": ",", "fields_enclosed_by": "",
+               "fields_escaped_by": "\\", "load_data_escapes": True,
+               "from_the_future": "vNEXT"}   # unknown key must be dropped
+    df = read_dumped_table(spark, {"path": str(chunk)},
+                           csv_dialect=dialect)
+    assert {r["id"]: r["v"] for r in df.collect()} == {1: "x", 2: None}
+    # plain single-file .dat branch takes the same filter
+    single = tmp_path / "plain.dat"
+    single.write_text("5,y\n")
+    (tmp_path / "plain.schema.json").write_text(sch.json())
+    df2 = read_dumped_table(spark, {"path": str(single)},
+                            csv_dialect=dialect)
+    assert [(r["id"], r["v"]) for r in df2.collect()] == [(5, "y")]

@@ -2719,13 +2719,14 @@ def test_hard_negative_topk_zero_norm_anchor_raises(spark):
 
 def test_centroid_prune_approx_parity_and_plan(spark):
     """centroid_prune(exact=False) — the approximate score-quantile
-    cutoff the round-11 docstring promised for skewed labels (round 12):
-    on tie-free cosines it agrees with the exact arm row-for-row; with
-    ties it under-prunes by at most the boundary bucket (pruned set is a
-    SUBSET of the exact arm's); prune_ppm=1e6 prunes every non-NULL
-    cosine while zero-norm rows survive both arms; and the plan carries
-    NO window — pruning is a histogram aggregate + broadcast join +
-    scan-side comparison."""
+    cutoff the round-11 docstring promised for skewed labels (round 12;
+    threshold walk fully distributed round 13): on tie-free cosines it
+    agrees with the exact arm row-for-row; with ties it under-prunes by
+    at most the boundary bucket (pruned set is a SUBSET of the exact
+    arm's); prune_ppm=1e6 prunes every non-NULL cosine while zero-norm
+    rows survive both arms; every Window in the plan reads HISTOGRAM
+    rows (never corpus rows); and constructing the plan performs no
+    driver-side collect (round-12 verdict #1)."""
     import random
 
     rng = random.Random(7)
@@ -2774,13 +2775,36 @@ def test_centroid_prune_approx_parity_and_plan(spark):
               withzero, prune_ppm=1_000_000).collect()}
     assert e3 == {1: False, 2: False, 3: False}  # exact prunes the tail
 
-    # plan pin: the approx arm has no Window (no per-label corpus sort)
-    plan = (sim.centroid_prune(df, exact=False)
-            ._jdf.queryExecution().executedPlan().toString())
-    assert "Window" not in plan
+    # driver-materialization pin: constructing the approx plan must not
+    # collect anything (the round-12 implementation collected the whole
+    # (label × cos_ppm) histogram — millions of Rows of driver heap on
+    # a few-dominant-labels corpus, the exact case the arm targets)
+    from pyspark.sql import DataFrame as _DF
+
+    _orig_collect = _DF.collect
+
+    def _boom(self):
+        raise AssertionError(
+            "centroid_prune(exact=False) collected on the driver "
+            "during plan construction")
+
+    _DF.collect = _boom
+    try:
+        approx_df = sim.centroid_prune(df, exact=False)
+    finally:
+        _DF.collect = _orig_collect
+
+    # plan pin: windows exist (the distributed threshold walk) but every
+    # one of them reads histogram rows — its spec references the
+    # histogram count __c, never the corpus sort (centroid_cos, vec_id)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "expected the histogram cumulative-sum windows"
+    assert all("__c" in ln for ln in win_lines)
+    assert not any("vec_id" in ln for ln in win_lines)
     exact_plan = (sim.centroid_prune(df)
                   ._jdf.queryExecution().executedPlan().toString())
-    assert "Window" in exact_plan  # the arm being replaced really has one
+    assert "Window" in exact_plan  # the exact arm's corpus window remains
 
 
 def test_gemm_null_exclusion_is_declarative_for_int_columns(spark):
