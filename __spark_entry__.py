@@ -2813,6 +2813,9 @@ def x_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_prune(_t(spark, sf_dir, "embeddings"))
 
 
+#: shared CTE prefix: exact-integer centroid cosine per vector (DECIMAL/
+#: HUGEINT sums, count cancelled algebraically) — the scoring stage both
+#: prune arms and their oracles agree on byte-for-byte
 _CENTROID_PRUNE_SQL = """
 WITH vppm AS (
   SELECT vec_id, label,
@@ -2853,6 +2856,54 @@ ranked AS (
 SELECT vec_id, label, centroid_cos,
        rn > (n * 250000) // 1000000 AS keep
 FROM ranked
+"""
+
+
+def x_centroid_prune_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-free scale arm of prototype pruning (round 12; its
+    threshold walk fully distributed round 13): the ppm-quantized cosine
+    histogram locates each label's cutoff bucket via a cumulative-sum
+    window over HISTOGRAM rows (≤ labels × 2e6, corpus-size-independent
+    — nothing on the driver), then a broadcast join + scan-side compare
+    prunes; the boundary bucket is kept whole (under-prune, never
+    over-prune). The oracle replays the walk independently in DuckDB:
+    same histogram, same descending cumulative sum, same
+    max-bucket-over-target threshold."""
+    from mydumper_spark.operators.similarity import centroid_prune
+
+    return centroid_prune(_t(spark, sf_dir, "embeddings"), exact=False)
+
+
+#: the approx oracle shares the exact arm's scoring CTEs verbatim (split
+#: before its `ranked` tail), then replays the histogram threshold walk
+_CENTROID_PRUNE_APPROX_SQL = _CENTROID_PRUNE_SQL.split("ranked AS (")[0] + """binned AS (
+  SELECT vec_id, label, centroid_cos,
+         CAST(round(centroid_cos * 1000000) AS BIGINT) AS cppm
+  FROM scored
+),
+hist AS (
+  SELECT label, cppm, count(*) AS c FROM binned GROUP BY label, cppm
+),
+tot AS (SELECT label, sum(c) AS n FROM hist GROUP BY label),
+walk AS (
+  SELECT h.label, h.cppm, t.n,
+         sum(h.c) OVER (PARTITION BY h.label ORDER BY h.cppm DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM hist h JOIN tot t USING (label)
+  WHERE h.cppm IS NOT NULL
+),
+thr AS (
+  SELECT label,
+         coalesce(max(CASE WHEN cum > (n * 250000) // 1000000
+                           THEN cppm END),
+                  min(cppm) - 1) AS thr
+  FROM walk GROUP BY label
+)
+SELECT b.vec_id, b.label, b.centroid_cos,
+       CASE WHEN b.cppm IS NULL THEN TRUE
+            ELSE NOT (b.cppm > t.thr) END AS keep
+FROM binned b LEFT JOIN thr t USING (label)
 """
 
 
@@ -5425,6 +5476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # policy: below the window, proven by the full sweep + bench.
         # Round 12 adds x_hard_negatives_str (string ids + labels,
         # codepoint tie order replayed in DuckDB) right behind them.
+        # Round 13 adds x_centroid_prune_approx (the distributed
+        # window-free prune arm, DuckDB replaying the histogram walk).
         "x_diversity_chars": x_diversity_chars,
         "x_centroid_prune": x_centroid_prune,
         "x_hard_negatives": x_hard_negatives,
@@ -5504,6 +5557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_semantic_dedup": x_semantic_dedup,
         "x_embedding_decontaminate": x_embedding_decontaminate,
         "x_embcurate_select": x_embcurate_select,
+        # round 13: the distributed approx prune arm, below the window
+        # like its siblings, proven by the full sweep
+        "x_centroid_prune_approx": x_centroid_prune_approx,
         # --- tail: rows-only (no SQL-expressible twin) ---
         "a4_checksums_fast": a4_checksums_fast,
         "x_pq_trained_topk": x_pq_trained_topk,
@@ -5651,6 +5707,7 @@ def oracle_sql() -> dict[str, str]:
         "x_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "x_embedding_decontaminate": _EMB_DECON_SQL,
         "x_embcurate_select": _EMBCURATE_SQL,
+        "x_centroid_prune_approx": _CENTROID_PRUNE_APPROX_SQL,
         # x_simhash_pairs / x_masquerade_random / x_embedding_near_dup /
         # x_ann_topk / x_ivf_topk / x_winnow_overlap: rows-only (xxhash64- or
         # hyperplane-signature-based; ANN/IVF are approximate by design —

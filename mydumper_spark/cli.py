@@ -512,9 +512,12 @@ def cmd_import_dump_dir(args: argparse.Namespace) -> int:
     from mydumper_spark.engine import import_mydumper_dir
 
     spark = _session(args.threads)
+    # -t doubles as the table-level import concurrency, the reference's
+    # myloader --threads semantics (myloader_worker_loader_main.c)
     m = import_mydumper_dir(spark, args.dir, args.outputdir,
                             checksum=not getattr(args, "no_checksum",
-                                                 False))
+                                                 False),
+                            parallelism=args.threads or 4)
     print(json.dumps({
         "tables": {k: e.rows for k, e in m.tables.items()},
         "objects": [f"{o['kind']}:{o['name']}" for o in m.objects],

@@ -1186,11 +1186,16 @@ def _split_trigger_artifact(raw: str) -> "list[tuple[str, str]]":
     return out
 
 
-def _read_statement_head(path: str, n: int = 4096) -> str:
+def _read_statement_head(path: str, n: int = 4096,
+                         spark: "SparkSession | None" = None) -> str:
     """First bytes of a chunk's LOAD DATA statement file, compression-
-    aware: a ``-c`` dump's statement sibling is ``.sql.gz`` — a plain
-    read would hand gzip bytes to the dialect regexes, which then fall
-    back to tab defaults SILENTLY (wrong dialect, garbage rows)."""
+    aware: a ``-c`` dump's statement sibling is ``.sql.gz`` or
+    ``.sql.zst`` (recent reference builds default -c to zstd) — a plain
+    read would hand compressed bytes to the dialect regexes, which then
+    fall back to tab defaults SILENTLY (wrong dialect, garbage rows).
+    zstd decompresses through the JVM's zstd-jni (util.zstd_read_bytes
+    — no Python zstd module in this environment), so a genuine ``-c``
+    dump imports without a decompress-first step."""
     if path.endswith(".gz"):
         import gzip
 
@@ -1198,18 +1203,21 @@ def _read_statement_head(path: str, n: int = 4096) -> str:
                        errors="surrogateescape") as fh:
             return fh.read(n)
     if path.endswith(".zst"):
-        # no zstd codec in this environment (PARITY env notes): better
-        # a loud stop than a silently-wrong tab-default dialect
-        raise ValueError(
-            f"cannot read the LOAD DATA dialect from {path!r}: .zst "
-            "needs a zstd codec this environment lacks — decompress "
-            "the statement files first")
+        if spark is None:
+            raise ValueError(
+                f"cannot read the LOAD DATA dialect from {path!r}: "
+                ".zst decompression needs the JVM codec (pass spark)")
+        from mydumper_spark.util import zstd_read_bytes
+
+        return zstd_read_bytes(spark, path).decode(
+            "utf-8", "surrogateescape")[:n]
     with open(path, encoding="utf-8", errors="surrogateescape") as fh:
         return fh.read(n)
 
 
 def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
-                        checksum: bool = True) -> Manifest:
+                        checksum: bool = True,
+                        parallelism: int = 4) -> Manifest:
     """myloader ``-d <dir>`` analogue: adopt a GENUINE mydumper dump
     directory (metadata + ``db.table-schema.sql`` + ``db.table.NNNNN.sql``
     chunks + view/trigger artifacts, myloader_process_filename.c layout)
@@ -1342,7 +1350,13 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
         **({"post_files_import_manually": ",".join(sorted(post_files))}
            if post_files else {}),
     }
-    row_mismatches: list[str] = []
+    # --- phase 1 (sequential prep): classify each table, adopt its
+    # files (local hardlink/copy I/O), recover the .dat dialect, and
+    # build one work item per data table. All shared-state mutation
+    # (objects, seq_names, manifest.csv_dialect) stays here, single-
+    # threaded and in sorted order, so the pooled phase below touches
+    # nothing shared.
+    work_items: list[dict] = []
     for (db, table) in sorted(set(schema_files) | chunk_tables):
         qual = f"{db}.{table}"
         mt = meta_flags.get(qual)
@@ -1379,6 +1393,7 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
         tchunks = chunks_by_table.get((db, table), {"sql": [], "dat": []})
         sql_chunks = [adopt(f) for f in tchunks["sql"]]
         dat_chunks = [adopt(f) for f in tchunks["dat"]]
+        fmt = None
         if dat_chunks:
             # --load-data/--csv dump: rows live in the .dat chunks; the
             # same-numbered .sql siblings hold LOAD DATA statements, not
@@ -1390,28 +1405,67 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                 csvformat_from_load_data,
             )
 
-            stmt = _read_statement_head(sql_chunks[0]) if sql_chunks else ""
+            stmt = (_read_statement_head(sql_chunks[0], spark=spark)
+                    if sql_chunks else "")
             fmt = csvformat_from_load_data(stmt)
             if manifest.csv_dialect is None:
                 from dataclasses import asdict as _asdict
 
                 manifest.csv_dialect = _asdict(fmt)
             chunk0 = dat_chunks[0]
-            df = read_dump_table(spark, out, qual, fmt=fmt, schema=schema)
         elif sql_chunks:
             chunk0 = sql_chunks[0]
-            df = read_dump_table(spark, out, qual, schema=schema)
-        else:  # schema-only table
-            df = spark.createDataFrame([], schema)
+        else:  # schema-only table: record an empty plain chunk
             chunk0 = os.path.join(out, f"{qual}.00000.sql")
             open(chunk0, "w").close()
-        # sidecar named after the chunk prefix (db.table), the name every
-        # chunk-path schema lookup derives (manifest._sidecar_schema)
-        with open(os.path.join(out, f"{qual}.schema.json"), "w") as f:
+        work_items.append(dict(
+            db=db, qual=qual, key=key, mt=mt, create_sql=create_sql,
+            schema=schema, fmt=fmt, chunk0=chunk0,
+            has_dat=bool(dat_chunks),
+            has_data=bool(dat_chunks or sql_chunks)))
+
+    # --- phase 2 (pooled): per-table typed read → count/checksum. Each
+    # is an independent chain of Spark jobs; the reference loads tables
+    # concurrently the same way (myloader_worker_loader_main.c:94-209)
+    # — a genuine dump with hundreds of tables must not pay hundreds of
+    # SEQUENTIAL job-submission latencies (round-12 verdict #4). The
+    # manifest merge below runs sequentially in sorted order, so the
+    # result is byte-identical to a serial import.
+    def _import_table(item: dict):
+        spark.sparkContext.setLocalProperty(
+            "spark.job.description", f"import {item['qual']}")
+        if item["has_dat"]:
+            df = read_dump_table(spark, out, item["qual"],
+                                 fmt=item["fmt"], schema=item["schema"])
+        elif item["has_data"]:
+            df = read_dump_table(spark, out, item["qual"],
+                                 schema=item["schema"])
+        else:
+            df = spark.createDataFrame([], item["schema"])
+        # sidecar named after the chunk prefix (db.table), the name
+        # every chunk-path schema lookup derives (_sidecar_schema)
+        with open(os.path.join(out, f"{item['qual']}.schema.json"),
+                  "w") as f:
             f.write(df.schema.json())
-        entry = build_entry(df, key, manifest.algorithm, path=chunk0,
-                            database=db if multi_db else None,
-                            checksum=checksum)
+        return build_entry(df, item["key"], manifest.algorithm,
+                           path=item["chunk0"],
+                           database=item["db"] if multi_db else None,
+                           checksum=checksum)
+
+    n_threads = max(1, int(parallelism))
+    if n_threads > 1 and len(work_items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            entries = list(ex.map(_import_table, work_items))
+    else:
+        entries = [_import_table(it) for it in work_items]
+
+    # --- phase 3 (sequential merge, sorted order): truncation check +
+    # schema artifact + manifest insertion
+    row_mismatches: list[str] = []
+    for item, entry in zip(work_items, entries):
+        mt, qual = item["mt"], item["qual"]
         # rows are counted even under --no-checksum (build_entry always
         # records them), so the truncation cross-check never gates on
         # the checksum flag — review fix, round 12
@@ -1423,10 +1477,11 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
         _attach_schema_artifact(
             entry,
             SimpleNamespace(
-                raw_sql=create_sql,
-                descriptor=descriptor_from_create_table(create_sql)),
-            key, out)
-        manifest.tables[key] = entry
+                raw_sql=item["create_sql"],
+                descriptor=descriptor_from_create_table(
+                    item["create_sql"])),
+            item["key"], out)
+        manifest.tables[item["key"]] = entry
     if row_mismatches:
         # a truncated/foreign-edited dump must not import silently clean
         manifest.source_info["row_mismatches"] = "; ".join(row_mismatches)

@@ -49,3 +49,35 @@ def salted_join(
     small_s = small.crossJoin(F.broadcast(salts))
     joined = big_s.join(small_s, keys + ["__salt"], how)
     return joined.drop("__salt")
+
+
+def zstd_read_bytes(spark, path: str) -> bytes:
+    """Fully decompress a small ``.zst`` file into bytes through the
+    zstd-jni codec Spark already ships (this environment has no Python
+    zstd module) — one JVM-side stream copy, no per-byte py4j traffic.
+
+    Recent reference builds default ``-c`` to zstd
+    (mydumper_global.h compress defaults), so a genuine dump's
+    statement siblings arrive as ``.sql.zst``; data chunks are read by
+    Spark's own codec path, but driver-plane peeks (dialect recovery)
+    need this. Raises ``ValueError`` if the JVM codec is unreachable
+    (never silently mis-reads compressed bytes as text)."""
+    jvm = spark._jvm
+    try:
+        fin = jvm.java.io.FileInputStream(path)
+    except Exception as exc:
+        raise ValueError(f"cannot open {path!r}: {exc}") from exc
+    zin = None
+    try:
+        zin = jvm.com.github.luben.zstd.ZstdInputStream(fin)
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(zin))
+    except (TypeError, AttributeError) as exc:
+        # zstd-jni / commons-io absent from this JVM: the loud stop the
+        # old .zst branch promised, now with the workaround inline
+        raise ValueError(
+            f"cannot decompress {path!r}: the JVM lacks zstd-jni — "
+            "decompress the dump's .zst files first (zstd -d)") from exc
+    finally:
+        if zin is not None:
+            zin.close()
+        fin.close()

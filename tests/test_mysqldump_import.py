@@ -923,3 +923,116 @@ def test_dat_read_ignores_future_dialect_keys(spark, tmp_path):
     df2 = read_dumped_table(spark, {"path": str(single)},
                             csv_dialect=dialect)
     assert [(r["id"], r["v"]) for r in df2.collect()] == [(5, "y")]
+
+
+def test_import_mydumper_dir_parallel_tables(spark, tmp_path):
+    """import_mydumper_dir submits per-table count/checksum jobs from a
+    thread pool (the reference loads tables concurrently,
+    myloader_worker_loader_main.c:94-209) — a genuine dump with hundreds
+    of tables must not pay hundreds of sequential job-submission
+    latencies. Concurrency is proven by overlapping build_entry spans,
+    and the manifest contents are IDENTICAL to a serial (parallelism=1)
+    import — pooling changes wall time, never content."""
+    import threading
+    import time as _time
+
+    import mydumper_spark.sinks.manifest as mman
+    from mydumper_spark.engine import import_mydumper_dir
+
+    src = tmp_path / "par"
+    src.mkdir()
+    names = [f"t{i}" for i in range(6)]
+    meta = "[config]\nquote-character = BACKTICK\n\n"
+    for i, t in enumerate(names):
+        meta += f"[`s`.`{t}`]\nreal_table_name={t}\nrows = 2\n\n"
+        (src / f"s.{t}-schema.sql").write_text(
+            f"CREATE TABLE `{t}` (\n  `id` int NOT NULL\n);\n")
+        (src / f"s.{t}.00000.sql").write_text(
+            f"INSERT INTO `{t}` VALUES ({i}),({i + 10});\n")
+    (src / "metadata").write_text(meta)
+
+    spans: list[tuple[str, float, float]] = []
+    real = mman.build_entry
+
+    def tracked(df, *a, **kw):
+        t0 = _time.monotonic()
+        _time.sleep(0.15)  # widen the span so overlap is deterministic
+        out = real(df, *a, **kw)
+        spans.append(
+            (threading.current_thread().name, t0, _time.monotonic()))
+        return out
+
+    mman.build_entry = tracked
+    try:
+        mp = import_mydumper_dir(spark, str(src), str(tmp_path / "po"),
+                                 parallelism=4)
+    finally:
+        mman.build_entry = real
+    assert len(spans) == 6
+    assert len({s[0] for s in spans}) > 1          # >1 pool thread
+    ordered = sorted(spans, key=lambda s: s[1])
+    assert any(a[2] > b[1] for a, b in zip(ordered, ordered[1:]))
+
+    ms = import_mydumper_dir(spark, str(src), str(tmp_path / "so"),
+                             parallelism=1)
+    def sig(m):
+        return {k: (e.rows, e.data_checksum, e.schema_checksum,
+                    os.path.basename(e.path))
+                for k, e in m.tables.items()}
+    assert sig(mp) == sig(ms)
+
+
+def test_import_mydumper_dir_zstd_chunks(spark, tmp_path):
+    """A genuine ``mydumper -c`` dump compressed with zstd (the
+    reference's default codec in recent builds) imports end-to-end:
+    .sql.zst INSERT chunks read through Spark's native codec, the
+    .sql.zst LOAD DATA statement sibling decompresses through the JVM's
+    zstd-jni (util.zstd_read_bytes — no Python zstd in this
+    environment) so the dialect is recovered, and .dat.zst payload
+    chunks load typed. Closes the round-12 'decompress first' gap."""
+    from mydumper_spark.engine import import_mydumper_dir
+    from mydumper_spark.util import zstd_read_bytes
+
+    def zw(path, text):
+        comp = bytes(spark._jvm.com.github.luben.zstd.Zstd.compress(
+            text.encode(), 3))
+        with open(path, "wb") as f:
+            f.write(comp)
+
+    src = tmp_path / "zsrc"
+    src.mkdir()
+    (src / "metadata").write_text(
+        "[config]\nquote-character = BACKTICK\n\n"
+        "[`s`.`t`]\nreal_table_name=t\nrows = 3\n\n"
+        "[`s`.`ld`]\nreal_table_name=ld\nrows = 2\n")
+    (src / "s.t-schema.sql").write_text(
+        "CREATE TABLE `t` (\n  `id` int NOT NULL\n);\n")
+    zw(src / "s.t.00000.sql", "INSERT INTO `t` VALUES (1),(2);\n")
+    zw(src / "s.t.00001.sql", "INSERT INTO `t` VALUES (3);\n")
+    (src / "s.ld-schema.sql").write_text(
+        "CREATE TABLE `ld` (\n  `id` int NOT NULL,\n  `v` varchar(10)\n);\n")
+    zw(src / "s.ld.00000.sql",
+       "LOAD DATA LOCAL INFILE 's.ld.00000.dat' INTO TABLE `ld` FIELDS "
+       "TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY '\\\\' LINES "
+       "TERMINATED BY '\\n' (`id`,`v`);\n")
+    zw(src / "s.ld.00000.dat", '1,"a\\nb"\n2,\\N\n')
+    # rename to the compressed layout the -c dump really uses
+    for f in ("s.t.00000.sql", "s.t.00001.sql", "s.ld.00000.sql",
+              "s.ld.00000.dat"):
+        os.rename(src / f, src / (f + ".zst"))
+
+    out = tmp_path / "zout"
+    m = import_mydumper_dir(spark, str(src), str(out))
+    assert m.tables["t"].rows == 3          # both .sql.zst chunks parsed
+    assert m.tables["ld"].rows == 2
+    assert m.csv_dialect["fields_terminated_by"] == ","  # dialect seen
+    from mydumper_spark.sinks.manifest import read_dumped_table, read_manifest
+    doc = read_manifest(str(out))
+    df = read_dumped_table(spark, doc["tables"]["ld"],
+                           csv_dialect=doc["config"]["csv_dialect"])
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert got == {1: "a\nb", 2: None}      # escape decode after zstd
+
+    # the util itself round-trips bytes exactly
+    assert zstd_read_bytes(spark, str(src / "s.ld.00000.dat.zst")) == \
+        b'1,"a\\nb"\n2,\\N\n'
