@@ -1140,7 +1140,13 @@ def _sql_toplevel_mask(raw: str) -> "list[bool]":
                     j += 1
             mask[i:min(j + 1, n)] = [False] * (min(j + 1, n) - i)
             i = j + 1
-        elif ch == "#" or raw.startswith("--", i):
+        elif ch == "#" or (
+                raw.startswith("--", i)
+                # MySQL's rule: '--' starts a comment only before
+                # whitespace or end-of-input — `a--1` is double negation
+                # (subtracting a negative), and masking it could hide a
+                # REAL statement boundary later on the same line
+                and (i + 2 >= n or raw[i + 2].isspace())):
             j = raw.find("\n", i)
             j = n if j < 0 else j
             mask[i:j] = [False] * (j - i)
@@ -2038,7 +2044,12 @@ def restore(
                     quote_ident, retarget_database, skip_definer,
                 )
 
-                with open(o["path"]) as f:
+                # surrogateescape, pairing with _write_object_artifacts'
+                # byte-faithful write: a non-UTF-8 trigger/view artifact
+                # (latin-1 comments in genuine dumps) imports cleanly
+                # since round 13 and must not crash HERE at replay
+                with open(o["path"], encoding="utf-8",
+                          errors="surrogateescape") as f:
                     raw = skip_definer(f.read()).strip()
                 # a view artifact opens with the reference preamble
                 # DROP TABLE IF EXISTS…; DROP VIEW IF EXISTS…

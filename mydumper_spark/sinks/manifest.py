@@ -352,19 +352,13 @@ def read_dumped_table(spark, entry: dict,
 
 
 def _dialect_format(csv_dialect: dict | None):
-    """Recorded-dialect → CsvFormat for a .dat read, forward-compatibly:
-    keep only keys THIS version's CsvFormat declares (a NEWER writer may
-    have recorded extra dialect fields — dump_reader.py applies the same
-    filter — and a TypeError here would turn restore/verify of its dump
-    into a crash), and default a missing ``escaped_data`` to the LEGACY
-    raw form, never the dataclass default (which is for NEW writes)."""
-    import dataclasses
+    """Recorded-dialect → CsvFormat for a .dat read; one shared rule
+    (writers.csvformat_from_recorded_dialect) so the forward-compat
+    filter and the legacy escaped_data default can never diverge
+    between this read and dump_reader's convention-based read."""
+    from mydumper_spark.sinks.writers import csvformat_from_recorded_dialect
 
-    from mydumper_spark.sinks.writers import CsvFormat
-
-    known = {f.name for f in dataclasses.fields(CsvFormat)}
-    kept = {k: v for k, v in (csv_dialect or {}).items() if k in known}
-    return CsvFormat(**{"escaped_data": False, **kept})
+    return csvformat_from_recorded_dialect(csv_dialect)
 
 
 #: chunk suffix of a fmt="sql" data file ({out_name}.NNNNN.sql[.ext…] —

@@ -61,6 +61,23 @@ class CsvFormat:
     load_data_escapes: bool = False
 
 
+def csvformat_from_recorded_dialect(dialect: dict | None) -> CsvFormat:
+    """Recorded-manifest dialect → CsvFormat, forward-compatibly — THE
+    one implementation of the rule (read_dumped_table's .dat branches
+    and dump_reader's convention-based read both call it): keep only
+    keys THIS version's CsvFormat declares (a NEWER writer may have
+    recorded extra dialect fields, and a TypeError would turn a
+    best-effort restore/verify read into a crash), and default a
+    missing ``escaped_data`` to the LEGACY raw form — the dataclass
+    default is for NEW writes; applying it to an old manifest would
+    silently halve every consecutive backslash pair."""
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(CsvFormat)}
+    kept = {k: v for k, v in (dialect or {}).items() if k in known}
+    return CsvFormat(**{"escaped_data": False, **kept})
+
+
 def _escape_string_data(df: DataFrame) -> DataFrame:
     """Backslash-double every string column (NULLs stay NULL — the writer
     emits the sentinel for them). Scan-side codegen, zero shuffles."""
@@ -84,35 +101,6 @@ def unescape_string_data(df: DataFrame) -> DataFrame:
         c = F.col(f.name)
         if isinstance(f.dataType, T.StringType):
             c = F.replace(c, F.lit("\\\\"), F.lit("\\")).alias(f.name)
-        cols.append(c)
-    return df.select(*cols)
-
-
-def decode_load_data_escapes(df: DataFrame) -> DataFrame:
-    """MySQL LOAD DATA escape decode over every string column (\\n \\t
-    \\r \\\\ → their bytes), applied after a typed csv read of a genuine
-    --load-data payload. Single logical pass: literal backslash pairs
-    park on a NUL sentinel first — raw NUL cannot appear in the escaped
-    stream (the writer escaped it to \\0), so the sentinel is
-    collision-free — then each escape decodes, then the sentinel
-    restores the backslash LAST, so a decoded '\\' can never re-trigger
-    an escape. Scan-side codegen, zero shuffles.
-
-    Deliberately NOT decoded: \\0 \\b \\Z — decoding \\0 to a real NUL
-    would collide with the sentinel (and NUL/backspace/SUB bytes in
-    text corpora are vanishingly rare); those three sequences keep
-    their escaped spelling, a documented fidelity bound of the intake."""
-    from pyspark.sql import types as T
-
-    pairs = [("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r")]
-    cols = []
-    for f in df.schema.fields:
-        c = F.col(f.name)
-        if isinstance(f.dataType, T.StringType):
-            c = F.replace(c, F.lit("\\\\"), F.lit("\x00"))
-            for src, dst in pairs:
-                c = F.replace(c, F.lit(src), F.lit(dst))
-            c = F.replace(c, F.lit("\x00"), F.lit("\\")).alias(f.name)
         cols.append(c)
     return df.select(*cols)
 
@@ -243,8 +231,8 @@ def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
     # the only load_data_escapes dialect that reaches this branch is
     # escapes-OFF enclosed (ESCAPED BY '' + quotes — everything else
     # routed to _read_load_data_payload above): nothing was escaped on
-    # write, so nothing decodes — running decode_load_data_escapes here
-    # would turn a literal two-byte '\n' into a real newline, matching
+    # write, so nothing decodes — a control-sequence decode here would
+    # turn a literal two-byte '\n' into a real newline, matching
     # neither the writer nor _read_load_data_payload's escapes-off arm
     return out
 
@@ -630,7 +618,12 @@ def write_load_data(
                 f"CHARACTER SET utf8mb4 FIELDS TERMINATED BY '{fmt.fields_terminated_by}' "
                 f"ENCLOSED BY '{enc}' ESCAPED BY '{esc}' "
                 f"LINES TERMINATED BY '{repr(fmt.lines_terminated_by)[1:-1]}' "
-                f"({','.join('`' + c + '`' for c in df.columns)});"
+                # header=True writes column names atop every part file;
+                # without IGNORE 1 LINES (the reference's
+                # --include-header clause, mydumper_write.c:531-532) a
+                # MySQL load would ingest that line as a data row
+                + ("IGNORE 1 LINES " if fmt.header else "")
+                + f"({','.join('`' + c + '`' for c in df.columns)});"
             )
     sql_path = os.path.join(root, f"{table}.sql")
     with open(sql_path, "w") as f:

@@ -57,14 +57,11 @@ def _dialect_from_manifest(root: str) -> CsvFormat:
             dialect = json.load(f).get("config", {}).get("csv_dialect")
     except (OSError, ValueError):
         dialect = None
-    # keep only keys this version's CsvFormat knows: a NEWER writer may
-    # have recorded extra dialect fields, and a TypeError here would turn
-    # the best-effort read into a crash
-    import dataclasses
+    # one shared rule with read_dumped_table's .dat branches: unknown
+    # (newer-writer) keys dropped, missing escaped_data = legacy raw
+    from mydumper_spark.sinks.writers import csvformat_from_recorded_dialect
 
-    known = {f.name for f in dataclasses.fields(CsvFormat)}
-    dialect = {k: v for k, v in (dialect or {}).items() if k in known}
-    return CsvFormat(**{"escaped_data": False, **dialect})
+    return csvformat_from_recorded_dialect(dialect)
 
 
 def read_dump_table(

@@ -894,6 +894,13 @@ def test_split_trigger_artifact_quote_aware():
         "CREATE TRIGGER `weird CREATE TRIGGER name` BEFORE DELETE ON "
         "`t` FOR EACH ROW SET @x = 1;\n")
     assert [n for n, _ in one] == ["weird CREATE TRIGGER name"]
+    # MySQL's comment rule: '--' needs following whitespace — `cnt--1`
+    # is double negation, and a boundary later on that LINE is real
+    dd = _split_trigger_artifact(
+        "CREATE TRIGGER c1 BEFORE INSERT ON `t` FOR EACH ROW "
+        "SET NEW.cnt = OLD.cnt--1; CREATE TRIGGER c2 AFTER INSERT ON "
+        "`t` FOR EACH ROW SET @y = 2;\n")
+    assert [n for n, _ in dd] == ["c1", "c2"]
 
 
 def test_dat_read_ignores_future_dialect_keys(spark, tmp_path):

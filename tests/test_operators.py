@@ -2800,7 +2800,10 @@ def test_centroid_prune_approx_parity_and_plan(spark):
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert win_lines, "expected the histogram cumulative-sum windows"
-    assert all("__c" in ln for ln in win_lines)
+    # every window FUNCTION is a sum over the histogram count __c —
+    # "sum(__c#", not the looser "__c" (which "__cppm" would satisfy):
+    # a corpus-scale window ordered by __cppm must not slip past this
+    assert all("sum(__c#" in ln for ln in win_lines)
     assert not any("vec_id" in ln for ln in win_lines)
     exact_plan = (sim.centroid_prune(df)
                   ._jdf.queryExecution().executedPlan().toString())

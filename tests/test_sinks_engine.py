@@ -69,6 +69,23 @@ def test_load_data_sidecar(spark, customer, tmp_path):
     stmt = open(sql_path).read()
     assert "LOAD DATA LOCAL INFILE" in stmt
     assert "`c_custkey`" in stmt
+    assert "IGNORE" not in stmt           # no header written, no clause
+
+
+def test_load_data_sidecar_header_emits_ignore_lines(spark, customer,
+                                                     tmp_path):
+    """header=True writes column names atop every part file, so the
+    statement must carry the reference's IGNORE 1 LINES clause
+    (mydumper_write.c:531-532) — without it a MySQL load ingests the
+    header as a data row. The dialect recovery round-trips it."""
+    from mydumper_spark.sinks.writers import csvformat_from_load_data
+
+    sql_path = write_load_data(
+        customer.limit(5), str(tmp_path), "customer",
+        fmt=CsvFormat(header=True))
+    stmt = open(sql_path).read()
+    assert "IGNORE 1 LINES (`c_custkey`" in stmt
+    assert csvformat_from_load_data(stmt).header is True
 
 
 # -- manifest ----------------------------------------------------------------
