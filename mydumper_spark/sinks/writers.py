@@ -59,6 +59,13 @@ class CsvFormat:
     #: decode after the typed read. Mutually exclusive with
     #: escaped_data (ours is a quoting convention, this is MySQL's).
     load_data_escapes: bool = False
+    #: mydumper --lines-starting-by: every written row opens with this
+    #: prefix (mydumper_write.c:775) and the LOAD DATA statement records
+    #: ``LINES STARTING BY``. MySQL's read rule (ours too): skip
+    #: everything up to AND including the prefix; a line without it is
+    #: skipped entirely. Intake-only — the Spark csv writer cannot
+    #: prepend per-line prefixes, so writes reject it loudly.
+    lines_starting_by: str = ""
 
 
 def csvformat_from_recorded_dialect(dialect: dict | None) -> CsvFormat:
@@ -137,6 +144,16 @@ def _read_load_data_payload(spark, path, schema, fmt: CsvFormat):
     quote = fmt.fields_enclosed_by
     lines = (spark.read.option("lineSep", fmt.lines_terminated_by)
              .text(path))
+    sb = getattr(fmt, "lines_starting_by", "") or ""
+    if sb:
+        # MySQL's LINES STARTING BY rule: skip everything up to AND
+        # including the prefix; a line without the prefix is skipped
+        # ENTIRELY (the refman-documented semantics the writer's
+        # per-row prefix, mydumper_write.c:775, round-trips through)
+        pos = F.locate(sb, F.col("value"))
+        lines = lines.where(pos > 0).select(
+            F.col("value").substr(pos + len(sb),
+                                  F.length("value")).alias("value"))
     if getattr(fmt, "header", False):
         # --include-header dumps (IGNORE 1 LINES): the reference writes
         # one deterministic header line per chunk file — every column
@@ -209,7 +226,10 @@ def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
     quotes alone protect embedded terminators and nothing was escaped."""
     fmt = fmt or CsvFormat()
     if getattr(fmt, "load_data_escapes", False) \
-            and (fmt.fields_escaped_by or not fmt.fields_enclosed_by):
+            and (fmt.fields_escaped_by or not fmt.fields_enclosed_by
+                 or getattr(fmt, "lines_starting_by", "")):
+        # the third arm: Spark's csv tokenizer has no STARTING BY —
+        # the payload reader strips the per-line prefix scan-side
         return _read_load_data_payload(spark, path, schema, fmt)
     r = spark.read
     if schema is not None:
@@ -275,6 +295,10 @@ def csvformat_from_load_data(stmt: str) -> CsvFormat:
         fields_terminated_by=clause(r"FIELDS\s+TERMINATED\s+BY", "\t"),
         fields_enclosed_by=clause(r"ENCLOSED\s+BY", ""),
         fields_escaped_by=clause(r"ESCAPED\s+BY", "\\"),
+        # --lines-starting-by: the reference prepends this to EVERY row
+        # (mydumper_write.c:775) — without recovering it the prefix
+        # would silently corrupt the first field of every row
+        lines_starting_by=clause(r"LINES\s+STARTING\s+BY", ""),
         lines_terminated_by=clause(r"LINES(?:\s+STARTING\s+BY\s+"
                                    r"'(?:[^'\\]|\\.)*')?\s+TERMINATED\s+BY",
                                    "\n"),
@@ -292,6 +316,12 @@ def write_csv(
 ) -> None:
     """K2 + K5 + K6."""
     fmt = fmt or CsvFormat()
+    if getattr(fmt, "lines_starting_by", ""):
+        raise ValueError(
+            "lines_starting_by is intake-only: Spark's csv writer "
+            "cannot prepend per-line prefixes, and writing a statement "
+            "that promises STARTING BY over a payload without it would "
+            "make MySQL skip every line")
     if fmt.escaped_data:
         df = _escape_string_data(df)
     w = (

@@ -1043,3 +1043,56 @@ def test_import_mydumper_dir_zstd_chunks(spark, tmp_path):
     # the util itself round-trips bytes exactly
     assert zstd_read_bytes(spark, str(src / "s.ld.00000.dat.zst")) == \
         b'1,"a\\nb"\n2,\\N\n'
+
+
+def test_lines_starting_by_round_trip(spark, tmp_path):
+    """--lines-starting-by dumps: the reference prepends the prefix to
+    EVERY row (mydumper_write.c:775) and records LINES STARTING BY.
+    The dialect recovery captures it, the payload reader applies
+    MySQL's documented rule (skip everything up to AND including the
+    prefix; a line WITHOUT it is skipped entirely), and writes reject
+    the intake-only knob loudly."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from mydumper_spark.sinks.writers import (
+        CsvFormat,
+        csvformat_from_load_data,
+        read_csv_typed,
+        write_csv,
+    )
+
+    stmt = ("LOAD DATA LOCAL INFILE 'x.dat' INTO TABLE `t` FIELDS "
+            "TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY '\\\\' "
+            "LINES STARTING BY '>>' TERMINATED BY '\\n' (`id`,`v`);")
+    fmt = csvformat_from_load_data(stmt)
+    assert fmt.lines_starting_by == ">>"
+    assert fmt.lines_terminated_by == "\n"
+
+    sch = T.StructType([T.StructField("id", T.IntegerType()),
+                        T.StructField("v", T.StringType())])
+    p = str(tmp_path / "sb.00000.dat")
+    with open(p, "w") as f:
+        f.write('>>1,"a"\n'          # plain prefixed row
+                'garbage no prefix\n'  # skipped ENTIRELY (MySQL rule)
+                'junk>>2,"b\\nc"\n'    # prefix mid-line: skip up to+incl
+                '>>3,\\N\n')
+    got = {r["id"]: r["v"] for r in
+           read_csv_typed(spark, [p], sch, fmt).collect()}
+    assert got == {1: "a", 2: "b\nc", 3: None}
+
+    # escapes-off + enclosed + STARTING BY still routes to the payload
+    # reader (the csv tokenizer cannot strip the prefix)
+    p2 = str(tmp_path / "sb2.00000.dat")
+    with open(p2, "w") as f:
+        f.write('>>7,"lit\\nstays"\n')
+    fmt2 = CsvFormat(fields_terminated_by=",", fields_enclosed_by='"',
+                     fields_escaped_by="", escaped_data=False,
+                     load_data_escapes=True, lines_starting_by=">>")
+    assert [(r["id"], r["v"]) for r in
+            read_csv_typed(spark, [p2], sch, fmt2).collect()] == [
+        (7, "lit\\nstays")]
+
+    with _pytest.raises(ValueError, match="intake-only"):
+        write_csv(spark.createDataFrame([(1, "x")], sch),
+                  str(tmp_path / "w"), CsvFormat(lines_starting_by=">>"))
