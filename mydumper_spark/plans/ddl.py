@@ -188,6 +188,13 @@ def schema_from_create_table(ddl: str) -> str:
         if base not in _MYSQL_TO_SPARK and base not in ("decimal", "numeric"):
             continue
         rest = (m["rest"] or "").lower()
+        if re.search(r"\b(?:generated\s+always\s+)?as\s*\(", rest):
+            # generated column (VIRTUAL or STORED): the reference
+            # excludes it from SELECT and INSERT lists
+            # (mydumper_table.c:296-322) — dump data never carries it,
+            # and the server recomputes it on restore — so the DATA
+            # schema must exclude it too or every typed read misaligns
+            continue
         if base in ("decimal", "numeric"):
             args = m["args"] or "10,0"
             spark_t = f"decimal({args})"

@@ -78,6 +78,75 @@ def _find_values_kw(s: str) -> int:
     return -1
 
 
+def _insert_columns(line: str) -> "list[str] | None":
+    """Explicit column list of an INSERT statement head (``INSERT INTO
+    t (a, b) VALUES …``) or None when the statement has none. The
+    reference writes one whenever the dumped fields differ from the
+    table's full column set — ``--complete-insert``, per-table
+    ``columns_on_insert`` config, and ALWAYS for tables with generated
+    columns, which are excluded from dumps and recomputed server-side
+    (detect_generated_fields forcing complete_insert,
+    mydumper_table.c:478-482; mysqldump does the same). Scanning is
+    quote/backtick-aware: a backticked column named ``a(b`` must not
+    open a group, and the LAST top-level group before VALUES is the
+    list (the table name itself cannot be parenthesized)."""
+    vi = _find_values_kw(line)
+    if vi < 0:
+        return None
+    head = line[:vi - 6]
+    in_bt = in_sq = False
+    depth = 0
+    start = last = None
+    i, n = 0, len(head)
+    while i < n:
+        ch = head[i]
+        if in_sq:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "'":
+                in_sq = False
+        elif in_bt:
+            if ch == "`":
+                in_bt = False
+        elif ch == "'":
+            in_sq = True
+        elif ch == "`":
+            in_bt = True
+        elif ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and start is not None:
+                last = (start, i)
+        i += 1
+    if last is None:
+        return None
+    inner = head[last[0] + 1:last[1]]
+    cols: list[str] = []
+    buf: list[str] = []
+    in_bt = False
+    for ch in inner:
+        if ch == "`":
+            in_bt = not in_bt
+            buf.append(ch)
+        elif ch == "," and not in_bt:
+            cols.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    cols.append("".join(buf))
+    out = []
+    for c in cols:
+        c = c.strip()
+        if c.startswith("`") and c.endswith("`") and len(c) >= 2:
+            c = c[1:-1].replace("``", "`")
+        out.append(c)
+    return out
+
+
 def parse_tuples(line: str, with_quoted: bool = False) -> list:
     """Parse every ``(v1, v2, …)`` tuple on one physical line.
 
@@ -231,6 +300,47 @@ def typed_from_strings(
     return df.select(*cols)
 
 
+def _peek_insert_columns(spark, path) -> "list[str] | None":
+    """Column list of the FIRST INSERT statement head in the first data
+    file — a bounded (256 KiB) driver-side peek, compression-aware like
+    engine._read_statement_head (.gz via gzip, .zst via the JVM's
+    zstd-jni). Returns None when the first statement has no explicit
+    list (the common full-row dump) or no statement is found."""
+    import glob as _glob
+    import os as _os
+
+    if isinstance(path, (list, tuple)):
+        first = path[0] if path else None
+    elif _os.path.isdir(path):
+        fs = sorted(f for f in _os.listdir(path) if not f.startswith("."))
+        first = _os.path.join(path, fs[0]) if fs else None
+    else:
+        hits = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+        first = hits[0] if hits else None
+    if first is None or not _os.path.exists(first):
+        return None
+    n = 256 * 1024
+    if first.endswith(".gz"):
+        import gzip
+
+        with gzip.open(first, "rt", encoding="utf-8",
+                       errors="surrogateescape") as fh:
+            head = fh.read(n)
+    elif first.endswith(".zst"):
+        from mydumper_spark.util import zstd_read_bytes
+
+        head = zstd_read_bytes(spark, first).decode(
+            "utf-8", "surrogateescape")[:n]
+    else:
+        with open(first, encoding="utf-8",
+                  errors="surrogateescape") as fh:
+            head = fh.read(n)
+    for line in head.splitlines():
+        if _find_values_kw(line) >= 0:
+            return _insert_columns(line)
+    return None
+
+
 def read_insert_sql(
     spark: SparkSession, path: str | list[str], schema: T.StructType | str
 ) -> DataFrame:
@@ -251,18 +361,73 @@ def read_insert_sql(
         + [T.StructField(quoted_cols[names[i]], T.BooleanType(), True)
            for i in bin_idx])
 
+    name_pos = {nm: i for i, nm in enumerate(names)}
+    # a GENUINE reference dump writes the INSERT head and its rows on
+    # SEPARATE lines, so a row line carries no column list of its own —
+    # and mapInPandas partitions lines arbitrarily, so the head cannot
+    # be carried as parser state. The list is constant per table
+    # (mydumper builds it once, mydumper_table.c:473-482), so one
+    # bounded driver-side peek at the first chunk's first statement
+    # head recovers it for every headless row line.
+    default_cols = _peek_insert_columns(spark, path)
+    default_map = None
+    if default_cols is not None and default_cols != names:
+        missing = [c for c in default_cols if c not in name_pos]
+        if missing:
+            raise ValueError(
+                f"INSERT column list names {missing} absent from the "
+                f"schema (first statement head of {path!r})")
+        default_map = [name_pos[c] for c in default_cols]
+
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # an explicit INSERT column list maps tuple positions to schema
+        # positions (complete-insert / generated-column dumps: the tuple
+        # is a SUBSET of the schema, possibly reordered — a positional
+        # read would misalign every value); unlisted columns stay NULL.
+        # The mapping is cached per distinct list (one per table in
+        # practice).
+        map_cache: dict = {}
         for pdf in batches:
             rows: list[list] = []
             for line in pdf["value"]:
+                # head-line guard: a genuine dump's row-per-line body
+                # never opens with INSERT/REPLACE, and _insert_columns
+                # would otherwise re-scan every row line end-to-end
+                cols = (_insert_columns(line)
+                        if line[:16].lstrip()[:7].upper().startswith(
+                            ("INSERT", "REPLACE")) else None)
+                idxmap = default_map
+                if cols is not None:
+                    key = tuple(cols)
+                    idxmap = map_cache.get(key)
+                    if idxmap is None:
+                        missing = [c for c in cols if c not in name_pos]
+                        if missing:
+                            raise ValueError(
+                                f"INSERT column list names {missing} "
+                                f"absent from the schema: {line[:120]!r}")
+                        idxmap = [name_pos[c] for c in cols]
+                        map_cache[key] = idxmap
                 for tup in parse_tuples(line, with_quoted=True):
-                    if len(tup) != n_cols:
-                        raise ValueError(
-                            f"INSERT tuple has {len(tup)} values, schema has "
-                            f"{n_cols}: {line[:120]!r}"
-                        )
-                    rows.append([v for v, _ in tup]
-                                + [tup[i][1] for i in bin_idx])
+                    if idxmap is None:
+                        if len(tup) != n_cols:
+                            raise ValueError(
+                                f"INSERT tuple has {len(tup)} values, "
+                                f"schema has {n_cols}: {line[:120]!r}")
+                        rows.append([v for v, _ in tup]
+                                    + [tup[i][1] for i in bin_idx])
+                    else:
+                        if len(tup) != len(idxmap):
+                            raise ValueError(
+                                f"INSERT tuple has {len(tup)} values, "
+                                f"column list has {len(idxmap)}: "
+                                f"{line[:120]!r}")
+                        vals: list = [None] * n_cols
+                        qarr: list = [None] * n_cols
+                        for p, (v, q) in zip(idxmap, tup):
+                            vals[p] = v
+                            qarr[p] = q
+                        rows.append(vals + [qarr[i] for i in bin_idx])
             yield pd.DataFrame(rows, columns=out_names, dtype=object)
 
     if bin_idx:

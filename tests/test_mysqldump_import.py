@@ -1096,3 +1096,93 @@ def test_lines_starting_by_round_trip(spark, tmp_path):
     with _pytest.raises(ValueError, match="intake-only"):
         write_csv(spark.createDataFrame([(1, "x")], sch),
                   str(tmp_path / "w"), CsvFormat(lines_starting_by=">>"))
+
+
+def test_insert_columns_unit():
+    """_insert_columns: quote/backtick-aware head scan — the LAST
+    top-level group before VALUES is the list; quoted 'VALUES' or
+    parens inside backticked names never confuse it; headless and
+    listless statements return None."""
+    from mydumper_spark.sources.insert_parser import _insert_columns
+
+    assert _insert_columns(
+        "INSERT INTO `t` (`a`,`b`) VALUES (1,2);") == ["a", "b"]
+    assert _insert_columns(
+        "INSERT INTO `t` VALUES (1,2);") is None
+    assert _insert_columns("(1,2),") is None          # row line, no head
+    # backticked name containing ')' and ',' survives; `` unescapes
+    assert _insert_columns(
+        "INSERT INTO `we(ird` (`a)x`,`b``q`, c) VALUES (1,2,3);") == [
+        "a)x", "b`q", "c"]
+    # a string literal containing VALUES before the real keyword
+    assert _insert_columns(
+        "INSERT INTO t (a) /* 'VALUES' */ VALUES (1);") == ["a"]
+
+
+def test_generated_columns_import_end_to_end(spark, tmp_path):
+    """Tables with GENERATED columns: the reference excludes them from
+    dumps and forces complete-insert (mydumper_table.c:478-482), so the
+    INSERT head carries an explicit column list and the head sits on
+    its OWN line (genuine multi-line statement shape). The schema
+    parser must exclude generated columns and the INSERT parser must
+    map the listed subset — a positional read would misalign every
+    value."""
+    from mydumper_spark.engine import import_mydumper_dir
+    from mydumper_spark.plans.ddl import schema_from_create_table
+
+    ddl = ("CREATE TABLE `g` (\n"
+           "  `id` int NOT NULL,\n"
+           "  `price` decimal(10,2) DEFAULT NULL,\n"
+           "  `total` decimal(10,2) GENERATED ALWAYS AS "
+           "(`price` * 2) STORED,\n"
+           "  `note` varchar(20) DEFAULT NULL,\n"
+           "  PRIMARY KEY (`id`)\n"
+           ");")
+    assert "total" not in schema_from_create_table(ddl)
+
+    src = tmp_path / "gen"
+    src.mkdir()
+    (src / "metadata").write_text(
+        "[config]\nquote-character = BACKTICK\n\n"
+        "[`s`.`g`]\nreal_table_name=g\nrows = 2\n")
+    (src / "s.g-schema.sql").write_text(ddl + "\n")
+    # genuine shape: head line, then one row per line
+    (src / "s.g.00000.sql").write_text(
+        "INSERT INTO `g` (`id`,`price`,`note`) VALUES\n"
+        "(1,3.50,'a'),\n"
+        "(2,NULL,'b;c');\n")
+    m = import_mydumper_dir(spark, str(src), str(tmp_path / "genout"))
+    assert m.tables["g"].rows == 2
+    from mydumper_spark.sinks.manifest import read_dumped_table, read_manifest
+    doc = read_manifest(str(tmp_path / "genout"))
+    rows = {r["id"]: r for r in read_dumped_table(
+        spark, doc["tables"]["g"]).collect()}
+    from decimal import Decimal
+    assert rows[1]["price"] == Decimal("3.50") and rows[1]["note"] == "a"
+    assert rows[2]["price"] is None and rows[2]["note"] == "b;c"
+    assert "total" not in rows[1].asDict()
+
+
+def test_insert_column_list_reorder_and_subset(spark, tmp_path):
+    """A single-line INSERT (mysqldump shape) with a REORDERED subset
+    column list maps values by name; unlisted columns read NULL; a list
+    naming an unknown column raises loudly."""
+    from pyspark.sql import types as T
+
+    from mydumper_spark.sources.insert_parser import read_insert_sql
+
+    sch = T.StructType([T.StructField("a", T.IntegerType()),
+                        T.StructField("b", T.StringType()),
+                        T.StructField("c", T.IntegerType())])
+    p = str(tmp_path / "re.00000.sql")
+    with open(p, "w") as f:
+        f.write("INSERT INTO `t` (`c`,`a`) VALUES (30,1),(40,2);\n")
+    got = sorted((r["a"], r["b"], r["c"])
+                 for r in read_insert_sql(spark, [p], sch).collect())
+    assert got == [(1, None, 30), (2, None, 40)]
+
+    p2 = str(tmp_path / "bad.00000.sql")
+    with open(p2, "w") as f:
+        f.write("INSERT INTO `t` (`nope`) VALUES (1);\n")
+    with pytest.raises(ValueError, match="nope"):
+        read_insert_sql(spark, [p2], sch).collect()
