@@ -1741,6 +1741,14 @@ def centroid_prune(
 
     cppm = F.round(F.col("centroid_cos") * 1_000_000, 0).cast("bigint")
     scored = scored.withColumn("__cppm", cppm)
+    # two consumers read `scored` (the histogram below and the final
+    # join): without a checkpoint the whole centroid-scoring pass —
+    # explode + exact-decimal sums over every vector — runs TWICE.
+    # A lazy local checkpoint materializes the tiny (id, label, cos,
+    # ppm) projection once on first action and both consumers share it
+    # (the x_text_curate multi-consumer pattern); lazy, so constructing
+    # the plan still runs no job.
+    scored = scored.localCheckpoint(eager=False)
     # the threshold walk is a per-label cumulative sum over the (label,
     # cos_ppm) COUNT histogram — an already-tiny aggregate (≤ labels ×
     # 2e6 rows, corpus-size-independent), so it runs DISTRIBUTED: a
