@@ -1199,26 +1199,12 @@ def _read_statement_head(path: str, n: int = 4096,
     ``.sql.zst`` (recent reference builds default -c to zstd) — a plain
     read would hand compressed bytes to the dialect regexes, which then
     fall back to tab defaults SILENTLY (wrong dialect, garbage rows).
-    zstd decompresses through the JVM's zstd-jni (util.zstd_read_bytes
-    — no Python zstd module in this environment), so a genuine ``-c``
-    dump imports without a decompress-first step."""
-    if path.endswith(".gz"):
-        import gzip
+    zstd decompresses through the JVM's zstd-jni (util.zstd_read_bytes,
+    bounded — no Python zstd module in this environment), so a genuine
+    ``-c`` dump imports without a decompress-first step."""
+    from mydumper_spark.util import read_text_head
 
-        with gzip.open(path, "rt", encoding="utf-8",
-                       errors="surrogateescape") as fh:
-            return fh.read(n)
-    if path.endswith(".zst"):
-        if spark is None:
-            raise ValueError(
-                f"cannot read the LOAD DATA dialect from {path!r}: "
-                ".zst decompression needs the JVM codec (pass spark)")
-        from mydumper_spark.util import zstd_read_bytes
-
-        return zstd_read_bytes(spark, path).decode(
-            "utf-8", "surrogateescape")[:n]
-    with open(path, encoding="utf-8", errors="surrogateescape") as fh:
-        return fh.read(n)
+    return read_text_head(path, n, spark=spark)
 
 
 def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,

@@ -188,7 +188,10 @@ def schema_from_create_table(ddl: str) -> str:
         if base not in _MYSQL_TO_SPARK and base not in ("decimal", "numeric"):
             continue
         rest = (m["rest"] or "").lower()
-        if re.search(r"\b(?:generated\s+always\s+)?as\s*\(", rest):
+        # generated-column test runs with string literals blanked: a
+        # COMMENT 'used as (tag)' must not match the AS (expr) marker
+        bare = re.sub(r"'(?:[^'\\]|\\.|'')*'", "''", rest)
+        if re.search(r"\b(?:generated\s+always\s+)?as\s*\(", bare):
             # generated column (VIRTUAL or STORED): the reference
             # excludes it from SELECT and INSERT lists
             # (mydumper_table.c:296-322) — dump data never carries it,

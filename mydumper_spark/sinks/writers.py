@@ -226,6 +226,20 @@ def read_csv_typed(spark, path, schema, fmt: "CsvFormat | None" = None):
     quotes alone protect embedded terminators and nothing was escaped."""
     fmt = fmt or CsvFormat()
     if getattr(fmt, "load_data_escapes", False) \
+            and getattr(fmt, "lines_starting_by", "") \
+            and not fmt.fields_escaped_by and fmt.fields_enclosed_by:
+        # STARTING BY needs the line-splitting payload reader (the csv
+        # tokenizer cannot strip a per-line prefix), but with escaping
+        # OFF an enclosed field's embedded raw line terminator is
+        # protected ONLY by the multiLine tokenizer — the two needs are
+        # irreconcilable, and a line-split read would silently drop the
+        # prefix-less continuation fragment. Refuse rather than corrupt.
+        raise ValueError(
+            "LINES STARTING BY with ESCAPED BY '' and an enclosure "
+            "cannot be read safely: the prefix strip needs line-based "
+            "reading, which raw embedded line terminators inside "
+            "quotes (nothing escapes them in this dialect) break")
+    if getattr(fmt, "load_data_escapes", False) \
             and (fmt.fields_escaped_by or not fmt.fields_enclosed_by
                  or getattr(fmt, "lines_starting_by", "")):
         # the third arm: Spark's csv tokenizer has no STARTING BY —

@@ -301,43 +301,37 @@ def typed_from_strings(
 
 
 def _peek_insert_columns(spark, path) -> "list[str] | None":
-    """Column list of the FIRST INSERT statement head in the first data
-    file — a bounded (256 KiB) driver-side peek, compression-aware like
-    engine._read_statement_head (.gz via gzip, .zst via the JVM's
-    zstd-jni). Returns None when the first statement has no explicit
-    list (the common full-row dump) or no statement is found."""
+    """Column list of the first INSERT statement head across the first
+    few candidate data files — bounded (256 KiB per file, ≤ 8 files)
+    driver-side peeks through util.read_text_head (the shared
+    gz/zst/plain codec routing). Multiple candidates matter: a dump
+    DIRECTORY sorts ``db.table-schema.sql`` before the data chunks and
+    a Spark-written dir leads with ``_SUCCESS`` — a statement-less
+    first file must not silently lose the list. Returns None when the
+    first statement found has no explicit list (the common full-row
+    dump) or no statement exists."""
     import glob as _glob
     import os as _os
 
+    from mydumper_spark.util import read_text_head
+
     if isinstance(path, (list, tuple)):
-        first = path[0] if path else None
+        cands = list(path)
     elif _os.path.isdir(path):
-        fs = sorted(f for f in _os.listdir(path) if not f.startswith("."))
-        first = _os.path.join(path, fs[0]) if fs else None
+        cands = sorted(
+            _os.path.join(path, f) for f in _os.listdir(path)
+            if not f.startswith((".", "_")))
+    elif _glob.has_magic(path):
+        cands = sorted(_glob.glob(path))
     else:
-        hits = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
-        first = hits[0] if hits else None
-    if first is None or not _os.path.exists(first):
-        return None
-    n = 256 * 1024
-    if first.endswith(".gz"):
-        import gzip
-
-        with gzip.open(first, "rt", encoding="utf-8",
-                       errors="surrogateescape") as fh:
-            head = fh.read(n)
-    elif first.endswith(".zst"):
-        from mydumper_spark.util import zstd_read_bytes
-
-        head = zstd_read_bytes(spark, first).decode(
-            "utf-8", "surrogateescape")[:n]
-    else:
-        with open(first, encoding="utf-8",
-                  errors="surrogateescape") as fh:
-            head = fh.read(n)
-    for line in head.splitlines():
-        if _find_values_kw(line) >= 0:
-            return _insert_columns(line)
+        cands = [path]
+    for first in cands[:8]:
+        if not _os.path.exists(first) or _os.path.isdir(first):
+            continue
+        head = read_text_head(first, 256 * 1024, spark=spark)
+        for line in head.splitlines():
+            if _find_values_kw(line) >= 0:
+                return _insert_columns(line)
     return None
 
 
@@ -396,6 +390,15 @@ def read_insert_sql(
                 cols = (_insert_columns(line)
                         if line[:16].lstrip()[:7].upper().startswith(
                             ("INSERT", "REPLACE")) else None)
+                if cols is not None and bin_idx:
+                    # binary-schema files are read latin-1 (byte-
+                    # faithful); a non-ASCII column name parsed from
+                    # such a line is mojibake until re-decoded as the
+                    # UTF-8 the dump actually contains — name_pos holds
+                    # the TRUE names (the driver peek decodes UTF-8 too)
+                    cols = [c.encode("iso-8859-1")
+                             .decode("utf-8", "surrogateescape")
+                            for c in cols]
                 idxmap = default_map
                 if cols is not None:
                     key = tuple(cols)

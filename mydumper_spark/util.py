@@ -51,10 +51,13 @@ def salted_join(
     return joined.drop("__salt")
 
 
-def zstd_read_bytes(spark, path: str) -> bytes:
-    """Fully decompress a small ``.zst`` file into bytes through the
-    zstd-jni codec Spark already ships (this environment has no Python
-    zstd module) — one JVM-side stream copy, no per-byte py4j traffic.
+def zstd_read_bytes(spark, path: str, limit: "int | None" = None) -> bytes:
+    """Decompress a ``.zst`` file into bytes through the zstd-jni codec
+    Spark already ships (this environment has no Python zstd module) —
+    one JVM-side stream copy, no per-byte py4j traffic. ``limit`` bounds
+    the DECOMPRESSED bytes (BoundedInputStream): a head peek of a
+    chunk-sized ``-c`` dump must never materialize the whole table on
+    the driver.
 
     Recent reference builds default ``-c`` to zstd
     (mydumper_global.h compress defaults), so a genuine dump's
@@ -70,7 +73,9 @@ def zstd_read_bytes(spark, path: str) -> bytes:
     zin = None
     try:
         zin = jvm.com.github.luben.zstd.ZstdInputStream(fin)
-        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(zin))
+        src = (jvm.org.apache.commons.io.input.BoundedInputStream(
+            zin, int(limit)) if limit is not None else zin)
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(src))
     except (TypeError, AttributeError) as exc:
         # zstd-jni / commons-io absent from this JVM: the loud stop the
         # old .zst branch promised, now with the workaround inline
@@ -81,3 +86,28 @@ def zstd_read_bytes(spark, path: str) -> bytes:
         if zin is not None:
             zin.close()
         fin.close()
+
+
+def read_text_head(path: str, n: int, spark=None) -> str:
+    """First ``n`` characters of a possibly-compressed text file —
+    THE codec-routing head read (gzip via the stdlib, zstd via
+    :func:`zstd_read_bytes` bounded to 4·n decompressed bytes, plain
+    otherwise; utf-8 + surrogateescape throughout). Shared by
+    engine._read_statement_head (LOAD DATA dialect recovery) and
+    insert_parser's column-list peek so the codec routing can never
+    diverge between them."""
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt", encoding="utf-8",
+                       errors="surrogateescape") as fh:
+            return fh.read(n)
+    if path.endswith(".zst"):
+        if spark is None:
+            raise ValueError(
+                f"cannot read {path!r}: .zst decompression needs the "
+                "JVM codec (pass spark)")
+        return zstd_read_bytes(spark, path, limit=4 * n).decode(
+            "utf-8", "surrogateescape")[:n]
+    with open(path, encoding="utf-8", errors="surrogateescape") as fh:
+        return fh.read(n)

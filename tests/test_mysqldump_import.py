@@ -1081,17 +1081,18 @@ def test_lines_starting_by_round_trip(spark, tmp_path):
            read_csv_typed(spark, [p], sch, fmt).collect()}
     assert got == {1: "a", 2: "b\nc", 3: None}
 
-    # escapes-off + enclosed + STARTING BY still routes to the payload
-    # reader (the csv tokenizer cannot strip the prefix)
+    # escapes-off + enclosed + STARTING BY is irreconcilable: the
+    # prefix needs line-splitting, but ONLY the multiLine tokenizer
+    # protects raw embedded line terminators inside quotes (nothing
+    # escapes them in this dialect) — refuse loudly, never corrupt
     p2 = str(tmp_path / "sb2.00000.dat")
     with open(p2, "w") as f:
         f.write('>>7,"lit\\nstays"\n')
     fmt2 = CsvFormat(fields_terminated_by=",", fields_enclosed_by='"',
                      fields_escaped_by="", escaped_data=False,
                      load_data_escapes=True, lines_starting_by=">>")
-    assert [(r["id"], r["v"]) for r in
-            read_csv_typed(spark, [p2], sch, fmt2).collect()] == [
-        (7, "lit\\nstays")]
+    with _pytest.raises(ValueError, match="STARTING BY"):
+        read_csv_typed(spark, [p2], sch, fmt2)
 
     with _pytest.raises(ValueError, match="intake-only"):
         write_csv(spark.createDataFrame([(1, "x")], sch),
@@ -1186,3 +1187,39 @@ def test_insert_column_list_reorder_and_subset(spark, tmp_path):
         f.write("INSERT INTO `t` (`nope`) VALUES (1);\n")
     with pytest.raises(ValueError, match="nope"):
         read_insert_sql(spark, [p2], sch).collect()
+
+
+def test_round13_review_fix_pins(spark, tmp_path):
+    """Second-review fixes, pinned: (1) a COMMENT quoting 'as (…)' is
+    not a generated column; (2) the column-list peek skips a
+    statement-less first candidate (dump dirs sort db.table-schema.sql
+    before the chunks); (3) zstd head reads are BOUNDED — a chunk-sized
+    .zst never fully materializes on the driver."""
+    from mydumper_spark.plans.ddl import schema_from_create_table
+    from mydumper_spark.sources.insert_parser import _peek_insert_columns
+    from mydumper_spark.util import zstd_read_bytes
+
+    # (1) string literals are blanked before the AS ( marker test
+    sch = schema_from_create_table(
+        "CREATE TABLE `t` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `note` varchar(20) DEFAULT NULL COMMENT 'used as (tag)',\n"
+        "  `gen` int GENERATED ALWAYS AS (`id` + 1) VIRTUAL\n"
+        ");")
+    assert "note" in sch and "gen" not in sch
+
+    # (2) peek iterates past files with no INSERT statement
+    d = tmp_path / "peek"
+    d.mkdir()
+    (d / "a.t-schema.sql").write_text("CREATE TABLE `t` (`x` int);\n")
+    (d / "a.t.00000.sql").write_text(
+        "INSERT INTO `t` (`x`) VALUES\n(1);\n")
+    assert _peek_insert_columns(spark, str(d)) == ["x"]
+
+    # (3) the decompressed-byte bound holds
+    big = b"y" * 1_000_000
+    comp = bytes(spark._jvm.com.github.luben.zstd.Zstd.compress(big, 3))
+    p = tmp_path / "big.zst"
+    p.write_bytes(comp)
+    assert len(zstd_read_bytes(spark, str(p), limit=4096)) == 4096
+    assert zstd_read_bytes(spark, str(p)) == big   # unbounded unchanged
