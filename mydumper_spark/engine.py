@@ -1368,7 +1368,17 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
         if ((db, table) in view_names or (db, table) in seq_names
                 or (mt is not None and (mt.is_view or mt.is_sequence))):
             continue  # stand-in / sequence state: object, never a table
-        key = qual if multi_db else table
+        # hostile table names (dots, slashes, mydumper_ prefix…) dump
+        # under a mydumper_N placeholder FILENAME with the true name in
+        # metadata (determine_filename + real_table_name,
+        # mydumper_common.c:66-77): the manifest identity — what
+        # restore CREATEs — must be the REAL name, while every on-disk
+        # read keeps the placeholder (chunk files, sidecars, artifacts)
+        real = table
+        if (mt is not None and mt.real_table_name
+                and mt.real_table_name != table):
+            real = mt.real_table_name
+        key = f"{db}.{real}" if multi_db else real
         sf = schema_files.get((db, table))
         if sf is None:
             raise ValueError(
@@ -1413,6 +1423,10 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
         work_items.append(dict(
             db=db, qual=qual, key=key, mt=mt, create_sql=create_sql,
             schema=schema, fmt=fmt, chunk0=chunk0,
+            # artifact filename stays placeholder-based: the real name
+            # may hold filesystem-hostile bytes, and the adopted
+            # genuine artifacts already use the placeholder
+            out_name=qual if multi_db else table,
             has_dat=bool(dat_chunks),
             has_data=bool(dat_chunks or sql_chunks)))
 
@@ -1472,7 +1486,7 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                 raw_sql=item["create_sql"],
                 descriptor=descriptor_from_create_table(
                     item["create_sql"])),
-            item["key"], out)
+            item["out_name"], out)
         manifest.tables[item["key"]] = entry
     if row_mismatches:
         # a truncated/foreign-edited dump must not import silently clean

@@ -1223,3 +1223,39 @@ def test_round13_review_fix_pins(spark, tmp_path):
     p.write_bytes(comp)
     assert len(zstd_read_bytes(spark, str(p), limit=4096)) == 4096
     assert zstd_read_bytes(spark, str(p)) == big   # unbounded unchanged
+
+
+def test_import_real_table_name_placeholder(spark, tmp_path):
+    """Hostile table names dump under a mydumper_N placeholder FILENAME
+    with the true name in metadata (determine_filename +
+    real_table_name, mydumper_common.c:66-77). The import must key the
+    manifest — the identity restore CREATEs — by the REAL name while
+    reading data/artifacts under the placeholder; restore sanitizes the
+    hostile name for its parquet tree (FilenameRegistry) like our own
+    dumps do."""
+    from mydumper_spark.engine import import_mydumper_dir, restore
+
+    src = tmp_path / "hn"
+    src.mkdir()
+    (src / "metadata").write_text(
+        "[config]\nquote-character = BACKTICK\n\n"
+        "[`s`.`mydumper_0`]\nreal_table_name=we.ird/name\nrows = 2\n")
+    (src / "s.mydumper_0-schema.sql").write_text(
+        "CREATE TABLE `we.ird/name` (\n  `id` int NOT NULL\n);\n")
+    (src / "s.mydumper_0.00000.sql").write_text(
+        "INSERT INTO `we.ird/name` VALUES (1),(2);\n")
+
+    out = tmp_path / "hnout"
+    m = import_mydumper_dir(spark, str(src), str(out))
+    assert set(m.tables) == {"we.ird/name"}      # real identity
+    assert m.tables["we.ird/name"].rows == 2
+    # data still reads from the placeholder chunk
+    assert m.tables["we.ird/name"].path.endswith(
+        "s.mydumper_0.00000.sql")
+
+    target = str(tmp_path / "hnrestored")
+    results = restore(spark, str(out), target)
+    assert results["load"] == {"we.ird/name": True}
+    assert all(results["verify"].values())
+    # the parquet tree used a sanitized filename, not the raw name
+    assert not os.path.exists(os.path.join(target, "we.ird"))
