@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     # (label,pos) exchange + broadcast back + per-row folds + one window
     # — benched so the centroid path never regresses to pairwise work
     "x_centroid_prune",
+    # the window-free approx prune arm (round 13: distributed histogram
+    # walk + shared scoring checkpoint) — benched so the one-scoring-
+    # pass shape and the histogram-only windows never regress
+    "x_centroid_prune_approx",
     # label-masked GEMM hard-negative mining: one Arrow corpus pass,
     # candidate window only — benched so the mask stays inside the local
     # top-k (masking after would re-rank the whole corpus)
