@@ -1306,9 +1306,18 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                             kind="trigger", database=db, name=tname,
                             raw_sql=stmt, table=name, columns=None))
                 else:
+                    # hostile-named views/sequences carry a placeholder
+                    # FILENAME too: the object identity (what restore's
+                    # idempotent DROP targets) must be the metadata's
+                    # real name, while `fname` keeps the placeholder
+                    # for the stand-in-table skip below
+                    mt0 = meta_flags.get(f"{db}.{name}")
+                    oname = (mt0.real_table_name
+                             if mt0 is not None and mt0.real_table_name
+                             else name)
                     objects.append(SimpleNamespace(
-                        kind=kind, database=db, name=name, raw_sql=raw,
-                        table=None, columns=None))
+                        kind=kind, database=db, name=oname, raw_sql=raw,
+                        table=None, columns=None, fname=name))
                 break
         else:
             c = classify(f)
@@ -1328,9 +1337,12 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
                     (g["db"], g["table"]), {"sql": [], "dat": []})[
                     "dat" if kind == "data_dat" else "sql"].append(f)
 
-    view_names = {(o.database, o.name) for o in objects if o.kind == "view"}
-    seq_names = {(o.database, o.name) for o in objects
-                 if o.kind == "sequence"}
+    # skip sets key on the FILENAME name (placeholder for hostile
+    # names): the stand-in/schema files they suppress are named that way
+    view_names = {(o.database, getattr(o, "fname", o.name))
+                  for o in objects if o.kind == "view"}
+    seq_names = {(o.database, getattr(o, "fname", o.name))
+                 for o in objects if o.kind == "sequence"}
     multi_db = len({db for db, _ in set(schema_files) | chunk_tables}) > 1
 
     manifest = Manifest(fmt="sql")
@@ -1362,8 +1374,10 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
             with open(os.path.join(src, schema_files[(db, table)]),
                       encoding="utf-8", errors="surrogateescape") as fh:
                 objects.append(SimpleNamespace(
-                    kind="sequence", database=db, name=table,
-                    raw_sql=fh.read().strip(), table=None, columns=None))
+                    kind="sequence", database=db,
+                    name=mt.real_table_name or table,
+                    raw_sql=fh.read().strip(), table=None, columns=None,
+                    fname=table))
             seq_names.add((db, table))
         if ((db, table) in view_names or (db, table) in seq_names
                 or (mt is not None and (mt.is_view or mt.is_sequence))):
@@ -1374,10 +1388,8 @@ def import_mydumper_dir(spark: SparkSession, src_dir: str, out_dir: str,
         # mydumper_common.c:66-77): the manifest identity — what
         # restore CREATEs — must be the REAL name, while every on-disk
         # read keeps the placeholder (chunk files, sidecars, artifacts)
-        real = table
-        if (mt is not None and mt.real_table_name
-                and mt.real_table_name != table):
-            real = mt.real_table_name
+        real = (mt.real_table_name
+                if mt is not None and mt.real_table_name else table)
         key = f"{db}.{real}" if multi_db else real
         sf = schema_files.get((db, table))
         if sf is None:
@@ -1846,6 +1858,23 @@ def restore(
                 csv_dialect=doc.get("config", {}).get("csv_dialect"))
             if df is not None:
                 return df
+        # name-derived fallback (stale absolute path / missing sidecar):
+        # on-disk chunks of an imported hostile-name table keep their
+        # mydumper_N placeholder while the manifest key is the REAL
+        # name — derive the filename prefix from the recorded chunk
+        # path (the path STRING survives a moved dump dir) before
+        # falling back to the manifest key
+        src = doc["tables"][table].get("path") or ""
+        from mydumper_spark.sinks.manifest import (
+            _DAT_CHUNK_RE,
+            _SQL_CHUNK_RE,
+        )
+
+        m = _SQL_CHUNK_RE.search(src) or _DAT_CHUNK_RE.search(src)
+        if m:
+            prefix = os.path.basename(src)[: -len(m.group(0))]
+            if prefix and prefix != table:
+                return read_dump_table(spark, dump_root, prefix)
         return read_dump_table(spark, dump_root, table)
 
     # --exec-per-thread decode cache: source_df is called up to three

@@ -234,7 +234,13 @@ def write_manifest(manifest: Manifest, root: str, partial: bool = False) -> str:
     # only gets the underscore-prefixed twin; the dump root gets both.
     ini_names = ("_manifest.ini",) if partial else ("metadata", "_manifest.ini")
     for ini_name in ini_names:
-        with open(os.path.join(root, ini_name), "w") as f:
+        # surrogateescape: a hostile real_table_name read byte-faithfully
+        # from a genuine dump's metadata may carry non-UTF-8 bytes — a
+        # strict write here would abort the import AFTER all chunk
+        # reads/checksums, leaving data without a manifest (the JSON
+        # twin is safe: ensure_ascii escapes surrogates)
+        with open(os.path.join(root, ini_name), "w", encoding="utf-8",
+                  errors="surrogateescape") as f:
             f.write(text)
     return path
 

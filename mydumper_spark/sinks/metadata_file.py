@@ -93,12 +93,22 @@ def format_metadata(meta: DumpMetadata, compact: bool = False) -> str:
 
 
 def write_metadata(path: str, meta: DumpMetadata) -> None:
-    with open(path, "w", encoding="utf-8") as f:
+    # surrogateescape: table names may carry byte-faithful non-UTF-8
+    # (hostile real_table_name intake) — mirror every artifact write
+    with open(path, "w", encoding="utf-8",
+              errors="surrogateescape") as f:
         f.write(format_metadata(meta))
 
 
 _SECTION_RE = re.compile(r"^\[(?P<name>.+)\]$")
+#: table sections quote identifiers with the dump's quote character —
+#: backtick by default, double-quote under --identifier-quote-character
+#: AQI / ANSI_QUOTES sql_mode (the reference writes whichever it used);
+#: both spellings must parse or an AQI dump silently loses every
+#: per-table flag (rows cross-check, is_view, real_table_name)
 _TABLE_SECTION_RE = re.compile(r"^`(?P<db>[^`]+)`\.`(?P<table>[^`]+)`$")
+_TABLE_SECTION_AQ_RE = re.compile(
+    r'^"(?P<db>[^"]+)"\."(?P<table>[^"]+)"$')
 _STARTED_RE = re.compile(r"^# Started dump at: (?P<ts>.+)$")
 _FINISHED_RE = re.compile(r"^# Finished dump at: (?P<ts>.+)$")
 #: the [source] block keeps its values in comment lines unless replication
@@ -126,7 +136,8 @@ def parse_metadata(text: str) -> DumpMetadata:
         if m := _SECTION_RE.match(line):
             section = m["name"]
             current = None
-            if tm := _TABLE_SECTION_RE.match(section):
+            if tm := (_TABLE_SECTION_RE.match(section)
+                      or _TABLE_SECTION_AQ_RE.match(section)):
                 current = TableMeta(database=tm["db"], table=tm["table"], rows=0)
                 meta.tables.append(current)
             continue

@@ -1259,3 +1259,64 @@ def test_import_real_table_name_placeholder(spark, tmp_path):
     assert all(results["verify"].values())
     # the parquet tree used a sanitized filename, not the raw name
     assert not os.path.exists(os.path.join(target, "we.ird"))
+
+
+def test_hostile_names_third_review_pins(spark, tmp_path):
+    """Third-review fixes over the real_table_name support, pinned:
+    (1) a NON-UTF-8 real name survives the whole import including the
+    INI metadata twin (strict write aborted AFTER checksums);
+    (2) a hostile-named VIEW's object identity is the real name (what
+    restore's idempotent DROP targets) while its stand-in still never
+    becomes a table; (3) an ANSI-quoted (double-quote) metadata section
+    parses — real_table_name and rows cross-checks must not silently
+    vanish on AQI dumps; (4) restore's name-derived fallback read
+    recovers the placeholder chunk prefix from the recorded path when
+    the absolute path went stale (moved dump dir)."""
+    import shutil
+
+    from mydumper_spark.engine import import_mydumper_dir, restore
+    from mydumper_spark.sinks.metadata_file import parse_metadata
+
+    # (3) AQI section regex
+    aqm = parse_metadata(
+        '[config]\nquote-character = AQI\n\n'
+        '["s"."mydumper_0"]\nreal_table_name=Real.Name\nrows = 1\n')
+    assert aqm.tables[0].table == "mydumper_0"
+    assert aqm.tables[0].real_table_name == "Real.Name"
+
+    src = tmp_path / "h3"
+    src.mkdir()
+    real_bytes = b"caf\xe9.tbl"        # latin-1 e-acute: NOT utf-8
+    with open(src / "metadata", "wb") as f:
+        f.write(b"[config]\nquote-character = BACKTICK\n\n"
+                b"[`s`.`mydumper_0`]\nreal_table_name=" + real_bytes
+                + b"\nrows = 1\n\n"
+                b"[`s`.`mydumper_1`]\nreal_table_name=v.iew\n"
+                b"rows = 0\nis_view = 1\n")
+    (src / "s.mydumper_0-schema.sql").write_text(
+        "CREATE TABLE `x` (\n  `id` int NOT NULL\n);\n")
+    (src / "s.mydumper_0.00000.sql").write_text(
+        "INSERT INTO `x` VALUES (7);\n")
+    # hostile-named view: stand-in + real artifact, placeholder files
+    (src / "s.mydumper_1-schema.sql").write_text(
+        "CREATE TABLE IF NOT EXISTS `v.iew`(`id` int) ENGINE=MEMORY;\n")
+    (src / "s.mydumper_1-schema-view.sql").write_text(
+        "DROP TABLE IF EXISTS `v.iew`;\nDROP VIEW IF EXISTS `v.iew`;\n"
+        "CREATE VIEW `v.iew` AS SELECT `id` FROM `x`;\n")
+
+    out = tmp_path / "h3out"
+    m = import_mydumper_dir(spark, str(out / ".." / "h3"), str(out))
+    real_name = real_bytes.decode("utf-8", "surrogateescape")
+    assert set(m.tables) == {real_name}           # (1) key = real name
+    assert m.tables[real_name].rows == 1
+    # (1) the INI twin was written (surrogateescape) with the raw bytes
+    assert real_bytes in (out / "metadata").read_bytes()
+    # (2) the view object carries its REAL name; no stand-in table
+    assert [(o["kind"], o["name"]) for o in m.objects] == [
+        ("view", "v.iew")]
+
+    # (4) stale-path fallback: move the whole dump dir, restore anyway
+    moved = tmp_path / "h3moved"
+    shutil.move(str(out), str(moved))
+    results = restore(spark, str(moved), str(tmp_path / "h3target"))
+    assert results["load"][real_name] is True
