@@ -429,15 +429,16 @@ FROM customer
 
 def a4_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5: portable per-table checksum (bit_xor of 60-bit md5-fold) — the
-    manifest entry + restore-verification aggregate."""
-    from mydumper_spark.functions.checksum import checksum_df
+    manifest entry + restore-verification aggregate. All 10 tables flow
+    through ONE tagged aggregation (checksum_tables_df) instead of 10
+    independent final-agg exchanges — same rows, ~¼ the stages (r14)."""
+    from mydumper_spark.functions.checksum import checksum_tables_df
 
-    out = None
-    for t in _TABLES:
-        df = _events_us(spark, sf_dir) if t == "events" else _t(spark, sf_dir, t)
-        c = checksum_df(df).select(F.lit(t).alias("table_name"), "checksum", "rows")
-        out = c if out is None else out.unionAll(c)
-    return out
+    tables = {
+        t: (_events_us(spark, sf_dir) if t == "events" else _t(spark, sf_dir, t))
+        for t in _TABLES
+    }
+    return checksum_tables_df(tables)
 
 
 def a4_checksums_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,16 +449,13 @@ def a4_checksums_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB has no xxhash64, so the VALUES have no SQL twin; the md5 sibling
     ``a4_checksums`` is the oracle-graded spec, and pytest pins that both
     algorithms detect the same tamper (tests/test_checksum.py)."""
-    from mydumper_spark.functions.checksum import checksum_df
+    from mydumper_spark.functions.checksum import checksum_tables_df
 
-    out = None
-    for t in _TABLES:
-        df = _events_us(spark, sf_dir) if t == "events" else _t(spark, sf_dir, t)
-        c = checksum_df(df, algorithm="xxhash64").select(
-            F.lit(t).alias("table_name"), "checksum", "rows"
-        )
-        out = c if out is None else out.unionAll(c)
-    return out
+    tables = {
+        t: (_events_us(spark, sf_dir) if t == "events" else _t(spark, sf_dir, t))
+        for t in _TABLES
+    }
+    return checksum_tables_df(tables, algorithm="xxhash64")
 
 
 _DUCK_FIELDS: dict[str, list[tuple[str, str]]] = {
@@ -2890,7 +2888,10 @@ walk AS (
          sum(h.c) OVER (PARTITION BY h.label ORDER BY h.cppm DESC
                         ROWS BETWEEN UNBOUNDED PRECEDING
                         AND CURRENT ROW) AS cum
-  FROM hist h JOIN tot t USING (label)
+  -- null-safe: a NULL label is a real group (the operator's window
+  -- partitioning and eqNullSafe broadcast join both keep it); a plain
+  -- equi-join would silently drop it from the walk (r13 verdict #2)
+  FROM hist h JOIN tot t ON h.label IS NOT DISTINCT FROM t.label
   WHERE h.cppm IS NOT NULL
 ),
 thr AS (
@@ -2903,7 +2904,7 @@ thr AS (
 SELECT b.vec_id, b.label, b.centroid_cos,
        CASE WHEN b.cppm IS NULL THEN TRUE
             ELSE NOT (b.cppm > t.thr) END AS keep
-FROM binned b LEFT JOIN thr t USING (label)
+FROM binned b LEFT JOIN thr t ON b.label IS NOT DISTINCT FROM t.label
 """
 
 
@@ -4585,14 +4586,17 @@ def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric-distance scoring from first principles. The fixed-order
     distance sums keep float parity; ordering ties break on the rounded
     distance + id on both sides."""
-    from mydumper_spark.operators.similarity import pq_codebooks_from_ids, pq_topk
+    from mydumper_spark.operators.similarity import (
+        pq_codebooks_from_ids,
+        pq_topk,
+        smallest_id_vectors,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
-    cbs = pq_codebooks_from_ids(emb, m=8, ksub=16)
-    return pq_topk(
-        emb.where("vec_id <> 0"), [float(v) for v in qvec], cbs, k=10
-    )
+    # one collect for query vector + codebook donors (was two scan jobs)
+    vecs = smallest_id_vectors(emb, 16)
+    cbs = pq_codebooks_from_ids(emb, m=8, ksub=16, vectors=vecs)
+    return pq_topk(emb.where("vec_id <> 0"), vecs[0], cbs, k=10)
 
 
 def x_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4757,12 +4761,16 @@ def x_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroids_from_ids,
         ivf_pq_topk,
         pq_codebooks_from_ids,
+        smallest_id_vectors,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(v) for v in emb.where("vec_id = 0").first()["embedding"]]
-    cents = ivf_centroids_from_ids(emb, n_cells=4)
-    cbs = pq_codebooks_from_ids(emb, m=8, ksub=16)
+    # ONE bounded driver collect feeds all three id-derived parameters
+    # (query vector, centroids, codebooks) — was three scan jobs (r14)
+    vecs = smallest_id_vectors(emb, 16)
+    qvec = vecs[0]
+    cents = ivf_centroids_from_ids(emb, n_cells=4, vectors=vecs)
+    cbs = pq_codebooks_from_ids(emb, m=8, ksub=16, vectors=vecs)
     return ivf_pq_topk(emb.where("vec_id <> 0"), qvec, cbs, cents, k=10, n_probe=2)
 
 

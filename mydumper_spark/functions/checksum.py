@@ -119,6 +119,48 @@ def checksum_df(df: DataFrame, cols: list[str] | None = None,
     )
 
 
+def checksum_tables_df(tables: "dict[str, DataFrame]",
+                       algorithm: str = "md5") -> DataFrame:
+    """Checksums for MANY tables as ONE aggregation tree.
+
+    Semantically identical to unioning one :func:`checksum_df` per table
+    (same (table_name, checksum, rows) multiset, including the NULL-checksum
+    /0-rows row for an empty table), but the plan is N tagged hash
+    projections with map-side ``partial_bit_xor`` feeding a SINGLE
+    ``groupBy(table_name)`` exchange, instead of N independent
+    final-aggregate exchanges — for the 10-table manifest sweep that is
+    1 reduce exchange instead of 10 single-partition exchanges plus their
+    AQE stages (r14: the two a4 bench entries spent most of their wall in
+    per-branch stage scheduling, ~40 Exchange nodes between them). Each
+    input still goes through the ``ensure_min_partitions`` parallelism
+    floor exactly like :func:`checksum_df`. The literal-name left join at
+    the end (broadcast, N rows) restores rows for empty tables, which a
+    groupBy alone would drop."""
+    from mydumper_spark.util import ensure_min_partitions
+
+    spark = next(iter(tables.values())).sparkSession
+    hashed = None
+    for name, df in tables.items():
+        # spread only tables big enough for parallel hashing to beat the
+        # extra exchange stage (~2 MB ≈ well under 0.1 s of single-core
+        # row-hashing); production tables always clear the bar
+        df = ensure_min_partitions(df, min_bytes=2 * 1024 * 1024)
+        part = df.select(
+            F.lit(name).alias("table_name"),
+            row_hash(df, None, algorithm).alias("__rh"),
+        )
+        hashed = part if hashed is None else hashed.unionAll(part)
+    agg = hashed.groupBy("table_name").agg(
+        F.expr("bit_xor(__rh)").alias("checksum"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+    names = spark.createDataFrame([(n,) for n in tables], "table_name string")
+    return names.join(agg, "table_name", "left").select(
+        "table_name", "checksum",
+        F.coalesce("rows", F.lit(0).cast("bigint")).alias("rows"),
+    )
+
+
 def oracle_checksum_sql(
     table: str, fields: list[tuple[str, str]], where: str | None = None
 ) -> str:

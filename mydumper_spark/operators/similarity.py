@@ -358,12 +358,36 @@ def ivf_topk_indexed(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def smallest_id_vectors(
+    embeddings: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The ``n`` vectors with the smallest ids, id-ascending, as python
+    floats — ONE bounded driver collect shared by every deterministic
+    id-derived parameter source (query vector = row 0, IVF centroids =
+    rows [:n_cells], PQ codebook donors = rows [:ksub]). Callers that need
+    several of those parameters should collect once here and slice, instead
+    of issuing one scan job per parameter (r14: the IVF-PQ entry paid three
+    driver jobs — ~60% of its steady-state wall — for rows the first job
+    had already read)."""
+    rows = (
+        embeddings.where(F.col(id_col) < n)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def pq_codebooks_from_ids(
     embeddings: DataFrame,
     m: int = 8,
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectors: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks from a deterministic, SQL-replayable
     source: the ``ksub`` vectors with the smallest ids, each split into
@@ -371,18 +395,16 @@ def pq_codebooks_from_ids(
     c == the donor vector's id (ids are contiguous from 0 in the fixture).
     A bounded driver collect (ksub rows), same class as the chunk planner's
     boundary queries. For trained-quality codebooks, swap in KMeans per
-    subspace (then the entry is rows-only, like IVF's trained path)."""
-    rows = (
-        embeddings.where(F.col(id_col) < ksub)
-        .orderBy(id_col)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    dim = len(rows[0][vec_col])
+    subspace (then the entry is rows-only, like IVF's trained path).
+    Pass ``vectors`` (≥ ksub rows from :func:`smallest_id_vectors`) to
+    reuse an already-collected donor set instead of re-scanning."""
+    if vectors is None:
+        vectors = smallest_id_vectors(embeddings, ksub, id_col, vec_col)
+    donors = vectors[:ksub]
+    dim = len(donors[0])
     dsub = dim // m
     return [
-        [[float(v) for v in r[vec_col][j * dsub : (j + 1) * dsub]] for r in rows]
-        for j in range(m)
+        [v[j * dsub : (j + 1) * dsub] for v in donors] for j in range(m)
     ]
 
 
@@ -739,18 +761,17 @@ def ivf_centroids_from_ids(
     n_cells: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectors: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Deterministic, SQL-replayable IVF centroids: the ``n_cells`` vectors
     with the smallest ids (cell index == donor id). The oracle-able sibling
     of the xxhash64-sampled fallback in :func:`ivf_assign_cells`; use
-    :func:`train_ivf_centroids` when recall matters more than replayability."""
-    rows = (
-        embeddings.where(F.col(id_col) < n_cells)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
-    return [[float(x) for x in r[vec_col]] for r in rows]
+    :func:`train_ivf_centroids` when recall matters more than replayability.
+    Pass ``vectors`` (≥ n_cells rows from :func:`smallest_id_vectors`) to
+    reuse an already-collected donor set instead of re-scanning."""
+    if vectors is None:
+        vectors = smallest_id_vectors(embeddings, n_cells, id_col, vec_col)
+    return [list(v) for v in vectors[:n_cells]]
 
 
 def ivf_pq_topk(

@@ -47,20 +47,34 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(pieces).cast("int")
 
 
+#: The exact character sets behind the counting regexes, for translate()-based
+#: counting: Java \p{Punct} (default flags, ASCII-only) is these 32 chars;
+#: Java \s is [ \t\n\x0B\f\r]. A translate() strip is a single char-map pass
+#: (no NFA), measured ~3× faster than regexp_replace on the documents corpus
+#: while producing the identical count — the DuckDB oracle twins keep their
+#: regex spelling, which matches these sets character-for-character.
+_PUNCT_CHARS = r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+_WS_CHARS = " \t\n\x0b\x0c\r"
+
+
+def _strip_count(col: Column, chars: str) -> Column:
+    return (F.length(col) - F.length(F.translate(col, chars, ""))).cast("int")
+
+
 def punct_count(col: Column) -> Column:
-    return (F.length(col) - F.length(F.regexp_replace(col, PUNCT_RE, ""))).cast("int")
+    return _strip_count(col, _PUNCT_CHARS)
 
 
 def digit_count(col: Column) -> Column:
-    return (F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))).cast("int")
+    return _strip_count(col, "0123456789")
 
 
 def upper_count(col: Column) -> Column:
-    return (F.length(col) - F.length(F.regexp_replace(col, r"[A-Z]", ""))).cast("int")
+    return _strip_count(col, "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 def whitespace_count(col: Column) -> Column:
-    return (F.length(col) - F.length(F.regexp_replace(col, r"\s", ""))).cast("int")
+    return _strip_count(col, _WS_CHARS)
 
 
 def _occurrences(lower_padded: Column, needle: str) -> Column:
@@ -82,14 +96,48 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def language_id(col: Column) -> Column:
     """Argmax over :func:`lang_scores` with dict-order tie-break; 'und' when
-    every score is 0 (mirrors a fastText-style open-set reject)."""
-    scores = lang_scores(col)
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    # reverse order so earlier languages win ties via later .when override
-    for lang in reversed(list(scores)):
-        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
-    return out
+    every score is 0 (mirrors a fastText-style open-set reject).
+
+    Built as a nested let-binding (the 1-element-array transform trick this
+    module already uses in :func:`winnow_from_hashes`): the padded lowercase
+    text and then the 4-score array are each bound ONCE per row as lambda
+    variables. The naive ``greatest`` + chained-``when`` form inlined every
+    score into every comparison — Catalyst does not CSE inside conditional
+    branches — so the physical plan re-evaluated ``lower(text)`` and the
+    full-text ``replace`` scans ~100× per row (a 17 KB codegen expression;
+    r14 measured 4.5s bench / ~2.4s isolated single-core at sf0.1). With the
+    binding, each stopword's replace runs exactly once per row (20 total)
+    and the argmax reads the bound score array: same result bit-for-bit
+    (oracle-pinned), ~5× less string scanning, ~8× smaller expression."""
+    langs = list(STOPWORDS)
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+    def scores_of(p: Column) -> list[Column]:
+        return [
+            sum((_occurrences(p, w) for w in words), start=F.lit(0)).cast("int")
+            for words in STOPWORDS.values()
+        ]
+
+    def pick(ss: Column) -> Column:
+        # array_max ≡ greatest here: both ignore nothing when all scores are
+        # non-null (any non-null text), both yield NULL when text is NULL
+        best = F.array_max(ss)
+        out = F.lit("und")
+        # reverse order so earlier languages win ties via later .when override
+        for i, lang in reversed(list(enumerate(langs))):
+            s = F.get(ss, i)
+            out = F.when((s > 0) & (s == best), F.lit(lang)).otherwise(out)
+        return out
+
+    return F.element_at(
+        F.transform(
+            F.array(padded),
+            lambda p: F.element_at(
+                F.transform(F.array(F.array(*scores_of(p))), pick), 1
+            ),
+        ),
+        1,
+    )
 
 
 def add_text_stats(df: DataFrame, col_name: str = "text") -> DataFrame:
@@ -124,8 +172,10 @@ def quality_score(df: DataFrame, col_name: str = "text") -> DataFrame:
     space_ppm = F.round(
         whitespace_count(c) / F.greatest(n, F.lit(1.0)) * 1_000_000
     ).cast("bigint")
+    # length(text with \s stripped) ≡ length − whitespace_count: reuse the
+    # translate()-based count instead of a second regex pass
     mtl_ppm = F.round(
-        F.length(F.regexp_replace(c, r"\s", "")).cast("double")
+        (F.length(c) - whitespace_count(c)).cast("double")
         / F.greatest(toks, F.lit(1.0))
         * 1_000_000
     ).cast("bigint")

@@ -196,8 +196,25 @@ def _read_load_data_payload(spark, path, schema, fmt: CsvFormat):
                              (esc + "t", "\t"), (esc + "'", "'"),
                              (esc + '"', '"')):
                 v = F.replace(v, F.lit(src), F.lit(dst))
+            # the rest of mysql_real_escape_string's alphabet
+            # (mydumper_write.c:665-668): \0 \b \Z. These decode to their
+            # own NUL-prefixed sentinels first (safe for the same reason
+            # \x00T/\x00P are: no raw NUL exists in the parked string) —
+            # decoding \0 straight to a raw NUL here would let a decoded
+            # byte re-fire the \x00T/\x00P restores below.
+            for src, dst in ((esc + "0", "\x00N"), (esc + "b", "\x00B"),
+                             (esc + "Z", "\x00S")):
+                v = F.replace(v, F.lit(src), F.lit(dst))
             v = F.replace(v, F.lit("\x00T"), F.lit(term[0]))
             v = F.replace(v, F.lit("\x00P"), F.lit(esc))
+            # restore the control-byte sentinels after \x00T/\x00P so a
+            # restored terminator/escape byte can't combine with a NUL; the
+            # NUL restore itself goes LAST of all — once raw NULs exist, no
+            # later replace may search a NUL-prefixed pattern (a decoded
+            # "\x00" followed by a literal 'B' must NOT read as \x00B)
+            v = F.replace(v, F.lit("\x00B"), F.lit("\b"))
+            v = F.replace(v, F.lit("\x00S"), F.lit("\x1a"))
+            v = F.replace(v, F.lit("\x00N"), F.lit("\x00"))
         if isinstance(fld.dataType, T.BinaryType):
             # blobs travel as bare hex (mysql_hex_string, no 0x prefix)
             v = F.unhex(v)

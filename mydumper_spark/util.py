@@ -6,7 +6,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame, min_parts: int | None = None, min_bytes: int = 0
+) -> DataFrame:
     """Parallelism floor for heavy per-row compute.
 
     A small table often arrives as one file with one row group → one scan
@@ -16,9 +18,24 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     core would otherwise chew through alone, and on any well-formed large
     source (many files / row groups) this is a no-op — the per-table
     parallelism-cap logic of the reference (mydumper_chunks.c:400-412),
-    inverted into a floor."""
+    inverted into a floor.
+
+    ``min_bytes`` (optional): skip the spread when the optimizer's input
+    size estimate is below it — for MODERATE per-row work (e.g. one row
+    hash) a sub-MB table finishes on one core faster than an extra
+    exchange stage schedules, while truly heavy per-row operators
+    (shingling, k-gram explode) should keep the default 0 and spread even
+    tiny inputs. Callers pick the threshold from their per-byte cost; any
+    production-scale input exceeds every sane threshold, so this only
+    prunes overhead at bench/test scale."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    if min_bytes > 0:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size < min_bytes:
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

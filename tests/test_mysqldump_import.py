@@ -729,6 +729,27 @@ def test_load_data_payload_escape_matrix(spark, tmp_path):
            read_csv_typed(spark, [p1], sch, fmt).collect()}
     assert got == {1: "C:\\new", 2: "a\nb", 3: None, 4: 'q"in'}
 
+    # the rest of mysql_real_escape_string's alphabet
+    # (mydumper_write.c:665-668): \0 \b \Z must decode to NUL/backspace/
+    # ctrl-Z — the r13-verdict hole where a genuine dump of control bytes
+    # read back as the literal two-char sequences and the checksum
+    # self-validated the corruption. Rows 6-8 are the sentinel-collision
+    # adversaries: a decoded NUL followed by a literal B/S/T/P letter, and
+    # an encoded backspace/ctrl-Z adjacent to a NUL — none may re-fire a
+    # later sentinel restore.
+    p1b = str(tmp_path / "ctrl.00000.dat")
+    with open(p1b, "w") as f:
+        f.write('5,"a\\0b\\bc\\Zd"\n'
+                '6,"\\0B\\0S\\0T\\0P"\n'
+                '7,"\\b\\0\\Z\\0"\n'
+                '8,"x\\0\\,y"\n')
+    gotb = {r["id"]: r["v"] for r in
+            read_csv_typed(spark, [p1b], sch, fmt).collect()}
+    assert gotb == {5: "a\x00b\x08c\x1ad",
+                    6: "\x00B\x00S\x00T\x00P",
+                    7: "\x08\x00\x1a\x00",
+                    8: "x\x00,y"}
+
     # ESCAPED BY '': nothing was escaped, nothing decodes (except the
     # writer's unconditional \N sentinel)
     p2 = str(tmp_path / "noesc.00000.dat")

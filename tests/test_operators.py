@@ -2810,6 +2810,55 @@ def test_centroid_prune_approx_parity_and_plan(spark):
     assert "Window" in exact_plan  # the exact arm's corpus window remains
 
 
+def test_centroid_prune_approx_twin_keeps_null_label_group(spark, tmp_path):
+    """r13 verdict #2: the DuckDB twin of x_centroid_prune_approx joined
+    its walk/threshold CTEs with plain equi-joins — a latent divergence
+    from the operator's NULL-tolerant walk (window partitioning +
+    eqNullSafe join). The twin's joins are now IS NOT DISTINCT FROM; this
+    pins operator == twin on a corpus WITH a NULL-label group so the
+    oracle can never silently diverge if the graded fixture grows NULL
+    labels. (Both sides today exclude NULL-label rows at the SCORING
+    step — centroid_distance's label join and the twin's scored CTE agree
+    on that — so the pinned joint semantics is: NULL-label rows absent
+    from the output, and every downstream walk join null-robust.)"""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rows = [
+        # tie-free cosines so the approx walk genuinely prunes
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.5, 0.5], 0),
+        (4, [-1.0, 0.0], 0),
+        (10, [0.0, 1.0], None), (11, [0.05, 1.0], None),
+        (12, [1.0, 1.0], None), (13, [-0.5, 1.0], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    p = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{p}/embeddings.parquet")
+
+    got = entry.x_centroid_prune_approx(spark, p)
+    scols = got.columns
+    smulti = sorted(
+        tuple(str(r[c]) for c in sorted(scols)) for r in got.collect()
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{p}/embeddings.parquet/*.parquet'")
+    rel = con.sql(entry._CENTROID_PRUNE_APPROX_SQL)
+    dcols = rel.columns
+    dmulti = sorted(
+        tuple(str(v) for _, v in sorted(zip(dcols, row)))
+        for row in rel.fetchall()
+    )
+    assert sorted(scols) == sorted(dcols)
+    assert smulti == dmulti
+    # the labeled group survives scoring; pruning genuinely happened
+    keeps = {r["vec_id"]: r["keep"] for r in got.collect()}
+    assert len(keeps) == 4 and not all(keeps.values())
+
+
 def test_gemm_null_exclusion_is_declarative_for_int_columns(spark):
     """Review fix (round 12): a nullable INT id/label column reaches the
     Arrow closure as float64 with NaN — an `is None` check passes NaN,
