@@ -79,8 +79,18 @@ def _cents(col):
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H Q1-shaped aggregation over lineitem (A1/A2-class
     aggregates + projection/filter pushdown)."""
+    from mydumper_spark.util import ensure_min_partitions
+
     li = _t(spark, sf_dir, "lineitem")
-    pre = li.where("l_shipdate <= TIMESTAMP '2000-09-02'").select(
+    # single-row-group source ⇒ the whole scan+agg would run on one core;
+    # spread the FILTERED rows (the filter stays pushed at the scan, the
+    # cents math and partial agg run post-exchange) — a no-op on any
+    # well-split production lineitem (guide §2.5)
+    li = ensure_min_partitions(
+        li.where("l_shipdate <= TIMESTAMP '2000-09-02'"),
+        min_bytes=2 * 1024 * 1024,
+    )
+    pre = li.select(
         "l_returnflag",
         "l_linestatus",
         F.round("l_quantity").cast("bigint").alias("qty"),
@@ -141,9 +151,16 @@ FROM (
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join (customer ⋈ orders ⋈ lineitem) + agg + top-k. Dimension
     side is broadcast; ties broken by key for determinism."""
+    from mydumper_spark.util import ensure_min_partitions
+
     cust = _t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
     orders = _t(spark, sf_dir, "orders").where("o_orderdate < TIMESTAMP '1998-03-15'")
-    li = _t(spark, sf_dir, "lineitem").where("l_shipdate > TIMESTAMP '1995-03-15'")
+    # spread the fact side so the broadcast probes + partial agg
+    # parallelize on a single-row-group source (no-op at scale)
+    li = ensure_min_partitions(
+        _t(spark, sf_dir, "lineitem").where("l_shipdate > TIMESTAMP '1995-03-15'"),
+        min_bytes=2 * 1024 * 1024,
+    )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -189,12 +206,18 @@ LIMIT 10
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-way join through region→nation→(customer, supplier)→orders→lineitem.
     All dims broadcast; one shuffle for the final group."""
+    from mydumper_spark.util import ensure_min_partitions
+
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # spread the fact side so the 5 broadcast probes + partial agg
+    # parallelize on a single-row-group source (no-op at scale)
+    li = ensure_min_partitions(
+        _t(spark, sf_dir, "lineitem"), min_bytes=2 * 1024 * 1024
+    )
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -518,12 +541,24 @@ def _a4_sql() -> str:
 
 
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized-text fingerprint (keep lowest doc_id)."""
-    from mydumper_spark.operators.dedup import exact_dedup
+    """Exact dedup on normalized-text fingerprint (keep lowest doc_id).
+
+    The declared output is only (survivor doc_id, fp) and the survivor's
+    fp IS the group key, so this computes exactly that: min(doc_id) per
+    fingerprint — the exchange carries (16-byte fp, id) pairs instead of
+    the full-row min_by(struct) the generic payload-keeping
+    operators.dedup.exact_dedup pays (guide §2.3: shuffle keys, not
+    payloads; r14 — same rows, text never crosses the wire, no second
+    fingerprint evaluation on the survivors)."""
     from mydumper_spark.operators.text import fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+    )
 
 
 _DEDUP_SQL = """
@@ -1704,7 +1739,14 @@ def x_embcurate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids_from_ids(emb, n_cells=4)
     kept = semantic_dedup_batch(clean, threshold=0.4, n_cells=4,
                                 centroids=cents)
-    cur = docs.join(kept.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    # the survivor-id list feeds BOTH dsir inputs (corpus + target slice);
+    # lazily checkpoint the tiny id projection so the decontaminate →
+    # SemDeDup GEMM chain runs ONCE per action instead of twice (the
+    # centroid_prune shared-consumer pattern; lazy — construction still
+    # runs no job)
+    kept_ids = (kept.select(F.col("vec_id").alias("doc_id"))
+                .localCheckpoint(eager=False))
+    cur = docs.join(kept_ids, "doc_id")
     return dsir_select(cur, cur.where("doc_id % 17 = 0"), n=100,
                        hash_fn="sha256")
 
@@ -2478,10 +2520,30 @@ def x_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof."""
     from mydumper_spark.operators.contamination import repetition_metrics
     from mydumper_spark.operators.corpus import exact_substring_dedup
-    from mydumper_spark.operators.dedup import exact_dedup
-    from mydumper_spark.operators.text import gopher_quality
+    from mydumper_spark.operators.text import fingerprint, gopher_quality
 
-    docs = exact_dedup(_t(spark, sf_dir, "documents"))
+    # exact dedup, survivors-as-filter form: min(doc_id) per fingerprint
+    # (the x_dedup_exact slim shuffle — 16-byte fp + id), then a semi-join
+    # brings the surviving rows back WITHOUT the payload ever entering an
+    # exchange (AQE broadcasts the id list; the generic min_by(struct)
+    # exact_dedup would shuffle every document's text). Same survivor set:
+    # doc_id is unique, so "row whose id is the group min" ≡ "min_by row".
+    # Columns pruned to what the downstream stages read (doc_id, text).
+    # Spread the SCAN (a reliable 1-partition probe) rather than the join
+    # output downstream: ensure_min_partitions on a join subtree reads the
+    # pre-AQE partition count (32) while the executed broadcast semi-join
+    # inherits the scan's single partition — the spread would never fire
+    # and the whole gram build would serialize (r14 finding).
+    from mydumper_spark.util import ensure_min_partitions
+
+    raw = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+    surv = (
+        raw.select(fingerprint(F.col("text")).alias("__fp"), "doc_id")
+        .groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = raw.join(surv, "doc_id", "left_semi")
     cleaned = exact_substring_dedup(docs, k=8)
     rewritten = (
         docs.drop("text")

@@ -208,10 +208,16 @@ def dedup_token_blocks_global(
     value (corpus tokens cross the wire exactly once), the first-occurrence
     arbiter is a total order so the result is partitioning-independent, and
     a block repeated millions of times costs sort, not memory."""
-    toks = tokens(F.col(text_col))
+    # bind the token array ONCE as a projected column before the lambda
+    # reads it — Catalyst does not CSE into lambda scopes, so the inline
+    # `tokens(text)` form re-ran the whole lowercase+split per BLOCK
+    # (the winnow_from_hashes rule; r14: ~10× redundant splitting on a
+    # 300-token document)
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(block_tokens))
-    blocks = df.where(n > 0).select(
+    blocks = base.where(n > 0).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -427,6 +433,12 @@ def exact_substring_dedup(
     aggregate, so a boilerplate passage repeated millions of times costs
     a partial agg, not one hot window partition.
     """
+    from mydumper_spark.util import ensure_min_partitions
+
+    # the sliding-gram construction (one k-token concat per token) is the
+    # heaviest scan-side work in the corpus ladder — spread a single-row-
+    # group source before it (guide §2.5; no-op on well-split tables)
+    df = ensure_min_partitions(df)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))  # NULL = empty
     n = F.size(toks)
     base = df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"))

@@ -1065,6 +1065,13 @@ def diversity_stats(
     length) per row, the same bound every shingle/winnow operator in
     this module already carries.
     """
+    from mydumper_spark.util import ensure_min_partitions
+
+    # several O(doc-length) array passes per row (split, sort, run-length
+    # HOFs) — heavy enough that a single-row-group source must spread
+    # (guide §2.5 input skew; no-op on any well-split production table).
+    # r14 measured 4.2s single-task → ~1s spread at sf0.1/32 cores.
+    df = ensure_min_partitions(df)
     if unit == "char":
         units = F.when(
             F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0,

@@ -2409,10 +2409,19 @@ def test_diversity_stats_simpson_no_bigint_wrap(spark):
     assert rows[2]["simpson_ppm"] > 0  # the wrapped bigint went negative
     assert rows[3]["simpson_ppm"] == 10 * 1_000_000 // 16
 
-    # end-to-end just past the wrap point (one doc, bounded memory)
+    # end-to-end just past the wrap point (one doc, bounded memory).
+    # NON-foldable text on purpose: a literal repeat('a', m) constant-folds
+    # into a 3M-element array literal referenced several times in the plan,
+    # and once diversity_stats' r14 parallelism spread fans the stage out,
+    # EVERY concurrent task deserializes its own copies of those constants
+    # (~GBs of heap) — a synthetic-input artifact no storage-backed corpus
+    # can produce (column-sourced text never constant-folds).
     m = 3_040_000
     df = spark.range(1).coalesce(1).select(
-        F.lit(1).alias("doc_id"), F.repeat(F.lit("a"), m).alias("text"))
+        F.lit(1).alias("doc_id"),
+        # id + m (id = 0), NOT id*0 + m: the optimizer simplifies *0 and
+        # then folds the whole repeat/split chain into giant literals
+        F.repeat(F.lit("a"), (F.col("id") + m).cast("int")).alias("text"))
     row = tx.diversity_stats(df, unit="char").collect()[0]
     assert row["n_units"] == m and row["simpson_ppm"] == 1_000_000
 
