@@ -51,11 +51,39 @@ def _canon_col(f: T.StructField) -> Column:
 
 def canonical_row_string(df: DataFrame, cols: list[str] | None = None) -> Column:
     """Deterministic, engine-portable serialization of a row (the analogue of
-    the reference's escaped .dat row, mydumper_write.c:946-1011)."""
+    the reference's escaped .dat row, mydumper_write.c:946-1011).
+
+    Built as ONE ``F.expr`` over a SQL string rendered in Python rather than
+    a tree of Column calls: the Column form costs ~4 py4j round-trips per
+    field (~0.3-0.6 s of driver time per wide table, ~2 s across a 10-table
+    manifest sweep — r14), while a single parse is ~10 ms. The SQL is the
+    exact same expression (``_canon_sql`` mirrors ``_canon_col`` case for
+    case; equality is pinned by test_checksum's cross-form assertions and
+    the a4 oracle)."""
     fields = [f for f in df.schema.fields if cols is None or f.name in cols]
-    parts = [_canon_col(f) for f in fields]
-    nullmap = F.concat(*[F.when(F.col(f.name).isNull(), F.lit("1")).otherwise(F.lit("0")) for f in fields])
-    return F.concat_ws(SEP, *parts, nullmap)
+    parts = [_canon_sql(f) for f in fields]
+    nullmap = "concat(" + ", ".join(
+        f"CASE WHEN `{f.name}` IS NULL THEN '1' ELSE '0' END" for f in fields
+    ) + ")"
+    # char(1) == SEP (constant-folded); a raw \x01 byte inside a SQL
+    # literal would depend on parser handling of control bytes
+    return F.expr(
+        "concat_ws(char(1), " + ", ".join(parts) + ", " + nullmap + ")"
+    )
+
+
+def _canon_sql(f: T.StructField) -> str:
+    """SQL rendering of :func:`_canon_col`, case for case."""
+    name = f"`{f.name}`"
+    if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+        return f"CAST(CAST(round({name}, 6) AS DECIMAL(30,6)) AS STRING)"
+    if isinstance(f.dataType, T.ArrayType):
+        elem = name
+        if isinstance(f.dataType.elementType, (T.DoubleType, T.FloatType)):
+            elem = (f"transform({name}, x -> "
+                    "CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(30,6)))")
+        return f"concat_ws(',', CAST({elem} AS ARRAY<STRING>))"
+    return f"CAST({name} AS STRING)"
 
 
 #: checksum algorithms: "md5" is the cross-engine SPEC (DuckDB replays it —

@@ -126,3 +126,41 @@ def test_manifest_records_and_verify_honors_algorithm(spark, customer, tmp_path)
     del doc["config"]["checksum_algorithm"]
     json.dump(doc, open(mpath, "w"))
     assert verify_manifest(spark, root)["customer"]["ok"] is True
+
+
+def test_sql_canon_equals_column_canon(spark):
+    """r14: canonical_row_string is rendered as ONE SQL expr (a single
+    parser round-trip instead of ~4 py4j calls per field). _canon_sql must
+    mirror _canon_col case for case — pinned here over a frame exercising
+    every dispatch arm (double rounding, float array, string array, plain
+    casts, NULLs in both value and nullmap positions)."""
+    from pyspark.sql import functions as F
+
+    from mydumper_spark.functions.checksum import (
+        SEP, _canon_col, canonical_row_string,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.2345678, [1.5, None, -0.0000004], ["a", None], "x"),
+            (2, None, None, [], None),
+            (None, -9.9999995, [float("inf")], ["", ","], ""),
+        ],
+        "i bigint, d double, af array<double>, "
+        "astr array<string>, s string",
+    )
+
+    def column_form(frame):
+        fields = frame.schema.fields
+        parts = [_canon_col(f) for f in fields]
+        nullmap = F.concat(*[
+            F.when(F.col(f.name).isNull(), F.lit("1")).otherwise(F.lit("0"))
+            for f in fields
+        ])
+        return F.concat_ws(SEP, *parts, nullmap)
+
+    rows = df.select(
+        canonical_row_string(df).alias("sql_form"),
+        column_form(df).alias("col_form"),
+    ).collect()
+    assert rows and all(r["sql_form"] == r["col_form"] for r in rows)
