@@ -2562,25 +2562,28 @@ def x_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = raw.join(surv, "doc_id", "left_semi")
     cleaned = exact_substring_dedup(docs, k=8)
-    rewritten = (
-        docs.drop("text")
-        .join(cleaned.select("doc_id",
-                             F.col("clean_text").alias("text"),
-                             "n_tokens_kept"), "doc_id")
-        # checkpoint between stages, exactly as the prepare CLI persists:
-        # gopher + the repetition gate's three passes + the final join all
-        # read `rewritten`, and Spark does not dedupe common subplans
-        # within one action — without this the whole dedup chain runs ~5×
-        .localCheckpoint(eager=True)
-    )
-    g = gopher_quality(rewritten, stopwords=["the", "a"]).where(
-        "gopher_pass = 1").select("doc_id")
-    gated = rewritten.join(g, "doc_id", "left_semi")
-    rep = repetition_metrics(gated).where("passes_repetition").select("doc_id")
+    # exact_substring_dedup returns EVERY input doc_id (left join from the
+    # per-doc totals), so the old join back to docs' id list was an
+    # identity inner join — dropped (r14).
+    rewritten = cleaned.select(
+        "doc_id", F.col("clean_text").alias("text"), "n_tokens_kept")
+    # both quality gates are pure per-row projections of `text`, so they
+    # CHAIN as filtered projections with the payload carried through
+    # (keep_cols) — same surviving (doc_id, n_tokens_kept) multiset as the
+    # old metrics-pass + semi-join-back form, but zero joins, and with a
+    # single consumer of the dedup chain the eager localCheckpoint that
+    # used to shield 5 consumers is unnecessary: the whole entry is ONE
+    # lazy plan / one action (r14; guide §2.4).
+    g = gopher_quality(rewritten, stopwords=["the", "a"],
+                       keep_cols=["text", "n_tokens_kept"]).where(
+        "gopher_pass = 1")
+    rep = repetition_metrics(
+        g.select("doc_id", "text", "n_tokens_kept"),
+        keep_cols=["n_tokens_kept"],
+    ).where("passes_repetition")
     # no final orderBy: a rows-only entry needs no order, and a global
     # sort would be a pure-overhead exchange in the bench path
-    return gated.join(rep, "doc_id", "left_semi").select(
-        "doc_id", "n_tokens_kept")
+    return rep.select("doc_id", "n_tokens_kept")
 
 
 def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,10 +94,16 @@ def repetition_metrics(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dup_ppm: int = 300_000,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document repetition gates: (id, dup_3gram_ppm, dup_line_ppm,
     passes_repetition). ``passes`` = both duplicate fractions ≤ 30%
-    (Gopher-style repetition thresholds), as integer ppm comparisons."""
+    (Gopher-style repetition thresholds), as integer ppm comparisons.
+
+    ``keep_cols``: extra input columns carried through unchanged (same
+    contract as gopher_quality's) — lets a composite keep its payload in
+    the gate projection instead of semi-joining it back."""
+    keep = [F.col(k) for k in (keep_cols or [])]
     # two projections on purpose (the winnowing pattern): _dup_frac_ppm
     # reads its array twice (size + array_distinct) and Catalyst does NOT
     # common-subexpression-eliminate array expressions — inlining the
@@ -105,11 +111,13 @@ def repetition_metrics(
     # the materialized form on the sf0.1 corpus)
     arrs = df.select(
         F.col(id_col),
+        *keep,
         shingles(F.col(text_col), 3).alias("__g"),
         F.split(F.col(text_col), "\n").alias("__l"),
     )
     out = arrs.select(
         F.col(id_col),
+        *keep,
         _dup_frac_ppm(F.col("__g")).alias("dup_3gram_ppm"),
         _dup_frac_ppm(F.col("__l")).alias("dup_line_ppm"),
     )

@@ -799,6 +799,7 @@ GOPHER_STOPWORDS: list[str] = ["the", "be", "to", "of", "and", "that",
 def gopher_quality(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     stopwords: list[str] | None = None, min_stopwords: int = 2,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021, §A1.1 — the
     non-repetition half; the repetition half is :func:`repetition_stats`):
@@ -819,13 +820,20 @@ def gopher_quality(
     verdicts are tie-free and bit-identical across engines. One codegen
     projection, zero shuffles, zero Python — at 100 TB this is a pure
     scan-side map that AQE never has to think about.
+
+    ``keep_cols``: extra input columns carried through unchanged, so a
+    composite can gate-and-keep-payload in ONE projection instead of a
+    metrics pass plus a semi-join back to the payload (the metric values
+    are byte-identical either way).
     """
+    keep = [F.col(k) for k in (keep_cols or [])]
     c0 = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
     # materialize the arrays ONCE (Catalyst does not CSE array
     # expressions — the repetition_metrics/minhash lesson): toks feeds
     # ~12 downstream expressions, lines 3
     df = df.select(
         F.col(id_col),
+        *keep,
         c0.alias("__c"),
         F.filter(
             F.split(F.trim(F.lower(c0)), r"\s+"), lambda t: t != F.lit("")
@@ -865,6 +873,7 @@ def gopher_quality(
         stop_hits = hit if stop_hits is None else stop_hits + hit
     out = df.select(
         F.col(id_col),
+        *keep,
         n_words.alias("n_words"),
         (sum_word_chars * 1_000_000).cast("bigint").alias("__swc"),
         (n_alpha_words * 1_000_000).alias("__naw"),

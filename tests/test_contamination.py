@@ -79,6 +79,26 @@ def test_repetition_metrics_planted(spark):
     assert not rows[3]["passes_repetition"]
 
 
+def test_repetition_keep_cols_passthrough(spark):
+    """keep_cols carries payload columns through unchanged and leaves the
+    metric values byte-identical to the plain form (the r14 x_text_curate
+    gate-fusion contract)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c", 9),
+            (2, "one two three four five six", 6),
+        ],
+        "doc_id long, text string, n_tokens_kept long",
+    )
+    plain = {r["doc_id"]: r.asDict()
+             for r in repetition_metrics(df).collect()}
+    kept = {r["doc_id"]: r.asDict()
+            for r in repetition_metrics(df, keep_cols=["n_tokens_kept"]).collect()}
+    for i, n in ((1, 9), (2, 6)):
+        assert kept[i].pop("n_tokens_kept") == n
+        assert kept[i] == plain[i]
+
+
 def test_repetition_empty_text_passes(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     r = repetition_metrics(df).first()

@@ -1527,6 +1527,28 @@ def test_gopher_quality_gates(spark):
     assert out[6]["n_words"] == 0 and out[6]["gopher_pass"] == 0
 
 
+def test_gopher_keep_cols_passthrough(spark):
+    """keep_cols carries payload columns through unchanged and leaves all
+    metric values byte-identical to the plain form (the r14 x_text_curate
+    gate-fusion contract)."""
+    from mydumper_spark.operators.text import gopher_quality
+
+    good = ("the quick brown fox jumps over that lazy dog and runs to "
+            "town with a friend of mine ") * 4
+    df = spark.createDataFrame(
+        [(1, good, 72), (2, "too short", 2)],
+        "doc_id long, text string, n_tokens_kept long",
+    )
+    plain = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    kept = {r["doc_id"]: r.asDict()
+            for r in gopher_quality(
+                df, keep_cols=["text", "n_tokens_kept"]).collect()}
+    for i, (txt, n) in ((1, (good, 72)), (2, ("too short", 2))):
+        assert kept[i].pop("text") == txt
+        assert kept[i].pop("n_tokens_kept") == n
+        assert kept[i] == plain[i]
+
+
 def test_c4_line_filter_rules(spark):
     """C4 §2.2: terminal-punct + ≥5-word line retention, ≥3-line page gate,
     lorem-ipsum / curly-brace page kills."""
