@@ -419,92 +419,148 @@ def exact_substring_dedup(
     Returns (id, clean_text, n_tokens_kept, n_tokens_removed); documents
     shorter than ``k`` tokens pass through unchanged.
 
-    Scale shape: with ``hash_prejoin`` (the default, and EXACT — the hash
-    only prunes, the arbiter still groups on gram text) the corpus-wide
-    exchange carries 8-byte xxhash64 keys with map-side count partials;
-    only the duplicated sliver's gram TEXT ever shuffles (the candidate
-    semi-join is AQE-broadcast when duplication is rare — Lee et al.
-    measure ~3% of tokens). A hash collision merely creates a false
-    candidate that the exact text grouping then separates, so the result
-    is bit-identical to ``hash_prejoin=False`` (pinned in tests).
-    Duplicate-span → covered-token expansion is k× the DUPLICATED-span
-    count, not the corpus; reconstruction is one groupBy on doc_id. The
-    first-occurrence arbiter is the ladder's skew-splittable min(struct)
-    aggregate, so a boilerplate passage repeated millions of times costs
-    a partial agg, not one hot window partition.
+    Scale shape (r14 restructure; results pinned bit-identical to the
+    pre-r14 join form): the tokenized base — (id, token array, n, and
+    under ``hash_prejoin`` the per-position k-gram xxhash64 array, hashed
+    over the token SLICE so no gram string is ever built corpus-wide) —
+    is localCheckpointed ONCE and every downstream pass reads the
+    materialized arrays instead of re-running scan+tokenize (the minhash
+    precedent; pre-r14 the gram construction re-ran up to 4×). The
+    corpus-wide exchange carries 8-byte hash keys with map-side count
+    partials; gram TEXT is built only for the duplicated sliver, per doc
+    inside one ``transform`` (never one row per candidate carrying the
+    whole token array). The hash only prunes — the arbiter still groups
+    on gram text, so a collision merely creates a false candidate that
+    the exact grouping separates: bit-identical to ``hash_prejoin=False``
+    (pinned in tests). Excision is per-doc array arithmetic: covered
+    token indices aggregate to one sorted int array per affected doc
+    (sliver-sized exchange, AQE-broadcast joined back), and documents are
+    rebuilt with ``array_except`` over the index domain + ``element_at``
+    — O(n + c) per doc via array_except's hash-set build, replacing the
+    pre-r14 corpus-wide (id, tok_idx) sort-merge anti-join + collect_list
+    regroup (two full shuffles of every token, measured ~40% of the
+    operator at sf0.1). First-occurrence arbitration stays the ladder's
+    skew-splittable min(struct) aggregate.
     """
     from mydumper_spark.util import ensure_min_partitions
 
-    # the sliding-gram construction (one k-token concat per token) is the
+    # the sliding-gram hash (one k-token slice hash per token) is the
     # heaviest scan-side work in the corpus ladder — spread a single-row-
     # group source before it (guide §2.5; no-op on well-split tables)
     df = ensure_min_partitions(df)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))  # NULL = empty
-    n = F.size(toks)
-    base = df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"))
-    # sliding k-grams with start positions (0-based); docs with < k tokens
-    # contribute no grams and are never excised
-    grams = base.where(F.col("__n") >= k).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("__n") - k),
-                lambda s: F.concat_ws(" ", F.slice(F.col("__toks"), s + 1, k)),
-            )
-        ).alias("pos", "gram"),
-    )
+    base_cols = [F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")]
+    n = F.col("__n")
     if hash_prejoin:
-        # 8-byte pre-shuffle: find hash-duplicated candidates first, then
-        # run the exact text arbiter on that sliver only
-        hashed = grams.withColumn("__h", F.xxhash64(F.col("gram")))
+        # per-position gram hashes from the token slices directly — equal
+        # gram text ⇔ equal token slice (tokens cannot contain the joiner
+        # whitespace), so slice-hash equality ≡ gram-string-hash equality
+        # as a candidate filter
+        base_cols.append(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda s: F.xxhash64(F.slice(F.col("__toks"), s + 1, k)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")).alias("__hs")
+        )
+        base = df.select(base_cols[:3]).select("*", base_cols[3])
+    else:
+        base = df.select(base_cols)
+    # materialize tokenize+hash ONCE: five downstream passes (dup-hash agg,
+    # candidate probe, two arbiter reads, rebuild) otherwise each re-run
+    # the scan→tokenize subtree — Spark never dedupes common non-exchange
+    # subplans (guide §5 localCheckpoint; the minhash_lsh_pairs pattern)
+    base = base.localCheckpoint(eager=True)
+    if hash_prejoin:
+        pos_h = base.select(
+            F.col(id_col), F.posexplode(F.col("__hs")).alias("pos", "__h")
+        )
         dup_hashes = (
-            hashed.groupBy("__h")
+            pos_h.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__c"))
             .where(F.col("__c") > 1)
             .select("__h")
         )
-        grams = hashed.join(dup_hashes, "__h", "left_semi").drop("__h")
+        cand = pos_h.join(dup_hashes, "__h", "left_semi")
+        cand_per_doc = cand.groupBy(id_col).agg(
+            F.collect_list("pos").alias("__ps")
+        )
+        # gram text for the candidate sliver only, built per DOC inside
+        # one transform so no per-candidate row ever carries __toks
+        grams = (
+            base.join(cand_per_doc, id_col)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.transform(
+                        F.col("__ps"),
+                        lambda p: F.struct(
+                            p.alias("pos"),
+                            F.concat_ws(
+                                " ", F.slice(F.col("__toks"), p + 1, k)
+                            ).alias("gram"),
+                        ),
+                    )
+                ).alias("pg"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("pg.pos").alias("pos"),
+                F.col("pg.gram").alias("gram"),
+            )
+        )
+    else:
+        # sliding k-grams with start positions (0-based); docs with < k
+        # tokens contribute no grams and are never excised
+        grams = base.where(n >= k).select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda s: F.concat_ws(" ", F.slice(F.col("__toks"), s + 1, k)),
+                )
+            ).alias("pos", "gram"),
+        )
     marked = _mark_first_occurrence(grams, id_col, "gram", arbiter,
                                     keep_blank=False)
     # every non-first occurrence of a duplicated gram covers tokens
-    # [pos, pos+k-1]; expansion is bounded by k × (duplicated spans)
-    # overlapping spans produce duplicate (id, tok_idx) rows — deliberately
-    # NOT distinct()ed: left_anti tolerates right-side duplicates, and a
-    # distinct here would be a full extra exchange of the expanded set
+    # [pos, pos+k-1]; expansion is bounded by k × (duplicated spans).
+    # Aggregated straight to one sorted distinct index array per affected
+    # doc — the exchange carries the duplicated sliver only, never the
+    # corpus tokens
     covered = marked.where(~F.col("keep")).select(
         F.col(id_col),
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + k - 1)
         ).alias("tok_idx"),
     )
-    tok_rows = base.select(
-        F.col(id_col), F.posexplode(F.col("__toks")).alias("tok_idx", "tok")
+    cov_per_doc = covered.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("tok_idx")).alias("__cov")
     )
-    # merge-hinted: the size estimate under the explode is garbage, and at
-    # worst-case duplication Catalyst would otherwise try to BROADCAST the
-    # expanded set (observed OOM at 0.5 GB / 100% duplication); sort-merge
-    # is the spill-safe shape at any duplication rate
-    survivors = tok_rows.join(
-        covered.hint("merge"), [id_col, "tok_idx"], "left_anti"
+    # rebuild per doc: surviving indices = [0..n) minus covered (set
+    # semantics, order-preserving on the left — identical survivors and
+    # order to the pre-r14 anti-join + sort-by-index regroup)
+    kept_idx = F.array_except(
+        F.when(n > 0, F.sequence(F.lit(0), n - 1))
+        .otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
     )
-    rebuilt = survivors.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tok_idx", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
-    )
-    totals = base.select(F.col(id_col), F.col("__n").cast("bigint").alias("__total"))
     return (
-        totals.join(rebuilt, id_col, "left")
+        base.join(cov_per_doc, id_col, "left")
+        .select(F.col(id_col), F.col("__toks"), n, kept_idx.alias("__ki"))
         .select(
             F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
-            (F.col("__total") - F.coalesce("n_tokens_kept", F.lit(0)))
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.col("__ki"),
+                    lambda i: F.element_at(F.col("__toks"), i + 1),
+                ),
+            ).alias("clean_text"),
+            F.size(F.col("__ki")).cast("bigint").alias("n_tokens_kept"),
+            (n.cast("bigint") - F.size(F.col("__ki")))
             .alias("n_tokens_removed"),
         )
     )
