@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 
 def ensure_min_partitions(
-    df: DataFrame, min_parts: int | None = None, min_bytes: int = 0
+    df: DataFrame, min_parts: int | None = None, min_bytes: int = 0,
+    spread_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Parallelism floor for heavy per-row compute.
 
@@ -27,9 +28,36 @@ def ensure_min_partitions(
     (shingling, k-gram explode) should keep the default 0 and spread even
     tiny inputs. Callers pick the threshold from their per-byte cost; any
     production-scale input exceeds every sane threshold, so this only
-    prunes overhead at bench/test scale."""
+    prunes overhead at bench/test scale.
+
+    The spread hash-partitions on a deterministic full-row key,
+    ``pmod(xxhash64(all hashable columns), 100 × target)`` (guide §2.5's
+    sanctioned deterministic synthetic key, 100× the partition count so
+    the second-level hash spreads evenly), instead of keyless round-robin:
+    every keyless ``repartition(n)`` first pays a LOCAL SORT of its input
+    (SPARK-23207 retry determinism) and on the single-partition sources
+    this floor exists for, that sort runs on one core over the whole
+    table — measured 1.23 s → 0.79 s on the sf0.1 lineitem checksum (r14).
+    Content-hash keys are retry-deterministic with no sort. Balance note:
+    every caller feeds rows with a unique column (PKs / doc ids / vec
+    ids), so the full-row hash is unique per row; only a table whose rows
+    are mostly byte-identical copies would skew, and a caller with such a
+    source should pass unique ``spread_cols`` of its own. Unhashable
+    column types (maps) are excluded from the key; a df with no hashable
+    column falls back to round-robin."""
+    from pyspark.sql import types as T
+
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+
+    def _spread(d: DataFrame) -> DataFrame:
+        cols = spread_cols or [f.name for f in d.schema.fields
+                               if not isinstance(f.dataType, T.MapType)]
+        if not cols:
+            return d.repartition(target)
+        key = F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+                     F.lit(100 * target))
+        return d.repartition(target, key)
     if min_bytes > 0:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -56,9 +84,9 @@ def ensure_min_partitions(
         )
         if size >= target * 128 * 1024 * 1024:
             return df
-        return df.repartition(target)
+        return _spread(df)
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return _spread(df)
     return df
 
 
