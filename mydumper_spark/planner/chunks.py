@@ -136,9 +136,34 @@ def plan_integer_chunks(
     even when the key space has gaps or skew — the plan-time replacement for
     the reference's adaptive step resizing. ``equi_depth=False`` reproduces
     the reference's uniform ``(max-min)/n`` stepping.
+
+    Plan-time cost: when the chunk count is known up front (every caller
+    but the ``rows_per_chunk`` form), bounds/row-count/quantiles come from
+    ONE aggregate job — min/max/counts/percentile_approx share a single
+    column scan — instead of the pre-r14 three driver jobs (min-max agg,
+    count, approxQuantile). percentile_approx and approxQuantile run the
+    same Greenwald-Khanna summary at the same relative error; boundary
+    values may differ within that error, which chunk coverage is
+    insensitive to by construction (disjoint ranges, unbounded ends).
     """
-    lo, hi, nonnull = min_max(df, column)
-    total = estimate_rows(df)
+    qs: "list | None" = None
+    pre_known = num_chunks if num_chunks is not None else (
+        None if rows_per_chunk
+        else max(1, df.sparkSession.sparkContext.defaultParallelism)
+    )
+    if equi_depth and pre_known and pre_known > 1:
+        probs = [i / pre_known for i in range(pre_known + 1)]
+        accuracy = max(1, int(round(1.0 / max(relative_error, 1e-6))))
+        row = df.agg(
+            F.min(column).alias("lo"), F.max(column).alias("hi"),
+            F.count(column).alias("nonnull"), F.count(F.lit(1)).alias("total"),
+            F.percentile_approx(column, probs, accuracy).alias("qs"),
+        ).first()
+        lo, hi, nonnull, total = row["lo"], row["hi"], row["nonnull"], row["total"]
+        qs = list(row["qs"]) if row["qs"] is not None else None
+    else:
+        lo, hi, nonnull = min_max(df, column)
+        total = estimate_rows(df)
     has_null = total > nonnull
     if num_chunks is None:
         if rows_per_chunk:
@@ -152,8 +177,9 @@ def plan_integer_chunks(
         return ChunkPlan(column=column, strategy="none", predicates=[pred] if pred else [])
 
     if equi_depth:
-        probs = [i / num_chunks for i in range(num_chunks + 1)]
-        qs = df.approxQuantile(column, probs, relative_error)
+        if qs is None:
+            probs = [i / num_chunks for i in range(num_chunks + 1)]
+            qs = df.approxQuantile(column, probs, relative_error)
         bounds = sorted({int(q) for q in qs})
         bounds[0], bounds[-1] = int(lo), int(hi)
     else:
