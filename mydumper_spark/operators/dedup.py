@@ -197,6 +197,33 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
+_MAXLONG = (1 << 63) - 1
+
+
+def _minhash_sig(arr: Column, num_hashes: int) -> Column:
+    """All ``num_hashes`` minima in ONE traversal of the hashed-shingle
+    array: the accumulator carries the per-function running minima and
+    each element contributes its ``num_hashes`` reseeded hashes via
+    zip_with/least. Value-identical to the per-function
+    ``array_min(transform(...))`` form (same hash set, same min — pinned
+    in tests), but one pass instead of ``num_hashes`` traversals each
+    allocating an intermediate array (r14: 0.80 s → 0.49 s on the sf0.1
+    signature projection). Empty input keeps the old form's all-NULL
+    signature; NULL input propagates NULL through the outer when()."""
+    return F.when(
+        F.size(arr) > 0,
+        F.aggregate(
+            arr,
+            F.array(*[F.lit(_MAXLONG).cast("long") for _ in range(num_hashes)]),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)]),
+                lambda a, b: F.least(a, b),
+            ),
+        ),
+    ).otherwise(F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)]))
+
+
 def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
     """MinHash signature as array<bigint>: min over HASHED distinct
     shingles of xxhash64(h, seed_i) per hash function — one array
@@ -208,16 +235,10 @@ def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
     same candidates the batch self-join does."""
     sh = F.array_distinct(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
     # let-binding via a 1-element array: Catalyst does not CSE array
-    # expressions, so referencing `sh` in all num_hashes min-computations
-    # would rebuild shingles+hash num_hashes times per row (measured 16×
-    # cost); the outer transform evaluates it ONCE and the lambda binds it
-    packed = F.transform(
-        F.array(sh),
-        lambda arr: F.array(
-            *[F.array_min(F.transform(arr, lambda h: F.xxhash64(h, F.lit(i))))
-              for i in range(num_hashes)]
-        ),
-    )
+    # expressions, so referencing `sh` in the signature fold would rebuild
+    # shingles+hash per accumulator step; the outer transform evaluates it
+    # ONCE and the lambda binds it
+    packed = F.transform(F.array(sh), lambda arr: _minhash_sig(arr, num_hashes))
     return F.element_at(packed, 1)
 
 
@@ -250,15 +271,7 @@ def minhash_lsh_pairs(
             F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
         ).alias("sh"),
     )
-    base = base.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(i))))
-                for i in range(num_hashes)
-            ]
-        ),
-    )
+    base = base.withColumn("sig", _minhash_sig(F.col("sh"), num_hashes))
     # Materialize once and cut lineage. localCheckpoint instead of persist():
     # persist() blocks live in the CacheManager until an explicit unpersist,
     # which a lazily-returned DataFrame can never safely issue — repeated
