@@ -55,8 +55,11 @@ def ensure_min_partitions(
                                if not isinstance(f.dataType, T.MapType)]
         if not cols:
             return d.repartition(target)
-        key = F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
-                     F.lit(100 * target))
+        # backtick-quote so hostile column names (dots, backticks — the
+        # restore-side checksum path sees imported tables) resolve as
+        # exact names, never as nested-field paths
+        refs = [F.col("`" + c.replace("`", "``") + "`") for c in cols]
+        key = F.pmod(F.xxhash64(*refs), F.lit(100 * target))
         return d.repartition(target, key)
     if min_bytes > 0:
         size = int(

@@ -392,3 +392,21 @@ def test_round11_plan_shapes(spark):
     assert "CartesianProduct" not in plan2, plan2
     assert plan2.count("ArrowEvalPython") <= 1  # the one sanctioned GEMM
     assert "rangepartitioning" not in plan2.lower(), plan2
+
+
+def test_min_partitions_spread_is_sortfree_and_hostile_name_safe(spark):
+    """The parallelism-floor spread hash-partitions on a deterministic
+    full-row key (r14): no sort-before-repartition in the plan, and
+    hostile column names (dots, backticks) resolve as exact names."""
+    from mydumper_spark.util import ensure_min_partitions
+
+    df = entry._t(spark, SF, "orders")
+    plan = _plan(ensure_min_partitions(df))
+    assert "Exchange hashpartitioning" in plan, plan
+    assert "Sort " not in plan, plan  # keyless round-robin would sort first
+
+    hostile = spark.createDataFrame(
+        [(1, "x"), (2, "y")], ["we`ird", "a.b"]
+    ).coalesce(1)
+    out = ensure_min_partitions(hostile)
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "x"), (2, "y")]
