@@ -102,9 +102,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group source ⇒ the whole scan+agg would run on one core;
     # spread the FILTERED rows (the filter stays pushed at the scan, the
     # cents math and partial agg run post-exchange) — a no-op on any
-    # well-split production lineitem (guide §2.5)
+    # well-split production lineitem (guide §2.5). Project to the 6
+    # consumed columns BEFORE the spread: the full-row spread key
+    # references every column it hashes, so pruning cannot push through
+    # the exchange — unprojected, the spread shuffled all 11 lineitem
+    # columns for a 6-column aggregate (guide §2.3 "project before the
+    # exchange"; r14 session 3)
     li = ensure_min_partitions(
-        li.where("l_shipdate <= TIMESTAMP '2000-09-02'"),
+        li.where("l_shipdate <= TIMESTAMP '2000-09-02'").select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ),
         min_bytes=2 * 1024 * 1024,
     )
     pre = li.select(
@@ -173,9 +181,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
     orders = _t(spark, sf_dir, "orders").where("o_orderdate < TIMESTAMP '1998-03-15'")
     # spread the fact side so the broadcast probes + partial agg
-    # parallelize on a single-row-group source (no-op at scale)
+    # parallelize on a single-row-group source (no-op at scale); project
+    # to the 3 consumed columns first — the full-row spread key defeats
+    # column pruning through the exchange (guide §2.3; r14 session 3)
     li = ensure_min_partitions(
-        _t(spark, sf_dir, "lineitem").where("l_shipdate > TIMESTAMP '1995-03-15'"),
+        _t(spark, sf_dir, "lineitem")
+        .where("l_shipdate > TIMESTAMP '1995-03-15'")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
         min_bytes=2 * 1024 * 1024,
     )
     joined = (
@@ -231,9 +243,14 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     # spread the fact side so the 5 broadcast probes + partial agg
-    # parallelize on a single-row-group source (no-op at scale)
+    # parallelize on a single-row-group source (no-op at scale); project
+    # to the 4 consumed columns first — the full-row spread key defeats
+    # column pruning through the exchange (guide §2.3; r14 session 3)
     li = ensure_min_partitions(
-        _t(spark, sf_dir, "lineitem"), min_bytes=2 * 1024 * 1024
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        ),
+        min_bytes=2 * 1024 * 1024,
     )
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
