@@ -446,8 +446,10 @@ def exact_substring_dedup(
 
     # the sliding-gram hash (one k-token slice hash per token) is the
     # heaviest scan-side work in the corpus ladder — spread a single-row-
-    # group source before it (guide §2.5; no-op on well-split tables)
-    df = ensure_min_partitions(df)
+    # group source before it (guide §2.5; no-op on well-split tables).
+    # Prune to the two consumed columns first: the full-row spread key
+    # defeats column pruning through the exchange (guide §2.3; r14)
+    df = ensure_min_partitions(df.select(id_col, text_col))
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))  # NULL = empty
     base_cols = [F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")]
     n = F.col("__n")

@@ -264,7 +264,11 @@ def minhash_lsh_pairs(
     the exact set intersection. Verification then joins the compact shingle
     arrays — two hash joins on 8-byte keys."""
     rows_per_band = num_hashes // bands
-    df = ensure_min_partitions(df)
+    # prune to the two consumed columns BEFORE the spread: the full-row
+    # spread key hashes every input column, so pruning cannot push below
+    # the exchange — unpruned, a wide source shuffles its extra columns
+    # for nothing (guide §2.3 "project before the exchange"; r14)
+    df = ensure_min_partitions(df.select(id_col, text_col))
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -473,7 +477,9 @@ def simhash_signature(
     can replay it; xxhash64/64-bit stays the fast production default."""
     from mydumper_spark.operators.text import portable_hash64
 
-    toked = ensure_min_partitions(df).select(
+    # prune to the two consumed columns before the spread (the full-row
+    # spread key defeats column pruning through the exchange — r14)
+    toked = ensure_min_partitions(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     h = F.xxhash64("tok") if hash_fn == "xxhash64" else portable_hash64(F.col("tok"))

@@ -1080,7 +1080,9 @@ def diversity_stats(
     # HOFs) — heavy enough that a single-row-group source must spread
     # (guide §2.5 input skew; no-op on any well-split production table).
     # r14 measured 4.2s single-task → ~1s spread at sf0.1/32 cores.
-    df = ensure_min_partitions(df)
+    # Prune to the two consumed columns first: the full-row spread key
+    # defeats column pruning through the exchange (guide §2.3; r14)
+    df = ensure_min_partitions(df.select(id_col, text_col))
     if unit == "char":
         units = F.when(
             F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0,
