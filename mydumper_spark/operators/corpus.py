@@ -170,15 +170,67 @@ def _mark_first_occurrence(
     ~20% faster on balanced corpora (one less exchange)."""
     blank = (F.trim(F.col(unit_col)) == "") if keep_blank else F.lit(False)
     if arbiter == "agg":
-        first = units.groupBy(unit_col).agg(
-            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-                  ).alias("__first")
+        # min(struct) has no mutable aggregation buffer, so Spark plans
+        # it as Sort + SortAggregate on BOTH sides of the exchange — a
+        # per-partition sort of every (unit, id, pos) row before the
+        # partial agg, over the whole corpus for the line/block ladder.
+        # Pack the pair into ONE order-preserving DECIMAL radix key
+        # instead: min(decimal) is a plain HashAggregate (guide §5 "hash
+        # aggregate vs. sort aggregate"; r14). Ordering is identical to
+        # the struct ordering (probed: struct min is nulls-FIRST per
+        # field): a NULL id packs below every non-NULL key, then (id,
+        # pos) lexicographically. Requires pos ∈ [0, 2^31) and non-NULL
+        # — true at every call site (posexplode / sequence indices); id
+        # may be any bigint, NULL included. The min unpacks back to the
+        # exact (d, p) pair, so the keep predicate (and its NULL
+        # propagation for NULL-id rows) is byte-identical to the
+        # min(struct) form — pinned by
+        # test_first_occurrence_packed_arbiter_matches_struct_min.
+        # Non-integral id types (the struct ordering is generic) keep the
+        # sort-agg form — every production ladder id is a bigint.
+        from pyspark.sql import types as T
+
+        if not isinstance(
+            units.schema[id_col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            first = units.groupBy(unit_col).agg(
+                F.min(F.struct(F.col(id_col).alias("d"),
+                               F.col("pos").alias("p"))).alias("__first")
+            )
+            return units.join(first, unit_col).withColumn(
+                "keep",
+                blank | ((F.col(id_col) == F.col("__first.d"))
+                         & (F.col("pos") == F.col("__first.p"))),
+            ).drop("__first")
+
+        dec20, dec10 = T.DecimalType(20, 0), T.DecimalType(10, 0)
+        two63 = F.lit("9223372036854775808").cast(dec20)   # 2^63
+        two31 = F.lit("2147483648").cast(dec10)            # 2^31
+        packed = F.when(
+            F.col(id_col).isNull(), F.col("pos").cast(dec10)
+        ).otherwise(
+            two31 + (F.col(id_col).cast(dec20) + two63) * two31
+            + F.col("pos").cast(dec10)
+        )
+        first = units.groupBy(unit_col).agg(F.min(packed).alias("__fm"))
+        t = F.col("__fm") - two31
+        p_star = F.pmod(t, two31)
+        # exact: t − p* is a multiple of 2^31, the decimal quotient is
+        # integral and well inside DECIMAL(38, 6)
+        d_star = ((t - p_star) / two31 - two63).cast("long")
+        first = first.select(
+            unit_col,
+            F.when(F.col("__fm") < two31, F.lit(None).cast("long"))
+            .otherwise(d_star).alias("__fd"),
+            F.when(F.col("__fm") < two31, F.col("__fm"))
+            .otherwise(p_star).cast("int").alias("__fp"),
         )
         return units.join(first, unit_col).withColumn(
             "keep",
-            blank | ((F.col(id_col) == F.col("__first.d"))
-                     & (F.col("pos") == F.col("__first.p"))),
-        ).drop("__first")
+            blank | ((F.col(id_col) == F.col("__fd"))
+                     & (F.col("pos") == F.col("__fp"))),
+        ).drop("__fd", "__fp")
     if arbiter == "window":
         w = Window.partitionBy(unit_col).orderBy(
             F.col(id_col).asc(), F.col("pos").asc()

@@ -353,3 +353,54 @@ def test_blocklist_filter_words_and_phrases(spark):
     assert out[5]["blocklist_hits"] == 1
     assert out[6]["blocklist_hits"] == 2
     assert (out[7]["blocklist_hits"], out[7]["blocked"]) == (0, 0)
+
+
+def test_first_occurrence_packed_arbiter_matches_struct_min(spark):
+    """The r14 DECIMAL radix-packed first-occurrence arbiter must be
+    bit-identical to the min(struct(id, pos)) form it replaced — NULL ids
+    (struct ordering is nulls-first, and a NULL-min group keeps NOBODY
+    because the keep equality propagates NULL), extreme bigint ids and the
+    pos upper bound included — while planning as a HashAggregate with no
+    Sort/SortAggregate. Non-integral id types keep the generic struct-min
+    fallback (and its SortAggregate)."""
+    from mydumper_spark.operators.corpus import _mark_first_occurrence
+
+    rows = [
+        (None, 5, "g"), (3, 1, "g"), (1, 9, "g"), (None, 2, "g"),
+        (-(2**63), 7, "h"), (2**63 - 1, 0, "h"),
+        (42, 0, "i"), (42, 3, "i"), (7, 2**31 - 1, "i"),
+        (5, 0, "j"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pos int, unit string")
+
+    def struct_min_ref(d):
+        first = d.groupBy("unit").agg(
+            F.min(F.struct(F.col("doc_id").alias("d"),
+                           F.col("pos").alias("p"))).alias("__first"))
+        return d.join(first, "unit").withColumn(
+            "keep", (F.col("doc_id") == F.col("__first.d"))
+            & (F.col("pos") == F.col("__first.p"))).drop("__first")
+
+    marked = _mark_first_occurrence(df, "doc_id", "unit", "agg",
+                                    keep_blank=False)
+    key = lambda r: (r["unit"], r["doc_id"], r["pos"])
+    got = {key(r): r["keep"] for r in marked.collect()}
+    want = {key(r): r["keep"] for r in struct_min_ref(df).collect()}
+    assert got == want
+    # semantics spelled out, not just mirrored: extreme ids order
+    # correctly, pos packs safely at 2^31-1, NULL-min group keeps nobody
+    assert want[("h", -(2**63), 7)] is True
+    assert want[("h", 2**63 - 1, 0)] is False
+    assert want[("i", 7, 2**31 - 1)] is True and want[("i", 42, 0)] is False
+    assert all(v is not True for k, v in want.items() if k[0] == "g")
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan
+
+    # string ids: generic fallback, same answers as its own struct-min ref
+    sdf = df.withColumn("doc_id", F.col("doc_id").cast("string"))
+    m2 = _mark_first_occurrence(sdf, "doc_id", "unit", "agg",
+                                keep_blank=False)
+    got2 = {key(r): r["keep"] for r in m2.collect()}
+    want2 = {key(r): r["keep"] for r in struct_min_ref(sdf).collect()}
+    assert got2 == want2
+    assert "SortAggregate" in m2._jdf.queryExecution().executedPlan().toString()
