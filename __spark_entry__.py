@@ -4236,12 +4236,32 @@ def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.coalesce("comp", "doc_id").alias("cluster_id"))
         .join(qual, "doc_id")
     )
-    # min over (-quality, doc_id) == max quality with min-id tiebreak; the
-    # negation is exact for doubles, so cross-engine ordering agrees
+    # min over (-quality, doc_id) == max quality with min-id tiebreak.
+    # quality sits on the exact integer grid q_e7/1e7 (quality_score), so
+    # the pair packs into ONE order-preserving DECIMAL radix key and the
+    # argmin is a plain HashAggregate instead of the corpus-wide
+    # Sort + SortAggregate that min(struct) plans (struct aggregation
+    # buffers are not mutable — r14, guide §5 hash vs. sort aggregate).
+    # Ordering replicated exactly, struct nulls-first included: NULL
+    # quality packs below every non-NULL key, then integer -quality,
+    # then doc_id; the id unpacks with pmod. Pinned equal to the
+    # struct-min form by test_keep_best_packed_argmin_matches_struct_min.
+    from pyspark.sql import types as T
+
+    _dec = T.DecimalType(38, 0)
+    _two63 = F.lit("9223372036854775808").cast(_dec)
+    _two64 = F.lit("18446744073709551616").cast(_dec)
+    _nq = (F.lit(10_000_000) - F.round(F.col("quality") * 1e7).cast("long")
+           ).cast(_dec)
+    _id_shift = F.col("doc_id").cast(_dec) + _two63
+    _packed = F.when(F.col("quality").isNull(), _id_shift).otherwise(
+        _two64 + _nq * _two64 + _id_shift)
     best = clustered.groupBy("cluster_id").agg(
-        F.min(
-            F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("id"))
-        )["id"].alias("keeper_id")
+        F.min(_packed).alias("__bp")
+    ).select(
+        "cluster_id",
+        (F.pmod(F.col("__bp"), _two64) - _two63).cast("long")
+        .alias("keeper_id"),
     )
     return clustered.join(best, "cluster_id").select(
         "doc_id",

@@ -3076,3 +3076,65 @@ def test_hard_negative_topk_hostile_string_ids_and_labels(spark):
     # NULL-label anchors violate the caller contract loudly
     with pytest.raises(ValueError, match="NULL id/label"):
         sim.hard_negative_topk(df, df.where("vec_id = 'dnull'"), k=1)
+
+
+def test_keep_best_packed_argmin_matches_struct_min(spark, tmp_path):
+    """x_dedup_keep_best's r14 DECIMAL radix-packed argmin must pick the
+    same keepers as the min(struct(-quality, doc_id)) arbiter it replaced,
+    on planted clusters: a quality-differentiated near-dup pair (keeper =
+    higher quality, NOT smaller id), an exact-tie pair (keeper = smaller
+    id), and a NULL-text singleton (NULL quality exercises the nulls-first
+    packing branch)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from mydumper_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+    from mydumper_spark.operators.text import quality_score
+
+    long_a = ("clean shared prose tokens " * 6).strip()
+    rows = [
+        # near-dup pair, different punctuation density -> different quality
+        (1, long_a + " tail one", "en", "s", 1),
+        (2, long_a + " tail one!!!!!!!!!!!!!!!!!!!!", "en", "s", 1),
+        # exact duplicate pair -> equal quality, id tie-break
+        (10, long_a + " other block", "en", "s", 1),
+        (11, long_a + " other block", "en", "s", 1),
+        # NULL text -> NULL quality singleton
+        (20, None, "en", "s", 1),
+        (30, "completely different standalone document text here", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    d = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    got = {r["cluster_id"]: r["keeper_id"]
+           for r in entry.x_dedup_keep_best(spark, d).collect()}
+
+    # reference: the pre-r14 struct-min arbiter over the same operators
+    docs = spark.read.parquet(d + "/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    qual = quality_score(docs.select("doc_id", "text")).select("doc_id", "quality")
+    clustered = (
+        docs.select("doc_id").join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("cluster_id"))
+        .join(qual, "doc_id")
+    )
+    want = {r["cluster_id"]: r["keeper_id"] for r in clustered.groupBy(
+        "cluster_id").agg(
+        F.min(F.struct((-F.col("quality")).alias("nq"),
+                       F.col("doc_id").alias("id")))["id"].alias("keeper_id")
+    ).collect()}
+    assert got == want and len(got) > 0
+    # the planted semantics, spelled out
+    assert want[10] == 10                      # tie -> smaller id
+    assert want[20] == 20                      # NULL-quality singleton
+    q = {r["doc_id"]: r["quality"] for r in qual.collect()}
+    assert q[1] != q[2]                        # quality really differs
+    assert want[1] == (1 if q[1] > q[2] else 2)  # keeper = higher quality
+    # and the new arbiter is hash-aggregated (no corpus sort)
+    plan = entry.x_dedup_keep_best(spark, d)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert "SortAggregate" not in plan
