@@ -190,19 +190,40 @@ def _mark_first_occurrence(
         # sort-agg form — every production ladder id is a bigint.
         from pyspark.sql import types as T
 
+        # The join-back ships only DUPLICATED units (count > 1): a
+        # singleton unit's winner is the row itself, so pruning `first`
+        # to dup units keeps the join side proportional to the
+        # boilerplate fraction instead of every distinct unit — AQE
+        # broadcasts it on dup-light corpora and the units side then
+        # crosses the wire ONCE (the groupBy input), not twice (r14;
+        # guide §2.3/2.4). Keep semantics are byte-identical, NULL-id
+        # singletons included: their keep stays NULL (the when() below
+        # reproduces the NULL the old equality produced), so the
+        # joined-back form and the pruned form agree row for row.
+        def _prune_join(first_all, dup_keep):
+            first_dups = first_all.where(F.col("__c") > 1)
+            joined = units.join(first_dups, unit_col, "left")
+            keep = blank | F.when(
+                F.col("__c").isNull(),
+                F.when(F.col(id_col).isNotNull(), F.lit(True)),
+            ).otherwise(dup_keep)
+            drop = [c for c in first_dups.columns if c != unit_col]
+            return joined.withColumn("keep", keep).drop(*drop)
+
         if not isinstance(
             units.schema[id_col].dataType,
             (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
         ):
             first = units.groupBy(unit_col).agg(
                 F.min(F.struct(F.col(id_col).alias("d"),
-                               F.col("pos").alias("p"))).alias("__first")
+                               F.col("pos").alias("p"))).alias("__first"),
+                F.count(F.lit(1)).alias("__c"),
             )
-            return units.join(first, unit_col).withColumn(
-                "keep",
-                blank | ((F.col(id_col) == F.col("__first.d"))
-                         & (F.col("pos") == F.col("__first.p"))),
-            ).drop("__first")
+            return _prune_join(
+                first,
+                (F.col(id_col) == F.col("__first.d"))
+                & (F.col("pos") == F.col("__first.p")),
+            )
 
         dec20, dec10 = T.DecimalType(20, 0), T.DecimalType(10, 0)
         two63 = F.lit("9223372036854775808").cast(dec20)   # 2^63
@@ -213,7 +234,9 @@ def _mark_first_occurrence(
             two31 + (F.col(id_col).cast(dec20) + two63) * two31
             + F.col("pos").cast(dec10)
         )
-        first = units.groupBy(unit_col).agg(F.min(packed).alias("__fm"))
+        first = units.groupBy(unit_col).agg(
+            F.min(packed).alias("__fm"), F.count(F.lit(1)).alias("__c")
+        )
         t = F.col("__fm") - two31
         p_star = F.pmod(t, two31)
         # exact: t − p* is a multiple of 2^31, the decimal quotient is
@@ -225,12 +248,13 @@ def _mark_first_occurrence(
             .otherwise(d_star).alias("__fd"),
             F.when(F.col("__fm") < two31, F.col("__fm"))
             .otherwise(p_star).cast("int").alias("__fp"),
+            "__c",
         )
-        return units.join(first, unit_col).withColumn(
-            "keep",
-            blank | ((F.col(id_col) == F.col("__fd"))
-                     & (F.col("pos") == F.col("__fp"))),
-        ).drop("__fd", "__fp")
+        return _prune_join(
+            first,
+            (F.col(id_col) == F.col("__fd"))
+            & (F.col("pos") == F.col("__fp")),
+        )
     if arbiter == "window":
         w = Window.partitionBy(unit_col).orderBy(
             F.col(id_col).asc(), F.col("pos").asc()

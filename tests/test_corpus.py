@@ -370,6 +370,8 @@ def test_first_occurrence_packed_arbiter_matches_struct_min(spark):
         (-(2**63), 7, "h"), (2**63 - 1, 0, "h"),
         (42, 0, "i"), (42, 3, "i"), (7, 2**31 - 1, "i"),
         (5, 0, "j"),
+        (None, 4, "k"),   # singleton NULL id: keep must stay NULL even
+                          # though singletons skip the pruned join-back
     ]
     df = spark.createDataFrame(rows, "doc_id long, pos int, unit string")
 
@@ -393,6 +395,8 @@ def test_first_occurrence_packed_arbiter_matches_struct_min(spark):
     assert want[("h", 2**63 - 1, 0)] is False
     assert want[("i", 7, 2**31 - 1)] is True and want[("i", 42, 0)] is False
     assert all(v is not True for k, v in want.items() if k[0] == "g")
+    assert want[("j", 5, 0)] is True        # non-NULL singleton keeps
+    assert want[("k", None, 4)] is None     # NULL-id singleton stays NULL
     plan = marked._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan, plan
 
