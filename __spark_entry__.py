@@ -45,9 +45,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: 60+ reads of the same ten files. Caching the immutable plan object is
 #: metadata caching only — no .cache()/persist anywhere, every action still
 #: scans the parquet — the same class of reuse as Spark's own catalog
-#: relation cache. Keyed per session so the grading driver's own sessions
-#: never share state.
-_T_CACHE: "dict[tuple, DataFrame]" = {}
+#: relation cache. The cache dict lives as an ATTRIBUTE on the session
+#: object (r15): per-session isolation for free, and no global registry
+#: that could retain a stopped session's plans (a WeakKeyDictionary would
+#: not do — its VALUES are DataFrames that strongly reference the session
+#: key). Pinned by test_t_cache_releases_dead_sessions.
+_T_ATTR = "_mydumper_t_plan_cache"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,14 +58,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # which a vanilla session rejects (PARQUET_TYPE_ILLEGAL). The grading
     # harness passes a vanilla SparkSession (not our session.py factory), so
     # self-provision the legacy read path; it is a no-op for timestamp[us].
-    # (Keyed by the session OBJECT, not id(): a GC'd session's address can
-    # be reused and would serve plans bound to a stopped context.)
-    key = (spark, sf_dir, name)
-    df = _T_CACHE.get(key)
+    per = getattr(spark, _T_ATTR, None)
+    if per is None:
+        per = {}
+        setattr(spark, _T_ATTR, per)
+    df = per.get((sf_dir, name))
     if df is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _T_CACHE[key] = df
+        per[(sf_dir, name)] = df
     return df
 
 
@@ -4251,8 +4255,16 @@ def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     _dec = T.DecimalType(38, 0)
     _two63 = F.lit("9223372036854775808").cast(_dec)
     _two64 = F.lit("18446744073709551616").cast(_dec)
-    _nq = (F.lit(10_000_000) - F.round(F.col("quality") * 1e7).cast("long")
-           ).cast(_dec)
+    # clamp into [0, 1e7] (quality_score's documented [0,1] grid): a
+    # negative _nq would fold the non-NULL key space into the NULL branch
+    # and silently elect wrong keepers; clamped, an out-of-range quality
+    # stays ordered at the boundary (ties → id) instead (r15, ADVICE)
+    _nq = F.greatest(
+        F.lit(0), F.least(
+            F.lit(10_000_000),
+            F.lit(10_000_000) - F.round(F.col("quality") * 1e7).cast("long"),
+        )
+    ).cast(_dec)
     _id_shift = F.col("doc_id").cast(_dec) + _two63
     _packed = F.when(F.col("quality").isNull(), _id_shift).otherwise(
         _two64 + _nq * _two64 + _id_shift)

@@ -167,7 +167,14 @@ def _mark_first_occurrence(
     26s against the window on one unit value repeated 8M times, and on a
     real cluster the window's skewed partition caps at one task);
     ``arbiter="window"`` is the row_number form the DuckDB oracles replay,
-    ~20% faster on balanced corpora (one less exchange)."""
+    ~20% faster on balanced corpora (one less exchange).
+
+    NULL-``unit`` rows (unreachable from current call sites — units come
+    from coalesced split/concat_ws, never NULL) are kept as singletons
+    under ``arbiter="agg"`` since the r14 dup-only join-back: the left
+    join leaves ``__c`` NULL and the singleton branch marks keep=True
+    (the pre-r14 inner join silently dropped them). Callers that can
+    produce NULL units and want them dropped must filter explicitly."""
     blank = (F.trim(F.col(unit_col)) == "") if keep_blank else F.lit(False)
     if arbiter == "agg":
         # min(struct) has no mutable aggregation buffer, so Spark plans

@@ -151,7 +151,10 @@ def plan_integer_chunks(
         None if rows_per_chunk
         else max(1, df.sparkSession.sparkContext.defaultParallelism)
     )
-    if equi_depth and pre_known and pre_known > 1:
+    # relative_error <= 0 is approxQuantile's EXACT mode, which
+    # percentile_approx cannot express (its accuracy clamp would silently
+    # approximate) — route it through the approxQuantile fallback below
+    if equi_depth and pre_known and pre_known > 1 and relative_error > 0:
         probs = [i / pre_known for i in range(pre_known + 1)]
         accuracy = max(1, int(round(1.0 / max(relative_error, 1e-6))))
         row = df.agg(

@@ -43,16 +43,27 @@ def ensure_min_partitions(
     ids), so the full-row hash is unique per row; only a table whose rows
     are mostly byte-identical copies would skew, and a caller with such a
     source should pass unique ``spread_cols`` of its own. Unhashable
-    column types (maps) are excluded from the key; a df with no hashable
-    column falls back to round-robin."""
+    column types (maps, at ANY nesting depth — xxhash64 raises
+    HASH_MAP_TYPE for array<map>/struct-with-map too, and the checksum
+    path feeds arbitrary imported schemas through here) are excluded from
+    the key; a df with no hashable column falls back to round-robin."""
     from pyspark.sql import types as T
 
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
 
+    def _has_map(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
     def _spread(d: DataFrame) -> DataFrame:
         cols = spread_cols or [f.name for f in d.schema.fields
-                               if not isinstance(f.dataType, T.MapType)]
+                               if not _has_map(f.dataType)]
         if not cols:
             return d.repartition(target)
         # backtick-quote so hostile column names (dots, backticks — the

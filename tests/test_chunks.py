@@ -464,3 +464,25 @@ def test_string_chunk_coverage_hostile_values_cross_engine(spark):
             for p in plan.predicates)
         con.unregister("t")
         assert covered == total, plan.predicates
+
+
+def test_integer_chunks_exact_mode_routes_to_approx_quantile(orders, monkeypatch):
+    """relative_error <= 0 is approxQuantile's EXACT mode; the r14 fused
+    percentile_approx fast path cannot express it (its accuracy clamp
+    silently approximates), so the planner must route it through the
+    approxQuantile fallback (r15, ADVICE)."""
+    cls = type(orders)  # the concrete (classic) DataFrame class
+
+    calls: list[float] = []
+    orig = cls.approxQuantile
+
+    def spy(self, col, probs, err):
+        calls.append(err)
+        return orig(self, col, probs, err)
+
+    monkeypatch.setattr(cls, "approxQuantile", spy)
+    plan = plan_integer_chunks(orders, "o_orderkey", num_chunks=4,
+                               relative_error=0.0)
+    assert calls == [0.0]          # exact mode reached approxQuantile
+    assert plan.strategy == "integer"
+    assert reassemble(orders, plan).count() == orders.count()

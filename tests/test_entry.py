@@ -115,3 +115,27 @@ def test_grading_window_composition_is_stable():
     with open(graded) as f:
         expected = list(json.load(f).keys())
     assert qs[:50] == expected
+
+
+def test_t_cache_releases_dead_sessions(spark, sf_dir):
+    """The _t plan cache lives as an attribute ON the session object: a
+    dropped session's entries (and the session itself) must be collectable
+    — a long-lived process cycling sessions must not accumulate plans
+    bound to dead contexts (r15; VERDICT r14 #8). The session↔DataFrame
+    reference cycle is pure Python, so gc reclaims it."""
+    import gc
+    import weakref
+
+    ns = spark.newSession()                  # distinct object, shared JVM
+    entry._t(ns, sf_dir, "nation")
+    assert (sf_dir, "nation") in getattr(ns, entry._T_ATTR)
+    ref = weakref.ref(ns)
+    del ns
+    # pyspark itself pins the most recently constructed session (the
+    # RDD.toDF monkey-patch closure); displace that pin so the only
+    # remaining candidate ref would be ours
+    spark.newSession()
+    gc.collect()
+    assert ref() is None                     # no global registry pinned it
+    # and the surviving session's entries still serve (plan-object reuse)
+    assert entry._t(spark, sf_dir, "nation") is entry._t(spark, sf_dir, "nation")

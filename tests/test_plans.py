@@ -410,3 +410,45 @@ def test_min_partitions_spread_is_sortfree_and_hostile_name_safe(spark):
     ).coalesce(1)
     out = ensure_min_partitions(hostile)
     assert sorted(tuple(r) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_min_partitions_spread_excludes_nested_maps(spark):
+    """xxhash64 rejects MapType at ANY nesting depth
+    (DATATYPE_MISMATCH.HASH_MAP_TYPE); the spread key must skip nested-map
+    columns (array<map>, struct-with-map) too, not just top-level maps —
+    the checksum path feeds arbitrary imported schemas through this floor
+    (r15, ADVICE)."""
+    from mydumper_spark.util import ensure_min_partitions
+
+    df = spark.sql(
+        "SELECT id, array(map('k', id)) AS am, "
+        "named_struct('inner', map('k', id)) AS sm, "
+        "map('k', id) AS m FROM range(5)"
+    ).coalesce(1)
+    out = ensure_min_partitions(df)          # must not raise at plan time
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3, 4]
+    # the key still hashes the one hashable column (id), not round-robin
+    plan = _plan(out)
+    assert "Exchange hashpartitioning" in plan, plan
+
+    all_map = spark.sql(
+        "SELECT map('k', id) AS m FROM range(3)").coalesce(1)
+    out2 = ensure_min_partitions(all_map)    # no hashable column: round-robin
+    assert out2.count() == 3
+
+
+def test_ngram_lm_training_scan_reuse_pin(spark):
+    """x_ngram_lm_score's r14 leave-alone rationale rests on a RUNTIME-only
+    property: the 4 static-plan scans of the training slice (bigram side,
+    unigram x3) are canonically identical subtrees that AQE collapses into
+    ReusedExchange at execution. Pin it in the EXECUTED plan so a refactor
+    that breaks canonical-subtree identity (e.g. a divergent alias or
+    filter spelling between the unigram and bigram branches) can't
+    silently quadruple the training scan (r15; VERDICT r14 #7)."""
+    df = entry.queries()["x_ngram_lm_score"](spark, SF)
+    # collect (not a noop write): the write command gets its OWN
+    # QueryExecution, so only collect finalizes THIS df's adaptive plan
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    assert plan.count("ReusedExchange") >= 2, plan
