@@ -1777,16 +1777,16 @@ def x_embcurate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids_from_ids(emb, n_cells=4)
     kept = semantic_dedup_batch(clean, threshold=0.4, n_cells=4,
                                 centroids=cents)
-    # the survivor-id list feeds BOTH dsir inputs (corpus + target slice);
-    # lazily checkpoint the tiny id projection so the decontaminate →
-    # SemDeDup GEMM chain runs ONCE per action instead of twice (the
-    # centroid_prune shared-consumer pattern; lazy — construction still
-    # runs no job)
-    kept_ids = (kept.select(F.col("vec_id").alias("doc_id"))
-                .localCheckpoint(eager=False))
+    # r15: the dsir target is a SLICE of the curated corpus selected by an
+    # id-only predicate, so the target gram distribution derives from the
+    # corpus gram checkpoint inside importance_weights (target_pred) — the
+    # decontaminate → SemDeDup GEMM chain now has exactly ONE consumer,
+    # which also makes the survivor-id localCheckpoint that used to shield
+    # it redundant (plan diff: one documents join/shingle pass, not two)
+    kept_ids = kept.select(F.col("vec_id").alias("doc_id"))
     cur = docs.join(kept_ids, "doc_id")
-    return dsir_select(cur, cur.where("doc_id % 17 = 0"), n=100,
-                       hash_fn="sha256")
+    return dsir_select(cur, None, n=100, hash_fn="sha256",
+                       target_pred="doc_id % 17 = 0")
 
 
 _EMBCURATE_SQL = """
@@ -2705,8 +2705,10 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mydumper_spark.operators.text import importance_weights
 
     docs = _t(spark, sf_dir, "documents")
-    return importance_weights(docs, docs.where("doc_id % 17 = 0"),
-                              hash_fn="sha256")
+    # r15: id-only target predicate — target grams derive from the corpus
+    # gram checkpoint instead of a second scan (importance_weights docstring)
+    return importance_weights(docs, None, hash_fn="sha256",
+                              target_pred="doc_id % 17 = 0")
 
 
 _DSIR_SQL = """

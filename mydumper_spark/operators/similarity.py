@@ -28,6 +28,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mydumper_spark.sqlexpr import (
+    cell_scores_sql,
+    cosine_const_sql,
+    darr,
+    dlit,
+    dot_sql,
+    qcol,
+)
+
 #: row-chunk size for within-cell pairwise GEMMs (semantic_dedup_batch):
 #: peak similarity-buffer memory is chunk × |cell| float64 (~16 MB per
 #: 1k-column cell at 2048) instead of |cell|² — chunking is exact
@@ -68,11 +77,14 @@ def cosine_topk(
 
     The query vector is inlined as an array literal (same role as a broadcast
     variable for a single row). Ordering ties broken by id for determinism.
+    The whole scoring expression renders as ONE SQL parse (sqlexpr; the
+    Column-builder twin costs ~3×dim py4j round trips — r15), tree-identical
+    to ``round(cosine(vec, lit-array), 6)`` and pinned so in test_sqlexpr.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        F.round(F.expr(cosine_const_sql(qcol(vec_col), query_vec)), 6)
+        .alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -118,6 +130,19 @@ def simhash_embedding_signature(
     return out
 
 
+def _sig_sql(vec_sql: str, dim: int, num_planes: int = 16) -> str:
+    """SQL text of :func:`simhash_embedding_signature` — the identical
+    CASE/shiftleft/sum tree in ONE parse (num_planes × dim ``F.lit`` calls
+    otherwise; equality pinned in test_sqlexpr)."""
+    bits = [
+        f"CASE WHEN ({dot_sql(vec_sql, _plane_signs(p, dim))}) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {p}) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for p in range(num_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -137,14 +162,15 @@ def ann_topk(
     """
     if dim is None:
         dim = len(query_vec)
-    sig = simhash_embedding_signature(F.col(vec_col), dim, num_planes)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qsig = simhash_embedding_signature(q, dim, num_planes)
+    sig = F.expr(_sig_sql(qcol(vec_col), dim, num_planes))
+    qsig = F.expr(_sig_sql(darr(query_vec), dim, num_planes))
     candidates = embeddings.withColumn("__sig", sig).where(
         F.bit_count(F.col("__sig").bitwiseXOR(qsig)) <= probe_hamming
     )
     scored = candidates.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+        F.col(id_col),
+        F.round(F.expr(cosine_const_sql(qcol(vec_col), query_vec)), 6)
+        .alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -213,15 +239,10 @@ def ivf_assign_cells(
         .limit(n_cells)
         .collect()
     ]
-    scored = F.array(
-        *[
-            F.struct(
-                _cell_score(F.col(vec_col), c).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    # one SQL parse for the whole scored-cells array — the per-cell
+    # _cell_score Column twin costs n_cells × dim py4j round trips (r15);
+    # tree-identical, pinned in test_sqlexpr
+    scored = F.expr(cell_scores_sql(qcol(vec_col), cents))
     assigned = embeddings.withColumn("__cell", F.array_max(scored)["cell"])
     return assigned, cents
 
@@ -246,9 +267,10 @@ def ivf_topk(
         for i, c in enumerate(cents)
     ]
     probe = [i for i, _ in sorted(qdots, key=lambda t: -t[1])[:n_probe]]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = assigned.where(F.col("__cell").isin(probe)).select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+        F.col(id_col),
+        F.round(F.expr(cosine_const_sql(qcol(vec_col), query_vec)), 6)
+        .alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -268,7 +290,7 @@ def write_ann_index(
     band is within the probe Hamming budget — partition pruning does the
     candidate selection, so query cost scales with selectivity, not corpus
     size."""
-    sig = simhash_embedding_signature(F.col(vec_col), dim, num_planes)
+    sig = F.expr(_sig_sql(qcol(vec_col), dim, num_planes))
     indexed = embeddings.withColumn("__sig", sig).withColumn(
         "sig_band", F.col("__sig").bitwiseAND(F.lit((1 << band_bits) - 1))
     )
@@ -293,7 +315,6 @@ def ann_topk_indexed(
     the pruned set is lossless. Probed partitions = Σ C(band_bits, i) for
     i ≤ probe_hamming (e.g. 11 of 16 at 4 bits / h=2), and the scan plan
     shows the pruning as PartitionFilters."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     # driver-side query signature + band neighborhood (tiny, pure python);
     # plane coefficients shared with the persisted __sig via _plane_signs
     qsig = 0
@@ -311,7 +332,9 @@ def ann_topk_indexed(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
     )
     scored = candidates.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+        F.col(id_col),
+        F.round(F.expr(cosine_const_sql(qcol(vec_col), query_vec)), 6)
+        .alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -350,10 +373,11 @@ def ivf_topk_indexed(
         for i, c in enumerate(centroids)
     ]
     probe = [i for i, _ in sorted(qdots, key=lambda t: -t[1])[:n_probe]]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     df = spark.read.parquet(path).where(F.col("__cell").isin(probe))
     scored = df.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+        F.col(id_col),
+        F.round(F.expr(cosine_const_sql(qcol(vec_col), query_vec)), 6)
+        .alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -504,6 +528,16 @@ def _pq_sq_dist(vec_col: Column, offset: int, center: list[float]) -> Column:
     return acc
 
 
+def _pq_sq_dist_sql(vec_sql: str, offset: int, center: list[float]) -> str:
+    """SQL text of :func:`_pq_sq_dist` — identical term tree, one parse."""
+    terms = []
+    for i, c in enumerate(center):
+        d = (f"(CAST(element_at({vec_sql}, {offset + i + 1}) AS DOUBLE) "
+             f"- {dlit(c)})")
+        terms.append(f"({d} * {d})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def pq_encode_expr(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
@@ -524,17 +558,17 @@ def pq_encode_expr(
     dsub = len(codebooks[0][0])
     code_exprs = []
     for j in range(m):
-        cand = F.array(
-            *[
-                F.struct(
-                    _pq_sq_dist(F.col(vec_col), j * dsub, center).alias("d"),
-                    F.lit(code).cast("bigint").alias("code"),
-                )
-                for code, center in enumerate(codebooks[j])
-            ]
-        )
-        code_exprs.append(F.array_min(cand)["code"])
-    return embeddings.withColumn(out_col, F.array(*code_exprs))
+        cand = "array(" + ", ".join(
+            f"named_struct('d', {_pq_sq_dist_sql(qcol(vec_col), j * dsub, center)}, "
+            f"'code', CAST({code} AS BIGINT))"
+            for code, center in enumerate(codebooks[j])
+        ) + ")"
+        code_exprs.append(f"array_min({cand}).code")
+    # the whole m-subspace code array in ONE SQL parse — the Column twin
+    # costs m × ksub × dsub py4j round trips (r15); tree-identical
+    return embeddings.withColumn(
+        out_col, F.expr("array(" + ", ".join(code_exprs) + ")")
+    )
 
 
 def pq_encode(
@@ -624,15 +658,15 @@ def _adc_luts(
 
 
 def _adc_total(luts: list[list[float]], code_col: str = "pq_code") -> Column:
-    """j-ordered sum of each code's lookup-table entry — the ADC score."""
-    total = None
-    for j, lut in enumerate(luts):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut]),
-            (F.element_at(F.col(code_col), j + 1) + 1).cast("int"),
-        )
-        total = term if total is None else total + term
-    return total
+    """j-ordered sum of each code's lookup-table entry — the ADC score.
+    One SQL parse (the Column twin costs m × ksub py4j round trips — r15);
+    tree-identical, pinned in test_sqlexpr."""
+    terms = [
+        f"element_at({darr(lut)}, "
+        f"CAST((element_at({qcol(code_col)}, {j + 1}) + 1) AS INT))"
+        for j, lut in enumerate(luts)
+    ]
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def pq_topk(
@@ -868,10 +902,11 @@ def _det_plane(dim: int, tag: str) -> list[float]:
 
 
 def _dot_lit(vec_col: str, plane: list[float]):
-    arr = F.array(*[F.lit(float(x)) for x in plane])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
+    # one SQL parse; NOTE no explicit casts in the product lambda — the
+    # analyzer inserts the same float→double coercion the Column twin got
+    return F.expr(
+        f"aggregate(zip_with({qcol(vec_col)}, {darr(plane)}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -1213,7 +1248,7 @@ def embedding_near_dup_pairs(
     sig = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        simhash_embedding_signature(F.col(vec_col), dim, num_planes).alias("sig"),
+        F.expr(_sig_sql(qcol(vec_col), dim, num_planes)).alias("sig"),
     )
     banded = sig.select(
         "id",
@@ -1566,7 +1601,7 @@ def append_ann_index(
     so the only contract is calling with the SAME num_planes/band_bits
     the index was built with; signatures then land in the identical band
     partitioning."""
-    sig = simhash_embedding_signature(F.col(vec_col), dim, num_planes)
+    sig = F.expr(_sig_sql(qcol(vec_col), dim, num_planes))
     indexed = delta.withColumn("__sig", sig).withColumn(
         "sig_band", F.col("__sig").bitwiseAND(F.lit((1 << band_bits) - 1))
     )

@@ -533,12 +533,13 @@ def redact_pii(col: Column) -> Column:
 
 def importance_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int = 2,
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    target_pred: str | None = None,
 ) -> DataFrame:
     """DSIR-style hashed n-gram importance scoring (Xie et al., 2023,
     "Data Selection for Language Models via Importance Resampling"):
@@ -565,7 +566,17 @@ def importance_weights(
     hash); "sha256" is the oracle-replayable sibling — same pattern as the
     winnowing/simhash sketches. The corpus gram pass is localCheckpoint-ed
     because two consumers read it (the source distribution and the per-doc
-    scoring join); without the cut the explode+hash lineage runs twice."""
+    scoring join); without the cut the explode+hash lineage runs twice.
+
+    ``target_pred`` (r15): when the target is a SLICE of ``df`` selected by
+    a predicate over ``id_col`` alone, pass the predicate instead of a
+    ``target`` DataFrame — the target distribution then derives from the
+    already-checkpointed corpus gram pass (filtering docs commutes with the
+    per-doc gram explode, so the bucket counts are identical) instead of
+    re-running the upstream plan a second time. At 100 TB that second pass
+    is a full corpus scan; here it also lets a composite caller drop the
+    extra checkpoint that shielded its upstream chain from double
+    execution."""
     from mydumper_spark.operators.dedup import shingles
 
     hasher = _shingle_hasher(hash_fn)
@@ -581,7 +592,8 @@ def importance_weights(
 
     g = gram_buckets(df).localCheckpoint()
     src = g.groupBy("b").agg(F.count(F.lit(1)).alias("s_cnt"))
-    tgt = gram_buckets(target).groupBy("b").agg(F.count(F.lit(1)).alias("t_cnt"))
+    tg = g.where(target_pred) if target_pred is not None else gram_buckets(target)
+    tgt = tg.groupBy("b").agg(F.count(F.lit(1)).alias("t_cnt"))
     dist = src.join(tgt, "b", "left").select(
         "b",
         F.expr("CAST((coalesce(t_cnt, 0) + 1) * 1000000 div (s_cnt + 1) AS BIGINT)")
@@ -600,18 +612,21 @@ def importance_weights(
 
 def dsir_select(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     n: int,
     k: int = 2,
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    target_pred: str | None = None,
 ) -> DataFrame:
     """Select the ``n`` documents most target-like by DSIR importance
     (score_avg descending, id tie-break). orderBy+limit plans as
-    TakeOrdered — per-partition top-n and a driver merge, no full sort."""
-    w = importance_weights(df, target, k, n_buckets, text_col, id_col, hash_fn)
+    TakeOrdered — per-partition top-n and a driver merge, no full sort.
+    ``target_pred``: see :func:`importance_weights`."""
+    w = importance_weights(df, target, k, n_buckets, text_col, id_col,
+                           hash_fn, target_pred)
     return w.orderBy(F.col("score_avg").desc(), F.col(id_col).asc()).limit(n)
 
 

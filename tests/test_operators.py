@@ -1187,6 +1187,22 @@ def test_dsir_importance_ranks_target_like_docs(spark):
     assert top == again
 
 
+def test_dsir_target_pred_matches_target_dataframe(spark, documents):
+    """r15: when the target is an id-predicate slice of the corpus, the
+    target_pred fast path (target grams filtered out of the corpus gram
+    checkpoint — no second corpus pass) must produce byte-identical
+    weights to passing the slice as a target DataFrame."""
+    from mydumper_spark.operators.text import importance_weights
+
+    docs = documents.select("doc_id", "text")
+    via_df = importance_weights(
+        docs, docs.where("doc_id % 17 = 0"), hash_fn="sha256").collect()
+    via_pred = importance_weights(
+        docs, None, hash_fn="sha256",
+        target_pred="doc_id % 17 = 0").collect()
+    assert sorted(map(tuple, via_df)) == sorted(map(tuple, via_pred))
+
+
 def test_table_profile_values_and_approx_mode(spark):
     """Profile counters on a table with known nulls/dupes; the approx
     (HLL) mode returns the same shape with near-exact cardinalities."""
